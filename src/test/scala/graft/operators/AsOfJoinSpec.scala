@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import java.sql.Date
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("backward as-of attaches latest right row at or before left time") {
+    val left = Seq(
+      ("A", d("2024-01-10")), ("A", d("2024-02-10")), ("A", d("2024-03-10")))
+      .toDF("symbol", "as_of")
+    val right = Seq(
+      ("A", d("2024-01-10"), 1.0), ("A", d("2024-02-15"), 2.0))
+      .toDF("symbol", "rdate", "ta")
+
+    val out = AsOfJoin.backward(left, right, Seq("symbol"), "as_of", "rdate", Seq("ta"))
+      .orderBy("as_of").collect()
+    // 01-10: same-day right row matches (at-or-before); 02-10: still 1.0; 03-10: 2.0
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("ta")).map(_.toDouble)).toSeq ===
+      Seq(Some(1.0), Some(1.0), Some(2.0)))
+  }
+
+  test("no right row at or before → null columns") {
+    val left = Seq(("A", d("2024-01-01"))).toDF("symbol", "as_of")
+    val right = Seq(("A", d("2024-06-01"), 9.9)).toDF("symbol", "rdate", "ta")
+    val out = AsOfJoin.backward(left, right, Seq("symbol"), "as_of", "rdate", Seq("ta")).collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("ta")))
+  }
+
+  test("row semantics: a null-valued right column overrides an older value") {
+    val left = Seq(("A", d("2024-03-01"))).toDF("symbol", "as_of")
+    val right = Seq(
+      ("A", d("2024-01-01"), Some(1.0)),
+      ("A", d("2024-02-01"), Option.empty[Double]))
+      .toDF("symbol", "rdate", "ta")
+    val out = AsOfJoin.backward(left, right, Seq("symbol"), "as_of", "rdate", Seq("ta")).collect()
+    // polars join_asof attaches the ROW (with its null), not latest-non-null per column
+    assert(out.head.isNullAt(out.head.fieldIndex("ta")))
+  }
+
+  test("keys separate groups") {
+    val left = Seq(("A", d("2024-02-01")), ("B", d("2024-02-01"))).toDF("symbol", "as_of")
+    val right = Seq(("A", d("2024-01-01"), 1.0)).toDF("symbol", "rdate", "ta")
+    val out = AsOfJoin.backward(left, right, Seq("symbol"), "as_of", "rdate", Seq("ta"))
+      .orderBy("symbol").collect()
+    assert(Option(out(0).getAs[java.lang.Double]("ta")).isDefined)
+    assert(out(1).isNullAt(out(1).fieldIndex("ta")))
+  }
+
+  test("tolerance nulls out matches older than the bound") {
+    val left = Seq(("A", d("2024-06-01"))).toDF("symbol", "as_of")
+    val right = Seq(("A", d("2024-01-01"), 1.0)).toDF("symbol", "rdate", "ta")
+    val out = AsOfJoin.backward(left, right, Seq("symbol"), "as_of", "rdate", Seq("ta"),
+      tolerance = Some(lit(30))) // DateType tolerance is in days
+    val r = out.collect().head
+    assert(r.isNullAt(r.fieldIndex("ta")))
+  }
+}
