@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.RelationalQueries2.queries
+      graft.queries.RelationalQueries2.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.RelationalQueries2.oracleSql
+      graft.queries.RelationalQueries2.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

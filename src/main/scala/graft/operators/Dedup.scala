@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextFunctions
+
+/** Corpus deduplication operators for LLM-scale pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design:
+  *  - exact dedup is a hash-groupBy (one shuffle on the content hash);
+  *  - MinHash signatures are computed in a single explode→groupBy pass
+  *    (numHashes aggregates, map-side combined);
+  *  - LSH banding turns all-pairs comparison into an equi-join on
+  *    (band, band_signature) — the only pairs materialized are bucket
+  *    collisions, which is what makes near-dup feasible at 100 TB;
+  *  - candidate pairs are then VERIFIED with exact shingle-set Jaccard
+  *    (a second equi-join on shingle), so LSH is a pure recall optimization
+  *    and never changes semantics.
+  */
+object Dedup {
+
+  /** Word shingles of size `k` as a distinct-set array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** Exact dedup: keep the smallest `idCol` per identical content
+    * (md5 of raw text). Returns input + (content_hash, keep) columns.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.withColumn("content_hash", TextFunctions.contentFingerprint(col(textCol)))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /** (id, shingle) exploded pairs — the base relation for MinHash and for
+    * exact Jaccard verification.
+    */
+  def shinglePairs(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
+
+  /** MinHash signatures: one row per document, `numHashes` min-hash columns
+    * m0..m{n-1} where m_i = min over shingles of xxhash64(i, shingle).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    pairs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band, band signature), emit distinct
+    * (id_a < id_b) pairs that collide in ≥1 band.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for given candidate pairs (columns id_a,id_b):
+    * |A∩B| via equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardVerify(candidates: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = pairs.groupBy(col("id")).agg(count_distinct(col("shingle")).as("n"))
+    val a = pairs.select(col("id").as("id_a"), col("shingle"))
+    val b = pairs.select(col("id").as("id_b"), col("shingle"))
+    val shared = candidates
+      .join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact all-pairs Jaccard over pairs sharing ≥1 shingle, in ONE shingle
+    * equi-join + aggregate (no candidate materialization / re-join): the
+    * exact-baseline counterpart to [[nearDuplicates]]. Cost is Σ_shingle
+    * df(s)² — use the LSH path when shingle document-frequencies are heavy.
+    */
+  def allPairsJaccard(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+    val sizes = pairs.groupBy(col("id")).agg(count_distinct(col("shingle")).as("n"))
+    val a = pairs.select(col("shingle"), col("id").as("id_a"))
+    val b = pairs.select(col("shingle"), col("id").as("id_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-duplicate detection: signatures → banded
+    * candidates → exact Jaccard ≥ threshold.
+    */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
+    val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+    jaccardVerify(cands, pairs).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit): per token, xxhash64; bit i of the fingerprint is the
+    * sign of Σ_tokens (±1 by token-hash bit i). Computed as 64 conditional
+    * aggregates in ONE pass (no per-bit explosion), assembled with bitwise
+    * OR (no arithmetic overflow).
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val summed = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i)
+    }.reduce(_ bitwiseOR _)
+    summed.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance. All-pairs by
+    * default — callers should pre-bucket (e.g. by 16-bit prefix) at scale;
+    * [[simhashNearDuplicates]] does exactly that.
+    */
+  def hammingPairs(fps: DataFrame, maxDistance: Int): DataFrame = {
+    val a = fps.select(col("id").as("id_a"), col("simhash").as("fp_a"))
+    val b = fps.select(col("id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Banded SimHash near-dup: 4 bands of 16 bits — any pair within Hamming
+    * distance 3 shares at least one exact band (pigeonhole), so the bucket
+    * join loses nothing while avoiding the all-pairs cross join.
+    */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "4x16-bit banding guarantees recall only to distance 3")
+    val fps = simhash(df, textCol, idCol)
+    val banded = fps.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

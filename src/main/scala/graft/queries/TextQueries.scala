@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** LLM-pipeline operators over the documents/embeddings fixtures: text
+  * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search, multimodal plumbing.
+  *
+  * Hash-randomized operators (MinHash, SimHash, hyperplane LSH) have no
+  * cross-engine oracle — their seeds are engine-specific — so they are
+  * registered WITHOUT oracleSql (driver records rows-only) and their
+  * semantics are verified in ScalaTest against the exact brute-force
+  * operators instead.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStop = Seq("the", "a", "is", "of", "and")
+  private val opsWords = Seq("join", "merge", "sort", "group", "agg")
+  private val sizeWords = Seq("big", "small", "fast", "slow")
+
+  /** T5/T6 — per-document text statistics: token count, char count, average
+    * token length, punctuation ratio.
+    */
+  def q22TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        charCount(col("text")).cast("long").as("n_chars_computed"),
+        avgTokenLength(col("text")).as("avg_tok_len"),
+        punctRatio(col("text")).as("punct_ratio"))
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+      |  length(text) AS n_chars_computed,
+      |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(trim(lower(text)), '\s+')) AS avg_tok_len,
+      |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length/punct/stopword composite in [0,1] — the
+    * LLM-corpus quality-filter shape.
+    */
+  def q23QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text"), enStop).as("quality"))
+
+  val q23Sql: String = {
+    val stopList = enStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS pr
+       |  FROM documents)
+       |SELECT doc_id,
+       |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |  (1.0 - least(pr * 5.0, 1.0)) * 0.3 +
+       |  least((CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks)) * 4.0, 1.0) * 0.3
+       |    AS quality
+       |FROM t""".stripMargin
+  }
+
+  /** Language-ID scores (n-gram/stopword heuristic): per-language hit ratios
+    * as columns (the argmax [[TextFunctions.langId]] is spec-tested; scores
+    * are the oracle-checkable surface).
+    */
+  def q24LangScores(s: SparkSession, dir: String): DataFrame = {
+    val dicts = Map(
+      "en" -> enStop,
+      "ops" -> opsWords,
+      "size" -> sizeWords)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      wordRatio(col("text"), dicts("en")).as("en_score"),
+      wordRatio(col("text"), dicts("ops")).as("ops_score"),
+      wordRatio(col("text"), dicts("size")).as("size_score"))
+  }
+
+  val q24Sql: String = {
+    def ratio(words: Seq[String], as: String) = {
+      val l = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($l))) AS DOUBLE) / len(toks) AS $as"
+    }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+       |SELECT doc_id, ${ratio(enStop, "en_score")}, ${ratio(opsWords, "ops_score")},
+       |  ${ratio(sizeWords, "size_score")}
+       |FROM t""".stripMargin
+  }
+
+  /** Exact + canonicalized dedup: content hash, bag-of-words hash, and the
+    * keep-smallest-id flag per content group.
+    */
+  def q25DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bow_hash"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        contentFingerprint(col("text")).as("content_hash"),
+        bagOfWordsFingerprint(col("text")).as("bow_hash"))
+      .withColumn("keep", (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+  }
+
+  val q25Sql: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS content_hash,
+      |  md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\s+')), ' ')) AS bow_hash
+      |  FROM documents)
+      |SELECT doc_id, content_hash, bow_hash,
+      |  CAST(doc_id = min(doc_id) OVER (PARTITION BY bow_hash) AS INT) AS keep
+      |FROM h""".stripMargin
+
+  /** N-gram Jaccard near-dup (exact): 3-word shingles, candidate pairs share
+    * ≥1 shingle, Jaccard ≥ 0.2. The shingle equi-join IS the scale path —
+    * no all-pairs product is ever materialized.
+    */
+  def q26NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.allPairsJaccard(Tables.documents(s, dir), "text", "doc_id",
+        threshold = 0.2, shingleSize = 3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  val q26Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+      |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared*1.0/(sa.n + sb.n - shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared*1.0/(sa.n + sb.n - shared) >= 0.2""".stripMargin
+
+  /** MinHash+LSH near-dup (rows-only: engine-specific hash seeds). LSH
+    * banding prunes candidates; exact Jaccard verifies — so output ⊆ q26's
+    * pair set (asserted in DedupSpec).
+    */
+  def q27MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(Tables.documents(s, dir), "text", "doc_id",
+      threshold = 0.2, numHashes = 32, bands = 16)
+
+  /** SimHash near-dup via 4×16-bit banding (rows-only: engine-specific
+    * hash).
+    */
+  def q28Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
+      maxDistance = 3)
+
+  /** Brute-force cosine top-10 for a query panel (vec_id % 100 == 0), the
+    * exact ANN baseline. Rounded to 9dp to absorb engine summation-order
+    * differences in the oracle compare.
+    */
+  def q29KnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos_sim_r"), col("rank"))
+  }
+
+  val q29Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** LSH-bucketed approximate ANN (rows-only: plane seeds engine-specific);
+    * recall vs q29 asserted in SimilaritySpec.
+    */
+  def q30KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    Similarity.lshTopK(emb, queries, k = 10, bits = 6, dims = 64)
+  }
+
+  /** Multimodal plumbing: binary payloads through the partition-batched
+    * feature extractor; byte count + checksum are the oracle-checkable
+    * surface (the fake feature vector is spec-tested).
+    */
+  def q31Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.fromDocuments(Tables.documents(s, dir)))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"), col("checksum"))
+
+  val q31Sql: String =
+    """SELECT doc_id AS media_id, length(text) AS n_bytes, md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  /** A10/T5 — word-category ratios (LM-dictionary style) + rolling
+    * fingerprint per document.
+    */
+  def q32WordCategories(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        wordRatio(col("text"), opsWords).as("ops_ratio"),
+        wordRatio(col("text"), sizeWords).as("size_ratio"),
+        rollingFingerprint(col("text")).as("fingerprint"))
+
+  val q32Sql: String = {
+    val ops = opsWords.map(w => s"'$w'").mkString(", ")
+    val size = sizeWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(toks, x -> x IN ($ops))) AS DOUBLE) / len(toks) AS ops_ratio,
+       |  CAST(len(list_filter(toks, x -> x IN ($size))) AS DOUBLE) / len(toks) AS size_ratio,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, x -> CAST(md5_number_upper(x) % 4294967296 AS BIGINT))),
+       |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+       |FROM t""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q22_text_stats" -> (q22TextStats _),
+    "q23_quality_score" -> (q23QualityScore _),
+    "q24_lang_scores" -> (q24LangScores _),
+    "q25_dedup_exact" -> (q25DedupExact _),
+    "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q28_simhash" -> (q28Simhash _),
+    "q29_knn_cosine" -> (q29KnnCosine _),
+    "q30_knn_lsh" -> (q30KnnLsh _),
+    "q31_multimodal" -> (q31Multimodal _),
+    "q32_word_categories" -> (q32WordCategories _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_text_stats" -> q22Sql,
+    "q23_quality_score" -> q23Sql,
+    "q24_lang_scores" -> q24Sql,
+    "q25_dedup_exact" -> q25Sql,
+    "q26_ngram_jaccard" -> q26Sql,
+    "q29_knn_cosine" -> q29Sql,
+    "q31_multimodal" -> q31Sql,
+    "q32_word_categories" -> q32Sql)
+}

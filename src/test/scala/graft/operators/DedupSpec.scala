@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "spark sql window functions shuffle partition join"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "completely different tokens entirely unrelated words here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per content group") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val kept = out.filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 5L)) // 4 is the dup
+  }
+
+  test("shingles are distinct k-grams; short docs fall back to whole text") {
+    val sh = docs.select(Dedup.shingles($"text", 3).as("s"))
+      .filter($"s".isNotNull).first().getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3).as("s")).first().getSeq[String](0)
+    assert(short === Seq("tiny doc"))
+  }
+
+  test("minhash-LSH near-duplicates finds exact and near pairs, skips unrelated") {
+    val nd = Dedup.nearDuplicates(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 4L))) // identical
+    assert(nd.contains((1L, 2L)) || nd.contains((2L, 4L))) // near-dup
+    assert(!nd.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("LSH candidates verified by exact jaccard: identical docs give 1.0") {
+    val pairs = Dedup.shinglePairs(docs, "text", "doc_id", 3)
+    val cand = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(cand, pairs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 4L)) === 1.0)
+    assert(!j.contains((1L, 3L))) // no shared shingles -> no row
+  }
+
+  test("simhash: identical docs equal; unrelated docs distant") {
+    val fp = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(4L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(5L)) > 10)
+    // near-dup docs are closer than unrelated docs
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(2L)) <
+      java.lang.Long.bitCount(fp(1L) ^ fp(5L)))
+  }
+
+  test("banded simhash near-dup finds identical pairs without cross join") {
+    val nd = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 4L)))
+  }
+
+  test("LSH candidate pairs are a superset of high-jaccard truth on fixtures") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = graft.queries.TextQueries.q26NgramJaccard(spark, "/root/testdata/sf0.001")
+      .filter($"jaccard" >= 0.9).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDuplicates(fixture, "text", "doc_id",
+      threshold = 0.9, numHashes = 32, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 16 bands of 2 hashes: P(candidate) at j=0.9 is 1-(1-0.81)^16 ≈ 1-3e-12
+    assert(truth.subsetOf(lsh))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite to 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val out = vecs.crossJoin(vecs.select($"vec_id".as("b_id"), $"embedding".as("b")))
+      .filter($"vec_id" === 0)
+      .select($"b_id", Similarity.cosine($"embedding", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(0L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k achieves high recall vs brute force on the fixture corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, bits = 6, dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("lshSignature buckets are deterministic across invocations") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s1 = emb.select($"vec_id", Similarity.lshSignature($"embedding", 8, 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val s2 = emb.select($"vec_id", Similarity.lshSignature($"embedding", 8, 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(s1 === s2)
+  }
+}
