@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.ExactAgg
+import graft.text.{Chunker, Mda, Readability, Sentiment, WordLists}
+
+/** Sentiment/text-pipeline queries (T1-T6, A9) + remaining §2 operator
+  * coverage (A5/A6/A12 aggregate family, W8 ranking family, S8 CSV source,
+  * P5 regex predicates).
+  */
+object TextQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Documents wrapped as synthetic SEC-filing-like text: MD&A body framed by
+    * Item 7 / Item 7A markers, tripled for the ≥500-char validity guard.
+    */
+  private def syntheticFilings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        lit("PART II. Item 7. Management's Discussion and Analysis of results. "),
+        col("text"), lit(" "), col("text"), lit(" "), col("text"),
+        lit(" Item 7A. Quantitative and Qualitative Disclosures.")).as("filing"))
+
+  /** T3 — chunk generator: 1 document → N overlapping chunks (rows-only:
+    * the sentence-snapping loop is not SQL-expressible; semantics are
+    * golden-tested in ChunkerSpec).
+    */
+  def q33ChunkExplode(s: SparkSession, dir: String): DataFrame =
+    Sentiment.chunk(Tables.documents(s, dir), "text", Seq("doc_id"),
+        chunkSize = 120, overlap = 20)
+      .select(col("doc_id"), col("chunk_idx"), length(col("chunk")).as("chunk_len"))
+
+  /** T4 + A9 — full sentiment pipeline: chunk → deterministic lexicon model
+    * → per-filing aggregation with exact stddev/median/skew + LM ratios +
+    * readability (rows-only; component semantics golden-tested).
+    */
+  def q34SentimentPipeline(s: SparkSession, dir: String): DataFrame =
+    Sentiment.pipeline(
+      Tables.documents(s, dir).withColumnRenamed("text", "body"),
+      "body", Seq("doc_id"), chunkSize = 120, overlap = 20)
+      .select(col("doc_id"), col("chunk_count"), col("sentiment_score"),
+        col("positive_ratio"), col("negative_ratio"), col("neutral_ratio"),
+        col("sentiment_std"), col("sentiment_skew"), col("extreme_negative_ratio"),
+        col("word_count"), col("fog_index"))
+
+  /** T1/T2 — MD&A extraction over synthetic filings (rows-only; regex
+    * cascade + cleanup semantics golden-tested in MdaSpec).
+    */
+  def q35MdaExtract(s: SparkSession, dir: String): DataFrame =
+    syntheticFilings(s, dir)
+      .select(col("doc_id"),
+        Mda.extractMdaUdf(minLength = 100)(col("filing")).as("mda"))
+      .select(col("doc_id"),
+        (col("mda").isNotNull).cast("int").as("found"),
+        coalesce(length(col("mda")), lit(0)).cast("long").as("mda_len"))
+
+  /** A9 (oracle-checkable core) — exact distribution statistics per group:
+    * mean, SAMPLE stddev via integer moments, range, exact interpolated
+    * median, Pearson skew (mean − median)/std — the reference's
+    * chunk-sentiment aggregation shape on numeric data.
+    */
+  def q36DistStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (ExactAgg.fixedSum(col("value"), 2) / count(lit(1))).as("mean_v"),
+        ExactAgg.fixedStddevSamp(col("value"), 2).as("std_v"),
+        (max(col("value")) - min(col("value"))).as("range_v"),
+        expr("percentile(value, 0.5)").as("median_v"))
+      .withColumn("skew_v",
+        (col("mean_v") - col("median_v")) / col("std_v"))
+
+  val q36Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    (sum(CAST(round(value*100) AS BIGINT))/100.0)/count(*) AS mean_v,
+      |    sqrt((sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT))
+      |          - CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+      |            * CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / count(*))
+      |         / (100.0*100.0) / (count(*) - 1)) AS std_v,
+      |    max(value) - min(value) AS range_v,
+      |    median(value) AS median_v
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, mean_v, std_v, range_v, median_v,
+      |  (mean_v - median_v) / std_v AS skew_v
+      |FROM m""".stripMargin
+
+  /** T5 — LM word-category ratios over synthetic filings (oracle-checked:
+    * same dictionaries inlined in SQL).
+    */
+  def q37LmRatios(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), WordLists.ratios(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.word_count").as("word_count"),
+        col("r.uncertainty_ratio").as("uncertainty_ratio"),
+        col("r.constraining_ratio").as("constraining_ratio"),
+        col("r.strong_modal_ratio").as("strong_modal_ratio"))
+
+  val q37Sql: String = {
+    def r(words: Seq[String], as: String) = {
+      val l = words.map(w => s"'$w'").mkString(", ")
+      s"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ($l))) AS DOUBLE)/len(toks) ELSE 0.0 END AS $as"
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-zA-Z]+'), x -> len(x) > 0) AS toks
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS word_count,
+       |  ${r(WordLists.uncertainty, "uncertainty_ratio")},
+       |  ${r(WordLists.constraining, "constraining_ratio")},
+       |  ${r(WordLists.strongModal, "strong_modal_ratio")}
+       |FROM t""".stripMargin
+  }
+
+  /** A5/A6/A12 — count / exact distinct / latest-per-group metadata stats
+    * (the reference's publisher metadata aggregates, publishers.py:562-572).
+    */
+  def q38MetaStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val latest = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(latest))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_distinct(col("o_orderpriority")).as("n_priorities"),
+        max(col("o_orderdate").cast("date")).as("latest_date"),
+        max(when(col("rn") === 1, col("o_orderkey"))).as("latest_orderkey"),
+        max(when(col("rn") === 1, col("o_totalprice"))).as("latest_price"))
+  }
+
+  val q38Sql: String =
+    """WITH r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  count(DISTINCT o_orderpriority) AS n_priorities,
+      |  max(CAST(o_orderdate AS DATE)) AS latest_date,
+      |  max(CASE WHEN rn = 1 THEN o_orderkey END) AS latest_orderkey,
+      |  max(CASE WHEN rn = 1 THEN o_totalprice END) AS latest_price
+      |FROM r GROUP BY o_custkey""".stripMargin
+
+  /** W8 — analytic ranking family: rank, dense_rank, ntile, percent_rank
+    * over a deterministic total order.
+    */
+  def q39Ranking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
+  val q39Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin
+
+  /** S8 + S12 — pipe-delimited text round-trip (the reference's Nasdaq
+    * universe file, universe/current.py:119-146): write nation as '|' CSV,
+    * read it back parsed.
+    */
+  def q40CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_csv_nation"
+    Tables.nation(s, dir)
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("sep", "|").option("header", "true")
+      .csv(out)
+    s.read.option("sep", "|").option("header", "true")
+      .option("inferSchema", "false").csv(out)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+  }
+
+  val q40Sql: String =
+    """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS INT) AS n_regionkey
+      |FROM read_csv('/tmp/graft_csv_nation/*.csv', delim='|', header=true)""".stripMargin
+
+  /** P5 — regex/substring predicate family (the reference's common-stock
+    * name heuristics, universe/current.py:20-88).
+    */
+  def q41RegexFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_type").rlike("(?i)(brass|steel)") &&
+        !col("p_name").contains("green") &&
+        col("p_brand").startsWith("Brand#1"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_brand"))
+
+  val q41Sql: String =
+    """SELECT p_partkey, p_name, p_type, p_brand
+      |FROM part
+      |WHERE regexp_matches(p_type, '(?i)(brass|steel)')
+      |  AND NOT contains(p_name, 'green')
+      |  AND starts_with(p_brand, 'Brand#1')""".stripMargin
+
+  /** T6 — readability metrics (rows-only: syllable heuristics are UDFs;
+    * golden-tested in ReadabilitySpec).
+    */
+  def q42Readability(s: SparkSession, dir: String): DataFrame =
+    syntheticFilings(s, dir)
+      .select(col("doc_id"),
+        Readability.sentenceCountUdf(col("filing")).as("n_sentences"),
+        Readability.complexWordsUdf(col("filing")).as("n_complex"),
+        Readability.avgSentenceLengthUdf(col("filing")).as("avg_sentence_len"),
+        Readability.fogIndexUdf(col("filing")).as("fog"))
+
+  val queries: Map[String, Q] = Map(
+    "q33_chunk_explode" -> (q33ChunkExplode _),
+    "q34_sentiment_pipeline" -> (q34SentimentPipeline _),
+    "q35_mda_extract" -> (q35MdaExtract _),
+    "q36_dist_stats" -> (q36DistStats _),
+    "q37_lm_ratios" -> (q37LmRatios _),
+    "q38_meta_stats" -> (q38MetaStats _),
+    "q39_ranking" -> (q39Ranking _),
+    "q40_csv_roundtrip" -> (q40CsvRoundtrip _),
+    "q41_regex_filter" -> (q41RegexFilter _),
+    "q42_readability" -> (q42Readability _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q36_dist_stats" -> q36Sql,
+    "q37_lm_ratios" -> q37Sql,
+    "q38_meta_stats" -> q38Sql,
+    "q39_ranking" -> q39Sql,
+    "q40_csv_roundtrip" -> q40Sql,
+    "q41_regex_filter" -> q41Sql)
+}
