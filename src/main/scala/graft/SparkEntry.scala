@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.RelationalQueries2.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.TextQueries2.queries
+      graft.queries.TextQueries2.queries ++
+      graft.queries.LakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.RelationalQueries2.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.TextQueries2.oracleSql
+      graft.queries.TextQueries2.oracleSql ++
+      graft.queries.LakeQueries.oracleSql
 }

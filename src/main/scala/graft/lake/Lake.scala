@@ -1,0 +1,112 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** The storage substrate: entity-partitioned Parquet with idempotent
+  * partition overwrite, compaction, manifests and listing (SURVEY §1.4,
+  * §2.1 S9-S15, §2.10 I3/I5).
+  *
+  * Layout (Hive-partitioned; the reference's path-construction pruning,
+  * storage/clients/ticks.py:235-292, dissolves into Catalyst partition
+  * pruning):
+  * {{{
+  *   <root>/daily_ticks/security_id=<sid>/year=<y>/part-....parquet
+  *   <root>/fundamental/cik=<cik>/part-....parquet
+  *   <root>/_manifests/<table>.json
+  * }}}
+  *
+  * 100 TB posture: the reference's per-(security, month) ~5 KB objects
+  * (CLAUDE.md:166) are hostile at scale — we keep the logical partitioning
+  * (entity, year) but let files be fat; [[compactYears]] is the bin-packing
+  * job (I5) that folds small incremental files into consolidated ones.
+  */
+object Lake {
+
+  /** Idempotent partitioned write with dynamic partition overwrite (I3 —
+    * the reference's month-to-date total refetch + overwrite,
+    * update/app.py:296-445): only partitions present in `df` are replaced.
+    */
+  def overwritePartitions(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$root/$table")
+  }
+
+  /** Append-only write (U1 concat-at-rest). */
+  def appendPartitions(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(s"$root/$table")
+
+  /** Partition-pruned read (S9/§3.3): pass partition-column predicates so the
+    * scan's PartitionFilters prune directories before any IO.
+    */
+  def read(spark: SparkSession, root: String, table: String): DataFrame =
+    spark.read.parquet(s"$root/$table")
+
+  /** I5 — year-end compaction: rewrite the given (entity, year) partitions
+    * as one file each (the reference's 12-monthlies → history.parquet,
+    * update/app.py:447-607). Dynamic overwrite keeps it idempotent;
+    * `fileSizeTarget` governs output fan-out for fat partitions.
+    */
+  def compactYears(spark: SparkSession, root: String, table: String,
+      years: Seq[Int], filesPerPartition: Int = 1): Unit = {
+    val df = read(spark, root, table).filter(col("year").isin(years: _*))
+    overwritePartitions(
+      df.repartition(filesPerPartition, col("security_id"), col("year")),
+      root, table, Seq("security_id", "year"))
+  }
+
+  /** S13 — manifest sidecar (the reference embeds custom parquet metadata,
+    * security_master.py:828-855; parquet footer K/V is awkward from Spark,
+    * so the manifest is a sidecar JSON keyed by table).
+    */
+  def writeManifest(spark: SparkSession, root: String, table: String,
+      rowCount: Long, version: String, extra: Map[String, String] = Map.empty): Unit = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val kv = Map(
+      "table" -> table,
+      "row_count" -> rowCount.toString,
+      "version" -> version) ++ extra
+    val json = kv.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    val out = fs.create(new Path(s"$root/_manifests/$table.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readManifest(spark: SparkSession, root: String, table: String): Map[String, String] = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$root/_manifests/$table.json")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"([^"]+)":\s*"([^"]*)"""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** S14 — partition listing / existence probes (the reference's
+    * list_objects_v2 walking, storage/pipeline/validation.py:84-235).
+    */
+  def listPartitions(spark: SparkSession, root: String, table: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val base = new Path(s"$root/$table")
+    if (!fs.exists(base)) return Seq.empty
+    def walk(p: Path): Seq[String] = {
+      val children = fs.listStatus(p).filter(_.isDirectory)
+      if (children.isEmpty) Seq(p.toString.stripPrefix(base.toString).stripPrefix("/"))
+      else children.toSeq.flatMap(c => walk(c.getPath))
+    }
+    walk(base).filter(_.nonEmpty).sorted
+  }
+
+  def partitionExists(spark: SparkSession, root: String, table: String,
+      partitionPath: String): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$root/$table/$partitionPath"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.Lake
+import graft.streaming.Incremental
+
+/** Lake (S10/S11/I3) and Structured-Streaming (I1/I4) behaviors surfaced
+  * through the correctness gate: each query performs the side-effecting
+  * pipeline and returns a read-back result the oracle can recompute from the
+  * source tables (the round-trip must be lossless).
+  */
+object LakeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S10+S11+I3 — partitioned parquet sink with dynamic partition overwrite:
+    * write orders partitioned by year, overwrite the 1995 partition with a
+    * filtered slice (idempotent refresh), read back per-year aggregates.
+    * Oracle recomputes what the lake must now contain.
+    */
+  def q43LakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = "file:///tmp/graft_lake_q43"
+    val o = Tables.orders(s, dir)
+      .withColumn("year", year(col("o_orderdate")))
+    Lake.overwritePartitions(o, root, "orders", Seq("year"))
+    // I3: total refresh of ONE partition — 1995 keeps only non-'F' rows
+    Lake.overwritePartitions(
+      o.filter(col("year") === 1995 && col("o_orderstatus") =!= "F"),
+      root, "orders", Seq("year"))
+    Lake.read(s, root, "orders")
+      .groupBy(col("year"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactAgg.fixedSum(col("o_totalprice"), 2).as("total"))
+  }
+
+  val q43Sql: String =
+    """SELECT year(o_orderdate) AS year, count(*) AS n,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+      |FROM orders
+      |WHERE year(o_orderdate) <> 1995 OR o_orderstatus <> 'F'
+      |GROUP BY 1""".stripMargin
+
+  /** I1/I4 — Structured Streaming over the events table (AvailableNow
+    * micro-batch): watermarked dedup on event_id, then hourly per-type
+    * aggregation; the oracle recomputes the same from the static table.
+    * Exercises readStream → stateful dedup → event-time window → sink.
+    */
+  def q44StreamingWindow(s: SparkSession, dir: String): DataFrame = {
+    // stage events into a stream-source directory (ns ts → usable timestamp)
+    val src = "/tmp/graft_stream_events"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), timestamp_micros((col("ts_ns") / 1000).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+
+    val stream = Incremental.fileStream(s, src, ev.schema)
+    val deduped = Incremental.dedupAppend(stream, "ts", "event_id", "1 day")
+    val windowed = Incremental.windowedCounts(deduped, "ts", "1 hour",
+      watermark = None, Seq("event_type"))
+    val name = "graft_q44_out"
+    Incremental.runAvailableNow(windowed, name, outputMode = "complete")
+    s.table(name)
+      .select(col("window_start").cast("date").as("day"),
+        hour(col("window_start")).as("hr"),
+        col("event_type"), col("n"), col("value_sum"))
+  }
+
+  val q44Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+      |  hour(date_trunc('hour', ts)) AS hr,
+      |  event_type, count(*) AS n,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum
+      |FROM events
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
+    "q44_streaming_window" -> (q44StreamingWindow _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q43_lake_roundtrip" -> q43Sql,
+    "q44_streaming_window" -> q44Sql)
+}

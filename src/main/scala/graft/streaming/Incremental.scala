@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental/streaming semantics (SURVEY §2.10) restated with Structured
+  * Streaming. The reference is a daily micro-batch system (I1-I7) — here the
+  * same behaviors run as streaming queries:
+  *
+  *  - I3 idempotent refresh → `Trigger.AvailableNow` micro-batch over new
+  *    files, writing with partition overwrite downstream;
+  *  - I4 late-data dedup-append → watermark + `dropDuplicates` on the
+  *    accession-like key (the reference's anti-join on accession_number,
+  *    update/app.py:877-940);
+  *  - event-time windowed aggregation with a watermark — the streaming
+  *    analogue of the daily per-partition aggregates.
+  */
+object Incremental {
+
+  /** File-driven micro-batch source over a directory of parquet (the
+    * streaming analogue of the reference's daily cron pull).
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** I4 — exactly-once append of unseen keys: watermarked dedup on `keyCol`.
+    * Late duplicates inside the watermark are dropped by state; the
+    * watermark bounds state size (the scale knob the reference's in-memory
+    * `seen accession` set lacks).
+    */
+  def dedupAppend(stream: DataFrame, tsCol: String, keyCol: String,
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCol, tsCol)
+
+  /** Event-time windowed aggregation; set `watermark = None` when the input
+    * stream already carries one (a watermark may only be defined once per
+    * query even with chained stateful operators).
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, window: String,
+      watermark: Option[String], groupCols: Seq[String]): DataFrame = {
+    val groupExprs: Seq[org.apache.spark.sql.Column] =
+      org.apache.spark.sql.functions.window(col(tsCol), window) +: groupCols.map(col)
+    val outCols: Seq[org.apache.spark.sql.Column] =
+      Seq(col("window.start").as("window_start"), col("window.end").as("window_end")) ++
+        groupCols.map(col) ++
+        Seq(col("n"), (col("value_cents") / 100.0).as("value_sum"))
+    watermark.fold(stream)(w => stream.withWatermark(tsCol, w))
+      .groupBy(groupExprs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(outCols: _*)
+  }
+
+  /** Run a streaming DataFrame to completion over currently-available data
+    * (Trigger.AvailableNow — the reference's "process everything since the
+    * last daily run" semantics) into an in-memory table; returns the query.
+    */
+  def runAvailableNow(out: DataFrame, queryName: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

