@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.RelationalQueries2.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.TextQueries2.queries ++
-      graft.queries.LakeQueries.queries
+      graft.queries.LakeQueries.queries ++
+      graft.queries.MasterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.RelationalQueries2.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.TextQueries2.oracleSql ++
-      graft.queries.LakeQueries.oracleSql
+      graft.queries.LakeQueries.oracleSql ++
+      graft.queries.MasterQueries.oracleSql
 }

@@ -112,7 +112,11 @@ object SecurityMaster {
     */
   def resolve(df: DataFrame, master: DataFrame,
       symbolCol: String = "symbol", dayCol: String = "day"): DataFrame = {
+    // The exact result feeds three consumers (hit branch, miss branch, and
+    // the existence check) — persist it so the broadcast interval join runs
+    // once, not three times.
     val exact = resolveExact(df, master, symbolCol, dayCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hit = exact.filter(col("security_id").isNotNull)
     val miss = exact.filter(col("security_id").isNull).drop("security_id")
     if (miss.isEmpty) return exact

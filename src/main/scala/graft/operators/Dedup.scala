@@ -104,7 +104,8 @@ object Dedup {
   def allPairsJaccard(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
     val pairs = shinglePairs(df, textCol, idCol, shingleSize)
-    val sizes = pairs.groupBy(col("id")).agg(count_distinct(col("shingle")).as("n"))
+    // shingles() already emits distinct shingles per doc → plain count
+    val sizes = pairs.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = pairs.select(col("shingle"), col("id").as("id_a"))
     val b = pairs.select(col("shingle"), col("id").as("id_b"))
     a.join(b, Seq("shingle"))

@@ -29,16 +29,26 @@ object Similarity {
     dot(d(a), d(b)) / (sqrt(dot(d(a), d(a))) * sqrt(dot(d(b), d(b))))
   }
 
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (broadcast); `corpus` is the big side and is only mapped, never
-    * shuffled. Ties break on corpus id for determinism.
+    * shuffled. Norms are computed ONCE per row (not per pair) — at N corpus
+    * × Q queries that turns 3·N·Q dot products into N·Q + N + Q.
+    * Ties break on corpus id for determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus
+    val q = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val c = corpus.select(col(idCol), dvec(col(vecCol)).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+    val scored = c
       .join(broadcast(q), col(idCol) =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("cos_sim", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     scored

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.master.SecurityMaster
+
+/** The SecurityMaster pipeline under the correctness gate: a deterministic
+  * SCD-2 master is derived from the customer table (every customer renames
+  * its "symbol" at a key-derived split date, same CIK → business
+  * continuity), then every order is resolved (symbol, day) → security_id
+  * through the full exact + fuzzy machinery (J1/J2/W4/W5).
+  *
+  * The oracle recomputes the EXPECTED mapping from first principles: with
+  * CIK continuity every customer keeps one id, ids are dense in custkey
+  * order (the cumulative new-business sum), and every order day falls in
+  * the post-1994 activity span — so resolution (exact before the split,
+  * fuzzy after) always lands on the customer's own id.
+  */
+object MasterQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private[queries] def deriveMaster(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val split = date_add(lit("1997-01-01").cast("date"), (col("c_custkey") % 400).cast("int"))
+    val eraA = c.select(
+      col("c_custkey").cast("int").as("permno"),
+      col("c_name").as("symbol"),
+      col("c_name").as("company"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("cik"),
+      lit("cusip").as("cusip"),
+      lit("1994-01-01").cast("date").as("start_date"),
+      date_sub(split, 1).as("end_date"))
+    val eraB = c.select(
+      col("c_custkey").cast("int").as("permno"),
+      concat(col("c_name"), lit(".N")).as("symbol"),
+      col("c_name").as("company"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("cik"),
+      lit("cusip").as("cusip"),
+      split.as("start_date"),
+      lit("2002-12-31").cast("date").as("end_date"))
+    SecurityMaster.assignSecurityIds(eraA.unionByName(eraB))
+  }
+
+  /** J1/J2/W4/W5 — resolve every order's (pre-rename symbol, order day)
+    * against the derived master. Days before the split hit the exact
+    * interval; days after exercise auto_resolve (the security is active
+    * under its renamed symbol). Output: order → security_id.
+    */
+  def q45MasterResolve(s: SparkSession, dir: String): DataFrame = {
+    // The master is consumed by three joins inside resolve (intervals,
+    // usage, activity) — cache the dimension-build (single-partition window)
+    // instead of recomputing it per consumer.
+    val master = deriveMaster(s, dir).cache()
+    val probes = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name").as("symbol"),
+        col("o_orderdate").cast("date").as("day"))
+    SecurityMaster.resolve(probes, master)
+      .select(col("o_orderkey"), col("security_id"))
+  }
+
+  val q45Sql: String =
+    """WITH ids AS (
+      |  SELECT c_custkey, c_name,
+      |    1000 + dense_rank() OVER (ORDER BY c_custkey) AS security_id
+      |  FROM customer)
+      |SELECT o_orderkey, security_id
+      |FROM orders JOIN ids ON o_custkey = c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q45_master_resolve" -> (q45MasterResolve _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q45_master_resolve" -> q45Sql)
+}
