@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.TextQueries2.queries ++
       graft.queries.LakeQueries.queries ++
-      graft.queries.MasterQueries.queries
+      graft.queries.MasterQueries.queries ++
+      graft.queries.RelationalQueries3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.TextQueries2.oracleSql ++
       graft.queries.LakeQueries.oracleSql ++
-      graft.queries.MasterQueries.oracleSql
+      graft.queries.MasterQueries.oracleSql ++
+      graft.queries.RelationalQueries3.oracleSql
 }

@@ -158,4 +158,59 @@ object SecurityMaster {
     master.filter(col("security_id") === sid)
       .groupBy(col("symbol"))
       .agg(min(col("start_date")).as("start_date"), max(col("end_date")).as("end_date"))
+
+  /** I7 — SCD-2 daily maintenance from a (symbol, cik, company) snapshot
+    * (reference update_from_sec, security_master.py:894-980):
+    *  1. existing (symbol, cik) rows still present in the snapshot with a
+    *     stale end_date are EXTENDED to `asOf`;
+    *  2. snapshot rows absent from the master are ADDED as new securities
+    *     with ids continuing after max(security_id), [asOf, asOf] validity,
+    *     null permno/cusip (the schema-evolving diagonal concat, U2).
+    * New ids are assigned in (symbol, cik) order for determinism.
+    */
+  def applySnapshot(master: DataFrame, snapshot: DataFrame, asOf: java.sql.Date): DataFrame = {
+    val snapKeys = snapshot.select(
+      col("symbol").as("__s_symbol"), col("cik").as("__s_cik"))
+    val extended = master
+      .join(broadcast(snapKeys),
+        col("symbol") === col("__s_symbol") && col("cik") === col("__s_cik"), "left")
+      .withColumn("end_date",
+        when(col("__s_symbol").isNotNull && col("end_date") < lit(asOf), lit(asOf))
+          .otherwise(col("end_date")))
+      .drop("__s_symbol", "__s_cik")
+
+    val existingKeys = master.select(col("symbol"), col("cik")).distinct()
+    val maxSid = master.agg(coalesce(max(col("security_id")), lit(BaseId)).as("m"))
+    val added = snapshot
+      .join(existingKeys, Seq("symbol", "cik"), "left_anti")
+      .crossJoin(broadcast(maxSid))
+      .withColumn("security_id",
+        col("m") + row_number().over(Window.orderBy(col("symbol"), col("cik"))))
+      .select(
+        col("security_id"),
+        lit(null).cast("int").as("permno"),
+        col("symbol"), col("company"), col("cik"),
+        lit(null).cast("string").as("cusip"),
+        lit(asOf).as("start_date"), lit(asOf).as("end_date"))
+
+    extended.unionByName(added, allowMissingColumns = true)
+  }
+
+  /** J10 — rebrand stitching: disappeared × appeared securities matched on
+    * equal share-class FIGI (reference security_master.py:1105-1136). Both
+    * inputs carry (security_id | symbol, figi); output pairs are rename
+    * continuations, not delistings.
+    */
+  def rebrandMatches(disappeared: DataFrame, appeared: DataFrame): DataFrame =
+    disappeared.select(col("symbol").as("old_symbol"), col("figi"))
+      .join(appeared.select(col("symbol").as("new_symbol"), col("figi")), Seq("figi"))
+      .select(col("old_symbol"), col("new_symbol"), col("figi"))
+
+  /** I7 — 14-day delist grace (reference security_master.py:1198-1410):
+    * disappeared symbols younger than `graceDays` are retained (possible
+    * data lag), older ones are confirmed delists.
+    */
+  def confirmedDelists(disappeared: DataFrame, asOf: java.sql.Date,
+      graceDays: Int = 14): DataFrame =
+    disappeared.filter(datediff(lit(asOf), col("end_date")) > graceDays)
 }
