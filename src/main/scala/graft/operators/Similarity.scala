@@ -36,19 +36,18 @@ object Similarity {
 
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (broadcast); `corpus` is the big side and is only mapped, never
-    * shuffled. Norms are computed ONCE per row (not per pair) — at N corpus
-    * × Q queries that turns 3·N·Q dot products into N·Q + N + Q.
-    * Ties break on corpus id for determinism.
+    * shuffled. The per-pair cosine runs through the native codegen'd
+    * [[graft.expressions.CosineSimilarity]] kernel (one fused loop, no
+    * array allocation — bit-identical to the fold form, see
+    * CosineSimilaritySpec). Ties break on corpus id for determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("q_vec"))
-      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
-    val c = corpus.select(col(idCol), dvec(col(vecCol)).as("c_vec"))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
-    val scored = c
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus
       .join(broadcast(q), col(idCol) =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      .withColumn("cos_sim",
+        graft.expressions.CosineSimilarity(col(vecCol), col("q_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     scored
@@ -111,7 +110,8 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col(vecCol).as("c_vec"), col("q_vec"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", cosine(col("c_vec"), col("q_vec")))
+      .withColumn("cos_sim",
+        graft.expressions.CosineSimilarity(col("c_vec"), col("q_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored
