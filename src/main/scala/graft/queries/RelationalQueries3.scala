@@ -57,10 +57,65 @@ object RelationalQueries3 {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"))
 
+  /** Minute→daily OHLC rollup shape (ticks.MinuteBars.toDailyBars): per
+    * (user, day) the FIRST and LAST value by exact ns time plus sums —
+    * min_by/max_by ordered aggregation.
+    */
+  def q48OhlcRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        min_by(col("value"), col("ts_ns")).as("open_v"),
+        max_by(col("value"), col("ts_ns")).as("close_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_v"),
+        count(lit(1)).as("n"))
+
+  val q48Sql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS day,
+      |  min_by(value, ts) AS open_v,
+      |  max_by(value, ts) AS close_v,
+      |  max(value) AS high_v,
+      |  min(value) AS low_v,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_v,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Minute→daily bars through `ticks.MinuteBars.toDailyBars` (events recast
+    * as minute bars: value plays all four prices, event count plays trades).
+    */
+  def q49MinuteToDaily(s: SparkSession, dir: String): DataFrame = {
+    val minute = Tables.events(s, dir).select(
+      col("user_id").as("security_id"),
+      col("ts"),
+      col("value").as("open"), col("value").as("high"),
+      col("value").as("low"), col("value").as("close"),
+      col("event_id").as("volume"),
+      lit(1L).as("num_trades"))
+    graft.ticks.MinuteBars.toDailyBars(minute)
+      .select(col("security_id"), col("date"),
+        col("open"), col("close"), col("high"), col("low"), col("num_trades"))
+  }
+
+  val q49Sql: String =
+    """SELECT user_id AS security_id, CAST(ts AS DATE) AS date,
+      |  min_by(value, ts) AS open,
+      |  max_by(value, ts) AS close,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  CAST(count(*) AS BIGINT) AS num_trades
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_q4_derivation" -> (q46Q4Derivation _),
-    "q47_approx_distinct" -> (q47ApproxDistinct _))
+    "q47_approx_distinct" -> (q47ApproxDistinct _),
+    "q48_ohlc_rollup" -> (q48OhlcRollup _),
+    "q49_minute_to_daily" -> (q49MinuteToDaily _))
 
   val oracleSql: Map[String, String] = Map(
-    "q46_q4_derivation" -> q46Sql)
+    "q46_q4_derivation" -> q46Sql,
+    "q48_ohlc_rollup" -> q48Sql,
+    "q49_minute_to_daily" -> q49Sql)
 }

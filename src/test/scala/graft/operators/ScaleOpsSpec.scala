@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.MedianSkew
+import graft.lake.Bucketing
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val left = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "lv") // 90% of rows on one key
+    val right = Seq(("hot", 1), ("k950", 2), ("other", 3)).toDF("key", "rv")
+    val plain = left.join(right, "key").select("key", "lv", "rv")
+      .collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedEquiJoin(left, right, "key", 8)
+      .select("key", "lv", "rv").collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.length === 901)
+  }
+
+  test("MedianSkew aggregator matches the reference Pearson formula") {
+    // values 1,2,3,4,100: mean=22, median=3, sample std≈43.56
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val got = df.agg(MedianSkew($"v").as("skew")).collect().head.getDouble(0)
+    val mean = 22.0; val median = 3.0
+    val std = math.sqrt(Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+      .map(v => (v - mean) * (v - mean)).sum / 4)
+    assert(math.abs(got - (mean - median) / std) < 1e-12)
+  }
+
+  test("MedianSkew is reduction-order independent and null on degenerate groups") {
+    val df = (1 to 200).map(_.toDouble).toDF("v").repartition(7)
+    val a = df.agg(MedianSkew($"v")).collect().head.getDouble(0)
+    val b = df.repartition(3).agg(MedianSkew($"v")).collect().head.getDouble(0)
+    assert(a === b)
+    val single = Seq(5.0).toDF("v").agg(MedianSkew($"v")).collect().head
+    assert(single.isNullAt(0))
+    val const = Seq(5.0, 5.0, 5.0).toDF("v").agg(MedianSkew($"v")).collect().head
+    assert(const.isNullAt(0)) // zero stddev
+  }
+
+  test("bucketed join on matching bucket counts plans without Exchange") {
+    // warehouse.dir is a static conf — the default ./spark-warehouse is used
+    // (gitignored); tables are dropped in the finally block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 4)
+      Bucketing.writeBucketed(l, "b_lineitem", "o_orderkey", 4)
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() ===
+        o.join(l, "o_orderkey").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
