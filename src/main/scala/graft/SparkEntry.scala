@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextQueries2.queries ++
       graft.queries.LakeQueries.queries ++
       graft.queries.MasterQueries.queries ++
-      graft.queries.RelationalQueries3.queries
+      graft.queries.RelationalQueries3.queries ++
+      graft.queries.ApiQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextQueries2.oracleSql ++
       graft.queries.LakeQueries.oracleSql ++
       graft.queries.MasterQueries.oracleSql ++
-      graft.queries.RelationalQueries3.oracleSql
+      graft.queries.RelationalQueries3.oracleSql ++
+      graft.queries.ApiQueries.oracleSql
 }

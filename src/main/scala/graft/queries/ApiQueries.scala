@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ExactAgg._
+
+/** API-surface breadth: the same engine driven through `spark.sql` (ANSI SQL
+  * over registered views) and through the typed `Dataset[T]` API — both
+  * compile to identical Catalyst plans as the DataFrame forms, demonstrated
+  * by sharing oracles with first-principles SQL.
+  */
+object ApiQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The SQL string interface: register views, run a join+agg through the
+    * parser (the reference has no SQL surface — Catalyst gives it for free).
+    */
+  def q50SqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    // NB: in Spark SQL the literal 100.0 is DECIMAL (DataFrame lit(100.0) is
+    // DOUBLE) — cast explicitly or the result type diverges from the oracle
+    s.sql(
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/CAST(100 AS DOUBLE) AS segment_revenue
+        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS segment_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Typed Dataset API: case-class Encoders, typed filter/map, then back to
+    * the relational surface for aggregation (compile-time field checks where
+    * they help; Catalyst plan identical to the untyped form).
+    */
+  def q51TypedDataset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .as[Supplier]
+    ds.filter(_.s_acctbal > 0)
+      .map(sp => (sp.s_nationkey, math.round(sp.s_acctbal * 100)))
+      .toDF("nation", "cents")
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum(col("cents")) / 100.0).as("positive_balance"))
+  }
+
+  val q51Sql: String =
+    """SELECT s_nationkey AS nation, count(*) AS n_suppliers,
+      |  sum(CAST(round(s_acctbal*100) AS BIGINT))/100.0 AS positive_balance
+      |FROM supplier WHERE s_acctbal > 0
+      |GROUP BY s_nationkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q50_sql_interface" -> (q50SqlInterface _),
+    "q51_typed_dataset" -> (q51TypedDataset _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_sql_interface" -> q50Sql,
+    "q51_typed_dataset" -> q51Sql)
+}
+
+case class Supplier(s_suppkey: Long, s_name: String, s_nationkey: Int, s_acctbal: Double)
