@@ -103,7 +103,10 @@ object Dedup {
     */
   def allPairsJaccard(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
+    // three consumers (sizes + both join sides) — persist so tokenization
+    // and the explode run once, not three times
     val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles() already emits distinct shingles per doc → plain count
     val sizes = pairs.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = pairs.select(col("shingle"), col("id").as("id_a"))
@@ -127,9 +130,14 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-    val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
+    // shared by the signature pass and the verification joins — persist so
+    // tokenization/explode runs once
     val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val sigs = pairs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     jaccardVerify(cands, pairs).filter(col("jaccard") >= threshold)
   }
 
