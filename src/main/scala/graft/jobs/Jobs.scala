@@ -58,10 +58,13 @@ object Jobs {
     Lake.compactYears(spark, root, "daily_ticks", Seq(yr))
     val years = (manifest.get("consolidated_years").toSeq.flatMap(_.split(",").filter(_.nonEmpty)) :+ yr.toString)
       .distinct.sorted.mkString(",")
+    // carry forward previously recorded metadata (export_kind etc.) —
+    // writeManifest replaces the sidecar wholesale
+    val carried = manifest -- Seq("table", "row_count", "version")
     Lake.writeManifest(spark, root, "daily_ticks",
       rowCount = Lake.read(spark, root, "daily_ticks").count(),
       version = "1",
-      extra = Map("consolidated_years" -> years))
+      extra = carried + ("consolidated_years" -> years))
     true
   }
 }

@@ -30,14 +30,14 @@ object Lake {
     * update/app.py:296-445): only partitions present in `df` are replaced.
     */
   def overwritePartitions(df: DataFrame, root: String, table: String,
-      partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      partitionCols: Seq[String]): Unit =
     df.write
       .mode("overwrite")
+      // per-write option, NOT a session conf mutation: other writers in the
+      // same session keep Spark's default static overwrite semantics
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(s"$root/$table")
-  }
 
   /** Append-only write (U1 concat-at-rest). */
   def appendPartitions(df: DataFrame, root: String, table: String,

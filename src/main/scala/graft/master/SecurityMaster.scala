@@ -93,12 +93,20 @@ object SecurityMaster {
       col("start_date").as("__m_start"),
       col("end_date").as("__m_end"),
       col("security_id").as("__m_sid"))
-    df.join(broadcast(m),
+    // Tag each probe row so the min-sid collapse of multiple interval
+    // matches preserves input CARDINALITY — a bare groupBy over the probe
+    // columns would merge genuinely duplicate fact rows (two identical
+    // trades) into one. The tag only disambiguates identical rows, so its
+    // assignment order among them is irrelevant.
+    val tagW = Window.partitionBy(df.columns.map(col): _*).orderBy(lit(1))
+    val tagged = df.withColumn("__probe", row_number().over(tagW))
+    tagged.join(broadcast(m),
         col(symbolCol) === col("__m_symbol") &&
           col(dayCol).between(col("__m_start"), col("__m_end")),
         "left")
-      .groupBy(df.columns.map(col): _*)
+      .groupBy((df.columns :+ "__probe").map(col): _*)
       .agg(min(col("__m_sid")).as("security_id"))
+      .drop("__probe")
   }
 
   /** Bulk fuzzy resolution (J2, reference auto_resolve security_master.py:640-729):
@@ -168,7 +176,12 @@ object SecurityMaster {
     *     null permno/cusip (the schema-evolving diagonal concat, U2).
     * New ids are assigned in (symbol, cik) order for determinism.
     */
-  def applySnapshot(master: DataFrame, snapshot: DataFrame, asOf: java.sql.Date): DataFrame = {
+  def applySnapshot(master: DataFrame, snapshot0: DataFrame, asOf: java.sql.Date): DataFrame = {
+    // SEC snapshots can repeat (symbol, cik) pairs — dedup or the extension
+    // join below would fan out master rows (duplicate SCD intervals).
+    val snapshot = snapshot0
+      .groupBy(col("symbol"), col("cik"))
+      .agg(min(col("company")).as("company"))
     val snapKeys = snapshot.select(
       col("symbol").as("__s_symbol"), col("cik").as("__s_cik"))
     val extended = master

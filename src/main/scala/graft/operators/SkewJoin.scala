@@ -20,10 +20,14 @@ object SkewJoin {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    // any salt assignment is correct (the right side is fully replicated);
-    // spreading by row identity splits a hot key across saltFactor reducers
+    // any salt assignment is correct (the right side is fully replicated),
+    // but it must be DETERMINISTIC per row: a nondeterministic salt (random,
+    // monotonically_increasing_id) feeding a shuffle key loses/duplicates
+    // rows when a map task is recomputed after partial fetch (SPARK-23207
+    // class of bug). Hash the full row instead — identical rows land on the
+    // same reducer, which is harmless.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)))
     val replicated = right
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

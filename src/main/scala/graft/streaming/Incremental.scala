@@ -25,16 +25,18 @@ object Incremental {
   def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
-  /** I4 — exactly-once append of unseen keys: watermarked dedup on `keyCol`.
-    * Late duplicates inside the watermark are dropped by state; the
-    * watermark bounds state size (the scale knob the reference's in-memory
-    * `seen accession` set lacks).
+  /** I4 — exactly-once append of unseen keys: watermarked dedup on `keyCol`
+    * ALONE (a re-delivery of the same accession with a different timestamp
+    * is still a duplicate — the reference anti-joins on accession_number
+    * only, update/app.py:877-940). `dropDuplicatesWithinWatermark` keys the
+    * state by `keyCol` and still evicts it once the watermark passes, which
+    * is the scale knob the reference's in-memory `seen` set lacks.
     */
   def dedupAppend(stream: DataFrame, tsCol: String, keyCol: String,
       watermark: String = "1 day"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCol, tsCol)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Event-time windowed aggregation; set `watermark = None` when the input
     * stream already carries one (a watermark may only be defined once per

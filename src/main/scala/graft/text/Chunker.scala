@@ -38,7 +38,10 @@ object Chunker {
       }
       val chunk = text.substring(start, math.min(end, text.length)).trim
       if (chunk.nonEmpty) chunks += chunk
-      start = end - overlap
+      // forward-progress guard: with overlap close to chunkSize, sentence
+      // snapping can pull `end - overlap` at or behind `start` — never move
+      // backwards (unbounded loop + OOM otherwise)
+      start = math.max(end - overlap, start + 1)
       if (start >= text.length) continue = false
     }
     chunks.toSeq

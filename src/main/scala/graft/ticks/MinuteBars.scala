@@ -27,10 +27,12 @@ object MinuteBars {
     to_utc_timestamp(etTs.cast("timestamp"), EasternTz)
 
   /** Nanosecond-suffixed source timestamps → microsecond truncation
-    * (reference collectors.py:341-345 parses and truncates).
+    * (reference collectors.py:341-345 parses and truncates). Integral
+    * division — `/` would round through double and drift by 1 µs on
+    * modern epoch values.
     */
   def truncateNanos(tsNs: Column): Column =
-    timestamp_micros((tsNs / 1000).cast("long"))
+    timestamp_micros(call_function("div", tsNs, lit(1000L)))
 
   /** Regular-session filter: 09:30 ≤ wall clock < 16:00 ET. */
   def regularSession(etTs: Column): Column = {

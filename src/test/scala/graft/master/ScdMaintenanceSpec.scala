@@ -35,6 +35,17 @@ class ScdMaintenanceSpec extends SparkTestBase {
     assert(ccc.isNullAt(ccc.fieldIndex("permno"))) // diagonal concat (U2)
   }
 
+  test("repeated (symbol, cik) snapshot entries do not fan out master rows") {
+    val dupSnapshot = Seq(
+      ("AAA", "0000000001", "A Co"),
+      ("AAA", "0000000001", "A Co"), // SEC re-export duplicate
+      ("CCC", "0000000003", "C Co"))
+      .toDF("symbol", "cik", "company")
+    val out = SecurityMaster.applySnapshot(master, dupSnapshot, asOf)
+    assert(out.count() === 3) // 2 existing + 1 added, no duplicated intervals
+    assert(out.filter($"symbol" === "AAA").count() === 1)
+  }
+
   test("rebrand matching joins disappeared to appeared on FIGI (J10)") {
     val disappeared = Seq(("FB", "FIGI123"), ("DEAD", "FIGI999")).toDF("symbol", "figi")
     val appeared = Seq(("META", "FIGI123"), ("NEWCO", "FIGI777")).toDF("symbol", "figi")

@@ -69,6 +69,15 @@ class SecurityMasterSpec extends SparkTestBase {
     assert(got === sid3)
   }
 
+  test("duplicate probe rows keep their multiplicity through resolution") {
+    // two IDENTICAL fact rows (e.g. two equal trades) must stay two rows
+    val q = Seq(("FB", d("2020-01-01")), ("FB", d("2020-01-01")))
+      .toDF("symbol", "day")
+    val got = SecurityMaster.resolveExact(q, master)
+    assert(got.count() === 2)
+    assert(got.filter($"security_id".isNotNull).count() === 2)
+  }
+
   test("unresolvable symbol yields null sid") {
     val q = Seq(("ZZZZ", d("2020-01-01"))).toDF("symbol", "day")
     val got = SecurityMaster.resolve(q, master).select("security_id").collect()

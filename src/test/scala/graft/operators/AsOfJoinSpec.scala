@@ -51,6 +51,18 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("ta")))
   }
 
+  test("numeric tiebreak orders natively, not lexicographically") {
+    val left = Seq(("A", d("2024-02-01"))).toDF("symbol", "as_of")
+    // two right rows at the SAME date; seq_no 10 must beat seq_no 9
+    val right = Seq(
+      ("A", d("2024-01-01"), 9L, 1.0),
+      ("A", d("2024-01-01"), 10L, 2.0))
+      .toDF("symbol", "rdate", "seq_no", "ta")
+    val out = AsOfJoin.backward(left, right, Seq("symbol"), "as_of", "rdate",
+      Seq("ta"), rightTieBreak = Seq("seq_no")).collect().head
+    assert(out.getAs[Double]("ta") === 2.0)
+  }
+
   test("tolerance nulls out matches older than the bound") {
     val left = Seq(("A", d("2024-06-01"))).toDF("symbol", "as_of")
     val right = Seq(("A", d("2024-01-01"), 1.0)).toDF("symbol", "rdate", "ta")

@@ -36,6 +36,20 @@ class IncrementalSpec extends SparkTestBase {
     assert(got.select("event_id").distinct().count() === 3)
   }
 
+  test("re-delivery of a key with a DIFFERENT timestamp is still a duplicate") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    Seq(
+      (7L, "2024-01-01 10:00:00", 1L, "purchase", 10.0),
+      (7L, "2024-01-01 10:00:01", 1L, "purchase", 10.0)) // same accession, 1s later
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(d2)
+    val deduped = Incremental.dedupAppend(
+      Incremental.fileStream(spark, d2, schema), "ts", "event_id")
+    Incremental.runAvailableNow(deduped, "dedup_redeliver")
+    assert(spark.table("dedup_redeliver").count() === 1)
+  }
+
   test("windowed aggregation matches the batch computation") {
     val stream = Incremental.fileStream(spark, dir, schema)
     val windowed = Incremental.windowedCounts(stream, "ts", "1 hour", Some("2 hours"), Seq("event_type"))

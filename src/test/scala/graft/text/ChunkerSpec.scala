@@ -34,4 +34,12 @@ class ChunkerSpec extends AnyFunSuite {
     val chunks = Chunker.chunkText(text, 500, 100)
     assert(chunks.nonEmpty && chunks.length < 20)
   }
+
+  test("terminates even when snapping pulls end behind start + overlap") {
+    // overlap = 90% of chunkSize with a separator near every 80% boundary:
+    // end - overlap would move backwards without the forward-progress guard
+    val text = ("abcdefghij. " * 300)
+    val chunks = Chunker.chunkText(text, 100, 90)
+    assert(chunks.nonEmpty && chunks.length <= text.length)
+  }
 }

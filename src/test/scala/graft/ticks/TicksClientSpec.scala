@@ -95,6 +95,10 @@ class TicksClientSpec extends SparkTestBase {
     val after = Lake.read(spark, root, "daily_ticks")
       .select($"security_id", $"date", $"close").collect().toSet
     assert(before === after)
+    // manifest metadata recorded by earlier jobs survives consolidation
+    val manifest = Lake.readManifest(spark, root, "daily_ticks")
+    assert(manifest.get("export_kind") === Some("backfill"))
+    assert(manifest("consolidated_years").contains("2023"))
   }
 
   test("late-filing dedup append only adds unseen accessions (I4)") {
