@@ -141,6 +141,54 @@ object Dedup {
     jaccardVerify(cands, pairs).filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all pairs (id_a < id_b)
+    * with cosine ≥ threshold via the native codegen'd kernel. The
+    * broadcast self-join is the small-corpus baseline; at scale use
+    * [[embeddingNearDuplicatesLsh]] (bucketed candidates, same verify).
+    */
+  def embeddingNearDuplicates(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_sim", graft.expressions.CosineSimilarity(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** LSH-bucketed embedding near-dup: multi-table hyperplane signatures
+    * bucket the corpus; only bucket collisions are exactly verified. Same
+    * output contract as [[embeddingNearDuplicates]] minus LSH recall loss
+    * (spec-measured).
+    */
+  def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double,
+      bits: Int = 8, tables: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        Similarity.lshSignature(col(vecCol), bits, dims, seed = 42L + t).as("sig"))
+    }
+    val bucketed = emb
+      .withColumn("bk", explode(array(sigs: _*)))
+      .select(col(idCol), col(vecCol),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
+    // one side also probes all Hamming-1 neighbor buckets (recall lift,
+    // same trick as Similarity.lshTopK)
+    val probeMasks = typedLit(0L +: (0 until bits).map(i => 1L << i))
+    val a = bucketed
+      .withColumn("bucket", explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m))))
+      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim", graft.expressions.CosineSimilarity(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** SimHash (64-bit): per token, xxhash64; bit i of the fingerprint is the
     * sign of Σ_tokens (±1 by token-hash bit i). Computed as 64 conditional
     * aggregates in ONE pass (no per-bit explosion), assembled with bitwise

@@ -224,7 +224,25 @@ object TextQueries {
        |FROM t""".stripMargin
   }
 
+  /** Embedding-cosine near-dup (exact baseline, oracle-checked): all pairs
+    * with cosine ≥ 0.45, rounded to 9dp. The LSH-bucketed variant is
+    * spec-verified against this output.
+    */
+  def q52EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), threshold = 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 9).as("cos_sim_r"))
+
+  val q52Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim_r
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_embedding_dedup" -> (q52EmbeddingDedup _),
     "q22_text_stats" -> (q22TextStats _),
     "q23_quality_score" -> (q23QualityScore _),
     "q24_lang_scores" -> (q24LangScores _),
@@ -238,6 +256,7 @@ object TextQueries {
     "q32_word_categories" -> (q32WordCategories _))
 
   val oracleSql: Map[String, String] = Map(
+    "q52_embedding_dedup" -> q52Sql,
     "q22_text_stats" -> q22Sql,
     "q23_quality_score" -> q23Sql,
     "q24_lang_scores" -> q24Sql,

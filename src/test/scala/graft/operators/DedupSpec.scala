@@ -63,6 +63,17 @@ class DedupSpec extends SparkTestBase {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("embedding near-dup: LSH variant ⊆ exact, with usable recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDuplicates(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDuplicatesLsh(emb, 0.4, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verify step guarantees precision 1.0
+    assert(exact.nonEmpty)
+    assert(lsh.size.toDouble / exact.size >= 0.5, s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("LSH candidate pairs are a superset of high-jaccard truth on fixtures") {
     val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val truth = graft.queries.TextQueries.q26NgramJaccard(spark, "/root/testdata/sf0.001")
