@@ -7,21 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two `array<float>` columns.
+/** Native codegen'd dot product over two `array<float>` columns: the
+  * building block that lets similarity operators cache norms per ROW and pay
+  * only one fused multiply-add loop per PAIR (N·Q + N + Q total work instead
+  * of [[CosineSimilarity]]'s 3·N·Q when norms are reusable).
   *
-  * Why a custom Expression (SURVEY §7.4 preference order (b)): the
-  * DataFrame-composable form — `aggregate(zip_with(a, b, _*_), 0d, _+_)` —
-  * allocates an intermediate array and runs interpreted lambda calls per
-  * element, which is the inner loop of every similarity-search operator. This
-  * kernel generates a single fused Java loop (no allocation, no virtual
-  * calls) inside whole-stage codegen, with an interpreted `nullSafeEval`
-  * fallback kept semantically identical.
-  *
-  * Semantics: dot(a,b) / (||a||·||b||) accumulated in double, sequential
-  * array order (deterministic IEEE — matches the fold form bit-for-bit);
-  * null if either side is null, mismatched lengths, or a zero norm.
+  * Null on length mismatch or any null element (fold-form parity). Double
+  * accumulation in array order — deterministic IEEE.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -32,7 +26,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> inputs, got " +
+      s"dot_product expects two array<float> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -46,23 +40,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0.0
-    var nx = 0.0
-    var ny = 0.0
     var i = 0
     while (i < n) {
-      // a null ELEMENT nulls the whole result (matching the zip_with /
-      // aggregate fold form — ArrayData.getFloat would read it as 0.0f
-      // and silently rank corrupt vectors)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi
-      nx += xi * xi
-      ny += yi * yi
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) null
-    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    java.lang.Double.valueOf(dot)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,47 +54,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      final double $xi = (double) $x.getFloat($i);
-         |      final double $yi = (double) $y.getFloat($i);
-         |      $dot += $xi * $yi;
-         |      $nx += $xi * $xi;
-         |      $ny += $yi * $yi;
+         |      $dot += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
          |    }
          |  }
-         |  if (!${ev.isNull} && ($nx == 0.0 || $ny == 0.0)) {
-         |    ${ev.isNull} = true;
-         |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    ${ev.value} = $dot;
          |  }
          |}
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSimilarity =
+      newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
-object CosineSimilarity {
-  /** Column-level entry point: `cosine_sim(a, b)`. */
+object DotProduct {
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
-      CosineSimilarity(
+      DotProduct(
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(b)))
 }

@@ -17,18 +17,21 @@ import org.apache.spark.sql.expressions.Aggregator
   * (chunks per filing ≈ dozens). For unbounded groups use the
   * `percentile`-based formulation in `Sentiment.aggregate` instead.
   */
-object MedianSkew extends Aggregator[Double, Array[Double], Option[Double]] {
+object MedianSkew extends Aggregator[Double, List[Double], Option[Double]] {
 
-  override def zero: Array[Double] = Array.empty
+  // List with O(1) prepend — an Array `:+` buffer would copy the whole
+  // buffer per input row (O(n²) per group); element order is irrelevant
+  // since finish() sorts.
+  override def zero: List[Double] = Nil
 
-  override def reduce(buf: Array[Double], v: Double): Array[Double] = buf :+ v
+  override def reduce(buf: List[Double], v: Double): List[Double] = v :: buf
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = a ++ b
+  override def merge(a: List[Double], b: List[Double]): List[Double] = a ::: b
 
-  override def finish(buf: Array[Double]): Option[Double] = {
+  override def finish(buf: List[Double]): Option[Double] = {
     val n = buf.length
     if (n < 2) return None
-    val sorted = buf.sorted
+    val sorted = buf.sorted.toIndexedSeq
     val mean = buf.sum / n
     val median =
       if (n % 2 == 1) sorted(n / 2)
@@ -38,8 +41,8 @@ object MedianSkew extends Aggregator[Double, Array[Double], Option[Double]] {
     if (std == 0.0) None else Some((mean - median) / std)
   }
 
-  override def bufferEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def bufferEncoder: Encoder[List[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Double]]()
 
   override def outputEncoder: Encoder[Option[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]()

@@ -93,20 +93,21 @@ object SecurityMaster {
       col("start_date").as("__m_start"),
       col("end_date").as("__m_end"),
       col("security_id").as("__m_sid"))
-    // Tag each probe row so the min-sid collapse of multiple interval
-    // matches preserves input CARDINALITY — a bare groupBy over the probe
-    // columns would merge genuinely duplicate fact rows (two identical
-    // trades) into one. The tag only disambiguates identical rows, so its
-    // assignment order among them is irrelevant.
-    val tagW = Window.partitionBy(df.columns.map(col): _*).orderBy(lit(1))
-    val tagged = df.withColumn("__probe", row_number().over(tagW))
-    tagged.join(broadcast(m),
+    // Preserve input CARDINALITY without a full-table sort: collapse to
+    // distinct probes WITH their multiplicity (one shuffle, no window sort),
+    // resolve the distinct rows through the broadcast join, then re-expand
+    // by the recorded count. A bare groupBy would merge genuinely duplicate
+    // fact rows (two identical trades) into one.
+    val counted = df.groupBy(df.columns.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counted.join(broadcast(m),
         col(symbolCol) === col("__m_symbol") &&
           col(dayCol).between(col("__m_start"), col("__m_end")),
         "left")
-      .groupBy((df.columns :+ "__probe").map(col): _*)
+      .groupBy((df.columns :+ "__n").map(col): _*)
       .agg(min(col("__m_sid")).as("security_id"))
-      .drop("__probe")
+      .withColumn("__dup", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n", "__dup")
   }
 
   /** Bulk fuzzy resolution (J2, reference auto_resolve security_master.py:640-729):

@@ -72,14 +72,22 @@ object AsOfJoin {
     val matched = unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
 
     // Tolerance units by time-column type: DAYS for DateType, MICROSECONDS
-    // for timestamps (via unix_micros — a bare long cast of a timestamp
+    // for TimestampType (via unix_micros — a bare long cast of a timestamp
     // yields epoch SECONDS, a silent 10^6 unit error), otherwise the raw
     // long scale of the column (e.g. epoch nanos for a ts_ns axis).
+    // TimestampNTZ is rejected: converting a wall clock to instants is
+    // session-timezone dependent and off by the DST shift across
+    // transitions — callers must supply an explicit epoch axis.
+    if (tolerance.isDefined) {
+      require(!left.schema(leftOn).dataType
+        .isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+        "tolerance on a TimestampNTZ axis is ambiguous under DST; " +
+          "convert to epoch micros (or a long axis) explicitly")
+    }
     def dist(a: Column, b: Column): Column =
       left.schema(leftOn).dataType match {
         case org.apache.spark.sql.types.DateType => datediff(a, b).cast("long")
-        case _: org.apache.spark.sql.types.TimestampType |
-            _: org.apache.spark.sql.types.TimestampNTZType =>
+        case _: org.apache.spark.sql.types.TimestampType =>
           unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
         case _ => a.cast("long") - b.cast("long")
       }

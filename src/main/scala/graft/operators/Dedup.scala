@@ -50,8 +50,14 @@ object Dedup {
     * m0..m{n-1} where m_i = min over shingles of xxhash64(i, shingle).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    minhashSignaturesFromPairs(shinglePairs(df, textCol, idCol, shingleSize), numHashes)
+
+  /** Signature computation over a pre-built (id, shingle) relation — the
+    * single home of the hash formula, shared by [[minhashSignatures]] and
+    * [[nearDuplicates]] (which reuses its persisted pairs).
+    */
+  def minhashSignaturesFromPairs(pairs: DataFrame, numHashes: Int = 32): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     pairs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -130,13 +136,14 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // shared by the signature pass and the verification joins — persist so
-    // tokenization/explode runs once
+    // Shared by the signature pass and the verification joins — persist so
+    // tokenization/explode runs once. The block stays pinned until the
+    // session GCs the plan (ContextCleaner); callers running many corpora
+    // through one session can copy this composition and unpersist
+    // explicitly after materializing results.
     val pairs = shinglePairs(df, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    val sigs = pairs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val sigs = minhashSignaturesFromPairs(pairs, numHashes)
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     jaccardVerify(cands, pairs).filter(col("jaccard") >= threshold)
   }

@@ -29,25 +29,28 @@ object Similarity {
     dot(d(a), d(b)) / (sqrt(dot(d(a), d(a))) * sqrt(dot(d(b), d(b))))
   }
 
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-
-  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
-
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (broadcast); `corpus` is the big side and is only mapped, never
-    * shuffled. The per-pair cosine runs through the native codegen'd
-    * [[graft.expressions.CosineSimilarity]] kernel (one fused loop, no
-    * array allocation — bit-identical to the fold form, see
-    * CosineSimilaritySpec). Ties break on corpus id for determinism.
+    * shuffled. Norms are computed ONCE per row via the native
+    * [[graft.expressions.DotProduct]] kernel; each pair then pays a single
+    * fused dot loop — N·Q + N + Q kernel passes instead of 3·N·Q. The
+    * `dot/(√aa·√bb)` structure is the same as the oracle's, so results stay
+    * bit-identical. Ties break on corpus id for determinism.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.expressions.DotProduct
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus
+      .withColumn("q_norm", sqrt(DotProduct(col("q_vec"), col("q_vec"))))
+    val c = corpus.select(col(idCol), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(DotProduct(col("c_vec"), col("c_vec"))))
+    val scored = c
       .join(broadcast(q), col(idCol) =!= col("query_id"))
+      // zero-norm guard: double x/0 is IEEE NaN (sorts ABOVE every real
+      // cosine in desc order) — null it out like the kernel does
       .withColumn("cos_sim",
-        graft.expressions.CosineSimilarity(col(vecCol), col("q_vec")))
+        when(col("c_norm") =!= 0 && col("q_norm") =!= 0,
+          DotProduct(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     scored
@@ -64,13 +67,21 @@ object Similarity {
     Array.fill(bits, dims)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bit LSH signature of a float-array column under the fixed planes. */
+  /** Sign-bit LSH signature of a float-array column under the fixed planes.
+    * The vector length MUST equal `dims` — `assert_true` fails the job
+    * loudly on mismatch (zip_with would otherwise null-pad, silently
+    * degenerating every signature to bucket 0 and turning the bucket join
+    * into an all-pairs product).
+    */
   def lshSignature(vec: Column, bits: Int, dims: Int, seed: Long = 42L): Column = {
     val ps = planes(bits, dims, seed)
+    val checked = when(
+      assert_true(size(vec) === dims,
+        lit(s"lshSignature: embedding length != dims=$dims")).isNull, vec)
     (0 until bits).map { i =>
       val plane = lit(ps(i))
       val dot = aggregate(
-        zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        zip_with(checked, plane, (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
       shiftleft(when(dot >= 0, 1L).otherwise(0L), i)
     }.reduce(_ bitwiseOR _)

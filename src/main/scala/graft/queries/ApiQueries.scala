@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.ExactAgg._
 
 /** API-surface breadth: the same engine driven through `spark.sql` (ANSI SQL
   * over registered views) and through the typed `Dataset[T]` API — both

@@ -22,10 +22,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      // integral `div`, NOT `/`: long/1000 promotes to double, whose 2^53
-      // mantissa cannot represent 2023+ epoch nanos exactly (off-by-1 µs)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+      // single home of the precision-critical ns→µs truncation rule
+      .withColumn("ts", graft.ticks.MinuteBars.truncateNanos(
+        org.apache.spark.sql.functions.col("ts_ns")))
   }
   def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")

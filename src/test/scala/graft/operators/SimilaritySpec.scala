@@ -40,6 +40,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("lshSignature fails loudly on wrong embedding dimension") {
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding") // dims=2, not 64
+    val ex = intercept[Exception] {
+      bad.select(Similarity.lshSignature($"embedding", 8, 64)).collect()
+    }
+    assert(ex.getMessage.contains("lshSignature") ||
+      Option(ex.getCause).exists(_.getMessage.contains("lshSignature")))
+  }
+
   test("lshSignature buckets are deterministic across invocations") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val s1 = emb.select($"vec_id", Similarity.lshSignature($"embedding", 8, 64).as("b"))
