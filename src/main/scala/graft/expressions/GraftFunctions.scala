@@ -1,0 +1,41 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registration of the engine's native expressions as SQL functions, two
+  * ways:
+  *
+  *  - [[GraftFunctions.registerAll]] — imperative, for an existing session
+  *    (`SELECT cosine_sim(a, b)` afterwards works in spark.sql);
+  *  - [[GraftExtensions]] — a `SparkSessionExtensions` injector for cluster
+  *    deployment via `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    (the standard way to ship custom Catalyst pieces to every session of
+  *    a 1000-executor cluster without code changes in user jobs).
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))))
+
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    Seq(
+      ("cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+      ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      .foreach { case (name, builder) =>
+        e.injectFunction((
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[CosineSimilarity].getName, name),
+          builder))
+      }
+}

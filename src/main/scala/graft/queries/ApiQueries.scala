@@ -59,13 +59,35 @@ object ApiQueries {
       |FROM supplier WHERE s_acctbal > 0
       |GROUP BY s_nationkey""".stripMargin
 
+  /** The native Catalyst kernels exposed as SQL functions
+    * ([[graft.expressions.GraftFunctions]]): cosine over a sparse id-offset
+    * pairing, run entirely through the SQL parser.
+    */
+  def q52bSqlNativeFunction(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("v_emb")
+    s.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(cosine_sim(a.embedding, b.embedding), 9) AS cos_r
+        |FROM v_emb a JOIN v_emb b ON a.vec_id + 100 = b.vec_id""".stripMargin)
+  }
+
+  val q52bSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_r
+      |FROM e a JOIN e b ON a.vec_id + 100 = b.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_sql_interface" -> (q50SqlInterface _),
-    "q51_typed_dataset" -> (q51TypedDataset _))
+    "q51_typed_dataset" -> (q51TypedDataset _),
+    "q53_sql_native_function" -> (q52bSqlNativeFunction _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_sql_interface" -> q50Sql,
-    "q51_typed_dataset" -> q51Sql)
+    "q51_typed_dataset" -> q51Sql,
+    "q53_sql_native_function" -> q52bSql)
 }
 
 case class Supplier(s_suppkey: Long, s_name: String, s_nationkey: Int, s_acctbal: Double)
