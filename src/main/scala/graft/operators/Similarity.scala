@@ -54,7 +54,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos_sim"), col("rank"))
   }
@@ -127,7 +127,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

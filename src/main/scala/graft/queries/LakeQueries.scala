@@ -29,7 +29,7 @@ object LakeQueries {
       o.filter(col("year") === 1995 && col("o_orderstatus") =!= "F"),
       root, "orders", Seq("year"))
     Lake.read(s, root, "orders")
-      .groupBy(col("year"))
+      .groupBy(col("year").cast("long").as("year"))
       .agg(count(lit(1)).as("n"),
         graft.functions.ExactAgg.fixedSum(col("o_totalprice"), 2).as("total"))
   }
@@ -61,13 +61,13 @@ object LakeQueries {
     val name = "graft_q44_out"
     Incremental.runAvailableNow(windowed, name, outputMode = "complete")
     s.table(name)
-      .select(col("window_start").cast("date").as("day"),
-        hour(col("window_start")).as("hr"),
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        hour(col("window_start")).cast("long").as("hr"),
         col("event_type"), col("n"), col("value_sum"))
   }
 
   val q44Sql: String =
-    """SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+    """SELECT strftime(CAST(date_trunc('hour', ts) AS DATE), '%Y-%m-%d') AS day,
       |  hour(date_trunc('hour', ts)) AS hr,
       |  event_type, count(*) AS n,
       |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum

@@ -56,14 +56,16 @@ object RelationalQueries {
         $"l_discount" > lit(0.05))
       .select(
         $"l_orderkey", $"l_linenumber",
-        $"l_shipdate".cast("date").as("ship_date"),
+        // dates surface as ISO strings at the edge (reference policy,
+        // SURVEY §7.5 risk 1) — also dtype-stable across engines
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"),
         ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"),
         $"l_quantity".cast("long").as("qty"))
   }
 
   val q2Sql: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_shipdate AS DATE) AS ship_date,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
       |  l_extendedprice*(1.0-l_discount) AS net_price,
       |  CAST(l_quantity AS BIGINT) AS qty
       |FROM lineitem
@@ -131,10 +133,11 @@ object RelationalQueries {
         $"o_orderdate".cast("date").as("order_date"), $"o_totalprice")
       .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
       .withColumn("price_delta", $"o_totalprice" - lag($"o_totalprice", 1).over(w))
+      .withColumn("order_date", date_format($"order_date", "yyyy-MM-dd"))
   }
 
   val q5Sql: String =
-    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
       |  o_totalprice,
       |  lag(o_totalprice, 1) OVER w AS prev_price,
       |  o_totalprice - lag(o_totalprice, 1) OVER w AS price_delta
@@ -155,11 +158,12 @@ object RelationalQueries {
       .withColumn("ttm_spend", sum($"cents").over(w) / 100.0)
       .withColumn("n_in_window", count(lit(1)).over(w))
       .filter($"n_in_window" === 4)
-      .select($"o_custkey", $"o_orderkey", $"order_date", $"ttm_spend")
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"order_date", "yyyy-MM-dd").as("order_date"), $"ttm_spend")
   }
 
   val q6Sql: String =
-    """SELECT o_custkey, o_orderkey, order_date, ttm_spend FROM (
+    """SELECT o_custkey, o_orderkey, strftime(order_date, '%Y-%m-%d') AS order_date, ttm_spend FROM (
       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
       |    sum(CAST(round(o_totalprice*100) AS BIGINT))
       |      OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey

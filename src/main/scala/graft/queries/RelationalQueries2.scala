@@ -172,21 +172,22 @@ object RelationalQueries2 {
     Tables.orders(s, dir)
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        quarter(col("o_orderdate")).as("q"),
-        month(col("o_orderdate")).as("m"),
-        trunc(col("o_orderdate"), "month").as("month_start"),
-        last_day(col("o_orderdate")).as("month_end"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
-        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
 
   val q15Sql: String =
     """SELECT o_orderkey,
       |  year(o_orderdate) AS y,
       |  quarter(o_orderdate) AS q,
       |  month(o_orderdate) AS m,
-      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-      |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
       |  strftime(o_orderdate, '%Y-%m') AS ym,
       |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
       |FROM orders""".stripMargin
@@ -311,11 +312,12 @@ object RelationalQueries2 {
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(count(lit(1)).as("cnt"))
     spine.join(daily, Seq("day"), "left")
-      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
   }
 
   val q21Sql: String =
-    """SELECT spine.day, coalesce(d.cnt, 0) AS n_orders
+    """SELECT strftime(spine.day, '%Y-%m-%d') AS day, coalesce(d.cnt, 0) AS n_orders
       |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-06-30', INTERVAL 1 DAY)) AS DATE) AS day) spine
       |LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
       |           FROM orders GROUP BY 1) d USING (day)""".stripMargin

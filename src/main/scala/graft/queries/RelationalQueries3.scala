@@ -29,7 +29,7 @@ object RelationalQueries3 {
         sum(when(col("qtr") === 2, col("cents")).otherwise(0L)).as("q2"),
         sum(when(col("qtr") === 3, col("cents")).otherwise(0L)).as("q3"),
         sum(when(col("qtr") === 4, col("cents")).otherwise(0L)).as("q4_direct"))
-      .select(col("o_custkey"), col("yr"),
+      .select(col("o_custkey"), col("yr").cast("long").as("yr"),
         ((col("fy") - col("q1") - col("q2") - col("q3")) / 100.0).as("q4_derived"),
         (col("q4_direct") / 100.0).as("q4_direct"))
   }
@@ -63,7 +63,7 @@ object RelationalQueries3 {
     */
   def q48OhlcRollup(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("day", to_date(col("ts")))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .groupBy(col("user_id"), col("day"))
       .agg(
         min_by(col("value"), col("ts_ns")).as("open_v"),
@@ -74,7 +74,7 @@ object RelationalQueries3 {
         count(lit(1)).as("n"))
 
   val q48Sql: String =
-    """SELECT user_id, CAST(ts AS DATE) AS day,
+    """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
       |  min_by(value, ts) AS open_v,
       |  max_by(value, ts) AS close_v,
       |  max(value) AS high_v,
@@ -95,12 +95,12 @@ object RelationalQueries3 {
       col("event_id").as("volume"),
       lit(1L).as("num_trades"))
     graft.ticks.MinuteBars.toDailyBars(minute)
-      .select(col("security_id"), col("date"),
+      .select(col("security_id"), date_format(col("date"), "yyyy-MM-dd").as("date"),
         col("open"), col("close"), col("high"), col("low"), col("num_trades"))
   }
 
   val q49Sql: String =
-    """SELECT user_id AS security_id, CAST(ts AS DATE) AS date,
+    """SELECT user_id AS security_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
       |  min_by(value, ts) AS open,
       |  max_by(value, ts) AS close,
       |  max(value) AS high,

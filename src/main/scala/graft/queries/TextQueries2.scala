@@ -129,7 +129,7 @@ object TextQueries2 {
       .agg(
         count(lit(1)).as("n_orders"),
         count_distinct(col("o_orderpriority")).as("n_priorities"),
-        max(col("o_orderdate").cast("date")).as("latest_date"),
+        date_format(max(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("latest_date"),
         max(when(col("rn") === 1, col("o_orderkey"))).as("latest_orderkey"),
         max(when(col("rn") === 1, col("o_totalprice"))).as("latest_price"))
   }
@@ -139,7 +139,7 @@ object TextQueries2 {
       |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
       |SELECT o_custkey, count(*) AS n_orders,
       |  count(DISTINCT o_orderpriority) AS n_priorities,
-      |  max(CAST(o_orderdate AS DATE)) AS latest_date,
+      |  strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS latest_date,
       |  max(CASE WHEN rn = 1 THEN o_orderkey END) AS latest_orderkey,
       |  max(CASE WHEN rn = 1 THEN o_totalprice END) AS latest_price
       |FROM r GROUP BY o_custkey""".stripMargin
@@ -152,9 +152,9 @@ object TextQueries2 {
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", percent_rank().over(w))
   }
 
