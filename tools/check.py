@@ -54,6 +54,10 @@ def main():
         if sorted(got.columns) != sorted(exp.columns):
             print(f'FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}')
             n_fail += 1; continue
+        dt = [f'{c}: {got[c].dtype} vs {exp[c].dtype}' for c in got.columns
+              if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f'FAIL {name}: dtype mismatch {"; ".join(dt)}'); n_fail += 1; continue
         if len(got) != len(exp):
             print(f'FAIL {name}: rows spark={len(got)} oracle={len(exp)}'); n_fail += 1; continue
         g, e = canon(got), canon(exp)
