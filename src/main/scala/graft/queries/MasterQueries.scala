@@ -20,7 +20,7 @@ object MasterQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private[queries] def deriveMaster(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def deriveMaster(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val split = date_add(lit("1997-01-01").cast("date"), (col("c_custkey") % 400).cast("int"))
     val eraA = c.select(
