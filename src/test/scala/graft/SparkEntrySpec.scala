@@ -1,0 +1,26 @@
+package graft
+
+/** The driver contract itself: entry() smoke, full registry integrity. */
+class SparkEntrySpec extends SparkTestBase {
+
+  test("entry() returns rows on the smoke fixture (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
+    assert(qs.forall(_.matches("q[0-9]+[a-z0-9_]*")), qs.filterNot(_.matches("q[0-9]+[a-z0-9_]*")))
+    assert(qs.size === 53)
+    assert(os.size === 45)
+  }
+
+  test("all queries build a plan at smoke scale without throwing") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // plan construction only — execution is Verify/Bench territory
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+}
