@@ -23,17 +23,21 @@ import graft.master.SecurityMaster
   */
 object Pipeline {
 
-  private def fixtureBars(s: SparkSession, sfDir: String): DataFrame =
+  private def fixtureBars(s: SparkSession, sfDir: String): DataFrame = {
+    // dense id per custkey = row number over DISTINCT custkeys, assigned via
+    // the distributed prefix sum (no single-partition window) and joined back
+    val ids = graft.operators.GlobalOrder.runningRowNumber(
+      graft.queries.Tables.customer(s, sfDir).select(col("c_custkey")).distinct(),
+      Seq("c_custkey"), "__rn")
+      .select(col("c_custkey"), (lit(1000L) + col("__rn")).as("security_id"))
     graft.queries.Tables.orders(s, sfDir)
-      .join(graft.queries.Tables.customer(s, sfDir),
-        col("o_custkey") === col("c_custkey"))
+      .join(ids, col("o_custkey") === col("c_custkey"))
       .select(
-        (lit(1000L) + dense_rank().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("o_custkey"))))
-          .as("security_id"),
+        col("security_id"),
         col("o_orderdate").cast("date").as("date"),
         round(col("o_totalprice") / 1000, 4).as("close"),
         col("o_orderkey").as("volume"))
+  }
 
   def main(args: Array[String]): Unit = {
     val cmd = args(0)

@@ -15,9 +15,9 @@ import org.apache.spark.sql.expressions.Window
   *  - `auto_resolve` fuzzy temporal resolution (:640-729).
   *
   * Scale posture: the master is a small dimension (~50k-500k rows) — every
-  * lookup is a broadcast join against fact tables; the ID-assignment window
-  * runs once, at build time, over a single ordered partition (fine at
-  * dimension scale, never applied to fact data).
+  * lookup is a broadcast join against fact tables; dense ID assignment uses
+  * the distributed two-phase prefix sum ([[graft.operators.GlobalOrder]]),
+  * so even the build step has no single-partition window.
   */
 object SecurityMaster {
 
@@ -55,25 +55,31 @@ object SecurityMaster {
         min(col("start_date")).as("start_date"),
         max(col("end_date")).as("end_date"))
 
-    // Dimension-build-time window: single partition, total order.
-    val w = Window.orderBy(col("permno"), col("start_date"), col("symbol"))
+    // The new-business flag compares CONSECUTIVE rows in (permno,
+    // start_date, symbol) order, but a permno change always starts a new
+    // business — so a window partitioned by permno sees exactly the prev
+    // rows that matter (the first row of each permno is new by the isNull
+    // branch). No global window needed for the flags.
+    val w = Window.partitionBy(col("permno")).orderBy(col("start_date"), col("symbol"))
 
     val flagged = periods
-      .withColumn("prev_permno", lag(col("permno"), 1).over(w))
       .withColumn("prev_symbol", lag(col("symbol"), 1).over(w))
       .withColumn("prev_ciks", lag(col("ciks"), 1).over(w))
       .withColumn("cik_overlap",
         coalesce(arrays_overlap(col("ciks"), col("prev_ciks")), lit(false)))
       .withColumn("new_business",
-        col("prev_permno").isNull ||
-          col("permno") =!= col("prev_permno") ||
+        col("prev_symbol").isNull ||
           (col("symbol") =!= col("prev_symbol") && !col("cik_overlap")))
-      .withColumn("security_id",
-        lit(BaseId) + sum(col("new_business").cast("long"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+    // Dense sequential IDs over the global order — two-phase distributed
+    // prefix sum (graft.operators.GlobalOrder), no single-partition window.
+    val withId = graft.operators.GlobalOrder.runningSum(
+        flagged, Seq("permno", "start_date", "symbol"),
+        col("new_business").cast("long"), "__run")
+      .withColumn("security_id", lit(BaseId) + col("__run"))
       .select(col("permno"), col("symbol"), col("security_id"))
 
-    cikCusip.join(flagged, Seq("permno", "symbol"), "left")
+    cikCusip.join(withId, Seq("permno", "symbol"), "left")
       .select(
         col("security_id"),
         col("permno"), col("symbol"), col("company"), col("cik"),
@@ -86,28 +92,35 @@ object SecurityMaster {
     * (deterministic stand-in for the reference's head(1),
     * security_master.py:753).
     */
-  def resolveExact(df: DataFrame, master: DataFrame,
-      symbolCol: String = "symbol", dayCol: String = "day"): DataFrame = {
+  /** Resolve DISTINCT (symbol, day) keys through the broadcast interval
+    * join. Input must be unique on (symbolCol, dayCol); output adds
+    * `security_id` (null = no exact match), exactly one row per key.
+    */
+  private def resolveExactKeys(keys: DataFrame, master: DataFrame,
+      symbolCol: String, dayCol: String): DataFrame = {
     val m = master.select(
       col("symbol").as("__m_symbol"),
       col("start_date").as("__m_start"),
       col("end_date").as("__m_end"),
       col("security_id").as("__m_sid"))
-    // Preserve input CARDINALITY without a full-table sort: collapse to
-    // distinct probes WITH their multiplicity (one shuffle, no window sort),
-    // resolve the distinct rows through the broadcast join, then re-expand
-    // by the recorded count. A bare groupBy would merge genuinely duplicate
-    // fact rows (two identical trades) into one.
-    val counted = df.groupBy(df.columns.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    counted.join(broadcast(m),
+    keys.join(broadcast(m),
         col(symbolCol) === col("__m_symbol") &&
           col(dayCol).between(col("__m_start"), col("__m_end")),
         "left")
-      .groupBy((df.columns :+ "__n").map(col): _*)
+      .groupBy(keys.columns.map(col): _*)
       .agg(min(col("__m_sid")).as("security_id"))
-      .withColumn("__dup", explode(sequence(lit(1L), col("__n"))))
-      .drop("__n", "__dup")
+  }
+
+  def resolveExact(df: DataFrame, master: DataFrame,
+      symbolCol: String = "symbol", dayCol: String = "day"): DataFrame = {
+    // Resolution depends only on (symbol, day): resolve the DISTINCT probe
+    // keys (a far smaller relation than the fact table), then join the
+    // resolved map back. Input cardinality is preserved because the map is
+    // unique per key; the map-back join is AQE-broadcastable whenever the
+    // probe key space is dimension-sized.
+    val keys = df.select(col(symbolCol), col(dayCol)).distinct()
+    df.join(resolveExactKeys(keys, master, symbolCol, dayCol),
+      Seq(symbolCol, dayCol), "left")
   }
 
   /** Bulk fuzzy resolution (J2, reference auto_resolve security_master.py:640-729):
@@ -121,14 +134,18 @@ object SecurityMaster {
     */
   def resolve(df: DataFrame, master: DataFrame,
       symbolCol: String = "symbol", dayCol: String = "day"): DataFrame = {
-    // The exact result feeds three consumers (hit branch, miss branch, and
-    // the existence check) — persist it so the broadcast interval join runs
-    // once, not three times.
-    val exact = resolveExact(df, master, symbolCol, dayCol)
+    // Resolve at probe-key granularity: distinct (symbol, day) keys flow
+    // through the exact interval join, only the exact MISSES continue into
+    // the fuzzy candidate machinery, and the final key→sid map joins back
+    // to the fact rows once. The fact table is touched exactly twice
+    // (distinct + map-back join) regardless of how much fuzzy work happens.
+    val keys = df.select(col(symbolCol), col(dayCol)).distinct()
+    // The exact result feeds the hit and miss branches — persist the
+    // (small, key-level) relation so the interval join runs once.
+    val exact = resolveExactKeys(keys, master, symbolCol, dayCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hit = exact.filter(col("security_id").isNotNull)
     val miss = exact.filter(col("security_id").isNull).drop("security_id")
-    if (miss.isEmpty) return exact
 
     // Symbol-usage interval per (security_id, symbol): min/max over its rows
     // (reference takes head(1); usage rows per (sid,symbol) are contiguous).
@@ -149,15 +166,16 @@ object SecurityMaster {
           .when(col(dayCol) > col("u_end"), datediff(col(dayCol), col("u_end")))
           .otherwise(0))
 
-    val pick = Window.partitionBy(miss.columns.map(col): _*)
+    val pick = Window.partitionBy(col(symbolCol), col(dayCol))
       .orderBy(col("distance").asc, col("security_id").asc)
     val fuzzy = candidates
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1)
-      .select(miss.columns.map(col) :+ col("security_id"): _*)
+      .select(col(symbolCol), col(dayCol), col("security_id"))
 
-    val fuzzyAll = miss.join(fuzzy, miss.columns.toSeq, "left")
-    hit.unionByName(fuzzyAll)
+    val resolvedKeys = hit.unionByName(
+      miss.join(fuzzy, Seq(symbolCol, dayCol), "left"))
+    df.join(resolvedKeys, Seq(symbolCol, dayCol), "left")
   }
 
   /** Symbol history for one security (reference get_symbol_history,
@@ -195,11 +213,12 @@ object SecurityMaster {
 
     val existingKeys = master.select(col("symbol"), col("cik")).distinct()
     val maxSid = master.agg(coalesce(max(col("security_id")), lit(BaseId)).as("m"))
-    val added = snapshot
-      .join(existingKeys, Seq("symbol", "cik"), "left_anti")
+    val newRows = graft.operators.GlobalOrder.runningRowNumber(
+      snapshot.join(existingKeys, Seq("symbol", "cik"), "left_anti"),
+      Seq("symbol", "cik"), "__rn")
+    val added = newRows
       .crossJoin(broadcast(maxSid))
-      .withColumn("security_id",
-        col("m") + row_number().over(Window.orderBy(col("symbol"), col("cik"))))
+      .withColumn("security_id", col("m") + col("__rn"))
       .select(
         col("security_id"),
         lit(null).cast("int").as("permno"),

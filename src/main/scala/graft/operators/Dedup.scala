@@ -46,12 +46,25 @@ object Dedup {
   def shinglePairs(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("shingle"))
 
+  /** (id, sh) pairs with the shingle collapsed to a 64-bit hash. All
+    * set-similarity math downstream (Jaccard counts, MinHash) only needs
+    * equality on shingles, so joining/aggregating on a fixed-width long
+    * instead of a ~3-word string cuts shuffle bytes and compare cost by an
+    * order of magnitude — the difference between an 8-byte and an ~30-byte
+    * join key on the engine's biggest equi-join. Collision risk over a
+    * 64-bit space is ~n²/2⁶⁵ (≈1e-10 at 1M distinct shingles) and only
+    * perturbs a count by 1 when it happens.
+    */
+  def hashedShinglePairs(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    shinglePairs(df, textCol, idCol, k)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+
   /** MinHash signatures: one row per document, `numHashes` min-hash columns
     * m0..m{n-1} where m_i = min over shingles of xxhash64(i, shingle).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
-    minhashSignaturesFromPairs(shinglePairs(df, textCol, idCol, shingleSize), numHashes)
+    minhashSignaturesFromPairs(hashedShinglePairs(df, textCol, idCol, shingleSize), numHashes)
 
   /** Signature computation over a pre-built (id, shingle) relation — the
     * single home of the hash formula, shared by [[minhashSignatures]] and
@@ -59,7 +72,7 @@ object Dedup {
     */
   def minhashSignaturesFromPairs(pairs: DataFrame, numHashes: Int = 32): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
     pairs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -84,14 +97,19 @@ object Dedup {
   }
 
   /** Exact shingle-set Jaccard for given candidate pairs (columns id_a,id_b):
-    * |A∩B| via equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * |A∩B| via equi-join on hashed shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * `pairs` is the (id, sh) relation from [[hashedShinglePairs]]. The
+    * candidate and size relations are corpus-sized at the limit, so no
+    * broadcast is forced — AQE converts these joins to broadcast at runtime
+    * whenever the built side is actually small.
     */
   def jaccardVerify(candidates: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = pairs.groupBy(col("id")).agg(count_distinct(col("shingle")).as("n"))
-    val a = pairs.select(col("id").as("id_a"), col("shingle"))
-    val b = pairs.select(col("id").as("id_b"), col("shingle"))
-    val shared = candidates
-      .join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+    val sizes = pairs.groupBy(col("id")).agg(count_distinct(col("sh")).as("n"))
+    val a = pairs.select(col("id").as("id_a"), col("sh"))
+    val b = pairs.select(col("id").as("id_b"), col("sh"))
+    val shared = a
+      .join(candidates, Seq("id_a"))
+      .join(b, Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -111,13 +129,13 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3): DataFrame = {
     // three consumers (sizes + both join sides) — persist so tokenization
     // and the explode run once, not three times
-    val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+    val pairs = hashedShinglePairs(df, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles() already emits distinct shingles per doc → plain count
     val sizes = pairs.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = pairs.select(col("shingle"), col("id").as("id_a"))
-    val b = pairs.select(col("shingle"), col("id").as("id_b"))
-    a.join(b, Seq("shingle"))
+    val a = pairs.select(col("sh"), col("id").as("id_a"))
+    val b = pairs.select(col("sh"), col("id").as("id_b"))
+    a.join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -141,7 +159,7 @@ object Dedup {
     // session GCs the plan (ContextCleaner); callers running many corpora
     // through one session can copy this composition and unpersist
     // explicitly after materializing results.
-    val pairs = shinglePairs(df, textCol, idCol, shingleSize)
+    val pairs = hashedShinglePairs(df, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignaturesFromPairs(pairs, numHashes)
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)

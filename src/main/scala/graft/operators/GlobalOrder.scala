@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Globally-ordered prefix aggregation WITHOUT a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partitioning moves the whole relation to one
+  * task — fine for a 50k-row dimension, fatal for anything bigger. The
+  * classic distributed alternative (two-phase prefix sum):
+  *
+  *   1. range-partition on the order keys (each partition holds a contiguous
+  *      key range, partitions are mutually ordered);
+  *   2. per-partition running sum via an ordinary window over
+  *      `spark_partition_id()`;
+  *   3. per-partition totals (one tiny row per partition) are prefix-summed
+  *      on the driver and joined back as broadcast offsets.
+  *
+  * Output values are independent of where the range boundaries land, so the
+  * result is deterministic as long as `orderCols` is a TOTAL order (no
+  * duplicate key tuples).
+  */
+object GlobalOrder {
+
+  /** `out` = running sum of `value` over the global `orderCols` order
+    * (inclusive of the current row). Requires `orderCols` to be unique per
+    * row. Adds no other columns; input column set is preserved.
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[String], value: Column,
+      out: String): DataFrame = {
+    val ord = orderCols.map(col)
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val local = df
+      .repartitionByRange(n, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__local",
+        sum(col("__v")).over(
+          Window.partitionBy(col("__pid")).orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // One row per partition — driver-side prefix sum over ≤ numShufflePartitions rows.
+    val totals = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn(out, col("__local") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__v", "__local", "__off")
+  }
+
+  /** `out` = dense 1-based row number over the global `orderCols` order:
+    * a running count of rows. */
+  def runningRowNumber(df: DataFrame, orderCols: Seq[String], out: String): DataFrame =
+    runningSum(df, orderCols, lit(1L), out)
+}

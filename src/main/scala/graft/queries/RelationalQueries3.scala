@@ -46,16 +46,27 @@ object RelationalQueries3 {
       |  sum(CASE WHEN qtr=4 THEN cents ELSE 0 END) / 100.0 AS q4_direct
       |FROM a GROUP BY o_custkey, yr""".stripMargin
 
-  /** A12 — approximate distinct (HLL++) next to the exact count (rows-only:
-    * sketch estimates are engine-specific; the relative-error contract is
-    * asserted in the spec instead).
+  /** A12 — approximate distinct (HLL++) next to the exact count. Sketch
+    * estimates are engine-specific, so the oracle-checkable surface is the
+    * exact count plus the RELATIVE-ERROR CONTRACT (|approx − exact| ≤ 5%
+    * exact) — each engine asserts its own sketch, both must land inside the
+    * published error bound for the hash to match.
     */
   def q47ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
         count_distinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).cast("int").as("approx_ok"))
+
+  val q47Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |       <= count(DISTINCT l_partkey) * 0.05 AS INT) AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Minute→daily OHLC rollup shape (ticks.MinuteBars.toDailyBars): per
     * (user, day) the FIRST and LAST value by exact ns time plus sums —
@@ -116,6 +127,7 @@ object RelationalQueries3 {
 
   val oracleSql: Map[String, String] = Map(
     "q46_q4_derivation" -> q46Sql,
+    "q47_approx_distinct" -> q47Sql,
     "q48_ohlc_rollup" -> q48Sql,
     "q49_minute_to_daily" -> q49Sql)
 }

@@ -206,16 +206,43 @@ object TextQueries2 {
       |  AND NOT contains(p_name, 'green')
       |  AND starts_with(p_brand, 'Brand#1')""".stripMargin
 
-  /** T6 — readability metrics (rows-only: syllable heuristics are UDFs;
-    * golden-tested in ReadabilitySpec).
+  /** T6 — readability metrics. Oracle-checked: the vowel-group syllable
+    * heuristic, sentence split, and Gunning Fog arithmetic are replicated in
+    * DuckDB SQL (the -e and -ed/-es syllable adjustments are mutually
+    * exclusive by last character, so the sequential decrements flatten to
+    * one CASE).
     */
   def q42Readability(s: SparkSession, dir: String): DataFrame =
     syntheticFilings(s, dir)
       .select(col("doc_id"),
-        Readability.sentenceCountUdf(col("filing")).as("n_sentences"),
-        Readability.complexWordsUdf(col("filing")).as("n_complex"),
+        Readability.sentenceCountUdf(col("filing")).cast("long").as("n_sentences"),
+        Readability.complexWordsUdf(col("filing")).cast("long").as("n_complex"),
         Readability.avgSentenceLengthUdf(col("filing")).as("avg_sentence_len"),
         Readability.fogIndexUdf(col("filing")).as("fog"))
+
+  val q42Sql: String =
+    """WITH f AS (SELECT doc_id,
+      |  'PART II. Item 7. Management''s Discussion and Analysis of results. '
+      |    || text || ' ' || text || ' ' || text
+      |    || ' Item 7A. Quantitative and Qualitative Disclosures.' AS filing
+      |  FROM documents),
+      |w AS (SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(filing, '[.!?]+(?:\s|$)'),
+      |       x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+      |  CAST(len(regexp_extract_all(filing, '\b[a-zA-Z]+\b')) AS BIGINT) AS n_words,
+      |  CAST(len(list_filter(regexp_extract_all(lower(filing), '[a-z]+'), t ->
+      |    len(regexp_extract_all(t, '[aeiouy]+'))
+      |      - (CASE WHEN (t LIKE '%e' OR t LIKE '%ed' OR t LIKE '%es')
+      |              AND len(regexp_extract_all(t, '[aeiouy]+')) > 1
+      |         THEN 1 ELSE 0 END) >= 3)) AS BIGINT) AS n_complex
+      |  FROM f)
+      |SELECT doc_id, n_sentences, n_complex,
+      |  CASE WHEN n_sentences = 0 THEN 0.0
+      |    ELSE floor(n_words*100.0/n_sentences + 0.5)/100.0 END AS avg_sentence_len,
+      |  CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0.0
+      |    ELSE floor(0.4*(n_words*1.0/n_sentences + n_complex*100.0/n_words)*100 + 0.5)/100.0
+      |  END AS fog
+      |FROM w""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q33_chunk_explode" -> (q33ChunkExplode _),
@@ -235,5 +262,6 @@ object TextQueries2 {
     "q38_meta_stats" -> q38Sql,
     "q39_ranking" -> q39Sql,
     "q40_csv_roundtrip" -> q40Sql,
-    "q41_regex_filter" -> q41Sql)
+    "q41_regex_filter" -> q41Sql,
+    "q42_readability" -> q42Sql)
 }

@@ -39,7 +39,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("LSH candidates verified by exact jaccard: identical docs give 1.0") {
-    val pairs = Dedup.shinglePairs(docs, "text", "doc_id", 3)
+    val pairs = Dedup.hashedShinglePairs(docs, "text", "doc_id", 3)
     val cand = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(cand, pairs).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
