@@ -55,9 +55,24 @@ object Dedup {
     * 64-bit space is ~n²/2⁶⁵ (≈1e-10 at 1M distinct shingles) and only
     * perturbs a count by 1 when it happens.
     */
-  def hashedShinglePairs(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    shinglePairs(df, textCol, idCol, k)
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+  def hashedShinglePairs(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    // Hash each k-token slice DIRECTLY (xxhash64 over the sub-array) instead
+    // of materializing the joined shingle string first — one hash per shingle,
+    // zero intermediate string allocation in the hottest map stage.
+    val toks = TextFunctions.tokens(col(textCol))
+    val hashed = array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => xxhash64(slice(toks, i + 1, lit(k)))))
+        .otherwise(array(xxhash64(toks))))
+    // Spread by id BEFORE the expensive transform: guards against
+    // few-row-group scans serializing the shingle work, and pre-partitions
+    // for the downstream groupBy("id") (signatures / set sizes) so that
+    // aggregation reuses this exchange instead of shuffling the exploded
+    // (much larger) relation.
+    Parallelism.spreadBy(df, col(idCol))
+      .select(col(idCol).as("id"), explode(hashed).as("sh"))
+  }
 
   /** MinHash signatures: one row per document, `numHashes` min-hash columns
     * m0..m{n-1} where m_i = min over shingles of xxhash64(i, shingle).
@@ -220,8 +235,9 @@ object Dedup {
     * OR (no arithmetic overflow).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val toks = Parallelism.spreadBy(df, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")

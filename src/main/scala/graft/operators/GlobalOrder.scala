@@ -32,6 +32,10 @@ object GlobalOrder {
     val ord = orderCols.map(col)
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
+    // persist (lazily) so both consumers below read the SAME materialized
+    // partitioning — partition ids must be identical between the running-sum
+    // branch and the totals branch, and block-level caching guarantees each
+    // partition is computed exactly once even under concurrent consumers.
     val local = df
       .repartitionByRange(n, ord: _*)
       .withColumn("__pid", spark_partition_id())
@@ -42,16 +46,18 @@ object GlobalOrder {
             .rowsBetween(Window.unboundedPreceding, 0)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // One row per partition — driver-side prefix sum over ≤ numShufflePartitions rows.
+    // Per-partition totals → exclusive prefix via a tiny self-join
+    // (p2 < p1): one row per partition, so O(P²) pairs at P = shuffle
+    // partitions is negligible at any data scale. Fully lazy — no
+    // plan-build-time job, no driver round-trip, no global window.
     val totals = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
-      (pid, acc + tot)
-    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsets = totals.select(col("__pid"))
+      .join(totals.select(col("__pid").as("__p2"), col("__tot")),
+        col("__p2") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__tot")), lit(0L)).as("__off"))
 
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    local.join(broadcast(offDf), Seq("__pid"), "left")
+    local.join(broadcast(offsets), Seq("__pid"), "left")
       .withColumn(out, col("__local") + coalesce(col("__off"), lit(0L)))
       .drop("__pid", "__v", "__local", "__off")
   }

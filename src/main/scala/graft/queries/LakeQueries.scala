@@ -59,7 +59,10 @@ object LakeQueries {
     val windowed = Incremental.windowedCounts(deduped, "ts", "1 hour",
       watermark = None, Seq("event_type"))
     val name = "graft_q44_out"
-    Incremental.runAvailableNow(windowed, name, outputMode = "complete")
+    // state ≈ |distinct event ids| + |open windows| — 8 state partitions
+    // amortize store-commit overhead; batch stages keep the session width
+    Incremental.runAvailableNow(windowed, name, outputMode = "complete",
+      statePartitions = Some(8))
     s.table(name)
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
         hour(col("window_start")).cast("long").as("hr"),

@@ -61,15 +61,30 @@ object Incremental {
     * (Trigger.AvailableNow — the reference's "process everything since the
     * last daily run" semantics) into an in-memory table; returns the query.
     */
+  /** @param statePartitions number of state-store partitions for the query's
+    *   stateful operators (fixed at first start from the session's shuffle
+    *   partitions, then pinned in the checkpoint). Stateful shuffles carry
+    *   per-partition state-store commit overhead every micro-batch, so the
+    *   right width tracks STATE size, not data size — typically far fewer
+    *   than the batch shuffle width.
+    */
   def runAvailableNow(out: DataFrame, queryName: String,
-      outputMode: String = "append"): StreamingQuery = {
-    val q = out.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+      outputMode: String = "append",
+      statePartitions: Option[Int] = None): StreamingQuery = {
+    val spark = out.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
   }
 }

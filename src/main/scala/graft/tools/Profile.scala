@@ -29,6 +29,59 @@ object Profile {
 
     args.foreach { name =>
       name match {
+        case "stages:scan" =>
+          import org.apache.spark.sql.functions._
+          val docs = graft.queries.Tables.documents(spark, sfDir)
+          time("scan text only") { docs.select(length(col("text"))).agg(sum("length(text)")).count() }
+          time("scan text again") { docs.select(length(col("text"))).agg(sum("length(text)")).count() }
+          val toks = graft.text.TextFunctions.tokens(col("text"))
+          time("tokenize+count") { docs.select(size(toks).as("n")).agg(sum("n")).count() }
+          time("tokenize again") { docs.select(size(toks).as("n")).agg(sum("n")).count() }
+          time("shingle-hash explode") {
+            graft.operators.Dedup.hashedShinglePairs(docs, "text", "doc_id", 3).count()
+          }
+          time("shingle-hash again") {
+            graft.operators.Dedup.hashedShinglePairs(docs, "text", "doc_id", 3).count()
+          }
+        case "stages:q44" =>
+          import org.apache.spark.sql.functions._
+          val ev = graft.queries.Tables.events(spark, sfDir)
+            .select(col("event_id"),
+              timestamp_micros((col("ts_ns") / 1000).cast("long")).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+          time("stage write") {
+            ev.write.mode("overwrite").parquet("/tmp/graft_stream_events_prof"); 0L
+          }
+          time("stream run") {
+            val stream = graft.streaming.Incremental.fileStream(
+              spark, "/tmp/graft_stream_events_prof", ev.schema)
+            val deduped = graft.streaming.Incremental.dedupAppend(stream, "ts", "event_id", "1 day")
+            val windowed = graft.streaming.Incremental.windowedCounts(
+              deduped, "ts", "1 hour", watermark = None, Seq("event_type"))
+            graft.streaming.Incremental.runAvailableNow(windowed, "graft_prof_out", outputMode = "complete")
+            spark.table("graft_prof_out").count()
+          }
+        case "stages:q45" =>
+          import org.apache.spark.sql.functions._
+          time("deriveMaster") {
+            graft.queries.MasterQueries.deriveMaster(spark, sfDir).count()
+          }
+          val master = graft.queries.MasterQueries.deriveMaster(spark, sfDir).cache()
+          time("master cache") { master.count() }
+          val probes = graft.queries.Tables.orders(spark, sfDir)
+            .join(graft.queries.Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("c_name").as("symbol"),
+              col("o_orderdate").cast("date").as("day"))
+          time("probes") { probes.count() }
+          time("resolveExact") {
+            graft.master.SecurityMaster.resolveExact(probes, master).count()
+          }
+          time("resolve full") {
+            graft.master.SecurityMaster.resolve(probes, master).count()
+          }
+          time("resolve full again") {
+            graft.master.SecurityMaster.resolve(probes, master).count()
+          }
         case "stages:q26" =>
           import org.apache.spark.sql.functions._
           val docs = graft.queries.Tables.documents(spark, sfDir)
