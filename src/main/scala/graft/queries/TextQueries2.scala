@@ -25,18 +25,79 @@ object TextQueries2 {
         col("text"), lit(" "), col("text"), lit(" "), col("text"),
         lit(" Item 7A. Quantitative and Qualitative Disclosures.")).as("filing"))
 
-  /** T3 — chunk generator: 1 document → N overlapping chunks (rows-only:
-    * the sentence-snapping loop is not SQL-expressible; semantics are
-    * golden-tested in ChunkerSpec).
+  /** T3 — chunk generator: 1 document → N overlapping chunks. Oracle-checked:
+    * the sentence-snapping loop is replayed in DuckDB as a RECURSIVE CTE
+    * ([[chunkerCte]]) — last-separator search via reversed strpos, the same
+    * forward-progress guard, row_number over emitted chunks for chunk_idx.
     */
   def q33ChunkExplode(s: SparkSession, dir: String): DataFrame =
     Sentiment.chunk(Tables.documents(s, dir), "text", Seq("doc_id"),
         chunkSize = 120, overlap = 20)
-      .select(col("doc_id"), col("chunk_idx"), length(col("chunk")).as("chunk_len"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+
+  /** DuckDB replay of [[graft.text.Chunker.chunkText]] (chunkSize=120,
+    * overlap=20) as a recursive CTE: per step, snap `end` to the LAST
+    * occurrence of the first separator present (". ", ".\n", "! ", "? " in
+    * priority order) within the final 20% (24 chars) of the window —
+    * found via strpos on the reversed window — then advance
+    * max(end − overlap, start + 1). Emitted non-empty chunks get
+    * row_number() by their start offset = posexplode's chunk_idx. Docs at or
+    * under chunkSize short-circuit to a single whole-text chunk, as the
+    * Scala does.
+    */
+  private def revSnap(sepRev: String): String =
+    s"strpos(reverse(substr(text, start + 97, 24)), $sepRev)"
+  private val snapEndSql: String = {
+    val cases = Seq("' .'", "chr(10) || '.'", "' !'", "' ?'").map { sep =>
+      s"""WHEN ${revSnap(sep)} > 0
+         |THEN start + 96 + (24 - ${revSnap(sep)} - 1) + 2""".stripMargin
+    }.mkString("\n            ")
+    s"""CASE WHEN start + 120 < tlen THEN
+       |          CASE
+       |            $cases
+       |            ELSE start + 120
+       |          END
+       |        ELSE start + 120 END""".stripMargin
+  }
+  private val chunkerCte: String =
+    s"""WITH RECURSIVE ch AS (
+       |  SELECT doc_id, text, len(text) AS tlen, 0 AS start,
+       |         CAST(NULL AS VARCHAR) AS chunk, 0 AS chunk_start
+       |  FROM documents WHERE len(text) > 120
+       |  UNION ALL
+       |  SELECT doc_id, text, tlen, next_start, this_chunk, start
+       |  FROM (
+       |    SELECT doc_id, text, tlen,
+       |      trim(substr(text, start + 1, least(snap_end, tlen) - start)) AS this_chunk,
+       |      greatest(snap_end - 20, start + 1) AS next_start, start
+       |    FROM (
+       |      SELECT doc_id, text, tlen, start,
+       |        $snapEndSql AS snap_end
+       |      FROM ch WHERE start < tlen
+       |    )
+       |  )
+       |),
+       |chunks AS (
+       |  SELECT doc_id, chunk, chunk_start FROM ch WHERE chunk IS NOT NULL AND chunk <> ''
+       |  UNION ALL
+       |  SELECT doc_id, text AS chunk, 0 AS chunk_start FROM documents
+       |  WHERE len(text) <= 120 AND len(text) > 0
+       |)""".stripMargin
+
+  val q33Sql: String =
+    s"""$chunkerCte
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start) - 1 AS BIGINT) AS chunk_idx,
+       |  CAST(len(chunk) AS BIGINT) AS chunk_len
+       |FROM chunks""".stripMargin
 
   /** T4 + A9 — full sentiment pipeline: chunk → deterministic lexicon model
     * → per-filing aggregation with exact stddev/median/skew + LM ratios +
-    * readability (rows-only; component semantics golden-tested).
+    * readability. Oracle-checked end to end: the chunker CTE feeds a SQL
+    * replica of the lexicon scorer and the fixed-point (1e-6) moment
+    * aggregation, so chunking, labeling, and every exact-agg formula are
+    * all under the hash.
     */
   def q34SentimentPipeline(s: SparkSession, dir: String): DataFrame =
     Sentiment.pipeline(
@@ -47,8 +108,70 @@ object TextQueries2 {
         col("sentiment_std"), col("sentiment_skew"), col("extreme_negative_ratio"),
         col("word_count"), col("fog_index"))
 
-  /** T1/T2 — MD&A extraction over synthetic filings (rows-only; regex
-    * cascade + cleanup semantics golden-tested in MdaSpec).
+  val q34Sql: String = {
+    def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
+    // sign-aware HALF_UP to 4dp (Spark round() rounds away from zero)
+    def r4(x: String) =
+      s"(CASE WHEN ($x) >= 0 THEN floor(($x)*10000 + 0.5)/10000 ELSE -floor(-($x)*10000 + 0.5)/10000 END)"
+    val vi = "CAST(round(s*1000000) AS BIGINT)"
+    val sumS = s"CAST(sum($vi) AS DOUBLE)"
+    val sumS2 = s"CAST(sum($vi*$vi) AS DOUBLE)"
+    s"""$chunkerCte,
+       |scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN pos > neg THEN 'positive' WHEN neg > pos THEN 'negative' ELSE 'neutral' END AS label,
+       |    CASE WHEN pos + neg = 0 THEN 0.5 ELSE abs(pos - neg)/CAST(pos + neg AS DOUBLE) END AS score
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(list_filter(string_split_regex(lower(chunk), '\\s+'), x -> x IN (${inList(WordLists.positive)}))) AS pos,
+       |      len(list_filter(string_split_regex(lower(chunk), '\\s+'), x -> x IN (${inList(WordLists.negative)}))) AS neg
+       |    FROM chunks)
+       |),
+       |sent AS (
+       |  SELECT doc_id, label, score,
+       |    CASE WHEN label='positive' THEN score WHEN label='negative' THEN -score ELSE 0.0 END AS s
+       |  FROM scored
+       |),
+       |agg AS (
+       |  SELECT doc_id,
+       |    count(*) AS chunk_count,
+       |    ${r4(s"($sumS/1000000)/count(*)")} AS sentiment_score,
+       |    ${r4("CAST(count(CASE WHEN label='positive' THEN 1 END) AS DOUBLE)/count(*)")} AS positive_ratio,
+       |    ${r4("CAST(count(CASE WHEN label='negative' THEN 1 END) AS DOUBLE)/count(*)")} AS negative_ratio,
+       |    ${r4("CAST(count(CASE WHEN label='neutral' THEN 1 END) AS DOUBLE)/count(*)")} AS neutral_ratio,
+       |    CASE WHEN count(*) > 1 THEN ${r4(s"sqrt(($sumS2 - $sumS*$sumS/count(*)) / 1000000.0 / 1000000.0 / (count(*) - 1))")} ELSE 0.0 END AS sentiment_std,
+       |    ($sumS/1000000)/count(*) AS mean_raw,
+       |    quantile_cont(s, 0.5) AS median_raw,
+       |    ${r4("CAST(count(CASE WHEN s < -0.5 THEN 1 END) AS DOUBLE)/count(*)")} AS extreme_negative_ratio
+       |  FROM sent GROUP BY doc_id
+       |),
+       |txt AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-zA-Z]+'), x -> x <> '')) AS BIGINT) AS word_count,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+(?:\\s|$$)'), x -> trim(x) <> '')) AS BIGINT) AS n_sent,
+       |    CAST(len(regexp_extract_all(text, '\\b[a-zA-Z]+\\b')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), t ->
+       |      len(regexp_extract_all(t, '[aeiouy]+'))
+       |        - (CASE WHEN (t LIKE '%e' OR t LIKE '%ed' OR t LIKE '%es')
+       |                AND len(regexp_extract_all(t, '[aeiouy]+')) > 1
+       |           THEN 1 ELSE 0 END) >= 3)) AS BIGINT) AS n_complex
+       |  FROM documents
+       |)
+       |SELECT a.doc_id, a.chunk_count, a.sentiment_score, a.positive_ratio, a.negative_ratio,
+       |  a.neutral_ratio, a.sentiment_std,
+       |  CASE WHEN a.chunk_count > 1 AND a.sentiment_std > 0
+       |    THEN ${r4("(a.mean_raw - a.median_raw)/a.sentiment_std")} ELSE 0.0 END AS sentiment_skew,
+       |  a.extreme_negative_ratio, t.word_count,
+       |  CASE WHEN t.n_words = 0 OR t.n_sent = 0 THEN 0.0
+       |    ELSE floor(0.4*(t.n_words*1.0/t.n_sent + t.n_complex*100.0/t.n_words)*100 + 0.5)/100.0
+       |  END AS fog_index
+       |FROM agg a JOIN txt t USING (doc_id)""".stripMargin
+  }
+
+  /** T1/T2 — MD&A extraction over synthetic filings. Oracle-checked: the
+    * start/end regex cascade is replayed in DuckDB — match position
+    * recovered as len(first split part), earliest end-pattern via least(),
+    * whitespace-collapse cleanup, ≥minLength validity guard.
     */
   def q35MdaExtract(s: SparkSession, dir: String): DataFrame =
     syntheticFilings(s, dir)
@@ -57,6 +180,51 @@ object TextQueries2 {
       .select(col("doc_id"),
         (col("mda").isNotNull).cast("int").as("found"),
         coalesce(length(col("mda")), lit(0)).cast("long").as("mda_len"))
+
+  val q35Sql: String = {
+    // position of a regex match = len of the first split part; match length
+    // via regexp_extract — together they recover Scala's Match.end
+    def startCase(pat: String) =
+      s"""WHEN regexp_matches(filing, '$pat')
+         |    THEN len(regexp_split_to_array(filing, '$pat')[1])
+         |         + len(regexp_extract(filing, '$pat'))""".stripMargin
+    def endPos(pat: String) =
+      s"""CASE WHEN regexp_matches(after_txt, '$pat')
+         |      THEN len(regexp_split_to_array(after_txt, '$pat')[1]) END""".stripMargin
+    val apos = "’" // literal char — DuckDB's RE2 has no \uXXXX escape
+    val s1 = s"(?i)item\\s+7[\\.\\s:]*management[''$apos]?s\\s+discussion\\s+and\\s+analysis"
+    val s2 = "(?i)item\\s+7[\\.\\s:]*md\\s*&\\s*a"
+    val s3 = s"(?i)item\\s+7[\\.\\s:]*management[''$apos]?s\\s+discussion"
+    val e1 = "(?i)item\\s+7a[\\.\\s:]*quantitative\\s+and\\s+qualitative"
+    val e2 = "(?i)item\\s+8[\\.\\s:]*financial\\s+statements"
+    s"""WITH f AS (SELECT doc_id,
+       |  'PART II. Item 7. Management''s Discussion and Analysis of results. '
+       |    || text || ' ' || text || ' ' || text
+       |    || ' Item 7A. Quantitative and Qualitative Disclosures.' AS filing
+       |  FROM documents),
+       |s AS (SELECT doc_id, filing,
+       |  CASE
+       |    ${startCase(s1)}
+       |    ${startCase(s2)}
+       |    ${startCase(s3)}
+       |    ELSE NULL END AS start_end
+       |  FROM f),
+       |b AS (SELECT doc_id, substr(filing, start_end + 1) AS after_txt
+       |  FROM s WHERE start_end IS NOT NULL),
+       |e AS (SELECT doc_id, after_txt,
+       |  least(${endPos(e1)}, ${endPos(e2)}) AS end_idx
+       |  FROM b),
+       |c AS (SELECT doc_id,
+       |  trim(regexp_replace(
+       |    CASE WHEN end_idx IS NOT NULL THEN substr(after_txt, 1, end_idx)
+       |         ELSE substr(after_txt, 1, 100000) END,
+       |    '\\\\s+', ' ', 'g')) AS cleaned
+       |  FROM e)
+       |SELECT f.doc_id,
+       |  CAST(CASE WHEN len(c.cleaned) >= 100 THEN 1 ELSE 0 END AS INT) AS found,
+       |  CAST(CASE WHEN len(c.cleaned) >= 100 THEN len(c.cleaned) ELSE 0 END AS BIGINT) AS mda_len
+       |FROM f LEFT JOIN c USING (doc_id)""".stripMargin
+  }
 
   /** A9 (oracle-checkable core) — exact distribution statistics per group:
     * mean, SAMPLE stddev via integer moments, range, exact interpolated
@@ -257,6 +425,9 @@ object TextQueries2 {
     "q42_readability" -> (q42Readability _))
 
   val oracleSql: Map[String, String] = Map(
+    "q33_chunk_explode" -> q33Sql,
+    "q34_sentiment_pipeline" -> q34Sql,
+    "q35_mda_extract" -> q35Sql,
     "q36_dist_stats" -> q36Sql,
     "q37_lm_ratios" -> q37Sql,
     "q38_meta_stats" -> q38Sql,

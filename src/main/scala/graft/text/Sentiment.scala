@@ -76,21 +76,28 @@ object Sentiment {
     val n = count(lit(1))
     def r4(c: Column): Column = round(c, 4)
 
+    // order-independent means: fixed-point sums (ExactAgg) instead of
+    // sum(double) — reduction order is nondeterministic on a cluster
+    def fixedMean(c: Column, cnt: Column): Column =
+      ExactAgg.fixedSum(c, 6) / cnt
+
     val grouped = s.groupBy(idCols.map(col): _*).agg(
       n.as("chunk_count"),
-      r4(sum(col("__sent")) / n).as("sentiment_score"),
+      r4(fixedMean(col("__sent"), n)).as("sentiment_score"),
       r4(count(when(col("label") === "positive", 1)).cast("double") / n).as("positive_ratio"),
       r4(count(when(col("label") === "negative", 1)).cast("double") / n).as("negative_ratio"),
       r4(count(when(col("label") === "neutral", 1)).cast("double") / n).as("neutral_ratio"),
-      r4(coalesce(avg(when(col("label") === "positive", col("score"))), lit(0.0)))
+      r4(coalesce(fixedMean(when(col("label") === "positive", col("score")),
+        count(when(col("label") === "positive", 1))), lit(0.0)))
         .as("avg_positive_confidence"),
-      r4(coalesce(avg(when(col("label") === "negative", col("score"))), lit(0.0)))
+      r4(coalesce(fixedMean(when(col("label") === "negative", col("score")),
+        count(when(col("label") === "negative", 1))), lit(0.0)))
         .as("avg_negative_confidence"),
       when(n > 1, r4(ExactAgg.fixedStddevSamp(col("__sent"), 6))).otherwise(0.0)
         .as("sentiment_std"),
       when(n > 1, r4(max(col("__sent")) - min(col("__sent")))).otherwise(0.0)
         .as("sentiment_range"),
-      avg(col("__sent")).as("__mean"),
+      fixedMean(col("__sent"), n).as("__mean"),
       expr("percentile(__sent, 0.5)").as("__median"),
       when(n > 1, r4(ExactAgg.fixedStddevSamp(col("score"), 6))).otherwise(0.0)
         .as("confidence_std"),
