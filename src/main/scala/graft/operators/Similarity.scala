@@ -87,6 +87,100 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** IVF centroid training: k-means-lite over the corpus. Seeds are the
+    * `nlist` vectors with the smallest xxhash64(id) (deterministic,
+    * data-independent sampling); each Lloyd iteration assigns every vector
+    * to its max-cosine centroid with a partial-aggregated max-struct
+    * (ONE shuffle by id, no corpus-wide window), then recomputes centroids
+    * as per-dimension means via posexplode + groupBy(cell, dim).
+    *
+    * Centroids are dimension-sized (nlist × dims), so they broadcast; the
+    * corpus is only ever mapped and aggregated — never shuffled on vector
+    * content. Returns (cell, centroid: array<double>).
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seeds = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nlist)
+    // nlist rows — window over the dimension-sized seed set only
+    val c0 = seeds
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(xxhash64(col(idCol)))) - 1).cast("long"))
+      .select(col("cell"), col("centroid"))
+    (0 until iters).foldLeft(c0) { (cents, _) =>
+      assignCells(corpus, cents, idCol, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+    }
+  }
+
+  /** Nearest-centroid (max cosine) cell per corpus vector: broadcast the
+    * centroid table, score every (vector, centroid) pair with the native
+    * kernel, reduce with max(struct) — partial aggregation keeps the
+    * shuffle at one row per vector. Ties break toward the lowest cell id
+    * (via the struct's descending-cos, ascending-(-cell) ordering).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // centroid means are array<double>; the fold-based cosine casts both
+    // sides to double — same fold order and double math as the native
+    // float×float kernel
+    val scored = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .select(col(idCol), col(vecCol),
+        struct(coalesce(col("__cos"), lit(-2.0)).as("c"), (-col("cell")).as("nc"))
+          .as("__sc"))
+    scored.groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), max(col("__sc")).as("__best"))
+      .select(col(idCol), col(vecCol), (-col("__best.nc")).cast("long").as("cell"))
+  }
+
+  /** IVF approximate top-k: train (or reuse) centroids, invert the corpus
+    * by cell, send each query to its `nprobe` highest-cosine cells, and
+    * exactly re-score only those cells' vectors. The classic accuracy/cost
+    * dial: nprobe = nlist degenerates to exact brute force.
+    *
+    * Scale: the inverted index (vector → cell) is corpus-sized but computed
+    * with one shuffle and reusable across query batches (persist or write
+    * it); per query batch the probe join touches ~nprobe/nlist of the
+    * corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids
+      .getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = assignCells(corpus, cents, idCol, vecCol)
+    // query → nprobe cells (tiny relation: |queries| × nlist before rank)
+    val qCells = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cell").asc)))
+      .filter(col("__r") <= nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cell"))
+    val scored = inverted
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim",
+        graft.expressions.CosineSimilarity(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: `tables` independent
     * signature tables (separately seeded planes); the corpus is bucketed
     * under every table, each query probes its own bucket plus all Hamming-1

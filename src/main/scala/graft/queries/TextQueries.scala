@@ -188,6 +188,59 @@ object TextQueries {
     Similarity.lshTopK(emb, queries, k = 10, bits = 6, dims = 64)
   }
 
+  /** IVF approximate ANN. Oracle-checked: centroids here are the seed
+    * vectors picked by a SQL-expressible rule (vec_id % 100 == 50, cell id =
+    * seed's vec_id, no Lloyd refinement), so cell assignment, nprobe
+    * routing, and the exact re-score are all replicated in DuckDB and land
+    * under the hash. The TRAINED path (ivfCentroids k-means, xxhash64
+    * seeding) is engine-specific fp arithmetic — exercised and
+    * recall-bounded in SimilaritySpec instead.
+    */
+  def q54KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    Similarity.ivfTopK(emb, queries, k = 10, nprobe = 4, centroids = Some(cents))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos_sim_r"), col("rank"))
+  }
+
+  val q54Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 50),
+      |assign AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM e, cents c)
+      |  WHERE rn = 1),
+      |qcells AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM e, cents c WHERE e.vec_id % 100 = 0)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, q.qv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      |  FROM assign a JOIN qcells q USING (cell)
+      |  WHERE a.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Multimodal plumbing: binary payloads through the partition-batched
     * feature extractor; byte count + checksum are the oracle-checkable
     * surface (the fake feature vector is spec-tested).
@@ -253,7 +306,8 @@ object TextQueries {
     "q29_knn_cosine" -> (q29KnnCosine _),
     "q30_knn_lsh" -> (q30KnnLsh _),
     "q31_multimodal" -> (q31Multimodal _),
-    "q32_word_categories" -> (q32WordCategories _))
+    "q32_word_categories" -> (q32WordCategories _),
+    "q54_knn_ivf" -> (q54KnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_embedding_dedup" -> q52Sql,
@@ -264,5 +318,6 @@ object TextQueries {
     "q26_ngram_jaccard" -> q26Sql,
     "q29_knn_cosine" -> q29Sql,
     "q31_multimodal" -> q31Sql,
-    "q32_word_categories" -> q32Sql)
+    "q32_word_categories" -> q32Sql,
+    "q54_knn_ivf" -> q54Sql)
 }

@@ -40,6 +40,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("IVF with trained centroids achieves high recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("IVF probing every cell reproduces brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4, iters = 1)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("ivfCentroids produces at most nlist cells and dimension-correct centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(emb, nlist = 8, iters = 2).collect()
+    assert(cents.length <= 8 && cents.nonEmpty)
+    assert(cents.forall(_.getAs[Seq[Double]]("centroid").length === 64))
+    val cells = Similarity.assignCells(emb,
+      Similarity.ivfCentroids(emb, nlist = 8, iters = 2))
+    assert(cells.count() === emb.count())
+    assert(cells.select("cell").distinct().count() <= 8)
+  }
+
   test("lshSignature fails loudly on wrong embedding dimension") {
     val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding") // dims=2, not 64
     val ex = intercept[Exception] {
