@@ -77,11 +77,63 @@ object LakeQueries {
       |FROM events
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Custom-state streaming (flatMapGroupsWithState): 12-hour-gap
+    * sessionization of the event stream. Each user's staged events carry one
+    * SENTINEL event 36 h after the global max timestamp: inside the
+    * AvailableNow batch it closes the user's final real session through the
+    * ordinary gap logic (no reliance on timer firing order), while the
+    * sentinel's own one-event session stays open in state and is never
+    * emitted — so the streamed output equals the batch gaps-and-islands
+    * oracle exactly.
+    */
+  def q55StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    val src = "/tmp/graft_stream_sessions"
+    val gapUs = 12L * 3600 * 1000000
+    // Tables.events#ts is the exact integral ns→µs truncation (TimestampType)
+    val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
+    val sentinels = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("__m")).select(col("user_id"))
+      .crossJoin(ev.agg(max(col("ts")).as("__gm")))
+      .select((col("__gm") + expr("INTERVAL 36 HOURS")).as("ts"),
+        col("user_id"), lit(0.0).as("value"))
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
+
+    val stream = Incremental.fileStream(s, src, ev.schema)
+    val sessions = Incremental.sessionize(stream, "ts", "user_id", "value", gapUs)
+    val name = "graft_q55_out"
+    Incremental.runAvailableNow(sessions, name, outputMode = "append",
+      statePartitions = Some(8))
+    s.table(name)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("value_sum"))
+  }
+
+  val q55Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
-    "q44_streaming_window" -> (q44StreamingWindow _))
+    "q44_streaming_window" -> (q44StreamingWindow _),
+    "q55_streaming_sessions" -> (q55StreamingSessions _))
 
   val oracleSql: Map[String, String] = Map(
     "q43_lake_roundtrip" -> q43Sql,
-    "q44_streaming_window" -> q44Sql)
+    "q44_streaming_window" -> q44Sql,
+    "q55_streaming_sessions" -> q55Sql)
 }

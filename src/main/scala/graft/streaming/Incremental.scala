@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Incremental/streaming semantics (SURVEY §2.10) restated with Structured
@@ -61,6 +61,82 @@ object Incremental {
     * (Trigger.AvailableNow — the reference's "process everything since the
     * last daily run" semantics) into an in-memory table; returns the query.
     */
+  /** Typed rows for [[sessionize]]'s custom state machine. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+  case class SessionState(start: Long, end: Long, n: Long, cents: Long)
+  case class SessionRow(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, cents: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L)
+
+  /** Session building over an event stream with CUSTOM state
+    * (`flatMapGroupsWithState` + event-time timeout): a session is a maximal
+    * per-user run of events with consecutive gaps ≤ `gapUs` microseconds.
+    * Within a batch the user's events fold through the open-session
+    * accumulator (closing sessions as gaps appear); the still-open session
+    * is carried as group state with an event-time timeout at
+    * `end + gap`, so the watermark — not wall-clock — closes idle sessions.
+    * Emits one row per CLOSED session (append semantics).
+    *
+    * Scale: state per user is one fixed-size accumulator (no event buffer),
+    * the stateful shuffle is by user key, and timeouts evict idle users, so
+    * state size tracks ACTIVE users only.
+    *
+    * Exact sums: event values fold as integer cents ([[graft.functions.ExactAgg]]
+    * rationale) — emission order can't perturb the totals.
+    */
+  def sessionize(stream: DataFrame, tsCol: String, userCol: String,
+      valueCol: String, gapUs: Long): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMs = gapUs / 1000L
+
+    def fn(user: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionRow] = {
+      def close(a: SessionState) = SessionRow(user, a.start, a.end, a.n, a.cents)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).iterator.toSeq
+        state.remove()
+        out.iterator
+      } else {
+        val evs = it.toArray.sortBy(e => micros(e.ts))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        var acc = state.getOption
+        evs.foreach { e =>
+          val t = micros(e.ts)
+          acc = acc match {
+            case Some(a) if t - a.end > gapUs =>
+              closed += close(a); Some(SessionState(t, t, 1, e.cents))
+            case Some(a) =>
+              Some(SessionState(a.start, math.max(a.end, t), a.n + 1, a.cents + e.cents))
+            case None => Some(SessionState(t, t, 1, e.cents))
+          }
+        }
+        acc.foreach { a =>
+          state.update(a)
+          state.setTimeoutTimestamp(math.floorDiv(a.end, 1000L) + gapMs + 1)
+        }
+        closed.iterator
+      }
+    }
+
+    stream
+      .withWatermark(tsCol, "0 seconds")
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"),
+        (col("cents") / 100.0).as("value_sum"))
+  }
+
   /** @param statePartitions number of state-store partitions for the query's
     *   stateful operators (fixed at first start from the session's shuffle
     *   partitions, then pinned in the checkpoint). Stateful shuffles carry

@@ -83,4 +83,56 @@ class IncrementalSpec extends SparkTestBase {
       Incremental.dedupAppend(stream2, "ts", "event_id"), "incr_out2")
     assert(spark.table("incr_out2").count() === n1 + 1)
   }
+
+  test("sessionize closes sessions at the gap and carries exact sums (custom state)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Seq(
+      // user 1: two sessions split by a 3h gap; user 2: one session
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.10),
+      (2L, "2024-01-01 10:30:00", 1L, "a", 2.20),
+      (3L, "2024-01-01 14:00:00", 1L, "a", 4.40),
+      (4L, "2024-01-01 09:00:00", 2L, "a", 7.70),
+      // sentinel far in the future closes the last open sessions in-batch
+      (98L, "2024-02-01 00:00:00", 1L, "s", 0.0),
+      (99L, "2024-02-01 00:00:00", 2L, "s", 0.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(d)
+    val sessions = Incremental.sessionize(
+      Incremental.fileStream(spark, d, schema), "ts", "user_id", "value",
+      gapUs = 2L * 3600 * 1000000)
+    Incremental.runAvailableNow(sessions, "sess_out")
+    val got = spark.table("sess_out")
+      .select($"user_id", $"n_events", $"value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    // sentinel sessions stay open in state and are never emitted
+    assert(got === Set((1L, 2L, 3.30), (1L, 1L, 4.40), (2L, 1L, 7.70)))
+  }
+
+  test("sessionize merges an open session with events arriving in a later batch") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sess2").toString
+    def write(rows: Seq[(Long, String, Long, String, Double)], mode: String): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+        .write.mode(mode).parquet(d)
+    write(Seq((1L, "2024-01-01 10:00:00", 1L, "a", 1.0)), "overwrite")
+    val q1 = Incremental.sessionize(
+      Incremental.fileStream(spark, d, schema), "ts", "user_id", "value",
+      gapUs = 2L * 3600 * 1000000)
+    Incremental.runAvailableNow(q1, "sess2_a")
+    assert(spark.table("sess2_a").count() === 0) // still open
+    // second run (fresh checkpoint → replays all): an in-gap event extends,
+    // a sentinel closes
+    write(Seq(
+      (2L, "2024-01-01 11:00:00", 1L, "a", 2.0),
+      (9L, "2024-03-01 00:00:00", 1L, "s", 0.0)), "append")
+    val q2 = Incremental.sessionize(
+      Incremental.fileStream(spark, d, schema), "ts", "user_id", "value",
+      gapUs = 2L * 3600 * 1000000)
+    Incremental.runAvailableNow(q2, "sess2_b")
+    val got = spark.table("sess2_b")
+      .select($"user_id", $"n_events", $"value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 3.0)))
+  }
 }
