@@ -15,9 +15,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
+  /** shingle_hashes(toks, k): k must be a foldable integer literal — the
+    * hash loop is specialized on it at plan time.
+    */
+  private[expressions] def shingleBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+      ShingleHashes(toks, k)
+    case _ => throw new IllegalArgumentException(
+      "shingle_hashes(tokens, k) requires a literal integer k")
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))))
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "shingle_hashes" -> (shingleBuilder _))
 
   def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -30,7 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     Seq(
       ("cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
-      ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+      ("shingle_hashes", (exprs: Seq[Expression]) => GraftFunctions.shingleBuilder(exprs)))
       .foreach { case (name, builder) =>
         e.injectFunction((
           org.apache.spark.sql.catalyst.FunctionIdentifier(name),

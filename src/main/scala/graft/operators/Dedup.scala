@@ -60,11 +60,10 @@ object Dedup {
     // of materializing the joined shingle string first — one hash per shingle,
     // zero intermediate string allocation in the hottest map stage.
     val toks = TextFunctions.tokens(col(textCol))
-    val hashed = array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => xxhash64(slice(toks, i + 1, lit(k)))))
-        .otherwise(array(xxhash64(toks))))
+    // Native fused k-gram hasher — bit-identical to the array_distinct/
+    // transform/slice/xxhash64 composition (ShingleHashesSpec) at a
+    // fraction of the allocation cost.
+    val hashed = graft.expressions.ShingleHashes(toks, k)
     // Spread by id BEFORE the expensive transform: guards against
     // few-row-group scans serializing the shingle work, and pre-partitions
     // for the downstream groupBy("id") (signatures / set sizes) so that
