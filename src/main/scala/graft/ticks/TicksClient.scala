@@ -49,6 +49,18 @@ class TicksClient(spark: SparkSession, root: String, master: DataFrame) {
       .orderBy(col("date"))
   }
 
+  /** Full-history read (reference get_daily_ticks_history,
+    * ticks.py:81-130): all years with optional date bounds. The reference
+    * resolves the symbol once, by the end year; routing each day through
+    * its own master interval (getDailyTicks) is strictly more correct
+    * across renames, and the consolidated-history-file special case
+    * dissolves into the same pruned lake scan.
+    */
+  def getDailyTicksHistory(symbol: String,
+      start: Option[String] = None, end: Option[String] = None): DataFrame =
+    getDailyTicks(symbol,
+      start.getOrElse("1900-01-01"), end.getOrElse("9999-12-31"))
+
   /** Year read with explicit partition-prunable predicates (S9 point read):
     * security_id and year reach the scan as PartitionFilters.
     */

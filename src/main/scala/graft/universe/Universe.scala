@@ -28,6 +28,28 @@ object Universe {
     !(hasBlacklisted || n.rlike(wordPattern))
   }
 
+  /** Symbols active at any point during `year`, from the temporal master
+    * (reference universe/manager.py:87-178 load_symbols_for_year): master
+    * validity intervals overlapping the year, symbol format converted per
+    * consumer — SEC uses '-' class separators, Alpaca '.' (BRK-B ↔ BRK.B).
+    * The reference's per-year WRDS query + cache dissolve into a broadcast
+    * filter over the master dimension.
+    */
+  def symbolsForYear(master: DataFrame, year: Int,
+      symType: String = "alpaca"): DataFrame = {
+    require(symType == "alpaca" || symType == "sec",
+      s"symType must be alpaca|sec, got $symType")
+    val y0 = lit(f"$year%04d-01-01").cast("date")
+    val y1 = lit(f"$year%04d-12-31").cast("date")
+    val sym =
+      if (symType == "sec") regexp_replace(col("symbol"), "\\.", "-")
+      else regexp_replace(col("symbol"), "-", ".")
+    master
+      .filter(col("start_date") <= y1 && col("end_date") >= y0)
+      .select(sym.as("symbol"))
+      .distinct()
+  }
+
   /** A4 + O1 — top-K by average daily dollar volume (reference
     * universe/manager.py:216-235): adv = mean(close*volume) per symbol,
     * filter adv > minAdv, take K best. Deterministic tiebreak on symbol.

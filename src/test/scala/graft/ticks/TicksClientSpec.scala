@@ -57,6 +57,29 @@ class TicksClientSpec extends SparkTestBase {
       Seq("2023-06-29", "2023-06-30"))
   }
 
+  test("history read = unbounded range; optional bounds filter it") {
+    val all = client.getDailyTicksHistory("META")
+    assert(all.select("date").as[Date].collect().map(_.toString).toSeq ===
+      Seq("2023-07-03", "2024-01-05"))
+    val bounded = client.getDailyTicksHistory("META", end = Some("2023-12-31"))
+    assert(bounded.select("date").as[Date].collect().map(_.toString).toSeq ===
+      Seq("2023-07-03"))
+  }
+
+  test("symbolsForYear lists symbols active in the year, in consumer format") {
+    import graft.universe.Universe
+    val m = Seq(
+      ("BRK.B", d("2020-01-01"), d("2023-06-30")),
+      ("FB", d("2022-01-01"), d("2023-06-30")),
+      ("META", d("2023-07-01"), d("2024-12-31")),
+      ("OLD", d("2010-01-01"), d("2015-12-31")))
+      .toDF("symbol", "start_date", "end_date")
+    val alpaca = Universe.symbolsForYear(m, 2023).as[String].collect().toSet
+    assert(alpaca === Set("BRK.B", "FB", "META")) // OLD inactive in 2023
+    val sec = Universe.symbolsForYear(m, 2023, "sec").as[String].collect().toSet
+    assert(sec === Set("BRK-B", "FB", "META"))
+  }
+
   test("reading META picks up after the rename; ZZZ bars never leak in") {
     val got = client.getDailyTicks("META", "2023-06-01", "2024-02-01")
     assert(got.select("close").as[Double].collect().toSeq === Seq(12.0, 13.0))
