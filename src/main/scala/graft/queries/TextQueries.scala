@@ -33,18 +33,24 @@ object TextQueries {
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         charCount(col("text")).cast("long").as("n_chars_computed"),
         avgTokenLength(col("text")).as("avg_tok_len"),
         punctRatio(col("text")).as("punct_ratio"))
 
-  val q22Sql: String =
-    """SELECT doc_id,
-      |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+  val q22Sql: String = {
+    // SQL string literal: double the quotes in the contraction alternates;
+    // backslashes pass through DuckDB '…' literals untouched
+    val bpeSql = graft.text.TextFunctions.bpePiecePattern.replace("'", "''")
+    s"""SELECT doc_id,
+      |  len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '$bpeSql')) AS BIGINT) AS n_bpe_tokens,
       |  length(text) AS n_chars_computed,
-      |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-      |    / len(string_split_regex(trim(lower(text)), '\s+')) AS avg_tok_len,
+      |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(trim(lower(text)), '\\s+')) AS avg_tok_len,
       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
       |FROM documents""".stripMargin
+  }
 
   /** Quality scoring: length/punct/stopword composite in [0,1] — the
     * LLM-corpus quality-filter shape.

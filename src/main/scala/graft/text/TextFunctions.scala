@@ -20,6 +20,22 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-style pre-tokenizer piece pattern (the BPE input segmentation):
+    * contractions, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, residual whitespace. Deliberately
+    * lookahead-free and ASCII-classed so RE2-based engines (the DuckDB
+    * oracle) segment identically; alternation order is load-bearing.
+    */
+  val bpePiecePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** Pre-tokenizer piece count — the standard proxy for BPE token count
+    * when the merge table isn't shipped with the engine (a real tokenizer
+    * drops into the same Column seam).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePiecePattern))
+
   def charCount(text: Column): Column = length(text)
 
   def avgTokenLength(text: Column): Column =
