@@ -49,8 +49,10 @@ object MasterQueries {
     */
   def q45MasterResolve(s: SparkSession, dir: String): DataFrame = {
     // The master is consumed by three joins inside resolve (intervals,
-    // usage, activity) — cache the dimension-build (single-partition window)
-    // instead of recomputing it per consumer.
+    // usage, activity) — cache the dimension-build instead of recomputing
+    // it per consumer. (localCheckpoint was tried to also truncate the
+    // re-planned lineage, but its Dataset→RDD materialization costs more
+    // than the duplicate planning saves at dimension scale.)
     val master = deriveMaster(s, dir).cache()
     val probes = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
