@@ -228,6 +228,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Connected components over an undirected pair relation (id_a, id_b):
+    * iterative min-label propagation — each round joins labels across edges
+    * and keeps the per-node minimum, converging to label = smallest id in
+    * the component. Rounds = O(component diameter); near-dup clusters are
+    * shallow (copies of a common source), so convergence is typically 2-3
+    * rounds and `maxIter` only bounds pathological chains. Each round
+    * shuffles the PAIR-derived vertex set, never the corpus; the loop is
+    * driver-side control flow over distributed steps (the standard Spark CC
+    * shape), with an early-exit convergence probe per round.
+    *
+    * Returns (id, cluster) where cluster = min id reachable (incl. self).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val prev = labels
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster"))
+        .unionByName(prev)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(prev.withColumnRenamed("cluster", "__old"), Seq("id"))
+        .filter(col("cluster") =!= col("__old"))
+        .isEmpty
+      prev.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-one-per-cluster exact-Jaccard dedup: pairs at `threshold` →
+    * connected components → canonical = min doc id of the cluster; isolated
+    * docs keep themselves. Returns (id, cluster, keep).
+    */
+  def deduplicateByJaccard(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val pairs = allPairsJaccard(df, textCol, idCol, threshold, shingleSize)
+    val labeled = clusters(pairs)
+    df.select(col(idCol).as("id"))
+      .join(labeled, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .withColumn("keep", (col("id") === col("cluster")).cast("int"))
+  }
+
   /** SimHash (64-bit): per token, xxhash64; bit i of the fingerprint is the
     * sign of Σ_tokens (±1 by token-hash bit i). Computed as 64 conditional
     * aggregates in ONE pass (no per-bit explosion), assembled with bitwise
