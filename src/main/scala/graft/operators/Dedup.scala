@@ -239,8 +239,14 @@ object Dedup {
     * shape), with an early-exit convergence probe per round.
     *
     * Returns (id, cluster) where cluster = min id reachable (incl. self).
+    *
+    * The loop runs until the convergence probe reports a fixed point;
+    * `maxIter` is a safety valve against pathological long chains (a
+    * component of diameter > maxIter). Exiting unconverged would silently
+    * split one component into several clusters — so that exit is loudly
+    * logged rather than absorbed.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -263,6 +269,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusters(): min-label propagation did NOT converge in $maxIter " +
+          "rounds; a component with diameter > maxIter is split into " +
+          "multiple clusters. Raise maxIter for chain-shaped duplicate sets.")
     edges.unpersist()
     labels
   }

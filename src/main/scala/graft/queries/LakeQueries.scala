@@ -54,16 +54,18 @@ object LakeQueries {
         col("user_id"), col("event_type"), col("value"))
     ev.write.mode("overwrite").parquet(src)
 
-    val stream = Incremental.fileStream(s, src, ev.schema)
-    val deduped = Incremental.dedupAppend(stream, "ts", "event_id", "1 day")
-    val windowed = Incremental.windowedCounts(deduped, "ts", "1 hour",
-      watermark = None, Seq("event_type"))
     val name = "graft_q44_out"
     // state ≈ |distinct event ids| + |open windows| — 8 state partitions
-    // amortize store-commit overhead; batch stages keep the session width
-    Incremental.runAvailableNow(windowed, name, outputMode = "complete",
-      statePartitions = Some(8))
-    s.table(name)
+    // amortize store-commit overhead; the narrowed width lives on a child
+    // session (runAvailableNowScoped) so concurrent batch planning on `s`
+    // keeps the session default
+    val result = Incremental.runAvailableNowScoped(s, { ss =>
+      val stream = Incremental.fileStream(ss, src, ev.schema)
+      val deduped = Incremental.dedupAppend(stream, "ts", "event_id", "1 day")
+      Incremental.windowedCounts(deduped, "ts", "1 hour",
+        watermark = None, Seq("event_type"))
+    }, name, outputMode = "complete", statePartitions = 8)
+    result
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
         hour(col("window_start")).cast("long").as("hr"),
         col("event_type"), col("n"), col("value_sum"))
@@ -98,12 +100,12 @@ object LakeQueries {
         col("user_id"), lit(0.0).as("value"))
     ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
 
-    val stream = Incremental.fileStream(s, src, ev.schema)
-    val sessions = Incremental.sessionize(stream, "ts", "user_id", "value", gapUs)
     val name = "graft_q55_out"
-    Incremental.runAvailableNow(sessions, name, outputMode = "append",
-      statePartitions = Some(8))
-    s.table(name)
+    val result = Incremental.runAvailableNowScoped(s, { ss =>
+      val stream = Incremental.fileStream(ss, src, ev.schema)
+      Incremental.sessionize(stream, "ts", "user_id", "value", gapUs)
+    }, name, outputMode = "append", statePartitions = 8)
+    result
       .select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),

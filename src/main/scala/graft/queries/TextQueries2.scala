@@ -110,9 +110,13 @@ object TextQueries2 {
 
   val q34Sql: String = {
     def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
-    // sign-aware HALF_UP to 4dp (Spark round() rounds away from zero)
+    // sign-aware HALF_UP to 4dp (Spark round() rounds away from zero).
+    // `+ 0.0` canonicalizes IEEE negative zero: the ELSE branch yields -0.0
+    // for tiny negatives (e.g. -1e-9 → -floor(0.50001)/1e4 = -0.0) while
+    // Spark's BigDecimal-based round() yields +0.0 — value-equal but
+    // hash-DIFFERENT under byte-level result hashing (round-2 q34 failure).
     def r4(x: String) =
-      s"(CASE WHEN ($x) >= 0 THEN floor(($x)*10000 + 0.5)/10000 ELSE -floor(-($x)*10000 + 0.5)/10000 END)"
+      s"(CASE WHEN ($x) >= 0 THEN floor(($x)*10000 + 0.5)/10000 ELSE -floor(-($x)*10000 + 0.5)/10000 END + 0.0)"
     val vi = "CAST(round(s*1000000) AS BIGINT)"
     val sumS = s"CAST(sum($vi) AS DOUBLE)"
     val sumS2 = s"CAST(sum($vi*$vi) AS DOUBLE)"

@@ -22,8 +22,12 @@ object Incremental {
   /** File-driven micro-batch source over a directory of parquet (the
     * streaming analogue of the reference's daily cron pull).
     */
-  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
 
   /** I4 — exactly-once append of unseen keys: watermarked dedup on `keyCol`
     * ALONE (a re-delivery of the same accession with a different timestamp
@@ -109,7 +113,12 @@ object Incremental {
             case Some(a) if t - a.end > gapUs =>
               closed += close(a); Some(SessionState(t, t, 1, e.cents))
             case Some(a) =>
-              Some(SessionState(a.start, math.max(a.end, t), a.n + 1, a.cents + e.cents))
+              // min on start too: flatMapGroupsWithState does NOT drop late
+              // rows, so an out-of-order event from a later micro-batch with
+              // t < a.start (but within gap of a.end) must extend the
+              // session backwards, not silently inherit the old start.
+              Some(SessionState(math.min(a.start, t), math.max(a.end, t),
+                a.n + 1, a.cents + e.cents))
             case None => Some(SessionState(t, t, 1, e.cents))
           }
         }
@@ -137,30 +146,39 @@ object Incremental {
         (col("cents") / 100.0).as("value_sum"))
   }
 
-  /** @param statePartitions number of state-store partitions for the query's
-    *   stateful operators (fixed at first start from the session's shuffle
-    *   partitions, then pinned in the checkpoint). Stateful shuffles carry
-    *   per-partition state-store commit overhead every micro-batch, so the
-    *   right width tracks STATE size, not data size — typically far fewer
-    *   than the batch shuffle width.
-    */
   def runAvailableNow(out: DataFrame, queryName: String,
-      outputMode: String = "append",
-      statePartitions: Option[Int] = None): StreamingQuery = {
-    val spark = out.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
-    try {
-      val q = out.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      q
-    } finally {
-      statePartitions.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", prev))
-    }
+      outputMode: String = "append"): StreamingQuery = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** [[runAvailableNow]] with a scoped state-store width.
+    *
+    * `statePartitions` = number of state-store partitions for the query's
+    * stateful operators (fixed at first start from the session's shuffle
+    * partitions, then pinned in the checkpoint). Stateful shuffles carry
+    * per-partition state-store commit overhead every micro-batch, so the
+    * right width tracks STATE size, not data size — typically far fewer
+    * than the batch shuffle width.
+    *
+    * The narrowed `spark.sql.shuffle.partitions` must not leak into batch
+    * queries planned concurrently on the caller's session, so the stream is
+    * BUILT AND RUN on a child session (`newSession()` — isolated SQLConf,
+    * shared SparkContext/cache): `build` receives the child, and the
+    * returned result table is the child's memory-sink temp view.
+    */
+  def runAvailableNowScoped(parent: SparkSession,
+      build: SparkSession => DataFrame, queryName: String,
+      outputMode: String, statePartitions: Int): DataFrame = {
+    val child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    runAvailableNow(build(child), queryName, outputMode)
+    child.table(queryName)
   }
 }

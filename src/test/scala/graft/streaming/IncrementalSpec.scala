@@ -109,6 +109,41 @@ class IncrementalSpec extends SparkTestBase {
     assert(got === Set((1L, 2L, 3.30), (1L, 1L, 4.40), (2L, 1L, 7.70)))
   }
 
+  test("sessionize extends a session BACKWARDS for a late in-gap event (out-of-order across batches)") {
+    // file 1 (batch 1) opens a session at 10:00; file 2 (batch 2) delivers
+    // an out-of-order event at 09:00 — earlier than the open session's
+    // start, within gap of its end. flatMapGroupsWithState does not drop
+    // late rows, so the session must extend backwards to 09:00. A sentinel
+    // then closes it. maxFilesPerTrigger=1 forces one file per micro-batch
+    // inside a single AvailableNow run, so state genuinely crosses batches.
+    val d = java.nio.file.Files.createTempDirectory("graft_sess3").toString
+    def write(rows: Seq[(Long, String, Long, String, Double)], name: String): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/$name")
+    // staged as separate dirs then moved in lexical order for deterministic
+    // file-discovery order (source sorts by path for equal timestamps)
+    write(Seq((1L, "2024-01-01 10:00:00", 1L, "a", 1.0)), "stage_a")
+    write(Seq((2L, "2024-01-01 09:00:00", 1L, "a", 2.0)), "stage_b")
+    write(Seq((9L, "2024-03-01 00:00:00", 1L, "s", 0.0)), "stage_c")
+    val fs = java.nio.file.FileSystems.getDefault
+    Seq("a", "b", "c").foreach { s =>
+      val src = java.nio.file.Files.list(fs.getPath(d, s"stage_$s"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(src, fs.getPath(d, s"part_$s.parquet"))
+      Thread.sleep(1100) // distinct mtimes → stable discovery order
+    }
+    val sessions = Incremental.sessionize(
+      Incremental.fileStream(spark, d, schema, maxFilesPerTrigger = Some(1)),
+      "ts", "user_id", "value", gapUs = 2L * 3600 * 1000000)
+    Incremental.runAvailableNow(sessions, "sess3_out")
+    val got = spark.table("sess3_out")
+      .select($"user_id", date_format($"session_start", "HH:mm").as("st"),
+        $"n_events", $"value_sum")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got === Set((1L, "09:00", 2L, 3.0)))
+  }
+
   test("sessionize merges an open session with events arriving in a later batch") {
     val d = java.nio.file.Files.createTempDirectory("graft_sess2").toString
     def write(rows: Seq[(Long, String, Long, String, Double)], mode: String): Unit =
