@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.LakeQueries.queries ++
       graft.queries.MasterQueries.queries ++
       graft.queries.RelationalQueries3.queries ++
-      graft.queries.ApiQueries.queries
+      graft.queries.ApiQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.LakeQueries.oracleSql ++
       graft.queries.MasterQueries.oracleSql ++
       graft.queries.RelationalQueries3.oracleSql ++
-      graft.queries.ApiQueries.oracleSql
+      graft.queries.ApiQueries.oracleSql ++
+      graft.queries.ScaleQueries.oracleSql
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.ExactAgg
+import graft.operators.SkewJoin
+
+/** Scale-technique queries: each exercises a 100-TB-relevant execution
+  * pattern whose RESULT is oracle-checkable because the technique is
+  * result-invariant (salting, bucketing, bloom pre-filtering change the
+  * plan, never the rows).
+  *
+  *  - q56: multi-level aggregation (rollup / grouping sets, SURVEY A11)
+  *  - q57: skew-salted shuffle join ([[SkewJoin.saltedEquiJoin]])
+  *  - q58: bucket-pruned co-located join (no shuffle on either join side)
+  *  - q59: bloom-filter semi-join reduction (pre-shuffle row pruning)
+  *  - q60: deterministic hash-based train/valid/test split (the
+  *    training-data-pipeline primitive; md5-stable across engines/runs)
+  *  - q61: rolling volatility + running max drawdown over a daily series
+  *    (exact integer-cents window moments)
+  */
+object ScaleQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A11 — ROLLUP over (returnflag, linestatus) with grouping_id
+    * disambiguating subtotal rows. Both engines use the same bitmask
+    * convention (leftmost grouped column = most significant bit).
+    */
+  def q56GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        ExactAgg.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+        ExactAgg.fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"), col("sum_price"))
+
+  val q56Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Skew-salted join: lineitem (large, skewed toward hot orderkeys under a
+    * pathological distribution) joined to orders through an 8-way salt.
+    * The salt explodes the small side 8× and splits every hot key across 8
+    * reducers; the aggregate proves rows are neither lost nor duplicated.
+    */
+  def q57SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedEquiJoin(li, ords, "l_orderkey", saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  val q57Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** Bucket-pruned co-located join: both sides written with
+    * `bucketBy(8, custkey)` + in-bucket sort, then joined on the bucket
+    * key — the sort-merge join reads each bucket pair directly with NO
+    * shuffle on either side (the 100-TB pattern for repeated fact⋈dim joins
+    * on a stable key; `ScaleOpsSpec` asserts the exchange-free plan).
+    */
+  def q58BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.lake.Bucketing.writeBucketed(
+      Tables.orders(s, dir), "graft_b_orders", "o_custkey", 8)
+    graft.lake.Bucketing.writeBucketed(
+      Tables.customer(s, dir), "graft_b_customer", "c_custkey", 8)
+    s.table("graft_b_orders")
+      .join(s.table("graft_b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.fixedSum(col("o_totalprice"), 2).as("sum_total"))
+  }
+
+  val q58Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Bloom-filter semi-join reduction: build a bloom filter over the keys of
+    * a selective dimension subset (one nation's customers), drop non-matching
+    * fact rows BEFORE the shuffle, then make the result exact with a
+    * broadcast semi-join (the bloom admits false positives only, so
+    * pre-filter + exact join ≡ exact join — that invariance is what the
+    * oracle checks). At scale this is Spark's own runtime-filter pattern,
+    * made explicit and tunable.
+    */
+  def q59BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 1)
+      .select(col("c_custkey"))
+    val bf = keys.stat.bloomFilter("c_custkey", expectedNumItems = 10000L, fpp = 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.orders(s, dir)
+      .filter(mightContain(col("o_custkey")))
+      .join(broadcast(keys), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.fixedSum(col("o_totalprice"), 2).as("sum_total"))
+  }
+
+  val q59Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_total
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+      |GROUP BY 1""".stripMargin
+
+  /** Deterministic train/valid/test split: bucket = first 8 hex chars of
+    * md5(doc_id) mod 100 → 80/10/10. Hash-based (not random) so the split
+    * is stable across engines, runs, partitionings, and corpus growth — the
+    * property a training pipeline needs for reproducible dataset versions.
+    */
+  def q60HashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  val q60Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** Rolling 7-row sample volatility and running max drawdown over the
+    * per-(event_type, day) value series. All window moments accumulate as
+    * integer cents (exact under any plan), and the float formula is applied
+    * identically in both engines — so even sqrt chains hash-match.
+    */
+  def q61RollingVol(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("cents")).over(w7).cast("double"))
+      .withColumn("s27",
+        sum(col("cents") * col("cents")).over(w7).cast("double"))
+      .withColumn("vol7",
+        when(col("n7") > 1,
+          sqrt((col("s27") - col("s7") * col("s7") / col("n7")) /
+            (col("n7") - 1)) / 100.0)
+          .otherwise(0.0))
+      .withColumn("cum", sum(col("cents")).over(wRun))
+      .withColumn("runmax", max(col("cum")).over(wRun))
+      .withColumn("drawdown", (col("runmax") - col("cum")) / lit(100.0))
+      .select(col("event_type"), col("day"),
+        (col("cents") / 100.0).as("day_value"),
+        col("vol7"), col("drawdown"))
+  }
+
+  val q61Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |w1 AS (
+      |  SELECT event_type, day, cents,
+      |    count(*) OVER w7 AS n7,
+      |    CAST(sum(cents) OVER w7 AS DOUBLE) AS s7,
+      |    CAST(sum(cents*cents) OVER w7 AS DOUBLE) AS s27,
+      |    sum(cents) OVER wrun AS cum
+      |  FROM daily
+      |  WINDOW
+      |    w7 AS (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |    wrun AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |w AS (
+      |  SELECT *, max(cum) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      |  FROM w1)
+      |SELECT event_type, day, cents/100.0 AS day_value,
+      |  CASE WHEN n7 > 1
+      |    THEN sqrt((s27 - s7*s7/n7) / (n7 - 1)) / 100.0 ELSE 0.0 END AS vol7,
+      |  (runmax - cum)/100.0 AS drawdown
+      |FROM w""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q56_grouping_sets" -> (q56GroupingSets _),
+    "q57_salted_join" -> (q57SaltedJoin _),
+    "q58_bucketed_join" -> (q58BucketedJoin _),
+    "q59_bloom_prune" -> (q59BloomPrune _),
+    "q60_hash_split" -> (q60HashSplit _),
+    "q61_rolling_vol" -> (q61RollingVol _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q56_grouping_sets" -> q56Sql,
+    "q57_salted_join" -> q57Sql,
+    "q58_bucketed_join" -> q58Sql,
+    "q59_bloom_prune" -> q59Sql,
+    "q60_hash_split" -> q60Sql,
+    "q61_rolling_vol" -> q61Sql)
+}

@@ -41,6 +41,36 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(const.isNullAt(0)) // zero stddev
   }
 
+  test("bloom pre-filter + exact semi-join ≡ plain semi-join (false positives eliminated)") {
+    val keys = (1 to 50).map(_ * 3L).toDF("k") // multiples of 3 only
+    val facts = (1L to 500L).map(i => (i % 120, i)).toDF("k", "v")
+    val bf = keys.stat.bloomFilter("k", 1000L, 0.03)
+    val mightContain = udf((x: Long) => bf.mightContain(x))
+    val pruned = facts.filter(mightContain($"k"))
+      .join(broadcast(keys), Seq("k"), "left_semi")
+    val plain = facts.join(keys, Seq("k"), "left_semi")
+    assert(pruned.collect().map(_.toString).sorted.toSeq ===
+      plain.collect().map(_.toString).sorted.toSeq)
+    // and the bloom admits no false negatives: pre-filter keeps every match
+    assert(facts.filter(mightContain($"k")).count() >= plain.count())
+  }
+
+  test("hash split is deterministic and partitions the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.queries.ScaleQueries.q60HashSplit(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.queries.ScaleQueries.q60HashSplit(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b) // stable across runs/plans (md5, not RNG)
+    val counts = graft.queries.ScaleQueries.q60HashSplit(spark, "/root/testdata/sf0.001")
+      .select($"split", $"n_docs").as[(String, Long)].collect().toMap
+    assert(counts.values.sum === docs.count()) // a partition, not a sample
+    assert(counts.keySet === Set("train", "valid", "test"))
+    // 80/10/10 within loose tolerance on a small corpus
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.6 && counts("train") / total < 0.95)
+  }
+
   test("bucketed join on matching bucket counts plans without Exchange") {
     // warehouse.dir is a static conf — the default ./spark-warehouse is used
     // (gitignored); tables are dropped in the finally block
