@@ -38,7 +38,11 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // symbol→sid partition-pruning rewrite (SURVEY §4 candidate (c)); runs
+    // inside the operator-optimization batch, before physical planning
+    // extracts partition filters
+    e.injectOptimizerRule(_ => new graft.plans.SymbolPruningRule)
     Seq(
       ("cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
       ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
@@ -50,4 +54,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             classOf[CosineSimilarity].getName, name),
           builder))
       }
+  }
 }

@@ -214,7 +214,47 @@ object ScaleQueries {
       |  (runmax - cum)/100.0 AS drawdown
       |FROM w""".stripMargin
 
+  /** Optimizer-rule rewrite under the correctness gate: orders are staged
+    * into a 50-shard sid-partitioned lake (shard = custkey mod 50, the
+    * reference's `{sid}/...` layout at fixture scale), the symbol→sid map is
+    * registered, and the [[graft.plans.SymbolPruningRule]] rewrites the
+    * symbol-equality filter into `security_id IN (shard)` — so the scan
+    * reads 1 of 50 partitions (spec-audited) while the RESULT stays exactly
+    * the plain filter's rows, which is what the oracle checks.
+    */
+  def q62SymbolPruning(s: SparkSession, dir: String): DataFrame = {
+    val lake = "/tmp/graft_sid_lake"
+    val staged = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"), col("c_name").as("symbol"),
+        (col("o_custkey") % 50).as("security_id"))
+    staged.write.partitionBy("security_id").mode("overwrite").parquet(lake)
+    graft.plans.SymbolPruning.register(
+      Tables.customer(s, dir)
+        .select(col("c_name").as("symbol"),
+          (col("c_custkey") % 50).as("security_id")))
+    graft.plans.SymbolPruning.install(s)
+    s.read.parquet(lake)
+      .filter(col("symbol") === "Customer#000000042")
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.fixedSum(col("o_totalprice"), 2).as("sum_total"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+  }
+
+  val q62Sql: String =
+    """SELECT c_name AS symbol, count(*) AS n,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_total,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_name = 'Customer#000000042'
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q62_symbol_pruning" -> (q62SymbolPruning _),
     "q56_grouping_sets" -> (q56GroupingSets _),
     "q57_salted_join" -> (q57SaltedJoin _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
@@ -223,6 +263,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q62_symbol_pruning" -> q62Sql,
     "q56_grouping_sets" -> q56Sql,
     "q57_salted_join" -> q57Sql,
     "q58_bucketed_join" -> q58Sql,
