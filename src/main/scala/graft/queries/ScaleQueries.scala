@@ -253,7 +253,38 @@ object ScaleQueries {
       |WHERE c_name = 'Customer#000000042'
       |GROUP BY 1""".stripMargin
 
+  /** Sequence packing (training-pipeline primitive): documents in doc_id
+    * order fill 2048-token packs through the distributed prefix sum; the
+    * oracle replays the same exclusive-cumsum binning with a window cumsum.
+    * Token counts use the engine's whitespace tokenizer (q22-parity SQL).
+    */
+  def q63SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val packed = graft.operators.Packing.packByBudget(
+      docs, "n_tokens", Seq("doc_id"), budget = 2048L)
+    graft.operators.Packing.packStats(packed, "n_tokens", budget = 2048L)
+  }
+
+  val q63Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS excl
+      |  FROM toks)
+      |SELECT CAST(floor(excl / 2048) AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |  CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill_ratio
+      |FROM cum GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q63_sequence_packing" -> (q63SequencePacking _),
     "q62_symbol_pruning" -> (q62SymbolPruning _),
     "q56_grouping_sets" -> (q56GroupingSets _),
     "q57_salted_join" -> (q57SaltedJoin _),
@@ -263,6 +294,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q63_sequence_packing" -> q63Sql,
     "q62_symbol_pruning" -> q62Sql,
     "q56_grouping_sets" -> q56Sql,
     "q57_salted_join" -> q57Sql,

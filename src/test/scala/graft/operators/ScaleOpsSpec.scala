@@ -71,6 +71,28 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(counts("train") / total > 0.6 && counts("train") / total < 0.95)
   }
 
+  test("packing: contiguous packs, budget+1-doc bound, corpus preserved") {
+    val docs = (1L to 500L).map(i => (i, 50 + (i % 37) * 10)).toDF("doc_id", "n_tokens")
+    val budget = 1000L
+    val packed = Packing.packByBudget(docs, "n_tokens", Seq("doc_id"), budget)
+      .select($"doc_id", $"n_tokens", $"pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.length === 500) // no row lost/duplicated
+    // packs are contiguous runs in doc order
+    assert(packed.map(_._3).toSeq === packed.map(_._3).sorted.toSeq)
+    // every pack except possibly the last stays under budget + one doc
+    val byPack = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    byPack.foreach { case (pid, tot) =>
+      val maxDoc = packed.filter(_._3 == pid).map(_._2).max
+      assert(tot <= budget + maxDoc, s"pack $pid overflows: $tot")
+    }
+    // determinism across partitionings
+    val again = Packing.packByBudget(docs.repartition(13), "n_tokens",
+      Seq("doc_id"), budget)
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.map(_._2).toSeq === packed.map(_._3).toSeq)
+  }
+
   test("bucketed join on matching bucket counts plans without Exchange") {
     // warehouse.dir is a static conf — the default ./spark-warehouse is used
     // (gitignored); tables are dropped in the finally block
