@@ -283,7 +283,42 @@ object ScaleQueries {
       |  CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill_ratio
       |FROM cum GROUP BY 1""".stripMargin
 
+  /** Corpus TF-IDF document profile ([[graft.text.TfIdf]]): the oracle
+    * replays tokenize → tf → df → fixed-point idf → integer tf-idf sums,
+    * including the (score desc, term asc) top-term tiebreak.
+    */
+  def q64TfIdf(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.documentProfile(Tables.documents(s, dir), "text", "doc_id")
+
+  val q64Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                 x -> x <> '')) AS term
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT term, CAST(round(ln((SELECT count(*) FROM documents)
+      |    / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+      |  FROM terms GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, terms.term, tf * idf_micro AS tfidf_micro
+      |  FROM terms JOIN idf USING (term)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    CAST(sum(tfidf_micro) AS BIGINT) AS sum_micro
+      |  FROM scored GROUP BY 1),
+      |top AS (
+      |  SELECT doc_id, term AS top_term, tfidf_micro/1e6 AS top_score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY tfidf_micro DESC, term ASC) AS rn FROM scored)
+      |  WHERE rn = 1)
+      |SELECT doc_id, n_terms, sum_micro/1e6 AS tfidf_sum, top_term, top_score
+      |FROM agg JOIN top USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_tfidf" -> (q64TfIdf _),
     "q63_sequence_packing" -> (q63SequencePacking _),
     "q62_symbol_pruning" -> (q62SymbolPruning _),
     "q56_grouping_sets" -> (q56GroupingSets _),
@@ -294,6 +329,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q64_tfidf" -> q64Sql,
     "q63_sequence_packing" -> q63Sql,
     "q62_symbol_pruning" -> q62Sql,
     "q56_grouping_sets" -> q56Sql,
