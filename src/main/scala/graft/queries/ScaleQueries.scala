@@ -317,7 +317,48 @@ object ScaleQueries {
       |SELECT doc_id, n_terms, sum_micro/1e6 AS tfidf_sum, top_term, top_score
       |FROM agg JOIN top USING (doc_id)""".stripMargin
 
+  /** BM25 top-20 retrieval for the query {hash, join, scan}
+    * ([[graft.text.TfIdf.bm25]]); oracle replays the full scoring chain
+    * including the micro-rounded idf and the (score desc, doc asc) ordering.
+    */
+  def q65Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.bm25(Tables.documents(s, dir), "text", "doc_id",
+      queryTerms = Seq("hash", "join", "scan"))
+
+  val q65Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                 x -> x <> '')) AS term
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT term, CAST(round(ln((SELECT count(*) FROM documents)
+      |    / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+      |  FROM terms GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        x -> x <> '')) AS dl
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS total_dl,
+      |               CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+      |per AS (
+      |  SELECT t.doc_id,
+      |    CAST(round((idf_micro/1e6) *
+      |      (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 +
+      |        0.75 * dl / (total_dl / n_docs)))) * 1e6) AS BIGINT) AS score_micro
+      |  FROM terms t JOIN idf USING (term) JOIN dl ON t.doc_id = dl.doc_id
+      |  CROSS JOIN tot
+      |  WHERE term IN ('hash', 'join', 'scan'))
+      |SELECT doc_id, count(*) AS n_hit_terms,
+      |  sum(score_micro)/1e6 AS bm25
+      |FROM per GROUP BY 1
+      |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q65_bm25" -> (q65Bm25 _),
     "q64_tfidf" -> (q64TfIdf _),
     "q63_sequence_packing" -> (q63SequencePacking _),
     "q62_symbol_pruning" -> (q62SymbolPruning _),
@@ -329,6 +370,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q65_bm25" -> q65Sql,
     "q64_tfidf" -> q64Sql,
     "q63_sequence_packing" -> q63Sql,
     "q62_symbol_pruning" -> q62Sql,

@@ -39,6 +39,47 @@ object TfIdf {
       .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
   }
 
+  /** BM25 document ranking for a query term set.
+    *
+    * score(d) = Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * Exactness note: idf reuses the micro-rounded `ln` from [[termScores]]
+    * (the one transcendental); every other factor is plain IEEE arithmetic
+    * over integers (tf, dl, corpus totals), which is bit-identical across
+    * engines, and the per-term score is micro-rounded before the per-doc
+    * integer sum — so ranking AND scores are reproducible anywhere.
+    *
+    * Plan shape: the query term set is a broadcast semi-join (dimension);
+    * doc lengths ride the same explode as tf. One shuffle on term, one on
+    * doc.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    val scored = termScores(docs, textCol, idCol)
+    val docLen = docs.select(col(idCol),
+      size(filter(TextFunctions.tokens(col(textCol)), t => t =!= "")).as("dl"))
+    val totals = docLen.agg(
+      sum(col("dl")).cast("double").as("__total_dl"),
+      count(lit(1)).cast("double").as("__n_docs"))
+    val perTerm = scored
+      .filter(col("term").isInCollection(queryTerms))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__idf", col("idf_micro") / 1e6)
+      .withColumn("__norm",
+        col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - b +
+            lit(b) * col("dl") / (col("__total_dl") / col("__n_docs")))))
+      .withColumn("__score_micro",
+        round(col("__idf") * col("__norm") * 1e6).cast("long"))
+    perTerm.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        (sum(col("__score_micro")) / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Per-document roll-up: distinct term count, total tf-idf mass, and the
     * top term (ties break to the lexicographically smallest term —
     * deterministic under any plan).
