@@ -129,13 +129,54 @@ object LakeQueries {
       |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum
       |FROM g GROUP BY user_id, sid""".stripMargin
 
+  /** Stream-static join enrichment: the event stream joins a static
+    * customer⋈nation dimension INSIDE the streaming query (planned as a
+    * broadcast hash join per micro-batch — the standard pattern for
+    * enriching a firehose with slowly-changing reference data), then
+    * aggregates per (nation, day) with event-time windows. The oracle is the
+    * equivalent batch join+aggregate over the same rows.
+    */
+  def q66StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val src = "/tmp/graft_stream_enrich"
+    val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+    val dim = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val name = "graft_q66_out"
+    val result = Incremental.runAvailableNowScoped(s, { ss =>
+      val stream = Incremental.fileStream(ss, src, ev.schema)
+      stream
+        .join(broadcast(dim), Seq("user_id")) // stream-static, per-batch BHJ
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("window.start").as("ws"), col("n_name"), col("n"),
+          (col("cents") / 100.0).as("value_sum"))
+    }, name, outputMode = "complete", statePartitions = 8)
+    result.select(date_format(col("ws"), "yyyy-MM-dd").as("day"),
+      col("n_name"), col("n"), col("value_sum"))
+  }
+
+  val q66Sql: String =
+    """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+      |  n_name, count(*) AS n,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS value_sum
+      |FROM events
+      |JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
     "q44_streaming_window" -> (q44StreamingWindow _),
-    "q55_streaming_sessions" -> (q55StreamingSessions _))
+    "q55_streaming_sessions" -> (q55StreamingSessions _),
+    "q66_stream_enrich" -> (q66StreamEnrich _))
 
   val oracleSql: Map[String, String] = Map(
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,
-    "q55_streaming_sessions" -> q55Sql)
+    "q55_streaming_sessions" -> q55Sql,
+    "q66_stream_enrich" -> q66Sql)
 }
