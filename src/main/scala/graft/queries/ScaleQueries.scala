@@ -357,7 +357,54 @@ object ScaleQueries {
       |FROM per GROUP BY 1
       |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Coverage/data-quality report ([[graft.lake.Validation.coverageReport]]):
+    * per (user, month), weekday-spine days inside the user's active span vs
+    * observed distinct event days. The reference computes this by crawling
+    * object listings; here it's one broadcast spine join.
+    */
+  def q67CoverageReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val bounds = ev.agg(
+      date_format(min(col("day")), "yyyy-MM-dd").as("lo"),
+      date_format(max(col("day")), "yyyy-MM-dd").as("hi")).collect().head
+    val spine = graft.ticks.Calendar.weekdaySpine(s,
+      bounds.getString(0), bounds.getString(1))
+    graft.lake.Validation.coverageReport(ev, "user_id", "day", spine)
+      .select(col("user_id"), col("month"), col("expected_days"),
+        col("observed_days"), col("missing_days"), col("coverage"))
+  }
+
+  val q67Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    (SELECT min(day) FROM days), (SELECT max(day) FROM days),
+      |    INTERVAL 1 DAY)) AS DATE) AS date),
+      |wd AS (SELECT date FROM spine WHERE extract(dow FROM date) BETWEEN 1 AND 5),
+      |bounds AS (
+      |  SELECT user_id, min(day) AS first_d, max(day) AS last_d
+      |  FROM days GROUP BY 1),
+      |expected AS (
+      |  SELECT user_id, strftime(date, '%Y-%m') AS month,
+      |    count(*) AS expected_days
+      |  FROM bounds JOIN wd ON date BETWEEN first_d AND last_d
+      |  GROUP BY 1, 2),
+      |observed AS (
+      |  SELECT user_id, strftime(day, '%Y-%m') AS month,
+      |    count(*) AS observed_days
+      |  FROM days WHERE day IN (SELECT date FROM wd)
+      |  GROUP BY 1, 2)
+      |SELECT e.user_id, e.month, e.expected_days,
+      |  coalesce(o.observed_days, 0) AS observed_days,
+      |  e.expected_days - coalesce(o.observed_days, 0) AS missing_days,
+      |  CAST(coalesce(o.observed_days, 0) AS DOUBLE) / e.expected_days AS coverage
+      |FROM expected e LEFT JOIN observed o
+      |  ON e.user_id = o.user_id AND e.month = o.month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q67_coverage_report" -> (q67CoverageReport _),
     "q65_bm25" -> (q65Bm25 _),
     "q64_tfidf" -> (q64TfIdf _),
     "q63_sequence_packing" -> (q63SequencePacking _),
@@ -370,6 +417,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q67_coverage_report" -> q67Sql,
     "q65_bm25" -> q65Sql,
     "q64_tfidf" -> q64Sql,
     "q63_sequence_packing" -> q63Sql,
