@@ -403,7 +403,31 @@ object ScaleQueries {
       |FROM expected e LEFT JOIN observed o
       |  ON e.user_id = o.user_id AND e.month = o.month""".stripMargin
 
+  /** Incremental aggregate maintenance ([[graft.lake.IncrementalAgg]]):
+    * pre-1997 orders are the stored rollup, 1997+ orders the daily delta;
+    * the merged rollup must equal the full recompute — which is the oracle.
+    */
+  def q68IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val orders = Tables.orders(s, dir)
+    val current = rollup(orders.filter(year(col("o_orderdate")) < 1997))
+    val delta = rollup(orders.filter(year(col("o_orderdate")) >= 1997))
+    graft.lake.IncrementalAgg.merge(current, delta,
+        Seq("o_custkey"), Seq("n_orders", "cents"))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("cents") / 100.0).as("total"))
+  }
+
+  val q68Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_incremental_agg" -> (q68IncrementalAgg _),
     "q67_coverage_report" -> (q67CoverageReport _),
     "q65_bm25" -> (q65Bm25 _),
     "q64_tfidf" -> (q64TfIdf _),
@@ -417,6 +441,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q68_incremental_agg" -> q68Sql,
     "q67_coverage_report" -> q67Sql,
     "q65_bm25" -> q65Sql,
     "q64_tfidf" -> q64Sql,
