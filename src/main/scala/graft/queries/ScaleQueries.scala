@@ -426,7 +426,47 @@ object ScaleQueries {
       |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Z-order layout ([[graft.lake.ZOrder]]): Morton codes over
+    * (custkey, order-day-number), bucketed by the code's high bits — the
+    * rectangles a clustered write would map to row groups. The oracle
+    * replays the identical mask-cascade bit interleave.
+    */
+  def q69ZOrder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("dayno"))
+    o.withColumn("z", graft.lake.ZOrder.mortonCode(col("o_custkey"), col("dayno")))
+      .groupBy((col("z") / lit(1048576)).cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+        min(col("dayno")).cast("long").as("day_min"),
+        max(col("dayno")).cast("long").as("day_max"))
+  }
+
+  private def spreadSql(e: String): String = {
+    val clamped = s"(($e) & 65535)"
+    Seq((8, "16711935"), (4, "252645135"), (2, "858993459"), (1, "1431655765"))
+      .foldLeft(clamped) { case (x, (sh, m)) => s"((($x | ($x << $sh)) & $m))" }
+  }
+
+  val q69Sql: String = {
+    val zx = spreadSql("o_custkey")
+    val zy = spreadSql("dayno")
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dayno
+       |  FROM orders),
+       |z AS (SELECT o_custkey, dayno, ($zx | ($zy << 1)) AS z FROM o)
+       |SELECT CAST(floor(z / 1048576) AS BIGINT) AS z_bucket, count(*) AS n,
+       |  min(z) AS z_min, max(z) AS z_max,
+       |  min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+       |  CAST(min(dayno) AS BIGINT) AS day_min, CAST(max(dayno) AS BIGINT) AS day_max
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_zorder" -> (q69ZOrder _),
     "q68_incremental_agg" -> (q68IncrementalAgg _),
     "q67_coverage_report" -> (q67CoverageReport _),
     "q65_bm25" -> (q65Bm25 _),
@@ -441,6 +481,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q69_zorder" -> q69Sql,
     "q68_incremental_agg" -> q68Sql,
     "q67_coverage_report" -> q67Sql,
     "q65_bm25" -> q65Sql,

@@ -93,6 +93,43 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(again.map(_._2).toSeq === packed.map(_._3).toSeq)
   }
 
+  test("morton code matches a reference bit-interleave; clustered write partitions the z-range") {
+    def refMorton(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val got = pts.toDF("x", "y")
+      .select(graft.lake.ZOrder.mortonCode($"x", $"y").as("z"))
+      .as[Long].collect().toSeq
+    assert(got === pts.map { case (x, y) => refMorton(x, y) })
+
+    val d = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val df = (0L until 4096L).map(i => (i % 64, i / 64, i)).toDF("x", "y", "v")
+    graft.lake.ZOrder.writeClustered(df, d, "x", "y", partitions = 8)
+    val back = spark.read.parquet(d)
+    assert(back.count() === 4096) // round trip
+    // per-file z-ranges are disjoint (range partition on the code) — the
+    // property row-group min/max pruning on BOTH dims derives from
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val ranges = back
+      .withColumn("z", graft.lake.ZOrder.mortonCode($"x", $"y"))
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin($"z").as("lo"), fmax($"z").as("hi"))
+      .orderBy($"lo")
+      .select($"lo", $"hi").as[(Long, Long)].collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("bucketed join on matching bucket counts plans without Exchange") {
     // warehouse.dir is a static conf — the default ./spark-warehouse is used
     // (gitignored); tables are dropped in the finally block
