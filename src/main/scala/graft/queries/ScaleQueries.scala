@@ -465,7 +465,28 @@ object ScaleQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Custom physical operator under the gate ([[graft.plans.TopKPerKey]]):
+    * top-3 orders per customer by price without sorting any key group —
+    * bounded heaps before AND after one hash shuffle. Oracle = the window
+    * row_number formulation (identical rows, tiebreak on orderkey).
+    */
+  def q70TopkPerKey(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      k = 3, keyCols = Seq("o_custkey"),
+      orderBys = Seq(("o_totalprice", false), ("o_orderkey", true)))
+
+  val q70Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q70_topk_per_key" -> (q70TopkPerKey _),
     "q69_zorder" -> (q69ZOrder _),
     "q68_incremental_agg" -> (q68IncrementalAgg _),
     "q67_coverage_report" -> (q67CoverageReport _),
@@ -481,6 +502,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q70_topk_per_key" -> q70Sql,
     "q69_zorder" -> q69Sql,
     "q68_incremental_agg" -> q68Sql,
     "q67_coverage_report" -> q67Sql,
