@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inside the operator-optimization batch, before physical planning
     // extracts partition filters
     e.injectOptimizerRule(_ => new graft.plans.SymbolPruningRule)
+    // per-key top-k physical operator (planner strategy)
+    e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     Seq(
       ("cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
       ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),

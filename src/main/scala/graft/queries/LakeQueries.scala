@@ -168,13 +168,55 @@ object LakeQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** Stream-stream inner join with watermarks: purchases vs signups of the
+    * same user within 24h (purchase after signup). Both sides are streams;
+    * state on each side is bounded by the watermark + the time-range
+    * condition (Spark evicts rows that can no longer match). The oracle is
+    * the equivalent batch range join.
+    */
+  def q71StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = "/tmp/graft_stream_ssj"
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+    val name = "graft_q71_out"
+    val result = Incremental.runAvailableNowScoped(s, { ss =>
+      val stream = Incremental.fileStream(ss, src, ev.schema)
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val signups = stream.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+    }, name, outputMode = "append", statePartitions = 8)
+    result.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("p_value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"), col("n_pairs"), (col("cents") / 100.0).as("value_sum"))
+  }
+
+  val q71Sql: String =
+    """SELECT p.user_id, count(*) AS n_pairs,
+      |  sum(CAST(round(p.value*100) AS BIGINT))/100.0 AS value_sum
+      |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
     "q44_streaming_window" -> (q44StreamingWindow _),
     "q55_streaming_sessions" -> (q55StreamingSessions _),
     "q66_stream_enrich" -> (q66StreamEnrich _))
 
   val oracleSql: Map[String, String] = Map(
+    "q71_stream_stream_join" -> q71Sql,
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,
     "q55_streaming_sessions" -> q55Sql,

@@ -105,6 +105,23 @@ object Profile {
           time("full q26 again") {
             graft.queries.TextQueries.q26NgramJaccard(spark, sfDir).count()
           }
+        case "stages:topk" =>
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.expressions.Window
+          val o = graft.queries.Tables.orders(spark, sfDir)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          val w = Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          (1 to 3).foreach { i =>
+            time(s"window row_number run$i") {
+              o.withColumn("rn", row_number().over(w))
+                .filter(col("rn") <= 3).drop("rn").count()
+            }
+            time(s"TopKPerKey run$i") {
+              graft.plans.TopKPerKey(o, 3, Seq("o_custkey"),
+                Seq(("o_totalprice", false), ("o_orderkey", true))).count()
+            }
+          }
         case q =>
           (1 to 3).foreach { i =>
             time(s"$q run$i") { graft.SparkEntry.queries(q)(spark, sfDir).count() }
