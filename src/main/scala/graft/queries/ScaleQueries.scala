@@ -491,7 +491,31 @@ object ScaleQueries {
       |      FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** Exact quantile family per group: Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition, and
+    * interpolation over identical doubles is pure IEEE arithmetic — so even
+    * p25/median/p75 chains hash-match (q34's median established this; here
+    * the family is first-class).
+    */
+  def q72Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+
+  val q72Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS median,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  quantile_cont(o_totalprice, 0.99) AS p99
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q72_quantiles" -> (q72Quantiles _),
     "q70_topk_per_key" -> (q70TopkPerKey _),
     "q69_zorder" -> (q69ZOrder _),
     "q68_incremental_agg" -> (q68IncrementalAgg _),
@@ -508,6 +532,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q72_quantiles" -> q72Sql,
     "q70_topk_per_key" -> q70Sql,
     "q69_zorder" -> q69Sql,
     "q68_incremental_agg" -> q68Sql,
