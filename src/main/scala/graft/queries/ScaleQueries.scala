@@ -514,7 +514,34 @@ object ScaleQueries {
       |  quantile_cont(o_totalprice, 0.99) AS p99
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Unigram cross-entropy quality scoring ([[graft.text.Perplexity]]) —
+    * the corpus-LM filter of a training-data pipeline, with the full
+    * tokenize → model → score chain replayed by the oracle.
+    */
+  def q73Perplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.Perplexity.unigramCrossEntropy(
+      Tables.documents(s, dir), "text", "doc_id")
+
+  val q73Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t.t FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |             x -> x <> '')) AS t
+      |    FROM documents) t),
+      |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+      |model AS (
+      |  SELECT t, CAST(round(-ln(c / (SELECT CAST(sum(c) AS DOUBLE) FROM counts))
+      |    * 1e6) AS BIGINT) AS nll_micro
+      |  FROM counts)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  sum(nll_micro)/1e6 AS nll_sum,
+      |  sum(nll_micro)/1e6/count(*) AS avg_nll
+      |FROM toks JOIN model USING (t)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q73_perplexity" -> (q73Perplexity _),
     "q72_quantiles" -> (q72Quantiles _),
     "q70_topk_per_key" -> (q70TopkPerKey _),
     "q69_zorder" -> (q69ZOrder _),
@@ -532,6 +559,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q73_perplexity" -> q73Sql,
     "q72_quantiles" -> q72Sql,
     "q70_topk_per_key" -> q70Sql,
     "q69_zorder" -> q69Sql,
