@@ -54,12 +54,15 @@ object Bench {
     // for the former.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
+      // a throwing trial must NOT contribute a (fast) failure duration to
+      // the min — successful trials only; all-fail reports -1 as an explicit
+      // breakage marker in the JSON
+      val times = (1 to trials).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

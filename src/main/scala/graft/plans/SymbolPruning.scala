@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst optimizer rule: rewrite symbol equality predicates into
@@ -23,32 +24,38 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The symbol→sid map comes from a registered SecurityMaster dimension
   * (driver-held, like the reference's in-memory master and Spark's own
-  * broadcast dims; ~50k symbols ⇒ a few MB). Registration is per-symbol
-  * multi-valued: renames/reuses map one symbol to several sids.
+  * broadcast dims; ~50k symbols ⇒ a few MB), and registration is SCOPED TO A
+  * LAKE PATH: the rule only rewrites filters whose leaf scan reads under the
+  * registered root, so an unrelated table that happens to have `symbol` and
+  * `security_id` columns is never touched (its id space need not agree with
+  * the master's).
   *
   * Injected via [[graft.expressions.GraftExtensions]]
   * (`spark.sql.extensions`) or per-session with [[SymbolPruning.install]].
   */
 object SymbolPruning {
 
-  @volatile private var symbolToSids: Map[String, Seq[Long]] = Map.empty
+  private case class Registration(rootPath: String, symbolToSids: Map[String, Seq[Long]])
 
-  /** Register the symbol→security_id map the rule rewrites through.
-    * `master` must have `symbol` and `security_id` columns; it is collected
-    * (dimension-sized by construction — the reference holds the whole master
-    * in memory, security_master.py).
+  @volatile private var registration: Option[Registration] = None
+
+  /** Register the symbol→security_id map the rule rewrites through, scoped
+    * to scans under `lakeRootPath`. `master` must have `symbol` and
+    * `security_id` columns; it is collected (dimension-sized by construction
+    * — the reference holds the whole master in memory, security_master.py).
     */
-  def register(master: org.apache.spark.sql.DataFrame): Unit = {
+  def register(master: org.apache.spark.sql.DataFrame, lakeRootPath: String): Unit = {
     import org.apache.spark.sql.functions._
-    symbolToSids = master
+    val map = master
       .groupBy(col("symbol"))
       .agg(collect_set(col("security_id").cast("long")).as("sids"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).sorted)
       .toMap
+    registration = Some(Registration(normalize(lakeRootPath), map))
   }
 
-  def clear(): Unit = { symbolToSids = Map.empty }
+  def clear(): Unit = { registration = None }
 
   /** Install the rule on an existing session (idempotent). */
   def install(spark: SparkSession): Unit =
@@ -56,8 +63,22 @@ object SymbolPruning {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new SymbolPruningRule
 
-  private[plans] def lookup(symbol: String): Option[Seq[Long]] =
-    symbolToSids.get(symbol)
+  /** Strip URI scheme for path-prefix comparison (file:/a/b vs /a/b). */
+  private def normalize(p: String): String = p.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+
+  private[plans] def lookup(symbol: String, leaves: Seq[LogicalPlan]): Option[Seq[Long]] =
+    registration.flatMap { reg =>
+      val scanUnderRoot = leaves.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(rp =>
+              normalize(rp.toString).startsWith(reg.rootPath))
+          case _ => false
+        }
+        case _ => false
+      }
+      if (scanUnderRoot) reg.symbolToSids.get(symbol) else None
+    }
 }
 
 class SymbolPruningRule extends Rule[LogicalPlan] {
@@ -95,14 +116,18 @@ class SymbolPruningRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val cs = conjuncts(cond)
       val sidAttr = child.output.find(_.name.equalsIgnoreCase("security_id"))
-      val alreadyPruned = cs.exists {
-        case In(a, _) => isCol(a, "security_id")
-        case _ => false
-      }
+      // Idempotence under the optimizer's FIXED POINT: once added, our In
+      // may be rewritten by sibling rules (OptimizeIn → InSet above the
+      // inSetConversionThreshold), so matching `In` alone would re-add the
+      // predicate every iteration and the batch would never converge
+      // (errorOnExceed aborts the query). ANY conjunct referencing
+      // security_id counts as already-pruned — user-authored sid predicates
+      // mean pruning is handled too.
+      val alreadyPruned = sidAttr.exists(sid => cs.exists(_.references.contains(sid)))
       val symbols = cs.flatMap(symbolEquality)
       (sidAttr, symbols.headOption) match {
         case (Some(sid), Some(sym)) if !alreadyPruned =>
-          SymbolPruning.lookup(sym) match {
+          SymbolPruning.lookup(sym, child.collectLeaves()) match {
             case Some(sids) =>
               // conjoin the implied sid-set predicate, with literals coerced
               // to the attribute's type (partition-column inference may have
@@ -112,7 +137,7 @@ class SymbolPruningRule extends Rule[LogicalPlan] {
                 case Some(lits) => Filter(And(In(sid, lits), cond), child)
                 case None => f // untypeable — leave the plan alone
               }
-            case None => f // symbol not registered — leave the plan alone
+            case None => f // unregistered symbol or out-of-scope scan
           }
         case _ => f
       }

@@ -23,7 +23,12 @@ object LakeQueries {
   private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def stageOnce(df: => DataFrame, name: String, dir: String): String = {
     val src = s"/tmp/graft_stage_${name}_${math.abs(dir.hashCode)}"
-    if (staged.add(src)) df.write.mode("overwrite").parquet(src)
+    if (staged.add(src)) {
+      // un-cache on failure: a half-written dir must not be served to the
+      // next caller as if staging had succeeded
+      try df.write.mode("overwrite").parquet(src)
+      catch { case e: Throwable => staged.remove(src); throw e }
+    }
     src
   }
 
@@ -183,6 +188,15 @@ object LakeQueries {
     * state on each side is bounded by the watermark + the time-range
     * condition (Spark evicts rows that can no longer match). The oracle is
     * the equivalent batch range join.
+    *
+    * Replay caveat: the staged part-files are hash-distributed, not
+    * time-ordered, so oracle equality relies on AvailableNow consuming the
+    * whole staging dir as ONE micro-batch (the default — no
+    * maxFilesPerTrigger here). Splitting the replay into multiple batches
+    * would advance the watermark past still-unread old rows and legitimately
+    * drop them — correct streaming semantics, but not the batch oracle. A
+    * production deployment feeds time-ordered arrivals, where the 1h bound
+    * is the real out-of-orderness tolerance.
     */
   def q71StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -229,17 +229,19 @@ object ScaleQueries {
     // deterministic staging — write once per (JVM, sf dir); the query under
     // measurement is the pruned READ, not the lake build
     if (sidLakeStaged.add(lake)) {
-      Tables.orders(s, dir)
+      try Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderdate"), col("c_name").as("symbol"),
           (col("o_custkey") % 50).as("security_id"))
         .write.partitionBy("security_id").mode("overwrite").parquet(lake)
+      catch { case e: Throwable => sidLakeStaged.remove(lake); throw e }
     }
     graft.plans.SymbolPruning.register(
       Tables.customer(s, dir)
         .select(col("c_name").as("symbol"),
-          (col("c_custkey") % 50).as("security_id")))
+          (col("c_custkey") % 50).as("security_id")),
+      lakeRootPath = lake) // scoped: only scans under this lake are rewritten
     graft.plans.SymbolPruning.install(s)
     s.read.parquet(lake)
       .filter(col("symbol") === "Customer#000000042")

@@ -112,6 +112,16 @@ object Incremental {
           acc = acc match {
             case Some(a) if t - a.end > gapUs =>
               closed += close(a); Some(SessionState(t, t, 1, e.cents))
+            case Some(a) if a.start - t > gapUs =>
+              // out-of-order event from a later micro-batch that precedes
+              // the open session's start by MORE than the gap: it cannot
+              // belong to this session (batch gaps-and-islands would put a
+              // break between them), and its own session closed in the
+              // past — emit it as a closed singleton, keep the open session
+              // untouched. (Events late enough to split an earlier session
+              // further are approximated this way; a watermark would have
+              // dropped them entirely.)
+              closed += SessionRow(user, t, t, 1, e.cents); Some(a)
             case Some(a) =>
               // min on start too: flatMapGroupsWithState does NOT drop late
               // rows, so an out-of-order event from a later micro-batch with

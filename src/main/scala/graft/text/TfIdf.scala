@@ -85,8 +85,11 @@ object TfIdf {
     * deterministic under any plan).
     */
   def documentProfile(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // no persist: the agg and top branches share identical shuffle subtrees,
+    // which ReuseExchange dedups at execution (confirmed in the plan) — a
+    // cache here would pin the full term relation per call with no owner to
+    // unpersist it (leak under repeated invocation)
     val scored = termScores(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("tfidf_micro")).as("__sum_micro"))

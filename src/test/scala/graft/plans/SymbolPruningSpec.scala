@@ -40,7 +40,7 @@ class SymbolPruningSpec extends SparkTestBase {
   }
 
   test("symbol predicate is rewritten to a security_id partition filter") {
-    SymbolPruning.register(master)
+    SymbolPruning.register(master, lakeDir)
     SymbolPruning.install(spark)
     try {
       val q = spark.read.parquet(lakeDir).filter($"symbol" === "AAA")
@@ -63,12 +63,45 @@ class SymbolPruningSpec extends SparkTestBase {
     SymbolPruning.install(spark)
     val expect = spark.read.parquet(lakeDir)
       .groupBy($"symbol").count().as[(String, Long)].collect().toMap
-    SymbolPruning.register(master)
+    SymbolPruning.register(master, lakeDir)
     try {
       expect.foreach { case (sym, n) =>
         val q = spark.read.parquet(lakeDir).filter($"symbol" === sym)
         assert(q.count() === n, sym)
       }
+    } finally SymbolPruning.clear()
+  }
+
+  test("a symbol with >10 sids converges (In→InSet rewrite does not defeat the guard)") {
+    // OptimizeIn (same fixed-point batch) converts In to InSet above the
+    // default inSetConversionThreshold of 10 — the idempotence guard must
+    // still recognize the predicate or the batch never converges and the
+    // query FAILS with errorOnExceed
+    val wide = (1L to 12L).map(sid => (sid, "WIDE"))
+      .toDF("security_id", "symbol")
+    SymbolPruning.register(wide, lakeDir)
+    SymbolPruning.install(spark)
+    try {
+      // lake has no WIDE rows; the point is that planning terminates
+      val q = spark.read.parquet(lakeDir).filter($"symbol" === "WIDE")
+      assert(q.count() === 0)
+    } finally SymbolPruning.clear()
+  }
+
+  test("an unrelated table with symbol+security_id columns is NOT rewritten") {
+    // registration is scoped to the lake path: a different relation whose
+    // id space has nothing to do with the master must keep all its rows
+    val other = java.nio.file.Files.createTempDirectory("graft_other").toString
+    // here AAA lives under security_id 99 — the master's {1,7} would
+    // wrongly prune everything if the rule fired
+    Seq((99L, "AAA", 1.0), (98L, "BBB", 2.0))
+      .toDF("security_id", "symbol", "px")
+      .write.mode("overwrite").parquet(other)
+    SymbolPruning.register(master, lakeDir)
+    SymbolPruning.install(spark)
+    try {
+      val q = spark.read.parquet(other).filter($"symbol" === "AAA")
+      assert(q.count() === 1) // untouched — would be 0 if mis-pruned
     } finally SymbolPruning.clear()
   }
 
@@ -80,7 +113,7 @@ class SymbolPruningSpec extends SparkTestBase {
   }
 
   test("idempotent: rule does not stack a second IN predicate") {
-    SymbolPruning.register(master)
+    SymbolPruning.register(master, lakeDir)
     SymbolPruning.install(spark)
     SymbolPruning.install(spark) // double install is a no-op
     try {

@@ -144,6 +144,37 @@ class IncrementalSpec extends SparkTestBase {
     assert(got === Set((1L, "09:00", 2L, 3.0)))
   }
 
+  test("sessionize emits a far-early late event as its own closed session (no false merge)") {
+    // batch 1 opens a session at 10:00 (gap 2h); batch 2 delivers an event
+    // at 06:00 — more than a gap BEFORE the open session's start. Batch
+    // gaps-and-islands puts a break between them: expect TWO sessions, not
+    // one 06:00-10:00 merge.
+    val d = java.nio.file.Files.createTempDirectory("graft_sess4").toString
+    def write(rows: Seq[(Long, String, Long, String, Double)], name: String): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/$name")
+    write(Seq((1L, "2024-01-01 10:00:00", 1L, "a", 1.0)), "stage_a")
+    write(Seq((2L, "2024-01-01 06:00:00", 1L, "a", 2.0)), "stage_b")
+    write(Seq((9L, "2024-03-01 00:00:00", 1L, "s", 0.0)), "stage_c")
+    val fs = java.nio.file.FileSystems.getDefault
+    Seq("a", "b", "c").foreach { s =>
+      val src = java.nio.file.Files.list(fs.getPath(d, s"stage_$s"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(src, fs.getPath(d, s"part_$s.parquet"))
+      Thread.sleep(1100)
+    }
+    val sessions = Incremental.sessionize(
+      Incremental.fileStream(spark, d, schema, maxFilesPerTrigger = Some(1)),
+      "ts", "user_id", "value", gapUs = 2L * 3600 * 1000000)
+    Incremental.runAvailableNow(sessions, "sess4_out")
+    val got = spark.table("sess4_out")
+      .select($"user_id", date_format($"session_start", "HH:mm").as("st"),
+        $"n_events", $"value_sum")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got === Set((1L, "06:00", 1L, 2.0), (1L, "10:00", 1L, 1.0)))
+  }
+
   test("sessionize merges an open session with events arriving in a later batch") {
     val d = java.nio.file.Files.createTempDirectory("graft_sess2").toString
     def write(rows: Seq[(Long, String, Long, String, Double)], mode: String): Unit =
