@@ -36,6 +36,10 @@ object GlobalOrder {
     // partitioning — partition ids must be identical between the running-sum
     // branch and the totals branch, and block-level caching guarantees each
     // partition is computed exactly once even under concurrent consumers.
+    // Deliberate tradeoff: the cache has no safe unpersist point (the result
+    // is lazy and may be consumed repeatedly), so each call pins one
+    // vertex-set-sized relation; callers invoking this in a long-lived JVM
+    // at high frequency should scope a session or accept block eviction.
     val local = df
       .repartitionByRange(n, ord: _*)
       .withColumn("__pid", spark_partition_id())

@@ -542,7 +542,25 @@ object ScaleQueries {
       |FROM toks JOIN model USING (t)
       |GROUP BY 1""".stripMargin
 
+  /** Stratified Bernoulli sampling (`sampleBy`): 20%/5% per event class,
+    * seed-pinned. Engine-RNG-dependent → rows-only at the driver (like the
+    * xxhash64 LSH family); the spec asserts determinism and per-stratum
+    * fraction tolerance. The HASH-deterministic alternative every dataset
+    * version should prefer is q60's md5 split — this exists because
+    * `sampleBy` is the API users reach for.
+    */
+  def q74StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("click" -> 0.2, "view" -> 0.2, "purchase" -> 0.05,
+      "signup" -> 0.05, "error" -> 0.05)
+    Tables.events(s, dir)
+      .stat.sampleBy("event_type", fractions, seed = 42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_stratified_sample" -> (q74StratifiedSample _),
     "q73_perplexity" -> (q73Perplexity _),
     "q72_quantiles" -> (q72Quantiles _),
     "q70_topk_per_key" -> (q70TopkPerKey _),

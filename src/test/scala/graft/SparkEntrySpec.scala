@@ -12,7 +12,7 @@ class SparkEntrySpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
     assert(qs.forall(_.matches("q[0-9]+[a-z0-9_]*")), qs.filterNot(_.matches("q[0-9]+[a-z0-9_]*")))
-    assert(qs.size === 73)
+    assert(qs.size === 74)
     assert(os.size === 70)
   }
 

@@ -130,6 +130,23 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stratified sample is seed-deterministic with in-tolerance fractions") {
+    val q = graft.queries.ScaleQueries.q74StratifiedSample _
+    val a = q(spark, "/root/testdata/sf0.01").collect().map(_.toString).sorted.toSeq
+    val b = q(spark, "/root/testdata/sf0.01").collect().map(_.toString).sorted.toSeq
+    assert(a === b) // pinned seed ⇒ reproducible sample
+    val got = q(spark, "/root/testdata/sf0.01")
+      .select($"event_type", $"n_sampled").as[(String, Long)].collect().toMap
+    val totals = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    val want = Map("click" -> 0.2, "view" -> 0.2, "purchase" -> 0.05,
+      "signup" -> 0.05, "error" -> 0.05)
+    want.foreach { case (t, f) =>
+      val ratio = got.getOrElse(t, 0L).toDouble / totals(t)
+      assert(math.abs(ratio - f) < 0.05, s"$t: $ratio vs $f")
+    }
+  }
+
   test("bucketed join on matching bucket counts plans without Exchange") {
     // warehouse.dir is a static conf — the default ./spark-warehouse is used
     // (gitignored); tables are dropped in the finally block
