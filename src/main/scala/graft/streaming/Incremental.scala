@@ -168,6 +168,25 @@ object Incremental {
     q
   }
 
+  /** Durable incremental run — the reference's ACTUAL daily-update shape
+    * (I1/I6): a persistent checkpoint makes each AvailableNow invocation
+    * process ONLY files that arrived since the last run, appending results
+    * to a parquet sink. Re-running after a crash or restart resumes from the
+    * checkpoint's offsets; no tracker sets, no reprocessing.
+    */
+  def runIncrementalToParquet(out: DataFrame, sinkPath: String,
+      checkpointPath: String): StreamingQuery = {
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** [[runAvailableNow]] with a scoped state-store width.
     *
     * `statePartitions` = number of state-store partitions for the query's

@@ -84,6 +84,36 @@ class IncrementalSpec extends SparkTestBase {
     assert(spark.table("incr_out2").count() === n1 + 1)
   }
 
+  test("checkpointed AvailableNow resumes incrementally: second run reads ONLY new files (I1/I6)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_ckpt").toString
+    val (srcDir, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    def addFile(rows: Seq[(Long, String, Long, String, Double)], name: String): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    addFile(Seq((1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 11:00:00", 2L, "b", 2.0)), "f1")
+    // run 1: processes the 2 existing rows
+    Incremental.runIncrementalToParquet(
+      Incremental.fileStream(spark, srcDir, schema).select($"event_id", $"user_id"),
+      sink, ckpt)
+    assert(spark.read.parquet(sink).count() === 2)
+    // a new file lands; run 2 RESUMES from the checkpoint — only the new row
+    // is processed (appended), nothing reprocessed
+    addFile(Seq((3L, "2024-01-02 09:00:00", 3L, "c", 3.0)), "f2")
+    Incremental.runIncrementalToParquet(
+      Incremental.fileStream(spark, srcDir, schema).select($"event_id", $"user_id"),
+      sink, ckpt)
+    val ids = spark.read.parquet(sink).select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L)) // exactly once each — no duplicates
+    // run 3 with nothing new appends nothing (idempotent daily trigger)
+    Incremental.runIncrementalToParquet(
+      Incremental.fileStream(spark, srcDir, schema).select($"event_id", $"user_id"),
+      sink, ckpt)
+    assert(spark.read.parquet(sink).count() === 3)
+  }
+
   test("sessionize closes sessions at the gap and carries exact sums (custom state)") {
     val d = java.nio.file.Files.createTempDirectory("graft_sess").toString
     Seq(
