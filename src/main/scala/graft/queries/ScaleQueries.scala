@@ -559,7 +559,29 @@ object ScaleQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Multimodal frame sampling under the gate: video-like payloads slice
+    * into 4 equal byte ranges, one row per frame (the explode shape a real
+    * frame sampler produces — decode itself stays stubbed per the container
+    * constraint). The oracle replays the byte math on the UTF-8 source text
+    * (fixture docs are ASCII, so char offsets == byte offsets).
+    */
+  def q75FrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)),
+      frames = 4)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+
+  val q75Sql: String =
+    """SELECT doc_id AS media_id, CAST(f.i AS BIGINT) AS frame_idx,
+      |  CAST(length(text) // 4 AS BIGINT) AS frame_len,
+      |  md5(substr(text, f.i * (length(text) // 4) + 1, length(text) // 4)) AS frame_md5
+      |FROM documents
+      |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q75_frame_sample" -> (q75FrameSample _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q73_perplexity" -> (q73Perplexity _),
     "q72_quantiles" -> (q72Quantiles _),
@@ -579,6 +601,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q75_frame_sample" -> q75Sql,
     "q73_perplexity" -> q73Sql,
     "q72_quantiles" -> q72Sql,
     "q70_topk_per_key" -> q70Sql,
