@@ -580,7 +580,156 @@ object ScaleQueries {
       |FROM documents
       |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) f""".stripMargin
 
+  /** Connected-components dedup canonicalization under the gate: the exact
+    * Jaccard pairs from q26 become an undirected graph; each document maps
+    * to the min doc_id reachable through near-duplicate links (its cluster
+    * canonical — [[graft.operators.Dedup.clusters]] min-label propagation).
+    * The oracle replays the transitive closure with a recursive CTE, so the
+    * distributed iterate-until-fixed-point loop is hash-checked end to end,
+    * not just spec'd.
+    */
+  def q76DedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.clusters(
+      graft.operators.Dedup.allPairsJaccard(
+        Tables.documents(s, dir), "text", "doc_id",
+        threshold = 0.2, shingleSize = 3))
+      .select(col("id"), col("cluster"))
+
+  val q76Sql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+      |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM shared
+      |          JOIN sizes sa ON id_a = sa.doc_id
+      |          JOIN sizes sb ON id_b = sb.doc_id
+      |          WHERE shared*1.0/(sa.n + sb.n - shared) >= 0.2),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
+  /** SCD-2 snapshot merge under the gate (reference I7,
+    * security_master.py:894-980): apply a daily ticker→CIK snapshot to the
+    * q45 derived master — matched (symbol, cik) rows get their era extended
+    * to the as-of day; unseen keys become new securities with fresh
+    * sequential ids. Previously spec-only; the oracle replays extension,
+    * anti-join insert, and id assignment in SQL.
+    */
+  def q77ScdMerge(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    // Snapshot sees the CURRENT era symbols (the ".N" rename) for a third
+    // of customers, plus brand-new listings derived from supplier.
+    val snapExisting = c.filter(col("c_custkey") % 3 === 0).select(
+      concat(col("c_name"), lit(".N")).as("symbol"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("cik"),
+      col("c_name").as("company"))
+    val snapNew = Tables.supplier(s, dir).select(
+      col("s_name").as("symbol"),
+      lpad((col("s_suppkey") + 900000).cast("string"), 10, "0").as("cik"),
+      col("s_name").as("company"))
+    graft.master.SecurityMaster.applySnapshot(
+        MasterQueries.deriveMaster(s, dir),
+        snapExisting.unionByName(snapNew),
+        java.sql.Date.valueOf("2003-06-30"))
+      .select(col("security_id"), col("permno"), col("symbol"), col("cik"),
+        date_format(col("start_date"), "yyyy-MM-dd").as("start_date"),
+        date_format(col("end_date"), "yyyy-MM-dd").as("end_date"))
+  }
+
+  val q77Sql: String =
+    """WITH master AS (
+      |  SELECT 1000 + dense_rank() OVER (ORDER BY c_custkey) AS security_id,
+      |    CAST(c_custkey AS INT) AS permno, c_name AS symbol,
+      |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cik,
+      |    DATE '1994-01-01' AS start_date,
+      |    DATE '1997-01-01' + CAST(c_custkey % 400 AS INT) * INTERVAL 1 DAY
+      |      - INTERVAL 1 DAY AS end_date
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 1000 + dense_rank() OVER (ORDER BY c_custkey),
+      |    CAST(c_custkey AS INT), c_name || '.N',
+      |    lpad(CAST(c_custkey AS VARCHAR), 10, '0'),
+      |    DATE '1997-01-01' + CAST(c_custkey % 400 AS INT) * INTERVAL 1 DAY,
+      |    DATE '2002-12-31'
+      |  FROM customer),
+      |snap AS (
+      |  SELECT symbol, cik, min(company) AS company FROM (
+      |    SELECT c_name || '.N' AS symbol,
+      |      lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cik, c_name AS company
+      |    FROM customer WHERE c_custkey % 3 = 0
+      |    UNION ALL
+      |    SELECT s_name, lpad(CAST(s_suppkey + 900000 AS VARCHAR), 10, '0'), s_name
+      |    FROM supplier) u
+      |  GROUP BY 1, 2),
+      |extended AS (
+      |  SELECT m.security_id, m.permno, m.symbol, m.cik, m.start_date,
+      |    CASE WHEN s.symbol IS NOT NULL AND m.end_date < DATE '2003-06-30'
+      |         THEN DATE '2003-06-30' ELSE m.end_date END AS end_date
+      |  FROM master m LEFT JOIN snap s ON m.symbol = s.symbol AND m.cik = s.cik),
+      |added AS (
+      |  SELECT (SELECT max(security_id) FROM master)
+      |      + row_number() OVER (ORDER BY symbol, cik) AS security_id,
+      |    CAST(NULL AS INT) AS permno, symbol, cik,
+      |    DATE '2003-06-30' AS start_date, DATE '2003-06-30' AS end_date
+      |  FROM snap s
+      |  WHERE NOT EXISTS (SELECT 1 FROM master m
+      |                    WHERE m.symbol = s.symbol AND m.cik = s.cik))
+      |SELECT security_id, permno, symbol, cik,
+      |  strftime(start_date, '%Y-%m-%d') AS start_date,
+      |  strftime(end_date, '%Y-%m-%d') AS end_date
+      |FROM (SELECT * FROM extended UNION ALL SELECT * FROM added) z""".stripMargin
+
+  /** Binned range join ([[graft.operators.RangeJoin]]): point-in-interval
+    * with NO equality key and NO broadcastable side — the shape where a
+    * naive plan degenerates to a nested-loop product. Binning turns it into
+    * a hash join on floor(day/W); the oracle is the plain BETWEEN join
+    * (result-invariant technique, like q57-q59). Interval widths (2-15
+    * days) are sized so matches stay O(orders), and W=16 covers any
+    * interval with ≤2 bins.
+    */
+  def q78RangeBinJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date")).cast("long").as("day"))
+    val intervals = Tables.part(s, dir).select(
+      col("p_brand"),
+      (lit(730L) + col("p_partkey") % 2000).cast("long").as("start_day"),
+      (lit(730L) + col("p_partkey") % 2000 + 2 + col("p_partkey") % 14)
+        .cast("long").as("end_day"))
+    graft.operators.RangeJoin.binnedPointInterval(
+        points, intervals, "day", "start_day", "end_day", binWidth = 16L)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matches"),
+        ExactAgg.fixedSum(col("o_totalprice"), 2).as("matched_revenue"))
+  }
+
+  val q78Sql: String =
+    """WITH points AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |intervals AS (
+      |  SELECT p_brand, 730 + p_partkey % 2000 AS start_day,
+      |    730 + p_partkey % 2000 + 2 + p_partkey % 14 AS end_day
+      |  FROM part)
+      |SELECT p_brand, count(*) AS n_matches,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS matched_revenue
+      |FROM points JOIN intervals ON day BETWEEN start_day AND end_day
+      |GROUP BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q78_range_bin_join" -> (q78RangeBinJoin _),
+    "q77_scd_merge" -> (q77ScdMerge _),
+    "q76_dedup_clusters" -> (q76DedupClusters _),
     "q75_frame_sample" -> (q75FrameSample _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q73_perplexity" -> (q73Perplexity _),
@@ -601,6 +750,9 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q78_range_bin_join" -> q78Sql,
+    "q77_scd_merge" -> q77Sql,
+    "q76_dedup_clusters" -> q76Sql,
     "q75_frame_sample" -> q75Sql,
     "q73_perplexity" -> q73Sql,
     "q72_quantiles" -> q72Sql,
