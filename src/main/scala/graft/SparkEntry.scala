@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MasterQueries.queries ++
       graft.queries.RelationalQueries3.queries ++
       graft.queries.ApiQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.TrainingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.MasterQueries.oracleSql ++
       graft.queries.RelationalQueries3.oracleSql ++
       graft.queries.ApiQueries.oracleSql ++
-      graft.queries.ScaleQueries.oracleSql
+      graft.queries.ScaleQueries.oracleSql ++
+      graft.queries.TrainingQueries.oracleSql
 }

@@ -635,8 +635,11 @@ object ScaleQueries {
       col("s_name").as("symbol"),
       lpad((col("s_suppkey") + 900000).cast("string"), 10, "0").as("cik"),
       col("s_name").as("company"))
+    // applySnapshot consumes the master in three subplans (extension join,
+    // existing-key anti-join, max-sid agg) — cache the dimension build, as
+    // q45 does, instead of re-running its prefix-sum assignment three times.
     graft.master.SecurityMaster.applySnapshot(
-        MasterQueries.deriveMaster(s, dir),
+        MasterQueries.deriveMaster(s, dir).cache(),
         snapExisting.unionByName(snapNew),
         java.sql.Date.valueOf("2003-06-30"))
       .select(col("security_id"), col("permno"), col("symbol"), col("cik"),
@@ -691,8 +694,8 @@ object ScaleQueries {
     * with NO equality key and NO broadcastable side — the shape where a
     * naive plan degenerates to a nested-loop product. Binning turns it into
     * a hash join on floor(day/W); the oracle is the plain BETWEEN join
-    * (result-invariant technique, like q57-q59). Interval widths (2-15
-    * days) are sized so matches stay O(orders), and W=16 covers any
+    * (result-invariant technique, like q57-q59). Interval widths (1-4
+    * days) are sized so matches stay O(orders), and W=4 covers any
     * interval with ≤2 bins.
     */
   def q78RangeBinJoin(s: SparkSession, dir: String): DataFrame = {
@@ -703,10 +706,10 @@ object ScaleQueries {
     val intervals = Tables.part(s, dir).select(
       col("p_brand"),
       (lit(730L) + col("p_partkey") % 2000).cast("long").as("start_day"),
-      (lit(730L) + col("p_partkey") % 2000 + 2 + col("p_partkey") % 14)
+      (lit(730L) + col("p_partkey") % 2000 + col("p_partkey") % 4)
         .cast("long").as("end_day"))
     graft.operators.RangeJoin.binnedPointInterval(
-        points, intervals, "day", "start_day", "end_day", binWidth = 16L)
+        points, intervals, "day", "start_day", "end_day", binWidth = 4L)
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_matches"),
         ExactAgg.fixedSum(col("o_totalprice"), 2).as("matched_revenue"))
@@ -719,7 +722,7 @@ object ScaleQueries {
       |  FROM orders),
       |intervals AS (
       |  SELECT p_brand, 730 + p_partkey % 2000 AS start_day,
-      |    730 + p_partkey % 2000 + 2 + p_partkey % 14 AS end_day
+      |    730 + p_partkey % 2000 + p_partkey % 4 AS end_day
       |  FROM part)
       |SELECT p_brand, count(*) AS n_matches,
       |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS matched_revenue

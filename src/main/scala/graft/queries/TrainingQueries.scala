@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries beyond the dedup/similarity families:
+  * benchmark decontamination, Gopher-style quality gating, embedding-space
+  * aggregation, and collocation mining. Each is oracle-gated (the whole
+  * tokenize → count → score chain replays in DuckDB).
+  */
+object TrainingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Benchmark decontamination ([[graft.operators.Contamination]]): every
+    * 50th document plays the eval set; the rest of the corpus is flagged on
+    * any shared 8-token shingle. The benchmark shingle set broadcasts — the
+    * corpus side never shuffles for the probe itself.
+    */
+  def q79Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Contamination.report(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "text", "doc_id", k = 8)
+  }
+
+  val q79Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+      |    THEN list_distinct(list_transform(generate_series(1, len(t)-7),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+      |    ELSE [array_to_string(t, ' ')] END) AS sgl
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT sgl FROM sh WHERE doc_id % 50 = 0),
+      |cand AS (SELECT doc_id, count(*) AS n_overlap
+      |         FROM sh JOIN bench USING (sgl)
+      |         WHERE doc_id % 50 <> 0 GROUP BY 1)
+      |SELECT d.doc_id AS id, coalesce(n_overlap, 0) AS n_overlap,
+      |  CAST(coalesce(n_overlap, 0) > 0 AS INT) AS contaminated
+      |FROM documents d LEFT JOIN cand USING (doc_id)
+      |WHERE d.doc_id % 50 <> 0""".stripMargin
+
+  /** Gopher-style repetition/shape gate ([[graft.text.QualityFilters]]). */
+  def q80QualityGopher(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityFilters.gopherStats(Tables.documents(s, dir), "text", "doc_id")
+
+  val q80Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
+      |uni0 AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |uni AS (SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(max(c) AS BIGINT) AS top_word_c,
+      |    CAST(sum(len(tok) * c) AS BIGINT) AS char_sum,
+      |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN c ELSE 0 END) AS BIGINT) AS alpha_c
+      |  FROM uni0 GROUP BY 1),
+      |bg0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(generate_series(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+      |bi0 AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+      |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_c
+      |  FROM bi0 GROUP BY 1),
+      |st AS (
+      |  SELECT u.doc_id AS id, n_tokens,
+      |    char_sum * 1.0 / n_tokens AS mean_word_len,
+      |    top_word_c * 1.0 / n_tokens AS top_word_frac,
+      |    coalesce(dup_bigram_c, 0) * 1.0 / coalesce(n_bigrams, 1) AS dup_bigram_frac,
+      |    alpha_c * 1.0 / n_tokens AS alpha_word_frac
+      |  FROM uni u LEFT JOIN bi ON u.doc_id = bi.doc_id)
+      |SELECT *, CAST(mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND top_word_frac <= 0.30 AND dup_bigram_frac <= 0.40
+      |    AND alpha_word_frac >= 0.80 AND n_tokens >= 8 AS INT) AS pass
+      |FROM st""".stripMargin
+
+  /** Per-label embedding centroids ([[graft.operators.EmbeddingStats]]),
+    * long form — the aggregation side of an embedding pipeline, exact via
+    * per-dimension integer-micro sums.
+    */
+  def q81EmbeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingStats.centroids(
+      Tables.embeddings(s, dir), "embedding", "label")
+
+  val q81Sql: String =
+    """SELECT label AS grp, CAST(i - 1 AS BIGINT) AS dim,
+      |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+      |    / 1e6 / count(*) AS centroid,
+      |  count(*) AS n_vectors
+      |FROM embeddings
+      |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+      |GROUP BY 1, 2""".stripMargin
+
+  /** PMI collocations ([[graft.text.Collocations]]): bigrams beating the
+    * unigram-independence expectation, count ≥ 5, top-50 by strength with a
+    * total deterministic tiebreak.
+    */
+  def q82PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.pmi(Tables.documents(s, dir), "text", "doc_id",
+      minCount = 5L, topK = 50)
+
+  val q82Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(t) AS w FROM t) u GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM uni),
+      |bg0 AS (SELECT unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+      |bi AS (SELECT bg, count(*) AS c_ab FROM bg0 GROUP BY 1 HAVING count(*) >= 5),
+      |bis AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c_ab FROM bi),
+      |scored AS (
+      |  SELECT w1, w2, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+      |    CAST(round(ln(CAST(c_ab * n.n AS DOUBLE) / CAST(ua.c_w * ub.c_w AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+      |  FROM bis JOIN uni ua ON w1 = ua.w JOIN uni ub ON w2 = ub.w CROSS JOIN n)
+      |SELECT w1, w2, c_ab, c_a, c_b, pmi_micro / 1e6 AS pmi
+      |FROM scored
+      |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q79_decontaminate" -> (q79Decontaminate _),
+    "q80_quality_gopher" -> (q80QualityGopher _),
+    "q81_embedding_centroids" -> (q81EmbeddingCentroids _),
+    "q82_pmi_collocations" -> (q82PmiCollocations _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q79_decontaminate" -> q79Sql,
+    "q80_quality_gopher" -> q80Sql,
+    "q81_embedding_centroids" -> q81Sql,
+    "q82_pmi_collocations" -> q82Sql)
+}
