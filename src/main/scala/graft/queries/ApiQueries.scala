@@ -79,15 +79,50 @@ object ApiQueries {
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_r
       |FROM e a JOIN e b ON a.vec_id + 100 = b.vec_id""".stripMargin
 
+  /** S8 through a custom DataSourceV2 connector
+    * ([[graft.sources.PsvDataSource]]): stage the customer universe as a
+    * pipe-delimited header file, read it back through the connector with an
+    * EqualTo filter and column pruning pushed INTO the partition reader,
+    * and aggregate. The oracle replays the cents math from the parquet
+    * table directly — the text round-trip must be value-preserving.
+    * Numerics travel as integer-cents strings (a double would re-enter via
+    * engine-specific decimal formatting).
+    */
+  def q83Dsv2Source(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_psv_universe"
+    Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_nationkey").cast("int").as("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("sep", "|").option("header", "true").csv(out)
+    s.read.format("graft.sources.PsvDataSource").load(out)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("acctbal_cents").cast("long")).as("bal_cents"))
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        col("n_customers"), col("bal_cents"))
+  }
+
+  val q83Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nationkey, count(*) AS n_customers,
+      |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_sql_interface" -> (q50SqlInterface _),
     "q51_typed_dataset" -> (q51TypedDataset _),
-    "q53_sql_native_function" -> (q52bSqlNativeFunction _))
+    "q53_sql_native_function" -> (q52bSqlNativeFunction _),
+    "q83_dsv2_source" -> (q83Dsv2Source _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_sql_interface" -> q50Sql,
     "q51_typed_dataset" -> q51Sql,
-    "q53_sql_native_function" -> q52bSql)
+    "q53_sql_native_function" -> q52bSql,
+    "q83_dsv2_source" -> q83Sql)
 }
 
 case class Supplier(s_suppkey: Long, s_name: String, s_nationkey: Int, s_acctbal: Double)
