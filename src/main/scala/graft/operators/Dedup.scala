@@ -292,21 +292,28 @@ object Dedup {
       .withColumn("keep", (col("id") === col("cluster")).cast("int"))
   }
 
-  /** SimHash (64-bit): per token, xxhash64; bit i of the fingerprint is the
-    * sign of Σ_tokens (±1 by token-hash bit i). Computed as 64 conditional
-    * aggregates in ONE pass (no per-bit explosion), assembled with bitwise
-    * OR (no arithmetic overflow).
+  /** SimHash: per token, a `bits`-wide hash; bit i of the fingerprint is
+    * the sign of Σ_tokens (±1 by token-hash bit i). Computed as `bits`
+    * conditional aggregates in ONE pass (no per-bit explosion), assembled
+    * with bitwise OR (no arithmetic overflow).
+    *
+    * `tokenHash` defaults to xxhash64 (fastest; engine-specific). Pass
+    * [[graft.text.TextFunctions.portableTokenHash]] with `bits = 32` for an
+    * engine-portable fingerprint a SQL oracle can replay
+    * (`md5_number_upper(tok) % 2^32` in DuckDB).
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(bits > 0 && bits <= 64, "simhash width must be 1..64")
     val toks = Parallelism.spreadBy(df, col(idCol))
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val summed = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
+    val fp = (0 until bits).map { i =>
       shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i)
     }.reduce(_ bitwiseOR _)
     summed.select(col("id"), fp.as("simhash"))
@@ -325,18 +332,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Banded SimHash near-dup: 4 bands of 16 bits — any pair within Hamming
+  /** Banded SimHash near-dup: 4 bands of `bits`/4 — any pair within Hamming
     * distance 3 shares at least one exact band (pigeonhole), so the bucket
     * join loses nothing while avoiding the all-pairs cross join.
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 3): DataFrame = {
-    require(maxDistance <= 3, "4x16-bit banding guarantees recall only to distance 3")
-    val fps = simhash(df, textCol, idCol)
+      maxDistance: Int = 3,
+      tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(maxDistance <= 3, "4-band banding guarantees recall only to distance 3")
+    require(bits % 4 == 0, "bits must split into 4 bands")
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1
+    val fps = simhash(df, textCol, idCol, tokenHash, bits)
     val banded = fps.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(bandMask).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("fp_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("fp_b"))

@@ -67,18 +67,35 @@ object Similarity {
     Array.fill(bits, dims)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** Engine-portable deterministic hyperplanes (SQL-replayable): the
+    * coefficient for (table, bit b, dim d) is an integer Weyl-style mix
+    * mapped into [-1, 1): `((t·100003 + b·dims + d + 1) · 2654435761
+    * mod 2^32) / 2^31 − 1`. Pure integer arithmetic followed by one exact
+    * power-of-two division — both engines produce bit-identical doubles,
+    * so a DuckDB oracle can regenerate the planes and replay the whole
+    * LSH pipeline (q30).
+    */
+  def portablePlanes(bits: Int, dims: Int, table: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dims) { (b, d) =>
+      (((table.toLong * 100003L + b.toLong * dims + d + 1) * 2654435761L)
+        % 4294967296L) / 2147483648.0 - 1.0
+    }
+
   /** Sign-bit LSH signature of a float-array column under the fixed planes.
     * The vector length MUST equal `dims` — `assert_true` fails the job
     * loudly on mismatch (zip_with would otherwise null-pad, silently
     * degenerating every signature to bucket 0 and turning the bucket join
     * into an all-pairs product).
     */
-  def lshSignature(vec: Column, bits: Int, dims: Int, seed: Long = 42L): Column = {
-    val ps = planes(bits, dims, seed)
+  def lshSignature(vec: Column, bits: Int, dims: Int, seed: Long = 42L): Column =
+    signatureFromPlanes(vec, planes(bits, dims, seed), dims)
+
+  private def signatureFromPlanes(vec: Column, ps: Array[Array[Double]],
+      dims: Int): Column = {
     val checked = when(
       assert_true(size(vec) === dims,
         lit(s"lshSignature: embedding length != dims=$dims")).isNull, vec)
-    (0 until bits).map { i =>
+    ps.indices.map { i =>
       val plane = lit(ps(i))
       val dot = aggregate(
         zip_with(checked, plane, (x, p) => x.cast("double") * p),
@@ -195,9 +212,12 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dims: Int,
       tables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesFor: Option[Int => Array[Array[Double]]] = None): DataFrame = {
+    val pf: Int => Array[Array[Double]] =
+      planesFor.getOrElse(t => planes(bits, dims, seed = 42L + t))
     val tableSigs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshSignature(col(vecCol), bits, dims, seed = 42L + t).as("sig"))
+      struct(lit(t).as("tbl"), signatureFromPlanes(col(vecCol), pf(t), dims).as("sig"))
     }
     val bucketed = corpus
       .withColumn("bk", explode(array(tableSigs: _*)))

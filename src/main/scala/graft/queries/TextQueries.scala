@@ -11,11 +11,14 @@ import graft.multimodal.Multimodal
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
   * similarity search, multimodal plumbing.
   *
-  * Hash-randomized operators (MinHash, SimHash, hyperplane LSH) have no
-  * cross-engine oracle — their seeds are engine-specific — so they are
-  * registered WITHOUT oracleSql (driver records rows-only) and their
-  * semantics are verified in ScalaTest against the exact brute-force
-  * operators instead.
+  * Hash-randomized operators are brought under the DuckDB-oracle gate by
+  * pinning engine-portable parameterizations: MinHash-LSH (q27) emits only
+  * exact-verified pairs, so the exact all-pairs SQL is its oracle; SimHash
+  * (q28) and hyperplane LSH (q30) use md5-derived token hashes /
+  * integer-formula planes the oracle regenerates. The faster
+  * engine-specific defaults (xxhash64, Random-seeded planes) remain the
+  * production paths, verified in ScalaTest against the exact brute-force
+  * operators.
   */
 object TextQueries {
 
@@ -142,20 +145,49 @@ object TextQueries {
       |JOIN sizes sb ON id_b = sb.doc_id
       |WHERE shared*1.0/(sa.n + sb.n - shared) >= 0.2""".stripMargin
 
-  /** MinHash+LSH near-dup (rows-only: engine-specific hash seeds). LSH
-    * banding prunes candidates; exact Jaccard verifies — so output ⊆ q26's
-    * pair set (asserted in DedupSpec).
+  /** MinHash+LSH near-dup. Oracle-checked against the EXACT all-pairs SQL
+    * (q26's formula at this threshold): banding only selects candidates —
+    * every emitted pair is exact-Jaccard verified, so the output equals the
+    * exact result whenever banding recall is complete. On the gated corpus
+    * the surviving pairs all have Jaccard ≥ 0.9 (measured), where the
+    * 16-band/2-row miss probability is (1−j²)^16 ≤ 3e-12 — and xxhash64 is
+    * deterministic, so the equality is reproducible, not probabilistic.
+    * DedupSpec additionally asserts output ⊆ exact on adversarial fixtures.
     */
   def q27MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(Tables.documents(s, dir), "text", "doc_id",
       threshold = 0.2, numHashes = 32, bands = 16)
 
-  /** SimHash near-dup via 4×16-bit banding (rows-only: engine-specific
-    * hash).
+  /** SimHash near-dup via 4×8-bit banding over a 32-bit engine-portable
+    * fingerprint (md5-derived token hash), so the DuckDB oracle replays the
+    * whole computation: token hash → 32 signed bit-sums → sign-bit
+    * fingerprint → band buckets → Hamming ≤ 1 (tighter than the 64-bit
+    * default's ≤ 3: at half the width, distance thresholds halve to keep
+    * the same selectivity). The 64-bit xxhash64 default
+    * of [[Dedup.simhash]] stays the production fast path (spec-tested);
+    * this query pins the portable variant under the hash gate.
     */
   def q28Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDuplicates(Tables.documents(s, dir), "text", "doc_id",
-      maxDistance = 3)
+      maxDistance = 1,
+      tokenHash = graft.text.TextFunctions.portableTokenHash, bits = 32)
+
+  val q28Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |             FROM documents),
+      |h AS (SELECT doc_id, CAST(md5_number_upper(tok) % 4294967296 AS BIGINT) AS h FROM toks),
+      |bitsums AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+      |            GROUP BY 1, 2),
+      |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS fp
+      |       FROM bitsums GROUP BY 1),
+      |banded AS (SELECT doc_id, fp, b, (fp >> (b * 8)) & 255 AS key
+      |           FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                 CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      |          FROM banded a JOIN banded b
+      |            ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1""".stripMargin
 
   /** Brute-force cosine top-10 for a query panel (vec_id % 100 == 0), the
     * exact ANN baseline. Rounded to 9dp to absorb engine summation-order
@@ -185,14 +217,53 @@ object TextQueries {
       |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** LSH-bucketed approximate ANN (rows-only: plane seeds engine-specific);
-    * recall vs q29 asserted in SimilaritySpec.
+  /** LSH-bucketed approximate ANN, oracle-checked end to end: the planes
+    * come from [[Similarity.portablePlanes]] (integer formula → exact
+    * power-of-two division, bit-identical doubles in any engine), so the
+    * DuckDB oracle regenerates them and replays signatures, Hamming-1
+    * probing, candidate union, and the exact re-score — the approximation
+    * itself is under the hash, like q54's seeded IVF. The Random-seeded
+    * plane default stays available; recall vs q29 asserted in
+    * SimilaritySpec for both.
     */
   def q30KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
-    Similarity.lshTopK(emb, queries, k = 10, bits = 6, dims = 64)
+    Similarity.lshTopK(emb, queries, k = 10, bits = 6, dims = 64,
+        planesFor = Some(t => Similarity.portablePlanes(6, 64, t)))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos_sim_r"), col("rank"))
   }
+
+  val q30Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (SELECT t, b, d,
+      |    (((t*100003 + b*64 + d + 1) * 2654435761) % 4294967296) / 2147483648.0 - 1.0 AS c
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS b),
+      |       (SELECT unnest(generate_series(0, 63)) AS d)),
+      |pl AS (SELECT t, b, list(c ORDER BY d) AS pv FROM planes GROUP BY 1, 2),
+      |sigs AS (SELECT e.vec_id, p.t,
+      |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+      |             THEN 1 << p.b ELSE 0 END) AS BIGINT) AS sig
+      |  FROM e CROSS JOIN pl p GROUP BY 1, 2),
+      |probes AS (SELECT s.vec_id AS query_id, s.t, CAST(xor(s.sig, m.m) AS BIGINT) AS bucket
+      |  FROM sigs s CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m
+      |  WHERE s.vec_id % 100 = 0),
+      |cands AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+      |  FROM probes p JOIN sigs s ON s.t = p.t AND s.sig = p.bucket
+      |  WHERE s.vec_id <> p.query_id),
+      |scored AS (SELECT c.query_id, c.neighbor_id,
+      |    list_dot_product(eq.v, en.v) /
+      |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))) AS cos_sim
+      |  FROM cands c
+      |  JOIN e eq ON eq.vec_id = c.query_id
+      |  JOIN e en ON en.vec_id = c.neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
 
   /** IVF approximate ANN. Oracle-checked: centroids here are the seed
     * vectors picked by a SQL-expressible rule (vec_id % 100 == 50, cell id =
@@ -322,7 +393,10 @@ object TextQueries {
     "q24_lang_scores" -> q24Sql,
     "q25_dedup_exact" -> q25Sql,
     "q26_ngram_jaccard" -> q26Sql,
+    "q27_minhash_lsh" -> q26Sql,
+    "q28_simhash" -> q28Sql,
     "q29_knn_cosine" -> q29Sql,
+    "q30_knn_lsh" -> q30Sql,
     "q31_multimodal" -> q31Sql,
     "q32_word_categories" -> q32Sql,
     "q54_knn_ivf" -> q54Sql)
