@@ -231,17 +231,46 @@ object LakeQueries {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
       |GROUP BY 1""".stripMargin
 
+  /** ORC sink + source round-trip (the one mainstream columnar format the
+    * engine didn't yet exercise): write the part dimension as typed ORC
+    * (numerics integerized to cents so the trip is value-preserving by
+    * construction), read it back with a pushed prefix predicate, aggregate.
+    * The oracle replays the cents math on the parquet table directly —
+    * equality proves the ORC trip lost nothing.
+    */
+  def q84OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_orc_part"
+    Tables.part(s, dir)
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_brand"),
+        col("p_type"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("p_type").startsWith("ECONOMY"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price_cents")).as("price_cents_sum"))
+  }
+
+  val q84Sql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS price_cents_sum
+      |FROM part WHERE p_type LIKE 'ECONOMY%'
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
     "q44_streaming_window" -> (q44StreamingWindow _),
     "q55_streaming_sessions" -> (q55StreamingSessions _),
-    "q66_stream_enrich" -> (q66StreamEnrich _))
+    "q66_stream_enrich" -> (q66StreamEnrich _),
+    "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "q71_stream_stream_join" -> q71Sql,
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,
     "q55_streaming_sessions" -> q55Sql,
-    "q66_stream_enrich" -> q66Sql)
+    "q66_stream_enrich" -> q66Sql,
+    "q84_orc_roundtrip" -> q84Sql)
 }

@@ -63,6 +63,18 @@ class DedupSpec extends SparkTestBase {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("32-bit portable simhash: fingerprints fit the width; identical docs pair") {
+    val fp = Dedup.simhash(docs, "text", "doc_id",
+        tokenHash = graft.text.TextFunctions.portableTokenHash, bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(fp(1L) === fp(4L))
+    val nd = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 1,
+        tokenHash = graft.text.TextFunctions.portableTokenHash, bits = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 4L)))
+  }
+
   test("embedding near-dup: LSH variant ⊆ exact, with usable recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDuplicates(emb, 0.4)

@@ -40,6 +40,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("portablePlanes: coefficients in [-1,1), deterministic, table-distinct") {
+    val p0 = Similarity.portablePlanes(6, 64, table = 0)
+    val p1 = Similarity.portablePlanes(6, 64, table = 1)
+    assert(p0.flatten.forall(c => c >= -1.0 && c < 1.0))
+    assert(p0.flatten.toSeq === Similarity.portablePlanes(6, 64, 0).flatten.toSeq)
+    assert(p0.flatten.toSeq !== p1.flatten.toSeq)
+    // exact reconstruction from the integer formula (the oracle's contract)
+    val c00 = (((0L * 100003L + 0L * 64 + 0 + 1) * 2654435761L) % 4294967296L) / 2147483648.0 - 1.0
+    assert(p0(0)(0) === c00)
+  }
+
+  test("portable-plane LSH top-k achieves usable recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, bits = 6, dims = 64,
+        planesFor = Some(t => Similarity.portablePlanes(6, 64, t)))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"portable-plane LSH recall $recall too low")
+  }
+
   test("IVF with trained centroids achieves high recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 100 === 0)
