@@ -65,6 +65,23 @@ class PropertySpecs extends SparkTestBase {
     }
   }
 
+  test("portableTokenHash: 32-bit range and md5-derivation on random strings") {
+    val word = Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr).suchThat(_.nonEmpty)
+    val words = sample(Gen.listOfN(200, word), 7L).distinct
+    val got = words.toDF("w")
+      .select(graft.text.TextFunctions.portableTokenHash($"w").as("h"))
+      .as[Long].collect()
+    assert(got.forall(h => h >= 0L && h < (1L << 32)))
+    // model: little-endian int of the first 4 md5 bytes (the oracle bridge)
+    words.zip(got).foreach { case (w, h) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val exp = ((d(3) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+        ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
+      assert(h === exp, s"word=$w")
+    }
+  }
+
   test("TTM rolling sum matches a sliding-window model on random series") {
     (1L to 10L).foreach { seed =>
       val vs = sample(Gen.listOfN(12, Gen.chooseNum(-1000.0, 1000.0)), seed)
