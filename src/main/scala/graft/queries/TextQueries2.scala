@@ -416,7 +416,58 @@ object TextQueries2 {
       |  END AS fog
       |FROM w""".stripMargin
 
+  /** PII redaction pass ([[graft.text.Redaction]]): the fixtures carry no
+    * PII, so the query first injects synthetic emails / SSN-shaped ids /
+    * IPv4s deterministically from doc_id (with gaps — only every 3rd/4th/5th
+    * doc gets each category, so zero counts are exercised), then counts and
+    * redacts. The oracle replays the injection and the RE2-compatible
+    * regexes; redacted text equality is proven by md5.
+    */
+  def q85PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val enriched = Tables.documents(s, dir).select(id, concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@mail"),
+          (id % 10).cast("string"), lit(".example.com"))).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" id "), lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" host 10."), (id % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"), lit("."),
+          ((id * 13) % 256).cast("string"))).otherwise(lit(""))).as("text"))
+    graft.text.Redaction.report(enriched, "text", "doc_id")
+      .select(col("doc_id"), col("n_emails").cast("int").as("n_emails"),
+        col("n_ssns").cast("int").as("n_ssns"),
+        col("n_ips").cast("int").as("n_ips"), col("redacted_md5"))
+  }
+
+  val q85Sql: String = {
+    import graft.text.Redaction.{emailRe, ssnRe, ipRe}
+    s"""WITH enr AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |       || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0 THEN ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |       || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |       || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+       |       || '.' || CAST(doc_id * 13 % 256 AS VARCHAR) ELSE '' END AS t
+       | FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$ssnRe')) AS INT) AS n_ssns,
+       |  CAST(len(regexp_extract_all(t, '$ipRe')) AS INT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailRe', '[EMAIL]', 'g'), '$ssnRe', '[SSN]', 'g'), '$ipRe', '[IP]', 'g'))
+       |    AS redacted_md5
+       |FROM enr""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_pii_redaction" -> (q85PiiRedaction _),
     "q33_chunk_explode" -> (q33ChunkExplode _),
     "q34_sentiment_pipeline" -> (q34SentimentPipeline _),
     "q35_mda_extract" -> (q35MdaExtract _),
@@ -429,6 +480,7 @@ object TextQueries2 {
     "q42_readability" -> (q42Readability _))
 
   val oracleSql: Map[String, String] = Map(
+    "q85_pii_redaction" -> q85Sql,
     "q33_chunk_explode" -> q33Sql,
     "q34_sentiment_pipeline" -> q34Sql,
     "q35_mda_extract" -> q35Sql,
