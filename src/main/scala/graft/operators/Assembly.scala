@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-corpus assembly: domain mixing to target proportions and
+  * length-bucketed batching — the two passes that turn a cleaned corpus
+  * into training input.
+  *
+  * Scale design:
+  *  - mixing ranks within each domain by a content-independent md5 priority
+  *    (deterministic, engine-portable, no RNG state), one shuffle on the
+  *    domain key; at extreme per-domain cardinality swap the exact
+  *    `row_number` for a hash-threshold cut (select where priority <
+  *    quantile), which is a narrow map after a tiny quantile estimate;
+  *  - batching buckets by FIXED length ranges (narrow map, no global sort),
+  *    then assigns batch ids within (bucket) — the window partitions by
+  *    bucket, so parallelism is the bucket count × domain spread, never a
+  *    single global ordering.
+  */
+object Assembly {
+
+  /** Deterministic domain-mixing sample: for each (domain → weight) entry,
+    * keep the `floor(weight × budget)` highest-priority documents of that
+    * domain, priority = md5 of the id rendered as a string (stable across
+    * engines and runs). Domains absent from `weights` are dropped; a domain
+    * with fewer rows than its quota keeps them all (the shortfall surfaces
+    * in the output counts rather than failing the job).
+    */
+  def mixByWeights(df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1), "weights in [0,1]")
+    val quota = typedLit(weights.map { case (d, w) => d -> math.floor(w * budget).toLong })
+    val pri = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(pri.asc, col(idCol).asc)
+    df.filter(col(domainCol).isInCollection(weights.keys.toSeq))
+      .withColumn("priority", pri)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota(col(domainCol)))
+      .select(col(idCol), col(domainCol), col("rank"))
+  }
+
+  /** Length-bucketed batch assignment: bucket = `min(len / bucketWidth,
+    * maxBucket)` (fixed ranges — a narrow map), batch id = position within
+    * the bucket's (len, id) order divided by `batchSize`. Returns per-batch
+    * rollups with the padding waste the bucketing exists to minimize:
+    * `waste = Σ(batch_max_len − len)` if every batch pads to its own max.
+    */
+  def lengthBuckets(df: DataFrame, lenCol: String, idCol: String,
+      bucketWidth: Long, maxBucket: Int, batchSize: Int): DataFrame = {
+    val bucket = least(floor(col(lenCol) / bucketWidth), lit(maxBucket.toLong))
+      .cast("long").as("bucket")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(lenCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(lenCol), bucket)
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).cast("long").as("min_len"),
+        max(col(lenCol)).cast("long").as("max_len"),
+        (count(lit(1)) * max(col(lenCol)) - sum(col(lenCol))).cast("long").as("pad_waste"))
+  }
+}

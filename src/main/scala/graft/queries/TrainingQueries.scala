@@ -116,13 +116,59 @@ object TrainingQueries {
       |FROM scored
       |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** Domain mixing to target language proportions (en 50% / de 20% / fr 15%
+    * / es 10% / zh 5% of a 200-doc budget): deterministic md5-priority
+    * sampling per domain — the corpus-weighting step of a training-data
+    * pipeline, with no RNG state to desync engines.
+    */
+  def q86CorpusMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.mixByWeights(Tables.documents(s, dir),
+      domainCol = "lang", idCol = "doc_id",
+      weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+      budget = 200L)
+
+  val q86Sql: String =
+    """WITH sel AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
+      |  FROM documents WHERE lang IN ('en', 'de', 'fr', 'es', 'zh'))
+      |SELECT doc_id, lang, rank FROM sel
+      |WHERE rank <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+      |  WHEN 'fr' THEN 30 WHEN 'es' THEN 20 WHEN 'zh' THEN 10 END""".stripMargin
+
+  /** Length-bucketed batching (bucket width 100 chars, cap 19, batch 16):
+    * per-batch padding-waste report — the metric the bucketing minimizes.
+    */
+  def q87LengthBatching(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.lengthBuckets(Tables.documents(s, dir),
+      lenCol = "n_chars", idCol = "doc_id",
+      bucketWidth = 100L, maxBucket = 19, batchSize = 16)
+
+  val q87Sql: String =
+    """WITH b AS (SELECT doc_id, n_chars,
+      |    least(CAST(floor(n_chars / 100) AS BIGINT), 19) AS bucket FROM documents),
+      |a AS (SELECT doc_id, n_chars, bucket,
+      |    CAST(floor((row_number() OVER (PARTITION BY bucket
+      |      ORDER BY n_chars ASC, doc_id ASC) - 1) / 16) AS BIGINT) AS batch_id
+      |  FROM b)
+      |SELECT bucket, batch_id, count(*) AS n_docs,
+      |  CAST(min(n_chars) AS BIGINT) AS min_len,
+      |  CAST(max(n_chars) AS BIGINT) AS max_len,
+      |  CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
+      |FROM a GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_corpus_mix" -> (q86CorpusMix _),
+    "q87_length_batching" -> (q87LengthBatching _),
     "q79_decontaminate" -> (q79Decontaminate _),
     "q80_quality_gopher" -> (q80QualityGopher _),
     "q81_embedding_centroids" -> (q81EmbeddingCentroids _),
     "q82_pmi_collocations" -> (q82PmiCollocations _))
 
   val oracleSql: Map[String, String] = Map(
+    "q86_corpus_mix" -> q86Sql,
+    "q87_length_batching" -> q87Sql,
     "q79_decontaminate" -> q79Sql,
     "q80_quality_gopher" -> q80Sql,
     "q81_embedding_centroids" -> q81Sql,
