@@ -158,7 +158,50 @@ object TrainingQueries {
       |  CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
       |FROM a GROUP BY 1, 2""".stripMargin
 
+  /** BPE-style merge training, 3 rounds ([[graft.text.BpeTrainer]]): each
+    * round's winning pair, its count, and the corpus size after the merge.
+    * The greedy-leftmost merge rule is gaps-and-islands (even offsets within
+    * match runs), so the oracle replays all three rounds with unrolled CTEs
+    * — the iterative trainer is under the hash gate end to end.
+    */
+  def q88BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeTrainer.train(Tables.documents(s, dir), "text", "doc_id",
+      rounds = 3)
+
+  val q88Sql: String = {
+    def round(r: Int, prev: String): String =
+      s"""r${r}p AS (SELECT id, pos, tok, lead(tok) OVER (PARTITION BY id ORDER BY pos) AS nxt FROM $prev),
+         |r${r}w AS (SELECT tok AS lhs, nxt AS rhs, count(*) AS cnt FROM r${r}p WHERE nxt IS NOT NULL
+         |        GROUP BY 1, 2 ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |r${r}m AS (SELECT id, pos FROM (
+         |          SELECT id, pos, rn - min(rn) OVER (PARTITION BY id, pos - rn) AS off FROM (
+         |            SELECT p.id, p.pos, row_number() OVER (PARTITION BY p.id ORDER BY p.pos) AS rn
+         |            FROM r${r}p p, r${r}w w WHERE p.tok = w.lhs AND p.nxt = w.rhs))
+         |        WHERE off % 2 = 0),
+         |t$r AS (SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY pos) - 1 AS BIGINT) AS pos,
+         |         CASE WHEN m_ok THEN tok || ' ' || nxt ELSE tok END AS tok FROM (
+         |         SELECT p.id, p.pos, p.tok, p.nxt,
+         |           (m.pos IS NOT NULL) AS m_ok, (x.pos IS NOT NULL) AS x_ok
+         |         FROM r${r}p p
+         |         LEFT JOIN r${r}m m ON m.id = p.id AND m.pos = p.pos
+         |         LEFT JOIN (SELECT id, pos + 1 AS pos FROM r${r}m) x ON x.id = p.id AND x.pos = p.pos)
+         |       WHERE NOT x_ok)""".stripMargin
+    s"""WITH t0 AS (SELECT doc_id AS id, s.pos AS pos, s.tok AS tok FROM (
+       |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+       |     i -> {'pos': i - 1, 'tok': t[i]})) AS s
+       |   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents))),
+       |${round(1, "t0")},
+       |${round(2, "t1")},
+       |${round(3, "t2")}
+       |SELECT 1 AS round, lhs, rhs, cnt, (SELECT count(*) FROM t1) AS tokens_after FROM r1w
+       |UNION ALL
+       |SELECT 2 AS round, lhs, rhs, cnt, (SELECT count(*) FROM t2) AS tokens_after FROM r2w
+       |UNION ALL
+       |SELECT 3 AS round, lhs, rhs, cnt, (SELECT count(*) FROM t3) AS tokens_after FROM r3w""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_bpe_merges" -> (q88BpeMerges _),
     "q86_corpus_mix" -> (q86CorpusMix _),
     "q87_length_batching" -> (q87LengthBatching _),
     "q79_decontaminate" -> (q79Decontaminate _),
@@ -167,6 +210,7 @@ object TrainingQueries {
     "q82_pmi_collocations" -> (q82PmiCollocations _))
 
   val oracleSql: Map[String, String] = Map(
+    "q88_bpe_merges" -> q88Sql,
     "q86_corpus_mix" -> q86Sql,
     "q87_length_batching" -> q87Sql,
     "q79_decontaminate" -> q79Sql,

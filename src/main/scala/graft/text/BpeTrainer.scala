@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** BPE-style merge training over a word-token corpus: each round counts
+  * adjacent token pairs, picks the most frequent (ties broken by pair text
+  * ascending), and fuses its greedy-leftmost non-overlapping occurrences
+  * into one token — the vocabulary-induction primitive of tokenizer
+  * training, here at word level (merged pieces join with a space).
+  *
+  * Everything is relational — the corpus lives as (id, pos, tok) rows:
+  *  - adjacency is `lead(tok)` over (id, pos), not a self-join;
+  *  - greedy leftmost non-overlap is gaps-and-islands: within each maximal
+  *    run of consecutive match positions, exactly the even offsets merge
+  *    (provably equal to the sequential greedy scan), so no per-row
+  *    fold/UDF is needed and a SQL oracle replays the rule verbatim;
+  *  - per round: the windows and groupBy all hash-partition by `id` (or by
+  *    the tiny pair key), so one exchange per round is reused across the
+  *    window steps; the winner is a 1-row aggregate collected to the
+  *    driver (the merge table IS driver-sized by definition).
+  *
+  * Scale: rounds are sequential by nature (each merge changes the next
+  * round's pair counts — same loop structure as production BPE trainers);
+  * each round is a full corpus pass of narrow maps + windows over the id
+  * partitioning. Persist alternate generations and unpersist the old.
+  */
+object BpeTrainer {
+
+  /** (id, pos, tok) exploded token corpus. */
+  def tokensExploded(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+
+  /** One merge round: returns (winner_left, winner_right, count, corpus
+    * after merging). Returns None when no adjacent pair exists.
+    */
+  private def round(toks: DataFrame): Option[(String, String, Long, DataFrame)] = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNext = toks.withColumn("next", lead(col("tok"), 1).over(w))
+    val top = withNext.filter(col("next").isNotNull)
+      .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc, col("next").asc)
+      .limit(1).collect()
+    if (top.isEmpty) return None
+    val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+
+    val matches = withNext
+      .filter(col("tok") === l && col("next") === r)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("off",
+        col("rn") - min(col("rn")).over(
+          Window.partitionBy(col("id"), col("pos") - col("rn"))))
+      .filter(col("off") % 2 === 0)
+      .select(col("id"), col("pos"))
+
+    val mergeAt = matches.withColumn("m", lit(1))
+    val dropAt = matches.select(col("id"), (col("pos") + 1).as("pos"))
+      .withColumn("d", lit(1))
+    val next = withNext
+      .join(mergeAt, Seq("id", "pos"), "left")
+      .join(dropAt, Seq("id", "pos"), "left")
+      .filter(col("d").isNull)
+      .select(col("id"), col("pos"),
+        when(col("m") === 1, concat(col("tok"), lit(" "), col("next")))
+          .otherwise(col("tok")).as("tok"))
+      .withColumn("pos", row_number().over(w) - 1)
+    Some((l, r, c, next))
+  }
+
+  /** Train `rounds` merges; returns one row per round:
+    * (round, lhs, rhs, cnt, tokens_after).
+    */
+  def train(df: DataFrame, textCol: String, idCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import scala.collection.mutable.ArrayBuffer
+    val out = ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var toks = tokensExploded(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 1
+    var done = false
+    while (i <= rounds && !done) {
+      round(toks) match {
+        case Some((l, r, c, next)) =>
+          val persisted = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = persisted.count()
+          toks.unpersist()
+          toks = persisted
+          out += ((i, l, r, c, n))
+          i += 1
+        case None => done = true
+      }
+    }
+    toks.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("round", "lhs", "rhs", "cnt", "tokens_after")
+  }
+}
