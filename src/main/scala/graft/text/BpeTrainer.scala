@@ -36,14 +36,18 @@ object BpeTrainer {
   /** One merge round: returns (winner_left, winner_right, count, corpus
     * after merging). Returns None when no adjacent pair exists.
     */
-  private def round(toks: DataFrame): Option[(String, String, Long, DataFrame)] = {
+  private def round(
+      toks: DataFrame): Option[(String, String, Long, DataFrame, DataFrame)] = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // Three consumers (pair counts, match scan, rebuild) — persist so the
+    // id-partitioned sort behind lead() runs once per round.
     val withNext = toks.withColumn("next", lead(col("tok"), 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = withNext.filter(col("next").isNotNull)
       .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc, col("next").asc)
       .limit(1).collect()
-    if (top.isEmpty) return None
+    if (top.isEmpty) { withNext.unpersist(); return None }
     val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
 
     val matches = withNext
@@ -55,18 +59,22 @@ object BpeTrainer {
       .filter(col("off") % 2 === 0)
       .select(col("id"), col("pos"))
 
+    // The match set holds only the winning pair's occurrences — orders of
+    // magnitude smaller than the corpus — so broadcast both position sets
+    // rather than shuffling the corpus on (id, pos) twice. (For a corpus
+    // where one pair dominates, drop the hint and let AQE decide.)
     val mergeAt = matches.withColumn("m", lit(1))
     val dropAt = matches.select(col("id"), (col("pos") + 1).as("pos"))
       .withColumn("d", lit(1))
     val next = withNext
-      .join(mergeAt, Seq("id", "pos"), "left")
-      .join(dropAt, Seq("id", "pos"), "left")
+      .join(broadcast(mergeAt), Seq("id", "pos"), "left")
+      .join(broadcast(dropAt), Seq("id", "pos"), "left")
       .filter(col("d").isNull)
       .select(col("id"), col("pos"),
         when(col("m") === 1, concat(col("tok"), lit(" "), col("next")))
           .otherwise(col("tok")).as("tok"))
       .withColumn("pos", row_number().over(w) - 1)
-    Some((l, r, c, next))
+    Some((l, r, c, next, withNext))
   }
 
   /** Train `rounds` merges; returns one row per round:
@@ -82,9 +90,10 @@ object BpeTrainer {
     var done = false
     while (i <= rounds && !done) {
       round(toks) match {
-        case Some((l, r, c, next)) =>
+        case Some((l, r, c, next, scratch)) =>
           val persisted = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val n = persisted.count()
+          scratch.unpersist()
           toks.unpersist()
           toks = persisted
           out += ((i, l, r, c, n))
