@@ -37,7 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * All columns surface as nullable strings (the format carries no types);
   * casts belong to the query, as with Spark's own CSV reader when
-  * inference is off.
+  * inference is off. Format contract (matching the upstream feed): fields
+  * never contain the separator — there is no quoting or escaping layer;
+  * short rows pad with empty strings, long rows keep extra fields out of
+  * the projection.
   *
   * Usage: `spark.read.format("graft.sources.PsvDataSource").load(dir)`.
   */
