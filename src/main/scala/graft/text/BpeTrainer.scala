@@ -39,9 +39,13 @@ object BpeTrainer {
   private def round(
       toks: DataFrame): Option[(String, String, Long, DataFrame, DataFrame)] = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    // Three consumers (pair counts, match scan, rebuild) — persist so the
-    // id-partitioned sort behind lead() runs once per round.
-    val withNext = toks.withColumn("next", lead(col("tok"), 1).over(w))
+    // lead() and the dense order index share one window spec → ONE
+    // id-partitioned sort per round; persisted because three consumers
+    // (pair counts, match scan, rebuild) read it.
+    val withNext = toks
+      .select(col("id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("next"),
+        row_number().over(w).as("idx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = withNext.filter(col("next").isNotNull)
       .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("c"))
@@ -50,30 +54,36 @@ object BpeTrainer {
     if (top.isEmpty) { withNext.unpersist(); return None }
     val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
 
+    // Greedy leftmost non-overlap: matches overlap iff adjacent in the
+    // token ORDER (idx differs by 1), so islands partition on idx − rn and
+    // even offsets within each island merge.
     val matches = withNext
       .filter(col("tok") === l && col("next") === r)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("idx"))))
       .withColumn("off",
         col("rn") - min(col("rn")).over(
-          Window.partitionBy(col("id"), col("pos") - col("rn"))))
+          Window.partitionBy(col("id"), col("idx") - col("rn"))))
       .filter(col("off") % 2 === 0)
-      .select(col("id"), col("pos"))
+      .select(col("id"), col("idx"))
 
     // The match set holds only the winning pair's occurrences — orders of
     // magnitude smaller than the corpus — so broadcast both position sets
-    // rather than shuffling the corpus on (id, pos) twice. (For a corpus
+    // rather than shuffling the corpus on (id, idx) twice. (For a corpus
     // where one pair dominates, drop the hint and let AQE decide.)
     val mergeAt = matches.withColumn("m", lit(1))
-    val dropAt = matches.select(col("id"), (col("pos") + 1).as("pos"))
+    val dropAt = matches.select(col("id"), (col("idx") + 1).as("idx"))
       .withColumn("d", lit(1))
+    // The new generation keeps idx as its (gap-free-ORDER, gappy-VALUE)
+    // position: adjacency only needs order, and the next round's window
+    // re-densifies — no second corpus sort for renumbering.
     val next = withNext
-      .join(broadcast(mergeAt), Seq("id", "pos"), "left")
-      .join(broadcast(dropAt), Seq("id", "pos"), "left")
+      .join(broadcast(mergeAt), Seq("id", "idx"), "left")
+      .join(broadcast(dropAt), Seq("id", "idx"), "left")
       .filter(col("d").isNull)
-      .select(col("id"), col("pos"),
+      .select(col("id"), col("idx").as("pos"),
         when(col("m") === 1, concat(col("tok"), lit(" "), col("next")))
           .otherwise(col("tok")).as("tok"))
-      .withColumn("pos", row_number().over(w) - 1)
     Some((l, r, c, next, withNext))
   }
 
