@@ -258,7 +258,48 @@ object LakeQueries {
       |FROM part WHERE p_type LIKE 'ECONOMY%'
       |GROUP BY 1""".stripMargin
 
+  /** Snapshot time travel ([[graft.lake.Snapshots]]): commit the supplier
+    * dimension (v1), commit a dynamic-overwrite patch doubling nation 3's
+    * balances (v2), then aggregate BOTH versions from their manifests —
+    * proving v1 still reads exactly as committed after the overwrite. The
+    * oracle recomputes both versions from the source table.
+    */
+  def q89TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_snap"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey").cast("long").as("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("bal_cents"),
+      col("s_nationkey").cast("int").as("nation"))
+    graft.lake.Snapshots.commit(sup, root, "suppliers", Seq("nation"))
+    graft.lake.Snapshots.commit(
+      sup.filter(col("nation") === 3)
+        .withColumn("bal_cents", col("bal_cents") * 2),
+      root, "suppliers", Seq("nation"))
+    val v1 = graft.lake.Snapshots.readVersion(s, root, "suppliers", 1L)
+    val v2 = graft.lake.Snapshots.readVersion(s, root, "suppliers", 2L)
+    v1.withColumn("version", lit(1)).unionByName(v2.withColumn("version", lit(2)))
+      .filter(col("nation").isin(3, 7))
+      .groupBy(col("version"), col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("bal_cents")).as("bal_cents_sum"))
+  }
+
+  val q89Sql: String =
+    """WITH s AS (SELECT CAST(s_nationkey AS INT) AS nation,
+      |    CAST(round(s_acctbal*100) AS BIGINT) AS bal
+      |  FROM supplier WHERE CAST(s_nationkey AS INT) IN (3, 7))
+      |SELECT 1 AS version, nation, count(*) AS n_suppliers,
+      |  CAST(sum(bal) AS BIGINT) AS bal_cents_sum FROM s GROUP BY 2
+      |UNION ALL
+      |SELECT 2 AS version, nation, count(*) AS n_suppliers,
+      |  CAST(sum(CASE WHEN nation = 3 THEN bal * 2 ELSE bal END) AS BIGINT)
+      |    AS bal_cents_sum FROM s GROUP BY 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q89_time_travel" -> (q89TimeTravel _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
     "q44_streaming_window" -> (q44StreamingWindow _),
@@ -272,5 +313,6 @@ object LakeQueries {
     "q44_streaming_window" -> q44Sql,
     "q55_streaming_sessions" -> q55Sql,
     "q66_stream_enrich" -> q66Sql,
-    "q84_orc_roundtrip" -> q84Sql)
+    "q84_orc_roundtrip" -> q84Sql,
+    "q89_time_travel" -> q89Sql)
 }
