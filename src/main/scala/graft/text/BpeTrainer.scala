@@ -68,21 +68,21 @@ object BpeTrainer {
       .select(col("id"), col("idx"))
 
     // The match set holds only the winning pair's occurrences — orders of
-    // magnitude smaller than the corpus — so broadcast both position sets
-    // rather than shuffling the corpus on (id, idx) twice. (For a corpus
-    // where one pair dominates, drop the hint and let AQE decide.)
-    val mergeAt = matches.withColumn("m", lit(1))
-    val dropAt = matches.select(col("id"), (col("idx") + 1).as("idx"))
-      .withColumn("d", lit(1))
+    // magnitude smaller than the corpus — so ONE broadcast marker join
+    // (merge points and drop points union'd; selected matches are never
+    // adjacent, so the keys are disjoint) instead of shuffling the corpus
+    // on (id, idx). (For a corpus where one pair dominates, drop the hint
+    // and let AQE decide.)
+    val markers = matches.select(col("id"), col("idx"), lit(1).as("mk"))
+      .unionByName(matches.select(col("id"), (col("idx") + 1).as("idx"), lit(2).as("mk")))
     // The new generation keeps idx as its (gap-free-ORDER, gappy-VALUE)
     // position: adjacency only needs order, and the next round's window
     // re-densifies — no second corpus sort for renumbering.
     val next = withNext
-      .join(broadcast(mergeAt), Seq("id", "idx"), "left")
-      .join(broadcast(dropAt), Seq("id", "idx"), "left")
-      .filter(col("d").isNull)
+      .join(broadcast(markers), Seq("id", "idx"), "left")
+      .filter(col("mk").isNull || col("mk") === 1)
       .select(col("id"), col("idx").as("pos"),
-        when(col("m") === 1, concat(col("tok"), lit(" "), col("next")))
+        when(col("mk") === 1, concat(col("tok"), lit(" "), col("next")))
           .otherwise(col("tok")).as("tok"))
     Some((l, r, c, next, withNext))
   }
