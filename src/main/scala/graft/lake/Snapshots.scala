@@ -111,6 +111,22 @@ object Snapshots {
     spark.read.option("basePath", dir).parquet(files: _*)
   }
 
+  /** Change data feed between two versions: multiset row diff
+    * (`exceptAll` both ways) tagged insert/delete — an update surfaces as a
+    * delete of the old row plus an insert of the new one. Cost is two
+    * scans of only the files that DIFFER would touch in the worst case
+    * (both versions' live sets); at scale, restrict first to the
+    * partitions whose file lists changed between the manifests.
+    */
+  def diff(spark: SparkSession, root: String, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = readVersion(spark, root, table, fromVersion)
+    val b = readVersion(spark, root, table, toVersion)
+    b.exceptAll(a).withColumn("change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change_type", lit("delete")))
+  }
+
   /** Drop data files referenced by NO version > `latest − keepVersions`,
     * and the manifests of the dropped versions. Returns deleted file paths.
     */

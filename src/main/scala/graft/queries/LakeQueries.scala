@@ -298,7 +298,42 @@ object LakeQueries {
       |  CAST(sum(CASE WHEN nation = 3 THEN bal * 2 ELSE bal END) AS BIGINT)
       |    AS bal_cents_sum FROM s GROUP BY 2""".stripMargin
 
+  /** Change-data-feed diff between snapshot versions: same two commits as
+    * q89 on an independent root, then [[graft.lake.Snapshots.diff]] v1→v2 —
+    * nation 3's suppliers surface as delete(old balance) + insert(doubled),
+    * every other row silent. The oracle recomputes both versions and takes
+    * the same EXCEPT ALL multiset diff.
+    */
+  def q90SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_snap_cdc"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey").cast("long").as("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("bal_cents"),
+      col("s_nationkey").cast("int").as("nation"))
+    graft.lake.Snapshots.commit(sup, root, "suppliers", Seq("nation"))
+    graft.lake.Snapshots.commit(
+      sup.filter(col("nation") === 3)
+        .withColumn("bal_cents", col("bal_cents") * 2),
+      root, "suppliers", Seq("nation"))
+    graft.lake.Snapshots.diff(s, root, "suppliers", 1L, 2L)
+  }
+
+  val q90Sql: String =
+    """WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+      |    CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents,
+      |    CAST(s_nationkey AS INT) AS nation FROM supplier),
+      |v2 AS (SELECT s_suppkey,
+      |    CASE WHEN nation = 3 THEN bal_cents * 2 ELSE bal_cents END AS bal_cents,
+      |    nation FROM s)
+      |SELECT *, 'insert' AS change_type FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM s)
+      |UNION ALL
+      |SELECT *, 'delete' AS change_type FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM v2)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q89_time_travel" -> (q89TimeTravel _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
@@ -314,5 +349,6 @@ object LakeQueries {
     "q55_streaming_sessions" -> q55Sql,
     "q66_stream_enrich" -> q66Sql,
     "q84_orc_roundtrip" -> q84Sql,
-    "q89_time_travel" -> q89Sql)
+    "q89_time_travel" -> q89Sql,
+    "q90_snapshot_diff" -> q90Sql)
 }

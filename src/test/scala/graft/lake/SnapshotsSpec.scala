@@ -33,6 +33,17 @@ class SnapshotsSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("diff tags multiset changes as insert/delete; updates become both") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year"),
+      root, "t", Seq("year"))
+    Snapshots.commit(Seq((1L, "A", 2020)).toDF("id", "v", "year"),
+      root, "t", Seq("year")) // update id=1, leave 2021 alone
+    val d = Snapshots.diff(spark, root, "t", 1L, 2L)
+      .select("change_type", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(d === Set(("delete", 1L, "a"), ("insert", 1L, "A")))
+  }
+
   test("vacuum keeps only the requested versions' files; survivors still read") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
