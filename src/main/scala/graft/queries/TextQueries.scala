@@ -371,7 +371,29 @@ object TextQueries {
       |WHERE list_dot_product(a.v, b.v) /
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
 
+  /** int8 embedding quantization ([[graft.operators.Quantization]]): per
+    * vector, the max-abs scale, an int8-code checksum (proves bit-identical
+    * quantization), and the reconstruction RMSE (9dp absorbs summation
+    * order). The narrow-map arithmetic is IEEE-exact in both engines.
+    */
+  def q91EmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantization.report(Tables.embeddings(s, dir))
+
+  val q91Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |        THEN list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS scale FROM e)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(list_transform(v, x -> CAST(round(x*127.0/scale) AS BIGINT)))
+      |    AS BIGINT) AS code_sum,
+      |  round(sqrt(list_sum(list_transform(v,
+      |      x -> (x - round(x*127.0/scale)*scale/127.0)
+      |         * (x - round(x*127.0/scale)*scale/127.0))) / len(v)), 9) AS rmse_r
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_embedding_quantize" -> (q91EmbeddingQuantize _),
     "q52_embedding_dedup" -> (q52EmbeddingDedup _),
     "q22_text_stats" -> (q22TextStats _),
     "q23_quality_score" -> (q23QualityScore _),
@@ -387,6 +409,7 @@ object TextQueries {
     "q54_knn_ivf" -> (q54KnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
+    "q91_embedding_quantize" -> q91Sql,
     "q52_embedding_dedup" -> q52Sql,
     "q22_text_stats" -> q22Sql,
     "q23_quality_score" -> q23Sql,
