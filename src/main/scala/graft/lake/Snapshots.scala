@@ -85,8 +85,14 @@ object Snapshots {
       if (prevVersion.isEmpty) Seq.empty
       else df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect().toSeq
-        .map(r => partitionCols.zipWithIndex
-          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/"))
+        .map { r =>
+          // a null partition value writes to Hive's default-partition dir,
+          // which this prefix match would silently miss — fail loudly
+          require((0 until partitionCols.length).forall(!r.isNullAt(_)),
+            s"Snapshots.commit: null value in partition columns $partitionCols")
+          partitionCols.zipWithIndex
+            .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/")
+        }
     val carried = prevVersion
       .map(v => liveFiles(spark, root, table, v)
         .filterNot(file => replacedPrefixes.exists(file.startsWith)))
