@@ -198,14 +198,23 @@ object Dedup {
   /** LSH-bucketed embedding near-dup: multi-table hyperplane signatures
     * bucket the corpus; only bucket collisions are exactly verified. Same
     * output contract as [[embeddingNearDuplicates]] minus LSH recall loss
-    * (spec-measured).
+    * (spec-measured). This is the scale path: the corpus is bucketed with a
+    * narrow map, the pair space is one equi-join on (table, bucket), and the
+    * exact cosine runs only on collisions — no broadcast and no n² product.
+    *
+    * `planesFor` swaps the seeded random hyperplanes for a deterministic
+    * family (e.g. [[Similarity.portablePlanes]]) so an external engine can
+    * regenerate the exact candidate set (q52's DuckDB oracle).
     */
   def embeddingNearDuplicatesLsh(emb: DataFrame, threshold: Double,
       bits: Int = 8, tables: Int = 4, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesFor: Option[Int => Array[Array[Double]]] = None): DataFrame = {
+    val pf: Int => Array[Array[Double]] =
+      planesFor.getOrElse(t => Similarity.planes(bits, dims, seed = 42L + t))
     val sigs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-        Similarity.lshSignature(col(vecCol), bits, dims, seed = 42L + t).as("sig"))
+        Similarity.signatureFromPlanes(col(vecCol), pf(t), dims).as("sig"))
     }
     val bucketed = emb
       .withColumn("bk", explode(array(sigs: _*)))

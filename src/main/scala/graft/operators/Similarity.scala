@@ -90,7 +90,7 @@ object Similarity {
   def lshSignature(vec: Column, bits: Int, dims: Int, seed: Long = 42L): Column =
     signatureFromPlanes(vec, planes(bits, dims, seed), dims)
 
-  private def signatureFromPlanes(vec: Column, ps: Array[Array[Double]],
+  private[operators] def signatureFromPlanes(vec: Column, ps: Array[Array[Double]],
       dims: Int): Column = {
     val checked = when(
       assert_true(size(vec) === dims,

@@ -354,22 +354,46 @@ object TextQueries {
        |FROM t""".stripMargin
   }
 
-  /** Embedding-cosine near-dup (exact baseline, oracle-checked): all pairs
-    * with cosine ≥ 0.45, rounded to 9dp. The LSH-bucketed variant is
-    * spec-verified against this output.
+  /** Embedding-cosine near-dup, gated on the SCALE path: LSH-bucketed
+    * candidates ([[Dedup.embeddingNearDuplicatesLsh]]) with
+    * [[Similarity.portablePlanes]], so the DuckDB oracle regenerates the
+    * planes, replays the signature/Hamming-≤1 candidate generation, and
+    * exactly re-scores — the approximation itself is under the hash (same
+    * technique as q30/q54). The O(n²) exact broadcast join
+    * ([[Dedup.embeddingNearDuplicates]]) is demoted to the DedupSpec recall
+    * verifier; a DedupSpec plan assertion pins this query to the bucketed
+    * equi-join (no broadcast nested loop / cartesian product).
     */
   def q52EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), threshold = 0.45)
+    Dedup.embeddingNearDuplicatesLsh(Tables.embeddings(s, dir), threshold = 0.45,
+        bits = 8, tables = 4, dims = 64,
+        planesFor = Some(t => Similarity.portablePlanes(8, 64, t)))
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 9).as("cos_sim_r"))
 
+  // Candidate rule replayed relationally: a pair collides iff some table's
+  // signatures are within Hamming distance 1 (own bucket + single-bit
+  // probes). bit_count returns TINYINT in DuckDB — cast before comparing.
   val q52Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim_r
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (SELECT t, b, d,
+      |    (((t*100003 + b*64 + d + 1) * 2654435761) % 4294967296) / 2147483648.0 - 1.0 AS c
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 7)) AS b),
+      |       (SELECT unnest(generate_series(0, 63)) AS d)),
+      |pl AS (SELECT t, b, list(c ORDER BY d) AS pv FROM planes GROUP BY 1, 2),
+      |sigs AS (SELECT e.vec_id, p.t,
+      |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+      |             THEN 1 << p.b ELSE 0 END) AS BIGINT) AS sig
+      |  FROM e CROSS JOIN pl p GROUP BY 1, 2),
+      |cands AS (SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+      |  FROM sigs s1 JOIN sigs s2 ON s1.t = s2.t AND s1.vec_id < s2.vec_id
+      |  WHERE CAST(bit_count(xor(s1.sig, s2.sig)) AS INT) <= 1),
+      |scored AS (SELECT c.id_a, c.id_b,
+      |    list_dot_product(ea.v, eb.v) /
+      |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_sim
+      |  FROM cands c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+      |SELECT id_a, id_b, round(cos_sim, 9) AS cos_sim_r
+      |FROM scored WHERE cos_sim >= 0.45""".stripMargin
 
   /** int8 embedding quantization ([[graft.operators.Quantization]]): per
     * vector, the max-abs scale, an int8-code checksum (proves bit-identical

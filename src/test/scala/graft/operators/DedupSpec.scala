@@ -86,6 +86,25 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.size.toDouble / exact.size >= 0.5, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("q52 gates the bucketed LSH plan: equi-join on (table, bucket), no n² product") {
+    val df = graft.queries.TextQueries.q52EmbeddingDedup(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q52 LSH gate: portable-plane output ⊆ exact pairs with usable recall") {
+    val dir = "/root/testdata/sf0.001"
+    val gated = graft.queries.TextQueries.q52EmbeddingDedup(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingNearDuplicates(
+        spark.read.parquet(s"$dir/embeddings.parquet"), 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(gated.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(gated.size.toDouble / exact.size >= 0.5, s"recall ${gated.size}/${exact.size}")
+  }
+
   test("LSH candidate pairs are a superset of high-jaccard truth on fixtures") {
     val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val truth = graft.queries.TextQueries.q26NgramJaccard(spark, "/root/testdata/sf0.001")
