@@ -41,6 +41,24 @@ object Assembly {
       .select(col(idCol), col(domainCol), col("rank"))
   }
 
+  /** Deterministic stratified sample: keep a row iff the md5-derived hash
+    * of its key falls under the stratum's threshold — `hash(key) mod denom
+    * < round(fraction × denom)`. A narrow map (no shuffle, no RNG state),
+    * stable across engines/runs/partitionings, and consistent under corpus
+    * growth: a row's keep/drop decision never changes when other rows
+    * arrive — the property `sampleBy` (partition-sequential RNG) cannot
+    * give. Strata absent from `fractions` are dropped.
+    */
+  def stratifiedSampleByHash(df: DataFrame, stratumCol: String, keyCol: String,
+      fractions: Map[String, Double], denom: Long = 10000L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
+    val thr = typedLit(fractions.map { case (k, f) => k -> math.round(f * denom) })
+    val h = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % denom
+    df.filter(col(stratumCol).isInCollection(fractions.keys.toSeq))
+      .filter(h < thr(col(stratumCol)))
+  }
+
   /** Length-bucketed batch assignment: bucket = `min(len / bucketWidth,
     * maxBucket)` (fixed ranges — a narrow map), batch id = position within
     * the bucket's (len, id) order divided by `batchSize`. Returns per-batch

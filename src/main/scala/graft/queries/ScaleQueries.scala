@@ -542,22 +542,47 @@ object ScaleQueries {
       |FROM toks JOIN model USING (t)
       |GROUP BY 1""".stripMargin
 
-  /** Stratified Bernoulli sampling (`sampleBy`): 20%/5% per event class,
-    * seed-pinned. Engine-RNG-dependent → rows-only at the driver (like the
-    * xxhash64 LSH family); the spec asserts determinism and per-stratum
-    * fraction tolerance. The HASH-deterministic alternative every dataset
-    * version should prefer is q60's md5 split — this exists because
-    * `sampleBy` is the API users reach for.
+  /** Stratified sampling, gated on the hash-deterministic path
+    * ([[graft.operators.Assembly.stratifiedSampleByHash]]): per-stratum
+    * md5-threshold keep rule (20%/5% per event class), fully replayable in
+    * any engine — same technique as q60's split. The seed-pinned
+    * engine-RNG `sampleBy` variant stays available as
+    * [[q74SampleBySeedPinned]] (the API users reach for), verified for
+    * determinism + fraction tolerance in ScaleOpsSpec.
     */
-  def q74StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("click" -> 0.2, "view" -> 0.2, "purchase" -> 0.05,
-      "signup" -> 0.05, "error" -> 0.05)
-    Tables.events(s, dir)
-      .stat.sampleBy("event_type", fractions, seed = 42L)
+  def q74StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.stratifiedSampleByHash(
+        Tables.events(s, dir), "event_type", "event_id", q74Fractions)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("user_id")).as("n_users"))
-  }
+
+  private val q74Fractions = Map("click" -> 0.2, "view" -> 0.2,
+    "purchase" -> 0.05, "signup" -> 0.05, "error" -> 0.05)
+
+  val q74Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, user_id,
+      |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS h
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_sampled,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM s
+      |WHERE (event_type IN ('click', 'view') AND h < 2000)
+      |   OR (event_type IN ('purchase', 'signup', 'error') AND h < 500)
+      |GROUP BY 1""".stripMargin
+
+  /** Seed-pinned `sampleBy` (stratified Bernoulli via partition-sequential
+    * RNG): deterministic for a fixed seed+plan but engine-specific, so it
+    * is spec-verified (determinism, per-stratum fraction tolerance) rather
+    * than oracle-gated.
+    */
+  def q74SampleBySeedPinned(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .stat.sampleBy("event_type", q74Fractions, seed = 42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("user_id")).as("n_users"))
 
   /** Multimodal frame sampling under the gate: video-like payloads slice
     * into 4 equal byte ranges, one row per frame (the explode shape a real
@@ -757,6 +782,7 @@ object ScaleQueries {
     "q77_scd_merge" -> q77Sql,
     "q76_dedup_clusters" -> q76Sql,
     "q75_frame_sample" -> q75Sql,
+    "q74_stratified_sample" -> q74Sql,
     "q73_perplexity" -> q73Sql,
     "q72_quantiles" -> q72Sql,
     "q70_topk_per_key" -> q70Sql,

@@ -13,7 +13,7 @@ class SparkEntrySpec extends SparkTestBase {
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
     assert(qs.forall(_.matches("q[0-9]+[a-z0-9_]*")), qs.filterNot(_.matches("q[0-9]+[a-z0-9_]*")))
     assert(qs.size === 91)
-    assert(os.size === 90)
+    assert(os.size === 91)
   }
 
   test("all queries build a plan at smoke scale without throwing") {

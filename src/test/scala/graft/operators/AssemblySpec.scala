@@ -23,6 +23,20 @@ class AssemblySpec extends SparkTestBase {
       again.orderBy("doc_id").collect().toSeq)
   }
 
+  test("stratifiedSampleByHash: keep decision is per-row stable under corpus growth") {
+    val rows = (0L until 400L).map(i => (i, if (i % 4 == 0) "a" else "b")).toDF("id", "s")
+    val fr = Map("a" -> 0.3, "b" -> 0.1)
+    val full = Assembly.stratifiedSampleByHash(rows, "s", "id", fr)
+      .select("id").as[Long].collect().toSet
+    // drop half the corpus: surviving rows' decisions must not change
+    val sub = Assembly.stratifiedSampleByHash(rows.filter($"id" < 200), "s", "id", fr)
+      .select("id").as[Long].collect().toSet
+    assert(sub === full.filter(_ < 200))
+    // fractions approximately honored on the larger stratum
+    val bKept = full.count(i => i % 4 != 0).toDouble / 300
+    assert(math.abs(bKept - 0.1) < 0.07, s"b keep-rate $bKept")
+  }
+
   test("mixByWeights: shortfall keeps all rows of a thin domain") {
     val counts = Assembly.mixByWeights(docs, "lang", "doc_id",
       Map("de" -> 1.0), budget = 1000L)

@@ -131,7 +131,7 @@ class ScaleOpsSpec extends SparkTestBase {
   }
 
   test("stratified sample is seed-deterministic with in-tolerance fractions") {
-    val q = graft.queries.ScaleQueries.q74StratifiedSample _
+    val q = graft.queries.ScaleQueries.q74SampleBySeedPinned _
     val a = q(spark, "/root/testdata/sf0.01").collect().map(_.toString).sorted.toSeq
     val b = q(spark, "/root/testdata/sf0.01").collect().map(_.toString).sorted.toSeq
     assert(a === b) // pinned seed ⇒ reproducible sample
