@@ -92,17 +92,21 @@ object TextQueries2 {
        |  CAST(len(chunk) AS BIGINT) AS chunk_len
        |FROM chunks""".stripMargin
 
-  /** T4 + A9 — full sentiment pipeline: chunk → deterministic lexicon model
-    * → per-filing aggregation with exact stddev/median/skew + LM ratios +
+  /** T4 + A9 — full sentiment pipeline: chunk → PARTITION-BATCHED model
+    * ([[graft.text.BatchLexiconModel]], the mapPartitions inference seam
+    * with the reference's batch-32/prefetch-512 serving shape) →
+    * per-filing aggregation with exact stddev/median/skew + LM ratios +
     * readability. Oracle-checked end to end: the chunker CTE feeds a SQL
     * replica of the lexicon scorer and the fixed-point (1e-6) moment
-    * aggregation, so chunking, labeling, and every exact-agg formula are
-    * all under the hash.
+    * aggregation, so chunking, batched labeling, and every exact-agg
+    * formula are all under the hash. The Column-program lexicon model is
+    * asserted row-identical to the batch seam in SentimentSpec.
     */
   def q34SentimentPipeline(s: SparkSession, dir: String): DataFrame =
     Sentiment.pipeline(
       Tables.documents(s, dir).withColumnRenamed("text", "body"),
-      "body", Seq("doc_id"), chunkSize = 120, overlap = 20)
+      "body", Seq("doc_id"), model = new graft.text.BatchLexiconModel(),
+      chunkSize = 120, overlap = 20)
       .select(col("doc_id"), col("chunk_count"), col("sentiment_score"),
         col("positive_ratio"), col("negative_ratio"), col("neutral_ratio"),
         col("sentiment_std"), col("sentiment_skew"), col("extreme_negative_ratio"),

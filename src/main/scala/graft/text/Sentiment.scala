@@ -1,7 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
 import graft.functions.ExactAgg
 
 /** Filing sentiment pipeline (T4 + A9 — reference derived/sentiment.py and
@@ -46,6 +47,114 @@ class LexiconSentimentModel(
             (col("__pos") + col("__neg"))))
       .drop("__pos", "__neg")
   }
+}
+
+/** Partition-batched inference seam — the worked example for plugging a
+  * real model (external service, per-executor ONNX session, …) into the
+  * pipeline. Mirrors the reference's serving shape (sentiment handler:
+  * batch 32 fed from a bounded prefetch queue of 512 texts,
+  * handlers/sentiment.py:356-444): inside `mapPartitions`, a daemon thread
+  * drains the upstream iterator (parquet decode / shuffle fetch) into a
+  * bounded batch queue while the task thread runs [[scoreBatch]] — input
+  * I/O overlaps model compute, and the queue bound caps memory at
+  * ~`prefetchDepth` in-flight rows per task.
+  *
+  * Implementations override ONLY [[scoreBatch]]; model state should live in
+  * a lazy `@transient` field so it is constructed once per executor JVM,
+  * never serialized from the driver.
+  */
+abstract class BatchSentimentModel(
+    val batchSize: Int = 32, val prefetchDepth: Int = 512)
+    extends SentimentModel with Serializable {
+
+  /** One model invocation: a batch of chunk texts in, (label ∈
+    * positive|negative|neutral, confidence ∈ [0,1]) per text out, in order.
+    */
+  def scoreBatch(texts: Seq[String]): Seq[(String, Double)]
+
+  override def score(chunks: DataFrame, textCol: String): DataFrame = {
+    val idx = chunks.schema.fieldIndex(textCol)
+    val enc = Encoders.row(
+      chunks.schema.add("label", StringType).add("score", DoubleType))
+    val bs = batchSize
+    val depth = math.max(1, prefetchDepth / math.max(1, batchSize))
+    chunks.mapPartitions { rows =>
+      new BatchPrefetcher(rows, bs, depth).flatMap { batch =>
+        val scores = scoreBatch(batch.map(_.getString(idx)))
+        require(scores.length == batch.length,
+          s"scoreBatch returned ${scores.length} results for ${batch.length} inputs")
+        batch.iterator.zip(scores.iterator).map { case (r, (label, s)) =>
+          Row.fromSeq(r.toSeq :+ label :+ s)
+        }
+      }
+    }(enc)
+  }
+}
+
+/** Bounded producer/consumer over a partition iterator: a daemon thread
+  * groups upstream rows into batches and `put`s them into a queue of at
+  * most `depth` batches; the task thread consumes. Producer failures are
+  * re-thrown on the consumer side so task retry semantics are preserved.
+  */
+private[text] final class BatchPrefetcher(
+    rows: Iterator[Row], batchSize: Int, depth: Int)
+    extends Iterator[Seq[Row]] {
+  private val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](depth)
+  private val DONE = new Object
+  @volatile private var failure: Throwable = null
+  private val producer = new Thread(() => {
+    try rows.grouped(batchSize).foreach(b => queue.put(b))
+    catch { case t: Throwable => failure = t }
+    finally queue.put(DONE)
+  }, "graft-batch-prefetch")
+  producer.setDaemon(true)
+  producer.start()
+
+  private var staged: AnyRef = null
+  override def hasNext: Boolean = {
+    if (staged == null) staged = queue.take()
+    if (staged eq DONE) {
+      queue.put(DONE) // keep subsequent hasNext calls terminal, not blocking
+      if (failure != null) throw failure
+      false
+    } else true
+  }
+  override def next(): Seq[Row] = {
+    if (!hasNext) throw new NoSuchElementException("empty prefetcher")
+    val out = staged.asInstanceOf[Seq[Row]]
+    staged = null
+    out
+  }
+}
+
+/** Deterministic stand-in batch model: lexicon semantics in plain Scala,
+  * row-identical to [[LexiconSentimentModel]]'s Column program (asserted in
+  * SentimentSpec) — so the partition-batched seam can sit under q34's
+  * DuckDB oracle and a real scorer can be swapped in without touching the
+  * pipeline.
+  */
+class BatchLexiconModel(
+    positive: Seq[String] = WordLists.positive,
+    negative: Seq[String] = WordLists.negative,
+    batchSize: Int = 32, prefetchDepth: Int = 512)
+    extends BatchSentimentModel(batchSize, prefetchDepth) {
+  override val name = "lexicon-batch"
+  override val version = "1.0"
+  private val posSet = positive.toSet
+  private val negSet = negative.toSet
+
+  override def scoreBatch(texts: Seq[String]): Seq[(String, Double)] =
+    texts.map { t =>
+      // exactly TextFunctions.tokens: split(lower(trim(text)), "\s+")
+      val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val pos = toks.count(posSet)
+      val neg = toks.count(negSet)
+      val label =
+        if (pos > neg) "positive" else if (neg > pos) "negative" else "neutral"
+      val score =
+        if (pos + neg == 0) 0.5 else math.abs(pos - neg).toDouble / (pos + neg)
+      (label, score)
+    }
 }
 
 object Sentiment {

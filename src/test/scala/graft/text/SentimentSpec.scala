@@ -20,6 +20,33 @@ class SentimentSpec extends SparkTestBase {
     assert(out(3L) === ("neutral", 0.5))
   }
 
+  test("batch seam is row-identical to the Column-program lexicon model") {
+    val chunks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text".as("chunk"))
+      .repartition(7) // odd partitioning: batch boundaries must not matter
+    def collect(m: SentimentModel) =
+      m.score(chunks, "chunk").select("doc_id", "label", "score")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    // tiny batch + shallow prefetch exercises many queue cycles
+    assert(collect(new BatchLexiconModel(batchSize = 3, prefetchDepth = 7)) ===
+      collect(new LexiconSentimentModel()))
+  }
+
+  test("batch seam preserves non-text columns and propagates model failures") {
+    val chunks = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "extra", "chunk")
+    val out = new BatchLexiconModel().score(chunks, "chunk")
+    assert(out.columns.toSeq === Seq("id", "extra", "chunk", "label", "score"))
+    assert(out.select("extra").as[String].collect().sorted.toSeq === Seq("x", "y"))
+    val boom = new BatchSentimentModel(batchSize = 1) {
+      val name = "boom"; val version = "0"
+      def scoreBatch(texts: Seq[String]): Seq[(String, Double)] =
+        throw new IllegalStateException("model down")
+    }
+    val e = intercept[Exception] { boom.score(chunks, "chunk").collect() }
+    assert(e.getMessage != null)
+  }
+
   test("aggregate matches reference semantics on a hand-computed filing") {
     // chunk sentiments: +1.0, -1.0, 0.0 → mean 0, sample std 1, range 2,
     // median 0, skew 0, extreme_neg (< -0.5) ratio 1/3
