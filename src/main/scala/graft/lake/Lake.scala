@@ -63,9 +63,11 @@ object Lake {
       root, table, Seq("security_id", "year"))
   }
 
-  /** S13 — manifest sidecar (the reference embeds custom parquet metadata,
-    * security_master.py:828-855; parquet footer K/V is awkward from Spark,
-    * so the manifest is a sidecar JSON keyed by table).
+  /** S13 — manifest sidecar for partitioned TABLES (one JSON per table;
+    * footer KV is per file, and a partitioned table has thousands). The
+    * reference's embedded-footer-KV export (security_master.py:828-892) is
+    * [[FooterMetadata]] — real parquet footer key-value pairs on
+    * single-file exports.
     */
   def writeManifest(spark: SparkSession, root: String, table: String,
       rowCount: Long, version: String, extra: Map[String, String] = Map.empty): Unit = {
