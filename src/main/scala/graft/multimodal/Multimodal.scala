@@ -1,17 +1,18 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extract as batch-friendly partition transforms.
   *
-  * The decode step is a STUB — image/audio codecs are not available in this
-  * environment — implemented as a deterministic fake so the Spark-side
-  * plumbing (schema, partitioning, batch iteration, output shape) is real
-  * and tested. Swap [[decodeStub]] for a real codec (or route the partition
-  * iterator to an external inference service) without touching the plan.
+  * Header DECODE is real ([[ImageHeaders]]: PNG/BMP/GIF/JPEG geometry from
+  * the container bytes — what catalog/filter stages consume at scale); full
+  * pixel decode and feature extraction remain a deterministic stub
+  * ([[decodeStub]]) because no codec libraries exist in this container —
+  * swap it for a real codec (or route the partition iterator to an external
+  * inference service) without touching the plan.
   */
 object Multimodal {
 
@@ -76,6 +77,84 @@ object Multimodal {
         expr(s"substring(payload, frame_idx * (octet_length(payload) div $frames) + 1, " +
           s"octet_length(payload) div $frames)"))
       .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+
+  /** Header decode over media rows: parse real container bytes
+    * ([[ImageHeaders]]) per partition, emitting geometry + size. Unknown
+    * formats yield nulls rather than failing the scan — at corpus scale a
+    * decode job must quarantine, not crash.
+    */
+  def decodeHeaders(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bit_depth", IntegerType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val n = if (payload == null) 0L else payload.length.toLong
+          ImageHeaders.decode(payload) match {
+            case Some((fmt, w, h, d)) => Row(id, fmt, w, h, d, n)
+            case None => Row(id, null, null, null, null, n)
+          }
+        }
+      }(enc)
+  }
+
+  // ---- synthetic real-format payloads (pure Column byte math, codegen'd:
+  // hex assembly + one unhex; PNG chunk CRCs via Spark's crc32) ----
+
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(hex(v), bytes * 2, "0")
+
+  private def leHex(v: Column, bytes: Int): Column = {
+    val h = beHex(v, bytes)
+    concat((bytes to 1 by -1).map(i => substring(h, (i - 1) * 2 + 1, 2)): _*)
+  }
+
+  private def pngChunk(chunkType: String, data: Column): Column = {
+    val typeHex = chunkType.getBytes("US-ASCII").map("%02x".format(_)).mkString
+    val dataHex = hex(data)
+    val crc = crc32(unhex(concat(lit(typeHex), dataHex)))
+    concat(beHex(octet_length(data), 4), lit(typeHex), dataHex, beHex(crc, 4))
+  }
+
+  /** A structurally real PNG: signature, IHDR (8-bit truecolor, correct
+    * CRC), one IDAT chunk carrying `data` verbatim (CRC-correct chunk
+    * framing; the zlib stream inside is opaque payload, not valid pixels),
+    * and IEND. Any header-level PNG reader — including [[ImageHeaders]] —
+    * parses it. Total size = 57 + octet_length(data).
+    */
+  def syntheticPng(width: Column, height: Column, data: Column): Column = {
+    val ihdr = pngChunk("IHDR",
+      unhex(concat(beHex(width, 4), beHex(height, 4), lit("0802000000"))))
+    val idat = pngChunk("IDAT", data)
+    val iend = lit("0000000049454e44ae426082")
+    unhex(concat(lit("89504e470d0a1a0a"), ihdr, idat, iend))
+  }
+
+  /** A real 24-bit BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER) over
+    * `data` as the pixel array (no row padding — header readers don't
+    * validate stride). Total size = 54 + octet_length(data).
+    */
+  def syntheticBmp(width: Column, height: Column, data: Column): Column =
+    unhex(concat(
+      lit("424d"),                              // 'BM'
+      leHex(lit(54) + octet_length(data), 4),   // file size
+      lit("00000000"),                          // reserved
+      leHex(lit(54), 4),                        // pixel-array offset
+      leHex(lit(40), 4),                        // biSize
+      leHex(width, 4), leHex(height, 4),        // geometry, int32 LE
+      leHex(lit(1), 2), leHex(lit(24), 2),      // planes, bit count
+      lit("00000000"),                          // compression = BI_RGB
+      leHex(octet_length(data), 4),             // biSizeImage
+      lit("0" * 32),                            // x/y ppm, clrUsed, clrImportant
+      hex(data)))
 
   /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) so the
     * multimodal path is exercisable on the driver fixtures.

@@ -318,17 +318,36 @@ object TextQueries {
       |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** Multimodal plumbing: binary payloads through the partition-batched
-    * feature extractor; byte count + checksum are the oracle-checkable
-    * surface (the fake feature vector is spec-tested).
+  /** Multimodal decode, real bytes end to end: each document is wrapped as
+    * a REAL container — even ids a 24-bit BMP, odd ids a CRC-correct PNG
+    * (both built with pure Column byte math,
+    * [[Multimodal.syntheticBmp]]/[[syntheticPng]]) — and
+    * [[Multimodal.decodeHeaders]] parses geometry back out of the bytes
+    * with the [[graft.multimodal.ImageHeaders]] parser. The oracle replays
+    * the encode formulas; any parser defect (endianness, offset, chunk
+    * framing) would hash-mismatch. Feature extraction over payloads stays
+    * spec-tested (MultimodalSpec); frame sampling is q75.
     */
-  def q31Multimodal(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
-      Multimodal.fromDocuments(Tables.documents(s, dir)))
-      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"), col("checksum"))
+  def q31Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(1) + col("doc_id") % 64).cast("int")
+    val h = (lit(1) + col("doc_id") % 48).cast("int")
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0,
+          Multimodal.syntheticBmp(w, h, col("text").cast("binary")))
+        .otherwise(Multimodal.syntheticPng(w, h, col("text").cast("binary")))
+        .as("payload"))
+    Multimodal.decodeHeaders(media)
+  }
 
   val q31Sql: String =
-    """SELECT doc_id AS media_id, length(text) AS n_bytes, md5(text) AS checksum
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |  CAST(1 + doc_id % 64 AS INT) AS width,
+      |  CAST(1 + doc_id % 48 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS INT) AS bit_depth,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + len(text)
+      |            ELSE 57 + len(text) END AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
   /** A10/T5 — word-category ratios (LM-dictionary style) + rolling
