@@ -101,16 +101,18 @@ object ScaleQueries {
     * broadcast semi-join (the bloom admits false positives only, so
     * pre-filter + exact join ≡ exact join — that invariance is what the
     * oracle checks). At scale this is Spark's own runtime-filter pattern,
-    * made explicit and tunable.
+    * made explicit and tunable. The probe is the native codegen'd
+    * [[graft.expressions.BloomProbe]] expression, not a ScalaUDF — the
+    * pre-shuffle hot map stays inside whole-stage codegen (plan-asserted
+    * in ScaleOpsSpec).
     */
   def q59BloomPrune(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.customer(s, dir)
       .filter(col("c_nationkey") === 1)
       .select(col("c_custkey"))
     val bf = keys.stat.bloomFilter("c_custkey", expectedNumItems = 10000L, fpp = 0.01)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
     Tables.orders(s, dir)
-      .filter(mightContain(col("o_custkey")))
+      .filter(graft.expressions.BloomProbe.mightContain(bf, col("o_custkey")))
       .join(broadcast(keys), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"),
@@ -371,14 +373,20 @@ object ScaleQueries {
     * object listings; here it's one broadcast spine join.
     */
   def q67CoverageReport(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // distinct (user, day) is the shared base: bounds→spine, per-user
+    // spans, and observed days all derive from it. PERSIST it — plain
+    // exchange reuse does not fire here (the optimizer rewrites each
+    // consumer differently, e.g. collapsing min/max over the distinct into
+    // aggs over the raw scan, so the subtrees stop being identical and the
+    // fact table would be scanned once PER consumer). The cached set is
+    // |users|×|days| rows — dimension-scale next to the fact table.
+    val days = Tables.events(s, dir)
       .select(col("user_id"), col("ts").cast("date").as("day"))
-    val bounds = ev.agg(
-      date_format(min(col("day")), "yyyy-MM-dd").as("lo"),
-      date_format(max(col("day")), "yyyy-MM-dd").as("hi")).collect().head
-    val spine = graft.ticks.Calendar.weekdaySpine(s,
-      bounds.getString(0), bounds.getString(1))
-    graft.lake.Validation.coverageReport(ev, "user_id", "day", spine)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = graft.ticks.Calendar.weekdaySpineFromBounds(
+      days.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
+    graft.lake.Validation.coverageReport(days, "user_id", "day", spine)
       .select(col("user_id"), col("month"), col("expected_days"),
         col("observed_days"), col("missing_days"), col("coverage"))
   }

@@ -21,6 +21,15 @@ object Calendar {
       s"""SELECT explode(sequence(DATE'$start', DATE'$end', INTERVAL 1 DAY)) AS date""")
       .filter(dayofweek(col("date")).between(2, 6))
 
+  /** Weekday spine derived from a one-row (lo, hi) date-bounds relation —
+    * fully declarative: no driver `.collect()` pre-pass, so the bounds
+    * aggregation stays inside the same job (and its input subtree is
+    * exchange-reused rather than re-scanned).
+    */
+  def weekdaySpineFromBounds(bounds: DataFrame): DataFrame =
+    bounds.select(explode(sequence(col("lo"), col("hi"))).as("date"))
+      .filter(dayofweek(col("date")).between(2, 6))
+
   /** Calendar-align bars: for every (security_id, trading day) emit a row;
     * non-traded days carry null OHLCV. `bars` must have (security_id, date,
     * ...); spine has (date). Broadcast the spine (it's tiny) and cross it

@@ -130,6 +130,41 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q59 bloom probe is the native codegen'd expression, not a ScalaUDF") {
+    val df = graft.queries.ScaleQueries.q59BloomPrune(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.toLowerCase.contains("might_contain"), plan)
+    // probe ≡ exact semi-join alone (bloom admits FPs only)
+    val exact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+          .filter($"c_nationkey" === 1).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
+  test("q67 reads events once: every consumer branch hits the cached days set") {
+    val df = graft.queries.ScaleQueries.q67CoverageReport(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // all three consumers (spine bounds, per-user spans, observed days)
+    // must read the InMemory base, so the events parquet is scanned only
+    // by the single cache fill — no FileScan outside InMemoryRelation
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads >= 3, s"expected >=3 cache reads:\n$plan")
+    // any FileScan line must sit under an InMemoryRelation (deeper indent),
+    // i.e. the only parquet read is the cache fill itself
+    val lines = plan.linesIterator.toSeq
+    val imrIndent = lines.filter(_.contains("InMemoryRelation"))
+      .map(_.indexOf("InMemoryRelation")).minOption.getOrElse(Int.MaxValue)
+    lines.filter(_.contains("FileScan parquet")).foreach { l =>
+      assert(l.indexOf("FileScan parquet") > imrIndent, s"uncached scan:\n$plan")
+    }
+  }
+
   test("stratified sample is seed-deterministic with in-tolerance fractions") {
     val q = graft.queries.ScaleQueries.q74SampleBySeedPinned _
     val a = q(spark, "/root/testdata/sf0.01").collect().map(_.toString).sorted.toSeq
