@@ -90,18 +90,18 @@ object Similarity {
   def lshSignature(vec: Column, bits: Int, dims: Int, seed: Long = 42L): Column =
     signatureFromPlanes(vec, planes(bits, dims, seed), dims)
 
+  /** All `bits` sign-bit dots in one fused native pass
+    * ([[graft.expressions.HyperplaneSignature]]) — replaces the previous
+    * per-plane `aggregate(zip_with(...))` HOFs (one array allocation + fold
+    * per plane per row) with a single allocation-free codegen'd loop; the
+    * accumulation order and double math are identical, so signatures (and
+    * the q30/q52 oracles that replay them) are bit-for-bit unchanged.
+    * Length ≠ dims still fails loudly, now from inside the kernel.
+    */
   private[operators] def signatureFromPlanes(vec: Column, ps: Array[Array[Double]],
       dims: Int): Column = {
-    val checked = when(
-      assert_true(size(vec) === dims,
-        lit(s"lshSignature: embedding length != dims=$dims")).isNull, vec)
-    ps.indices.map { i =>
-      val plane = lit(ps(i))
-      val dot = aggregate(
-        zip_with(checked, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      shiftleft(when(dot >= 0, 1L).otherwise(0L), i)
-    }.reduce(_ bitwiseOR _)
+    require(ps.forall(_.length == dims), s"plane rows must have $dims components")
+    graft.expressions.HyperplaneSignature(vec, ps)
   }
 
   /** IVF centroid training: k-means-lite over the corpus. Seeds are the

@@ -25,8 +25,11 @@ object LakeQueries {
     val src = s"/tmp/graft_stage_${name}_${math.abs(dir.hashCode)}"
     if (staged.add(src)) {
       // un-cache on failure: a half-written dir must not be served to the
-      // next caller as if staging had succeeded
-      try df.write.mode("overwrite").parquet(src)
+      // next caller as if staging had succeeded. Repartition to a few fat
+      // files: the file stream pays listing + per-file task overhead every
+      // micro-batch, and a union plan would otherwise fan out to dozens of
+      // small parts.
+      try df.repartition(8).write.mode("overwrite").parquet(src)
       catch { case e: Throwable => staged.remove(src); throw e }
     }
     src
@@ -109,8 +112,7 @@ object LakeQueries {
     val gapUs = 12L * 3600 * 1000000
     // Tables.events#ts is the exact integral ns→µs truncation (TimestampType)
     val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
-    val sentinels = ev.groupBy(col("user_id"))
-      .agg(max(col("ts")).as("__m")).select(col("user_id"))
+    val sentinels = ev.select(col("user_id")).distinct()
       .crossJoin(ev.agg(max(col("ts")).as("__gm")))
       .select((col("__gm") + expr("INTERVAL 36 HOURS")).as("ts"),
         col("user_id"), lit(0.0).as("value"))

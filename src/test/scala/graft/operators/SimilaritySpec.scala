@@ -100,8 +100,9 @@ class SimilaritySpec extends SparkTestBase {
     val ex = intercept[Exception] {
       bad.select(Similarity.lshSignature($"embedding", 8, 64)).collect()
     }
-    assert(ex.getMessage.contains("lshSignature") ||
-      Option(ex.getCause).exists(_.getMessage.contains("lshSignature")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("embedding length")), msgs(ex).mkString("; "))
   }
 
   test("lshSignature buckets are deterministic across invocations") {
