@@ -762,7 +762,52 @@ object ScaleQueries {
       |FROM points JOIN intervals ON day BETWEEN start_day AND end_day
       |GROUP BY p_brand""".stripMargin
 
+  /** Count-min sketch ([[graft.operators.Sketches]]): heavy-hitter token
+    * frequencies estimated from a 4×256 sketch, reported beside the exact
+    * counts for the 20 most frequent tokens. The md5-salted row hashes are
+    * engine-portable, so the oracle rebuilds the identical sketch and the
+    * whole estimate — collisions included — is under the exact hash gate
+    * (CMS estimates are deterministic overestimates, never RNG).
+    */
+  def q92CountMinSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact.orderBy(col("exact_n").desc, col("tok").asc).limit(20)
+    val cms = Sketches.cmsBuild(toks, "tok", width = 256, depth = 4)
+    Sketches.cmsEstimate(cms, probes.select(col("tok")), "tok", width = 256, depth = 4)
+      .join(probes, "tok")
+      .select(col("tok"), col("exact_n"), col("cms_estimate"))
+  }
+
+  val q92Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> x <> '')) AS tok
+      |  FROM documents),
+      |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |hashed AS (
+      |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8)
+      |    AS BIGINT) % 256 AS b
+      |  FROM toks CROSS JOIN rws),
+      |cms AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY 1, 2),
+      |exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY 1),
+      |probes AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok ASC LIMIT 20),
+      |est AS (
+      |  SELECT p.tok, min(c.c) AS cms_estimate
+      |  FROM probes p CROSS JOIN rws r2
+      |  JOIN cms c ON c.r = r2.r AND c.b =
+      |    CAST('0x' || substr(md5(CAST(r2.r AS VARCHAR) || ':' || p.tok), 1, 8)
+      |      AS BIGINT) % 256
+      |  GROUP BY 1)
+      |SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n,
+      |  CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+      |FROM probes p JOIN est e USING (tok)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q92_countmin_sketch" -> (q92CountMinSketch _),
     "q78_range_bin_join" -> (q78RangeBinJoin _),
     "q77_scd_merge" -> (q77ScdMerge _),
     "q76_dedup_clusters" -> (q76DedupClusters _),
@@ -786,6 +831,7 @@ object ScaleQueries {
     "q61_rolling_vol" -> (q61RollingVol _))
 
   val oracleSql: Map[String, String] = Map(
+    "q92_countmin_sketch" -> q92Sql,
     "q78_range_bin_join" -> q78Sql,
     "q77_scd_merge" -> q77Sql,
     "q76_dedup_clusters" -> q76Sql,
