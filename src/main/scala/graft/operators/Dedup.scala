@@ -90,18 +90,26 @@ object Dedup {
     pairs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded signatures (id, band, sig): the bucket relation LSH joins on —
+    * and, written to the lake, the INDEX an incremental pipeline probes
+    * ([[bandIndex]]/[[probeIndex]]).
+    */
+  def bandSignatures(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    signatures
+      .select(col("id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, band signature), emit distinct
     * (id_a < id_b) pairs that collide in ≥1 band.
     */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandSigs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
-    }
-    val banded = signatures
-      .select(col("id"), explode(array(bandSigs: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandSignatures(signatures, bands, rowsPerBand)
     val a = banded.select(col("band"), col("sig"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("sig"), col("id").as("id_b"))
     a.join(b, Seq("band", "sig"))
@@ -178,6 +186,54 @@ object Dedup {
     val sigs = minhashSignaturesFromPairs(pairs, numHashes)
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     jaccardVerify(cands, pairs).filter(col("jaccard") >= threshold)
+  }
+
+  /** Build the band index of a corpus: (id, band, sig) rows, one shuffle.
+    * Persist/write this once; daily batches probe it via [[probeIndex]]
+    * without the corpus ever being re-shingled, re-hashed, or re-banded —
+    * the incremental posture a 100 TB dedup pipeline actually runs
+    * (index size = |corpus| × bands fixed-width rows).
+    */
+  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    bandSignatures(
+      minhashSignatures(df, textCol, idCol, numHashes, shingleSize),
+      bands, numHashes / bands)
+
+  /** Near-dup detection of a NEW batch against an indexed corpus: the batch
+    * is hashed and banded; candidates = batch-vs-index bucket collisions ∪
+    * batch-internal collisions; exact Jaccard verification re-shingles ONLY
+    * the candidate corpus documents (a semi-join point lookup), never the
+    * whole corpus. Same (numHashes, bands, shingleSize) as the index build
+    * — band signatures must be comparable.
+    *
+    * Returns verified (id_a, id_b, jaccard) with jaccard ≥ threshold and at
+    * least one side in the new batch.
+    */
+  def probeIndex(newBatch: DataFrame, index: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      numHashes: Int = 32, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newPairs = hashedShinglePairs(newBatch, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSigs = minhashSignaturesFromPairs(newPairs, numHashes)
+    val newBanded = bandSignatures(newSigs, bands, numHashes / bands)
+    val vsIndex = newBanded
+      .join(index.withColumnRenamed("id", "id_old"), Seq("band", "sig"))
+      .filter(col("id") =!= col("id_old"))
+      .select(least(col("id"), col("id_old")).as("id_a"),
+        greatest(col("id"), col("id_old")).as("id_b"))
+    val within = lshCandidatePairs(newSigs, bands, numHashes / bands)
+    val cands = vsIndex.unionByName(within).distinct()
+    // shingle only the candidate old-side documents
+    val oldIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+      .join(newBatch.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val oldDocs = corpus.join(oldIds.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_semi")
+    val oldPairs = hashedShinglePairs(oldDocs, textCol, idCol, shingleSize)
+    jaccardVerify(cands, newPairs.unionByName(oldPairs))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all pairs (id_a < id_b)

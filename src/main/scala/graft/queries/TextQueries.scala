@@ -158,6 +158,40 @@ object TextQueries {
     Dedup.nearDuplicates(Tables.documents(s, dir), "text", "doc_id",
       threshold = 0.2, numHashes = 32, bands = 16)
 
+  /** Incremental near-dup ([[Dedup.bandIndex]]/[[Dedup.probeIndex]]): 90%
+    * of the corpus plays the INDEXED existing corpus, the doc_id%10==0
+    * slice arrives as the new batch and probes the stored band buckets —
+    * the corpus is never re-shingled (only candidate docs are point-looked
+    * -up for exact verification). Same exact-verify + recall-complete
+    * argument as q27 (identical 32-hash/16-band parameters), restricted to
+    * pairs with ≥1 new-batch side, so the exact all-pairs SQL with that
+    * constraint is the oracle.
+    */
+  def q93IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.bandIndex(existing, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3)
+    Dedup.probeIndex(batch, index, existing, "text", "doc_id",
+      threshold = 0.2, numHashes = 32, bands = 16, shingleSize = 3)
+  }
+
+  val q93Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+      |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared*1.0/(sa.n + sb.n - shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared*1.0/(sa.n + sb.n - shared) >= 0.2
+      |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
+
   /** SimHash near-dup via 4×8-bit banding over a 32-bit engine-portable
     * fingerprint (md5-derived token hash), so the DuckDB oracle replays the
     * whole computation: token hash → 32 signed bit-sums → sign-bit
@@ -444,6 +478,7 @@ object TextQueries {
     "q25_dedup_exact" -> (q25DedupExact _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q93_incremental_neardup" -> (q93IncrementalNeardup _),
     "q28_simhash" -> (q28Simhash _),
     "q29_knn_cosine" -> (q29KnnCosine _),
     "q30_knn_lsh" -> (q30KnnLsh _),
@@ -460,6 +495,7 @@ object TextQueries {
     "q25_dedup_exact" -> q25Sql,
     "q26_ngram_jaccard" -> q26Sql,
     "q27_minhash_lsh" -> q26Sql,
+    "q93_incremental_neardup" -> q93Sql,
     "q28_simhash" -> q28Sql,
     "q29_knn_cosine" -> q29Sql,
     "q30_knn_lsh" -> q30Sql,

@@ -86,6 +86,22 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.size.toDouble / exact.size >= 0.5, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("incremental probe == full near-dup restricted to new-side pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val existing = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val index = Dedup.bandIndex(existing, "text", "doc_id", 32, 16, 3)
+    val inc = Dedup.probeIndex(batch, index, existing, "text", "doc_id",
+        threshold = 0.2, numHashes = 32, bands = 16, shingleSize = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.nearDuplicates(docs, "text", "doc_id",
+        threshold = 0.2, numHashes = 32, bands = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("q52 gates the bucketed LSH plan: equi-join on (table, bucket), no n² product") {
     val df = graft.queries.TextQueries.q52EmbeddingDedup(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
