@@ -73,4 +73,44 @@ object QualityFilters {
           col("alpha_word_frac") >= 0.80 &&
           col("n_tokens") >= 8).cast("int"))
   }
+
+  /** zlib compression ratio per document — the standard cheap redundancy
+    * signal (boilerplate and template spam compress far better than prose;
+    * pipelines drop documents whose ratio falls under a threshold). Runs as
+    * a partition transform with one reused Deflater per partition (native
+    * zlib state is expensive to create; reset() between rows is ~free).
+    *
+    * `ratio = deflated_bytes / utf8_bytes` — lower = more redundant. Spec-
+    * tested for the ordering property (repetitive ≪ varied text) rather
+    * than oracle-gated: deflate output bytes are zlib-version-specific, so
+    * exact values are not an engine-portable contract.
+    */
+  def compressionRatio(df: DataFrame, textCol: String, idCol: String,
+      level: Int = 6): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        df.schema(idCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("compressed_bytes",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("compression_ratio",
+        org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(in)
+        deflater.finish()
+        var out = 0
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        val ratio = if (in.length == 0) 1.0 else out.toDouble / in.length
+        org.apache.spark.sql.Row(r.get(0), in.length, out, ratio)
+      }
+    }(enc)
+  }
 }

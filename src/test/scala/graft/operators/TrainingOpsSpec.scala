@@ -36,6 +36,27 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(good.getAs[Int]("pass") === 1)
   }
 
+  test("compression ratio: repetitive text compresses far better than varied text") {
+    val varied = (1 to 80).map(i => s"tok${i * 7919 % 1000}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam " * 20),
+      (2L, varied),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val r = QualityFilters.compressionRatio(docs, "text", "doc_id")
+      .orderBy("id").collect()
+    val (rep, var_, empty) = (r(0), r(1), r(2))
+    assert(rep.getAs[Double]("compression_ratio") <
+      var_.getAs[Double]("compression_ratio") / 3)
+    assert(var_.getAs[Double]("compression_ratio") > 0.2)
+    assert(empty.getAs[Double]("compression_ratio") === 1.0)
+    assert(rep.getAs[Int]("n_bytes") > rep.getAs[Int]("compressed_bytes"))
+    // deterministic across invocations and partitionings
+    val again = QualityFilters.compressionRatio(docs.repartition(3), "text", "doc_id")
+      .orderBy("id").collect()
+    assert(r.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedding centroids: exact component means, invariant to partitioning") {
     val df = Seq(
       (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 6.0f)),
