@@ -28,32 +28,35 @@ object Sketches {
     conv(substring(m, 1, 8), 16, 10).cast("long")
   }
 
-  /** Build: one row per (hash row r, bucket b) with the collision-summed
-    * count. Missing (r, b) combinations are zero counters (left implicit —
-    * estimates treat absent buckets as 0 via the probe join).
+  /** All depth (r, bucket) cells of one key as an exploded struct array —
+    * ONE pass over the input (a union of depth scans would re-read and
+    * re-tokenize the corpus depth times).
     */
-  def cmsBuild(df: DataFrame, keyCol: String, width: Int, depth: Int): DataFrame = {
-    val rows = (0 until depth).map { r =>
-      df.select(lit(r).as("r"), (rowHash(col(keyCol), r) % width).as("b"))
-    }
-    rows.reduce(_ unionByName _)
+  private def cells(key: Column, width: Int, depth: Int): Column =
+    explode(array((0 until depth).map { r =>
+      struct(lit(r).as("r"), (rowHash(key, r) % width).as("b"))
+    }: _*))
+
+  /** Build: one row per (hash row r, bucket b) with the collision-summed
+    * count — a single scan and one partially-aggregated groupBy. Missing
+    * (r, b) combinations are zero counters (left implicit — estimates
+    * treat absent buckets as 0 via the probe join).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, width: Int, depth: Int): DataFrame =
+    df.select(cells(col(keyCol), width, depth).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
       .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Estimate the frequency of each probe key: min over hash rows of the
     * counter it lands in. The sketch side is broadcast (depth × width
     * counters); probes are only mapped and locally aggregated.
     */
   def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
-      width: Int, depth: Int): DataFrame = {
-    val probed = (0 until depth).map { r =>
-      probes.select(col(keyCol), lit(r).as("r"),
-        (rowHash(col(keyCol), r) % width).as("b"))
-    }
-    probed.reduce(_ unionByName _)
+      width: Int, depth: Int): DataFrame =
+    probes.select(col(keyCol), cells(col(keyCol), width, depth).as("rb"))
+      .select(col(keyCol), col("rb.r").as("r"), col("rb.b").as("b"))
       .join(broadcast(cms), Seq("r", "b"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
-  }
 }
