@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.RelationalQueries3.queries ++
       graft.queries.ApiQueries.queries ++
       graft.queries.ScaleQueries.queries ++
-      graft.queries.TrainingQueries.queries
+      graft.queries.TrainingQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.RelationalQueries3.oracleSql ++
       graft.queries.ApiQueries.oracleSql ++
       graft.queries.ScaleQueries.oracleSql ++
-      graft.queries.TrainingQueries.oracleSql
+      graft.queries.TrainingQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

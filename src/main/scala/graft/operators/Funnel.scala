@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for an ordered list of
+  * stages (event types), count the users who reached each stage IN ORDER —
+  * stage i+1 counts only events strictly after the user's stage-i time and
+  * within `windowNs` of their stage-0 entry — plus the mean time-to-stage.
+  *
+  * Scale design: each stage is one equi-join on the user key against the
+  * previous stage's per-user row (user-cardinality, not event-cardinality)
+  * followed by a partial-aggregated min — no window over the event stream,
+  * no per-user event collection. All stage relations hash-partition by
+  * user, so consecutive stages reuse the exchange under AQE. Time math is
+  * integer epoch-nanos end to end; the only float op is the final
+  * mean division (one fixed IEEE chain, oracle-replayable).
+  *
+  * For funnels with many stages persist the intermediate stage frames —
+  * each union branch otherwise re-derives its prefix chain.
+  */
+object Funnel {
+
+  /** Per-stage rollup: (stage_idx, stage, n_users, mean_hours_r) where
+    * mean_hours_r is the mean nanos from stage-0 entry to this stage,
+    * in hours rounded to 6dp (0.0 for stage 0).
+    */
+  def report(events: DataFrame, userCol: String, typeCol: String,
+      tsNsCol: String, stages: Seq[String], windowNs: Long): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val base = events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        col(tsNsCol).cast("long").as("t"))
+    val s0 = base.filter(col("et") === stages.head)
+      .groupBy(col("u"))
+      .agg(min(col("t")).as("t0"))
+      .withColumn("t_prev", col("t0"))
+    val chain = stages.tail.scanLeft(s0) { (prev, st) =>
+      base.filter(col("et") === st)
+        .join(prev.select(col("u"), col("t0"), col("t_prev")), Seq("u"))
+        .filter(col("t") > col("t_prev") && col("t") <= col("t0") + windowNs)
+        .groupBy(col("u"))
+        .agg(min(col("t0")).as("t0"), min(col("t")).as("t_prev"))
+    }
+    chain.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(
+          count(lit(1)).as("n_users"),
+          coalesce(sum(col("t_prev") - col("t0")), lit(0L)).as("__sum_ns"))
+        .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"),
+          when(col("n_users") === 0L, lit(0.0))
+            .otherwise(round(
+              col("__sum_ns").cast("double") / col("n_users") / lit(3.6e12), 6))
+            .as("mean_hours_r"))
+    }.reduce(_.union(_))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-pipeline + analytics queries: exact-substring
+  * duplication (q94), hashed-linear-classifier quality scoring (q95),
+  * product-quantization ANN (q96), and ordered-funnel analytics (q97).
+  * Every gate replays end to end in DuckDB — hashing, codebooks, and
+  * integer-unit score/distance math are all engine-portable.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact-substring duplication report
+    * ([[graft.operators.ExactSubstring]]): 8-token positional grams, a
+    * span is duplicated when ≥2 documents share it; per-doc span counts +
+    * exact interval-union coverage. Gated with the raw gram string as the
+    * key (engine-portable); the xxhash64 8-byte key is the scale default,
+    * spec-verified equal on the fixtures.
+    */
+  def q94DupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactSubstring.report(
+      Tables.documents(s, dir), "text", "doc_id", k = 8, minDocs = 2,
+      gramKey = (c: Column) => c)
+
+  val q94Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, len(t) AS n_toks, g.pos AS pos, g.gram AS gram FROM (
+      |    SELECT doc_id, t, unnest(CASE WHEN len(t) >= 8
+      |      THEN list_transform(generate_series(1, len(t)-7),
+      |           i -> {'pos': CAST(i-1 AS BIGINT), 'gram': array_to_string(t[i:i+7], ' ')})
+      |      ELSE [{'pos': CAST(0 AS BIGINT), 'gram': array_to_string(t, ' ')}] END) AS g
+      |    FROM toks)),
+      |dup AS (SELECT gram FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |flags AS (SELECT g.doc_id, g.n_toks, g.pos, g.gram, (d.gram IS NOT NULL) AS is_dup
+      |          FROM grams g LEFT JOIN dup d USING (gram)),
+      |perdoc AS (SELECT doc_id AS id,
+      |    CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |    CAST(count(DISTINCT CASE WHEN is_dup THEN gram END) AS BIGINT) AS n_dup_grams,
+      |    CAST(max(n_toks) AS BIGINT) AS n_tokens
+      |  FROM flags GROUP BY 1),
+      |cov AS (SELECT doc_id AS id, CAST(count(DISTINCT tok) AS BIGINT) AS covered_tokens
+      |  FROM (SELECT doc_id, unnest(generate_series(pos, least(pos+7, n_toks-1))) AS tok
+      |        FROM flags WHERE is_dup) u GROUP BY 1)
+      |SELECT p.id, n_spans, n_dup_spans, n_dup_grams,
+      |  coalesce(c.covered_tokens, 0) AS covered_tokens, n_tokens,
+      |  round(coalesce(c.covered_tokens, 0) / CAST(n_tokens AS DOUBLE), 9) AS dup_ratio_r
+      |FROM perdoc p LEFT JOIN cov c USING (id)""".stripMargin
+
+  /** Model-based quality scoring ([[graft.text.HashedClassifier]]):
+    * fastText-shaped linear scorer over md5-hashed token buckets with
+    * integer-micro weights — the exact-integer stand-in for a broadcast
+    * trained-weight array (identical plan either way).
+    */
+  def q95HashedClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.text.HashedClassifier.score(
+      Tables.documents(s, dir), "text", "doc_id", nBuckets = 1024, seed = 7L)
+
+  val q95Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+      |w AS (SELECT doc_id,
+      |    (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024) AS b
+      |  FROM tok),
+      |sc AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum((b * 2654435761 + 692) % 2000000 - 1000000) AS BIGINT) AS score_micro
+      |  FROM w GROUP BY 1)
+      |SELECT id, n_tokens, score_micro,
+      |  score_micro / 1e6 / n_tokens AS avg_score,
+      |  CAST(score_micro / 1e6 / n_tokens > 0 AS INT) AS label
+      |FROM sc""".stripMargin
+
+  /** Product-quantization ANN ([[graft.operators.ProductQuantization]]):
+    * m=8 subspaces × 8 dims, 16 codes per subspace seeded from the
+    * deterministic vec_id%25=3 sample (the q54 technique); every 100th
+    * vector queries the encoded corpus via ADC. Codebook build, encode
+    * argmin, and integer-nano ADC sums all replay in SQL — the
+    * approximation itself is under the hash.
+    */
+  def q96PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantization._
+    val emb = Tables.embeddings(s, dir)
+    val seeds = emb.filter(col("vec_id") % 25 === 3).orderBy(col("vec_id")).limit(16)
+    val cb = codebooksFromSeeds(seeds, m = 8, subDim = 8)
+    val enc = encode(emb, cb, m = 8, subDim = 8)
+    adcTopK(enc, emb.filter(col("vec_id") % 100 === 0), cb,
+      k = 10, m = 8, subDim = 8)
+  }
+
+  val q96Sql: String = {
+    val fold = (a: String, b: String) =>
+      s"""CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, 8), j -> ($a[j]-$b[j])*($a[j]-$b[j]))),
+         |      (acc, x) -> acc + x) * 1e9) AS BIGINT)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |seeds AS (SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS code
+       |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 25 = 3 ORDER BY vec_id ASC LIMIT 16) s0),
+       |cb AS (SELECT CAST(s.sub AS BIGINT) AS sub, seeds.code,
+       |         seeds.v[s.sub*8+1 : s.sub*8+8] AS cvec
+       |       FROM seeds, subs s),
+       |sv AS (SELECT e.vec_id AS id, CAST(s.sub AS BIGINT) AS sub,
+       |         e.v[s.sub*8+1 : s.sub*8+8] AS svec
+       |       FROM e, subs s),
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT sv.id, sv.sub, cb.code,
+       |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+       |        ${fold("sv.svec", "cb.cvec")} ASC, cb.code ASC) AS rn
+       |    FROM sv JOIN cb USING (sub)) r
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.query_id, cb.sub, cb.code, ${fold("q.qsub", "cb.cvec")} AS d_nano
+       |  FROM (SELECT e.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+       |          e.v[s.sub*8+1 : s.sub*8+8] AS qsub
+       |        FROM e, subs s WHERE e.vec_id % 100 = 0) q
+       |  JOIN cb ON q.sub = cb.sub),
+       |scored AS (SELECT l.query_id, enc.id AS neighbor_id,
+       |    CAST(sum(d_nano) AS BIGINT) AS adc_nano
+       |  FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+       |  WHERE enc.id <> l.query_id GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, adc_nano,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_nano / 1e9 AS adc_r, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
+  /** Ordered-funnel analytics ([[graft.operators.Funnel]]): view → click →
+    * purchase within 7 days of the user's first view, counting only
+    * in-order events; per-stage user counts + mean hours-to-stage. Time
+    * math is exact epoch-nanos (the events table's native precision).
+    */
+  def q97Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.report(Tables.events(s, dir),
+      "user_id", "event_type", "ts_ns",
+      stages = Seq("view", "click", "purchase"),
+      windowNs = 7L * 86400L * 1000000000L)
+
+  val q97Sql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) AS t FROM events),
+      |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.u, min(s0.t0) AS t0, min(e.t) AS t1
+      |       FROM e JOIN s0 ON e.u = s0.u
+      |       WHERE e.et = 'click' AND e.t > s0.t0 AND e.t <= s0.t0 + 604800000000000
+      |       GROUP BY 1),
+      |s2 AS (SELECT e.u, min(s1.t0) AS t0, min(e.t) AS t2
+      |       FROM e JOIN s1 ON e.u = s1.u
+      |       WHERE e.et = 'purchase' AND e.t > s1.t1 AND e.t <= s1.t0 + 604800000000000
+      |       GROUP BY 1)
+      |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CASE WHEN count(*) = 0 THEN 0.0
+      |       ELSE round(CAST(sum(t0 - t0) AS DOUBLE) / count(*) / 3.6e12, 6) END AS mean_hours_r
+      |FROM s0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+      |  CASE WHEN count(*) = 0 THEN 0.0
+      |       ELSE round(CAST(sum(t1 - t0) AS DOUBLE) / count(*) / 3.6e12, 6) END
+      |FROM s1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+      |  CASE WHEN count(*) = 0 THEN 0.0
+      |       ELSE round(CAST(sum(t2 - t0) AS DOUBLE) / count(*) / 3.6e12, 6) END
+      |FROM s2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q94_dup_spans" -> (q94DupSpans _),
+    "q95_hashed_classifier" -> (q95HashedClassifier _),
+    "q96_pq_adc" -> (q96PqAdc _),
+    "q97_funnel" -> (q97Funnel _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q94_dup_spans" -> q94Sql,
+    "q95_hashed_classifier" -> q95Sql,
+    "q96_pq_adc" -> q96Sql,
+    "q97_funnel" -> q97Sql)
+}
