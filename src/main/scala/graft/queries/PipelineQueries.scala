@@ -165,15 +165,63 @@ object PipelineQueries {
       |       ELSE round(CAST(sum(t2 - t0) AS DOUBLE) / count(*) / 3.6e12, 6) END
       |FROM s2""".stripMargin
 
+  /** Cohort retention ([[graft.operators.Retention]]): 7-day epoch-aligned
+    * cohorts by first PURCHASE (the sparse engagement event — all-event
+    * cohorts are trivially 100% retained on this fixture); per (cohort,
+    * offset) distinct active users. Pure integer bucket math — no calendar
+    * functions to desync engines.
+    */
+  def q98Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.report(
+      Tables.events(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_ns", bucketNs = 7L * 86400L * 1000000000L)
+
+  val q98Sql: String =
+    """WITH e AS (SELECT user_id AS u, epoch_ns(ts) // 604800000000000 AS bk
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT u, min(bk) AS cb FROM e GROUP BY 1),
+      |s AS (SELECT cb, CAST(count(*) AS BIGINT) AS n_cohort FROM c GROUP BY 1),
+      |a AS (SELECT c.cb, e.bk - c.cb AS bucket_offset,
+      |        CAST(count(DISTINCT e.u) AS BIGINT) AS n_active
+      |      FROM e JOIN c ON e.u = c.u GROUP BY 1, 2)
+      |SELECT a.cb AS cohort_bucket, a.bucket_offset, a.n_active, s.n_cohort,
+      |  round(a.n_active / CAST(s.n_cohort AS DOUBLE), 9) AS retention_r
+      |FROM a JOIN s ON a.cb = s.cb""".stripMargin
+
+  /** Johnson–Lindenstrauss random projection
+    * ([[graft.operators.RandomProjection]]): 64 → 16 dims through the
+    * portable integer-formula planes (table seed 9); long-form values at
+    * 9dp. The oracle regenerates the planes and replays every dot product.
+    */
+  def q99RandomProjection(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection.projectLong(
+      Tables.embeddings(s, dir),
+      graft.operators.Similarity.portablePlanes(bits = 16, dims = 64, table = 9))
+
+  val q99Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (SELECT b, d,
+      |    (((9*100003 + b*64 + d + 1) * 2654435761) % 4294967296) / 2147483648.0 - 1.0 AS c
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS b) bb,
+      |       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+      |pl AS (SELECT b, list(c ORDER BY d) AS pv FROM planes GROUP BY 1)
+      |SELECT e.vec_id, CAST(p.b AS BIGINT) AS rdim,
+      |  round(list_dot_product(e.v, p.pv), 9) AS value_r
+      |FROM e CROSS JOIN pl p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_dup_spans" -> (q94DupSpans _),
     "q95_hashed_classifier" -> (q95HashedClassifier _),
     "q96_pq_adc" -> (q96PqAdc _),
-    "q97_funnel" -> (q97Funnel _))
+    "q97_funnel" -> (q97Funnel _),
+    "q98_retention" -> (q98Retention _),
+    "q99_random_projection" -> (q99RandomProjection _))
 
   val oracleSql: Map[String, String] = Map(
     "q94_dup_spans" -> q94Sql,
     "q95_hashed_classifier" -> q95Sql,
     "q96_pq_adc" -> q96Sql,
-    "q97_funnel" -> q97Sql)
+    "q97_funnel" -> q97Sql,
+    "q98_retention" -> q98Sql,
+    "q99_random_projection" -> q99Sql)
 }

@@ -151,6 +151,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(0).getAs[Double]("mean_hours_r") === 0.0)
   }
 
+  // ---------------- Retention ----------------
+
+  test("Retention: epoch-aligned cohorts, offsets, distinct active users") {
+    val ev = Seq(
+      (1L, 0L), (1L, 25L),           // u1: cohort bucket 0, active at offset 2
+      (2L, 5L), (2L, 11L), (2L, 13L), // u2: cohort 0, active at offset 1 (twice)
+      (3L, 21L)                       // u3: cohort 2 only
+    ).toDF("user_id", "ts_ns")
+    val out = Retention.report(ev, "user_id", "ts_ns", bucketNs = 10L)
+      .orderBy("cohort_bucket", "bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (0L, 2L, 1L, 2L, 0.5),
+      (2L, 0L, 1L, 1L, 1.0)))
+  }
+
+  // ---------------- RandomProjection ----------------
+
+  test("RandomProjection: values are the sequential-fold dots") {
+    val emb = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val planes = Array(Array(0.5, 0.25), Array(-1.0, 1.0))
+    val out = RandomProjection.projectLong(emb, planes)
+      .orderBy("vec_id", "rdim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 1.0), (1L, 1L, 1.0),
+      (2L, 0L, -0.375), (2L, 1L, 1.5)))
+  }
+
+  test("RandomProjection: wide form carries a length-r projected array") {
+    val emb = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val planes = Similarity.portablePlanes(bits = 16, dims = 64, table = 9)
+    val row = RandomProjection.project(emb, planes).select("projected").head()
+    assert(row.getSeq[Double](0).length === 16)
+  }
+
   test("Funnel: empty stage yields zero count and 0.0 mean (no NaN)") {
     val out = Funnel.report(funnelEvents, "user_id", "event_type", "ts_ns",
       Seq("view", "click", "signup"), 7L * 86400L * 1000000000L)
