@@ -56,6 +56,16 @@ object Bench {
     // local iteration: SPARK_GRAFT_ONLY=q55_...,q52_... restricts the set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Between queries: drop any CacheManager entries a query may have
+    // created and nudge the ContextCleaner (localCheckpoint blocks are
+    // freed on driver GC) so the scoreboard measures QUERIES, not the
+    // cumulative pinned-storage interference that tanked round 4 — 99
+    // queries × 2 trials of accumulated blocks squeezed execution memory
+    // until the whole suite GC-thrashed.
+    def resetSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => only.isEmpty || only(t._1)).map { case (name, fn) =>
       // a throwing trial must NOT contribute a (fast) failure duration to
@@ -63,10 +73,20 @@ object Bench {
       // breakage marker in the JSON
       val times = (1 to trials).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        val r = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        resetSessionState()
+        r
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // GC at query boundaries (outside any timed region) nudges the
+      // ContextCleaner to reclaim the finished query's localCheckpoint
+      // blocks; per-trial it would only add wall-clock.
+      System.gc()
+      val best = if (times.nonEmpty) times.min else -1.0
+      // one line per completed query: a driver-side stall is attributable
+      // to a query from the captured stdout tail alone
+      println(f"[q] $name $best%.3fs")
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -75,14 +95,18 @@ object Bench {
     // a ~2 KB tail of stdout, and a 91-query JSON line (~4 KB) gets its head
     // truncated there (round-3 BENCH parsed:null). Stdout gets a compact
     // final line — total + the slowest queries at 3 dp — that always fits.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"),
+    // SPARK_GRAFT_ONLY iteration runs must not clobber the committed
+    // full-suite history (round 4 committed a one-query BENCH_local.json)
+    val outFile =
+      if (only.isEmpty) "BENCH_local.json" else "BENCH_local_partial.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // silence any trailing executor/stop chatter so this stays the tail
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"full":"BENCH_local.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,6 +156,85 @@ object Multimodal {
       lit("0" * 32),                            // x/y ppm, clrUsed, clrImportant
       hex(data)))
 
+  /** Pixel-statistics decode over media rows: REAL pixel decode
+    * ([[PixelDecode]] — BMP byte walk, PNG via the JDK inflater), emitting
+    * per-channel mean/min/max in RGB order plus two position-sensitive
+    * probes (`top_left_r`, `bottom_right_b`) that expose row-order bugs
+    * (BMP bottom-up flip) which order-invariant stats cannot see.
+    * Gray/gray+alpha images replicate the gray channel across r/g/b; RGBA
+    * contributes its first three channels. Undecodable payloads yield null
+    * stats (quarantine, not crash).
+    */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("r_mean", DoubleType), StructField("r_min", IntegerType),
+      StructField("r_max", IntegerType),
+      StructField("g_mean", DoubleType), StructField("g_min", IntegerType),
+      StructField("g_max", IntegerType),
+      StructField("b_mean", DoubleType), StructField("b_min", IntegerType),
+      StructField("b_max", IntegerType),
+      StructField("top_left_r", IntegerType),
+      StructField("bottom_right_b", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          PixelDecode.decode(payload) match {
+            case Some(img) =>
+              val st = PixelDecode.channelStats(img)
+              val n = (img.width.toLong * img.height).toDouble
+              // channel index per color under the RGB normalization
+              val (ri, gi, bi) = img.channels match {
+                case 1 | 2 => (0, 0, 0) // gray (+alpha): replicate
+                case _ => (0, 1, 2)     // rgb / rgba
+              }
+              // raw IEEE division of exact integers — bit-identical in any
+              // engine computing sum_double / n_double, no rounding needed
+              def mean(i: Int) = st(i)._1.toDouble / n
+              Row(id, img.format, img.width, img.height, img.channels,
+                mean(ri), st(ri)._2, st(ri)._3,
+                mean(gi), st(gi)._2, st(gi)._3,
+                mean(bi), st(bi)._2, st(bi)._3,
+                img.at(0, 0, ri),
+                img.at(img.height - 1, img.width - 1, bi))
+            case None =>
+              Row(id, null, null, null, null, null, null, null, null, null,
+                null, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** A real padded 24-bit BMP whose pixel (r, c, channel∈{0=R,1=G,2=B})
+    * carries the deterministic value `(id*31 + r*7 + c*3 + ch*11) % 256` —
+    * assembled entirely in Column byte math: bottom-up file row order, BGR
+    * byte order, rows zero-padded to the 4-byte stride. An oracle replays
+    * the FORMULA (never touching bytes), so any defect in this encoder or
+    * in [[PixelDecode]]'s walk (offset, stride, BGR, bottom-up flip) breaks
+    * the comparison.
+    */
+  def syntheticBmpPattern(id: Column, width: Column, height: Column): Column = {
+    def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+    def sample(r: Column, c: Column, ch: Int): Column =
+      hexByte(pmod(id * 31 + r * 7 + c * 3 + lit(ch) * 11, lit(256)))
+    val stride = floor((width * 3 + lit(3)) / lit(4)).cast("int") * 4
+    val padHex = repeat(lit("00"), (stride - width * 3).cast("int"))
+    val rowHex = (r: Column) => concat(
+      array_join(transform(sequence(lit(0), width - 1),
+        c => concat(sample(r, c, 2), sample(r, c, 1), sample(r, c, 0))), ""),
+      padHex)
+    val pixelArray = unhex(array_join(
+      transform(sequence(height - 1, lit(0), lit(-1)), rowHex), ""))
+    syntheticBmp(width, height, pixelArray)
+  }
+
   /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) so the
     * multimodal path is exercisable on the driver fixtures.
     */

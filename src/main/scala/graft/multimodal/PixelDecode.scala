@@ -1,0 +1,185 @@
+package graft.multimodal
+
+/** Real PIXEL decode for the two container formats that need no external
+  * codec — closing the last stubbed sliver of the multimodal path
+  * (reference keeps decode in its Python handlers; here it is
+  * first-principles byte work plus the JDK's zlib):
+  *
+  *  - BMP: uncompressed 24-bit (BI_RGB), bottom-up or top-down, 4-byte row
+  *    stride, BGR byte order — pure arithmetic over the pixel array.
+  *  - PNG (RFC 2083): 8-bit-depth gray / truecolor / gray+alpha / RGBA,
+  *    non-interlaced — IDAT chunks concatenated, inflated with
+  *    `java.util.zip.Inflater` (in the JDK, no new dependency), and each
+  *    scanline de-filtered (None/Sub/Up/Average/Paeth).
+  *
+  * Anything else (palette PNGs, interlace, 16-bit depth, RLE BMPs, JPEG —
+  * which needs a DCT codec) returns None: at corpus scale a decode stage
+  * quarantines what it cannot parse, it never crashes the scan.
+  */
+object PixelDecode {
+
+  /** Decoded pixel grid: row-major samples, `channels` interleaved per
+    * pixel, top row first. BMP is normalized to RGB order; PNG keeps its
+    * native sample order (gray / RGB / gray+alpha / RGBA).
+    */
+  final case class Image(
+      format: String, width: Int, height: Int, channels: Int,
+      samples: Array[Int]) {
+    /** Sample value at image row `r`, column `c`, channel `ch`. */
+    def at(r: Int, c: Int, ch: Int): Int =
+      samples((r * width + c) * channels + ch)
+  }
+
+  def decode(b: Array[Byte]): Option[Image] = {
+    if (b == null) return None
+    try {
+      if (isBmp(b)) decodeBmp(b)
+      else if (isPng(b)) decodePng(b)
+      else None
+    } catch { case _: Exception => None } // truncated/corrupt → quarantine
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  // ---- BMP ----
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+  private def decodeBmp(b: Array[Byte]): Option[Image] = {
+    if (le32(b, 14) < 40) return None          // need BITMAPINFOHEADER+
+    if (le16(b, 28) != 24) return None         // 24-bit only
+    if (le32(b, 30) != 0) return None          // BI_RGB (uncompressed) only
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4         // rows padded to 4 bytes
+    if (off.toLong + stride.toLong * h > b.length) return None
+    val out = new Array[Int](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val fileRow = if (topDown) r else h - 1 - r // bottom-up by default
+      val base = off + fileRow * stride
+      var c = 0
+      while (c < w) {
+        val p = base + c * 3                   // stored B,G,R → emit R,G,B
+        val o = (r * w + c) * 3
+        out(o) = u8(b, p + 2)
+        out(o + 1) = u8(b, p + 1)
+        out(o + 2) = u8(b, p)
+        c += 1
+      }
+      r += 1
+    }
+    Some(Image("bmp", w, h, 3, out))
+  }
+
+  // ---- PNG ----
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 33 && b.take(8).sameElements(pngSig)
+
+  private def decodePng(b: Array[Byte]): Option[Image] = {
+    if (be32(b, 8) != 13 || be32(b, 12) != 0x49484452) return None // IHDR first
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val bitDepth = u8(b, 24)
+    val colorType = u8(b, 25)
+    if (u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return None // compression/filter/interlace
+    if (bitDepth != 8) return None
+    val channels = colorType match {
+      case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
+    }
+    if (w <= 0 || h <= 0) return None
+
+    // concatenate IDAT chunk payloads (chunk walk, CRCs not re-verified —
+    // the inflater + expected-length check catch corruption)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33
+    var sawEnd = false
+    while (i + 8 <= b.length && !sawEnd) {
+      val len = be32(b, i)
+      val typ = be32(b, i + 4)
+      if (len < 0 || i + 12 + len > b.length) return None
+      if (typ == 0x49444154) idat.write(b, i + 8, len)        // IDAT
+      else if (typ == 0x49454e44) sawEnd = true               // IEND
+      i += 12 + len
+    }
+    if (idat.size() == 0) return None
+
+    // inflate to exactly (1 filter byte + w*channels) per scanline
+    val bpr = w * channels
+    val expected = h.toLong * (bpr + 1)
+    if (expected > Int.MaxValue) return None
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got != raw.length) return None
+
+    // de-filter (RFC 2083 §6): prior = reconstructed byte bpp to the left,
+    // above = reconstructed byte in the row above
+    val bpp = channels // bytes per pixel at bit depth 8
+    val recon = new Array[Int](h * bpr)
+    var r = 0
+    while (r < h) {
+      val filter = raw(r * (bpr + 1)) & 0xff
+      var x = 0
+      while (x < bpr) {
+        val v = raw(r * (bpr + 1) + 1 + x) & 0xff
+        val a = if (x >= bpp) recon(r * bpr + x - bpp) else 0
+        val up = if (r > 0) recon((r - 1) * bpr + x) else 0
+        val c = if (r > 0 && x >= bpp) recon((r - 1) * bpr + x - bpp) else 0
+        val rec = filter match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + (a + up) / 2
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        recon(r * bpr + x) = rec & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    Some(Image("png", w, h, channels, recon))
+  }
+
+  /** Per-channel (sum, min, max) over an image's samples in one pass. */
+  def channelStats(img: Image): Array[(Long, Int, Int)] = {
+    val sums = new Array[Long](img.channels)
+    val mins = Array.fill(img.channels)(255)
+    val maxs = Array.fill(img.channels)(0)
+    var i = 0
+    while (i < img.samples.length) {
+      val ch = i % img.channels
+      val v = img.samples(i)
+      sums(ch) += v
+      if (v < mins(ch)) mins(ch) = v
+      if (v > maxs(ch)) maxs(ch) = v
+      i += 1
+    }
+    Array.tabulate(img.channels)(ch => (sums(ch), mins(ch), maxs(ch)))
+  }
+}

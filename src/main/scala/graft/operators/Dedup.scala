@@ -149,10 +149,11 @@ object Dedup {
     */
   def allPairsJaccard(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
-    // three consumers (sizes + both join sides) — persist so tokenization
-    // and the explode run once, not three times
-    val pairs = hashedShinglePairs(df, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers (sizes + both join sides) — materialize once so
+    // tokenization and the explode run once, not three times; blocks are
+    // ContextCleaner-reclaimed when the result goes out of scope
+    val pairs = Materialize.once(
+      hashedShinglePairs(df, textCol, idCol, shingleSize))
     // shingles() already emits distinct shingles per doc → plain count
     val sizes = pairs.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = pairs.select(col("sh"), col("id").as("id_a"))
@@ -176,13 +177,12 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // Shared by the signature pass and the verification joins — persist so
-    // tokenization/explode runs once. The block stays pinned until the
-    // session GCs the plan (ContextCleaner); callers running many corpora
-    // through one session can copy this composition and unpersist
-    // explicitly after materializing results.
-    val pairs = hashedShinglePairs(df, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shared by the signature pass and the verification joins —
+    // materialized once so tokenization/explode runs once; unlike persist,
+    // the blocks are released (ContextCleaner) as soon as callers drop the
+    // result, so many-corpora sessions don't accumulate pinned storage.
+    val pairs = Materialize.once(
+      hashedShinglePairs(df, textCol, idCol, shingleSize))
     val sigs = minhashSignaturesFromPairs(pairs, numHashes)
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     jaccardVerify(cands, pairs).filter(col("jaccard") >= threshold)
@@ -214,8 +214,12 @@ object Dedup {
       textCol: String, idCol: String, threshold: Double = 0.7,
       numHashes: Int = 32, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val newPairs = hashedShinglePairs(newBatch, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probeIndex is designed for REPEATED daily-batch invocation in one
+    // long-lived session — each intermediate is materialized once and
+    // released by the ContextCleaner when the call's results are consumed,
+    // so batch N's blocks never survive into batch N+1.
+    val newPairs = Materialize.once(
+      hashedShinglePairs(newBatch, textCol, idCol, shingleSize))
     val newSigs = minhashSignaturesFromPairs(newPairs, numHashes)
     val newBanded = bandSignatures(newSigs, bands, numHashes / bands)
     val vsIndex = newBanded
@@ -226,10 +230,9 @@ object Dedup {
     val within = lshCandidatePairs(newSigs, bands, numHashes / bands)
     // cands feeds BOTH the old-side doc lookup and the verify join, and its
     // subtree (bucket joins over the banded index) is the expensive part —
-    // without a persist every downstream consumer re-runs the whole
+    // without materialization every downstream consumer re-runs the whole
     // hash/band/join pipeline (measured 100 s → 8 s at sf0.1, local[32]).
-    val cands = vsIndex.unionByName(within).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Materialize.once(vsIndex.unionByName(within).distinct())
     // shingle only the candidate old-side documents
     val oldIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
@@ -238,9 +241,8 @@ object Dedup {
       Seq(idCol), "left_semi")
     val oldPairs = hashedShinglePairs(oldDocs, textCol, idCol, shingleSize)
     // verify reads the pair relation three times (set sizes + both join
-    // sides) — pin the union so the old-side point lookup runs once
-    val verifyPairs = newPairs.unionByName(oldPairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides) — materialize the union so the old-side point lookup runs once
+    val verifyPairs = Materialize.once(newPairs.unionByName(oldPairs))
     jaccardVerify(cands, verifyPairs)
       .filter(col("jaccard") >= threshold)
   }
@@ -321,25 +323,31 @@ object Dedup {
     * logged rather than absorbed.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round is MATERIALIZED (eager localCheckpoint): labels round N is
+    // a plan LEAF, so round N+1 plans a constant-size DAG instead of
+    // re-optimizing N nested join layers — at 100× scale the replanning
+    // cost of a growing lineage dominates long before the data does. The
+    // previous round's blocks become unreachable when `labels` is rebound
+    // and are reclaimed by the ContextCleaner (vs persist, which pins them
+    // in the CacheManager for the session's lifetime).
+    val edges = Materialize.once(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = Materialize.once(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val prev = labels
-      val next = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("cluster"))
-        .unionByName(prev)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = Materialize.once(
+        edges.join(labels, edges("dst") === labels("id"))
+          .select(col("src").as("id"), col("cluster"))
+          .unionByName(prev)
+          .groupBy(col("id")).agg(min(col("cluster")).as("cluster")))
       converged = next.join(prev.withColumnRenamed("cluster", "__old"), Seq("id"))
         .filter(col("cluster") =!= col("__old"))
         .isEmpty
-      prev.unpersist()
       labels = next
       i += 1
     }
@@ -348,7 +356,6 @@ object Dedup {
         s"clusters(): min-label propagation did NOT converge in $maxIter " +
           "rounds; a component with diameter > maxIter is split into " +
           "multiple clusters. Raise maxIter for chain-shaped duplicate sets.")
-    edges.unpersist()
     labels
   }
 

@@ -25,8 +25,13 @@ object Funnel {
     * mean_hours_r is the mean nanos from stage-0 entry to this stage,
     * in hours rounded to 6dp (0.0 for stage 0).
     */
-  def report(events: DataFrame, userCol: String, typeCol: String,
-      tsNsCol: String, stages: Seq[String], windowNs: Long): DataFrame = {
+  /** The per-user stage frames: element i holds (u, t0, t_prev) for every
+    * user who reached stage i in order — t0 = stage-0 entry time, t_prev =
+    * time this stage was reached.
+    */
+  private def stageFrames(events: DataFrame, userCol: String,
+      typeCol: String, tsNsCol: String, stages: Seq[String],
+      windowNs: Long): Seq[DataFrame] = {
     require(stages.nonEmpty, "at least one funnel stage")
     val base = events
       .select(col(userCol).as("u"), col(typeCol).as("et"),
@@ -35,13 +40,26 @@ object Funnel {
       .groupBy(col("u"))
       .agg(min(col("t")).as("t0"))
       .withColumn("t_prev", col("t0"))
-    val chain = stages.tail.scanLeft(s0) { (prev, st) =>
+    stages.tail.scanLeft(s0) { (prev, st) =>
       base.filter(col("et") === st)
         .join(prev.select(col("u"), col("t0"), col("t_prev")), Seq("u"))
         .filter(col("t") > col("t_prev") && col("t") <= col("t0") + windowNs)
         .groupBy(col("u"))
         .agg(min(col("t0")).as("t0"), min(col("t")).as("t_prev"))
     }
+  }
+
+  /** Per-user completion frame: one row (u, t0, t_prev) per user who
+    * reached the LAST stage in order — the composable form (join it back
+    * to cohorts, sessions, …); [[report]] is its rollup.
+    */
+  def completions(events: DataFrame, userCol: String, typeCol: String,
+      tsNsCol: String, stages: Seq[String], windowNs: Long): DataFrame =
+    stageFrames(events, userCol, typeCol, tsNsCol, stages, windowNs).last
+
+  def report(events: DataFrame, userCol: String, typeCol: String,
+      tsNsCol: String, stages: Seq[String], windowNs: Long): DataFrame = {
+    val chain = stageFrames(events, userCol, typeCol, tsNsCol, stages, windowNs)
     chain.zip(stages).zipWithIndex.map { case ((df, st), i) =>
       df.agg(
           count(lit(1)).as("n_users"),

@@ -32,23 +32,21 @@ object GlobalOrder {
     val ord = orderCols.map(col)
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    // persist (lazily) so both consumers below read the SAME materialized
-    // partitioning — partition ids must be identical between the running-sum
-    // branch and the totals branch, and block-level caching guarantees each
-    // partition is computed exactly once even under concurrent consumers.
-    // Deliberate tradeoff: the cache has no safe unpersist point (the result
-    // is lazy and may be consumed repeatedly), so each call pins one
-    // vertex-set-sized relation; callers invoking this in a long-lived JVM
-    // at high frequency should scope a session or accept block eviction.
-    val local = df
+    // materialize EAGERLY so both consumers below read the SAME
+    // materialized partitioning — partition ids must be identical between
+    // the running-sum branch and the totals branch, and the checkpointed
+    // blocks guarantee each partition is computed exactly once. Unlike the
+    // earlier persist() (which had no safe unpersist point and pinned one
+    // vertex-set-sized relation per call for the session's lifetime), the
+    // blocks are ContextCleaner-reclaimed when callers drop the result.
+    val local = Materialize.once(df
       .repartitionByRange(n, ord: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value.cast("long"))
       .withColumn("__local",
         sum(col("__v")).over(
           Window.partitionBy(col("__pid")).orderBy(ord: _*)
-            .rowsBetween(Window.unboundedPreceding, 0)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .rowsBetween(Window.unboundedPreceding, 0))))
 
     // Per-partition totals → exclusive prefix via a tiny self-join
     // (p2 < p1): one row per partition, so O(P²) pairs at P = shuffle

@@ -23,11 +23,26 @@ object RandomProjection {
     aggregate(zip_with(transform(vec, _.cast("double")), typedLit(plane),
       (x, w) => x * w), lit(0.0), (acc, t) => acc + t)
 
-  /** Wide form: input row + `projected` array<double> of length r. */
+  /** Wide form: input row + `projected` array<double> of length r.
+    *
+    * The vector length MUST equal the plane dimensionality — the guard
+    * fails the job loudly on mismatch, mirroring
+    * [[Similarity.lshSignature]]'s contract (zip_with would otherwise
+    * null-pad and silently emit null projected values).
+    */
   def project(emb: DataFrame, planes: Array[Array[Double]],
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    require(planes.nonEmpty, "need at least one projection plane")
+    val dims = planes.head.length
+    require(planes.forall(_.length == dims),
+      s"all plane rows must have $dims components")
     emb.withColumn("projected",
-      array(planes.map(p => dot(col(vecCol), p)): _*))
+      when(size(col(vecCol)) === lit(dims),
+        array(planes.map(p => dot(col(vecCol), p)): _*))
+        .otherwise(raise_error(concat(
+          lit(s"RandomProjection: vector length "), size(col(vecCol)),
+          lit(s" != plane dimensionality $dims")))))
+  }
 
   /** Long form for exact comparison: (id, rdim, value_r) — one row per
     * reduced dimension, 9dp-rounded.

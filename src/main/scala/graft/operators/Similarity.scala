@@ -173,9 +173,11 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = centroids
-      .getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize so the k-means training subtree runs once for the two
+    // consumers (inverted index + query routing); the tiny (nlist-row)
+    // result is ContextCleaner-reclaimed after the call's plans are dropped
+    val cents = Materialize.once(centroids
+      .getOrElse(ivfCentroids(corpus, nlist, iters, idCol, vecCol)))
     val inverted = assignCells(corpus, cents, idCol, vecCol)
     // query → nprobe cells (tiny relation: |queries| × nlist before rank)
     val qCells = queries

@@ -49,11 +49,13 @@ object MasterQueries {
     */
   def q45MasterResolve(s: SparkSession, dir: String): DataFrame = {
     // The master is consumed by three joins inside resolve (intervals,
-    // usage, activity) — cache the dimension-build instead of recomputing
-    // it per consumer. (localCheckpoint was tried to also truncate the
-    // re-planned lineage, but its Dataset→RDD materialization costs more
-    // than the duplicate planning saves at dimension scale.)
-    val master = deriveMaster(s, dir).cache()
+    // usage, activity) — materialize the dimension-build once instead of
+    // recomputing it per consumer. Eager localCheckpoint costs one tiny
+    // extra job over cache() at dimension scale, but its blocks are
+    // ContextCleaner-reclaimed when the query's plans are dropped, where a
+    // cache() entry stays pinned in the CacheManager for the session's
+    // lifetime (the round-4 bench regression).
+    val master = graft.operators.Materialize.once(deriveMaster(s, dir))
     val probes = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name").as("symbol"),

@@ -209,7 +209,136 @@ object PipelineQueries {
       |  round(list_dot_product(e.v, p.pv), 9) AS value_r
       |FROM e CROSS JOIN pl p""".stripMargin
 
+  /** Real PIXEL decode end to end ([[graft.multimodal.PixelDecode]]): each
+    * document becomes a real padded 24-bit BMP whose pixel values follow an
+    * integer formula ([[graft.multimodal.Multimodal.syntheticBmpPattern]] —
+    * bottom-up rows, BGR bytes, 4-byte stride, assembled in Column byte
+    * math); [[graft.multimodal.Multimodal.pixelStats]] walks the bytes back
+    * into per-channel stats. The oracle replays the FORMULA over the
+    * (row, col, channel) grid without touching bytes, so any defect in the
+    * encoder or the decoder (offset, stride, BGR order, bottom-up flip —
+    * the flip is pinned by the position-sensitive `top_left_r` /
+    * `bottom_right_b` probes) hash-mismatches. PNG pixel decode (inflate +
+    * de-filter) is spec-gated in PixelDecodeSpec — a valid zlib stream
+    * cannot be authored in SQL.
+    */
+  def q100PixelStats(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(1) + col("doc_id") % 5).cast("int")
+    val h = (lit(1) + col("doc_id") % 4).cast("int")
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticBmpPattern(col("doc_id"), w, h)
+        .as("payload"))
+    graft.multimodal.Multimodal.pixelStats(media)
+  }
+
+  val q100Sql: String =
+    """WITH g AS (SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS w,
+      |                  CAST(1 + doc_id % 4 AS INT) AS h FROM documents),
+      |px1 AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(h-1 AS BIGINT))) AS r FROM g),
+      |px2 AS (SELECT doc_id, w, h, r, unnest(generate_series(0, CAST(w-1 AS BIGINT))) AS c FROM px1),
+      |px AS (SELECT doc_id, w, h, r, c, unnest([0, 1, 2]) AS ch FROM px2),
+      |pxv AS (SELECT doc_id, w, h, r, c, ch,
+      |         CAST((doc_id*31 + r*7 + c*3 + ch*11) % 256 AS INT) AS v FROM px)
+      |SELECT doc_id AS media_id, 'bmp' AS format, w AS width, h AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  CAST(sum(CASE WHEN ch = 0 THEN v END) AS DOUBLE) / (w*h) AS r_mean,
+      |  CAST(min(CASE WHEN ch = 0 THEN v END) AS INT) AS r_min,
+      |  CAST(max(CASE WHEN ch = 0 THEN v END) AS INT) AS r_max,
+      |  CAST(sum(CASE WHEN ch = 1 THEN v END) AS DOUBLE) / (w*h) AS g_mean,
+      |  CAST(min(CASE WHEN ch = 1 THEN v END) AS INT) AS g_min,
+      |  CAST(max(CASE WHEN ch = 1 THEN v END) AS INT) AS g_max,
+      |  CAST(sum(CASE WHEN ch = 2 THEN v END) AS DOUBLE) / (w*h) AS b_mean,
+      |  CAST(min(CASE WHEN ch = 2 THEN v END) AS INT) AS b_min,
+      |  CAST(max(CASE WHEN ch = 2 THEN v END) AS INT) AS b_max,
+      |  CAST(max(CASE WHEN r = 0 AND c = 0 AND ch = 0 THEN v END) AS INT)
+      |    AS top_left_r,
+      |  CAST(max(CASE WHEN r = h-1 AND c = w-1 AND ch = 2 THEN v END) AS INT)
+      |    AS bottom_right_b
+      |FROM pxv GROUP BY doc_id, w, h""".stripMargin
+
+  /** Composite product-analytics dashboard — the report a training-data
+    * curation pipeline runs over its interaction telemetry: per 7-day
+    * cohort, size + week-1 retention ([[graft.operators.Retention]]),
+    * mean 12-hour-gap session count per user (gaps-and-islands, the batch
+    * analogue of q55's streaming sessionize), and the rate of users
+    * completing the ordered view→click→purchase funnel within 7 days
+    * ([[graft.operators.Funnel.completions]]). Three operator families
+    * composed through user-keyed joins — cohort-cardinality relations
+    * only, the event stream is never collected or globally windowed.
+    */
+  def q101CurationDashboard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketNs = 7L * 86400L * 1000000000L
+    val gapNs = 12L * 3600L * 1000000000L
+    val evRaw = Tables.events(s, dir)
+    val ret = graft.operators.Retention.report(evRaw, "user_id", "ts_ns", bucketNs)
+    val sizes = ret.select(col("cohort_bucket"), col("n_cohort")).distinct()
+    val w1 = ret.filter(col("bucket_offset") === 1)
+      .select(col("cohort_bucket"), col("n_active").as("w1_active"))
+    val ev = evRaw.select(col("user_id").as("u"), col("ts_ns").cast("long").as("t"))
+    val cohorts = ev.groupBy(col("u"))
+      .agg(expr(s"min(t) div $bucketNs").as("cohort_bucket"))
+    val byUser = Window.partitionBy(col("u")).orderBy(col("t"))
+    val sess = ev.withColumn("pt", lag(col("t"), 1).over(byUser))
+      .groupBy(col("u"))
+      .agg((lit(1L) + sum(when(col("t") - col("pt") > gapNs, 1L).otherwise(0L)))
+        .as("n_sessions"))
+    val meanSess = cohorts.join(sess, Seq("u"))
+      .groupBy(col("cohort_bucket"))
+      .agg(round(sum(col("n_sessions")).cast("double") / count(lit(1)), 6)
+        .as("mean_sessions_r"))
+    val completed = graft.operators.Funnel.completions(evRaw, "user_id",
+      "event_type", "ts_ns", Seq("view", "click", "purchase"), bucketNs)
+    val rate = completed.select(col("u")).join(cohorts, Seq("u"))
+      .groupBy(col("cohort_bucket")).agg(count(lit(1)).as("n_completed"))
+    sizes
+      .join(w1, Seq("cohort_bucket"), "left")
+      .join(meanSess, Seq("cohort_bucket"), "left")
+      .join(rate, Seq("cohort_bucket"), "left")
+      .select(col("cohort_bucket"), col("n_cohort"),
+        coalesce(col("w1_active"), lit(0L)).as("w1_active"),
+        round(coalesce(col("w1_active"), lit(0L)) /
+          col("n_cohort").cast("double"), 9).as("w1_retention_r"),
+        coalesce(col("mean_sessions_r"), lit(0.0)).as("mean_sessions_r"),
+        round(coalesce(col("n_completed"), lit(0L)) /
+          col("n_cohort").cast("double"), 6).as("funnel_rate_r"))
+  }
+
+  val q101Sql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) AS t FROM events),
+      |coh AS (SELECT u, min(t) // 604800000000000 AS cb FROM e GROUP BY 1),
+      |sizes AS (SELECT cb, CAST(count(*) AS BIGINT) AS n_cohort FROM coh GROUP BY 1),
+      |w1 AS (SELECT c.cb, CAST(count(DISTINCT e.u) AS BIGINT) AS w1_active
+      |       FROM e JOIN coh c ON e.u = c.u
+      |       WHERE (e.t // 604800000000000) - c.cb = 1 GROUP BY 1),
+      |sess AS (SELECT u, 1 + sum(CASE WHEN t - pt > 43200000000000 THEN 1 ELSE 0 END) AS ns
+      |         FROM (SELECT u, t, lag(t) OVER (PARTITION BY u ORDER BY t) AS pt FROM e)
+      |         GROUP BY 1),
+      |ms AS (SELECT c.cb, round(CAST(sum(s.ns) AS DOUBLE) / count(*), 6) AS mean_sessions_r
+      |       FROM coh c JOIN sess s ON c.u = s.u GROUP BY 1),
+      |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.u, min(s0.t0) AS t0, min(e.t) AS t1 FROM e JOIN s0 ON e.u = s0.u
+      |       WHERE e.et = 'click' AND e.t > s0.t0 AND e.t <= s0.t0 + 604800000000000
+      |       GROUP BY e.u),
+      |s2 AS (SELECT e.u FROM e JOIN s1 ON e.u = s1.u
+      |       WHERE e.et = 'purchase' AND e.t > s1.t1 AND e.t <= s1.t0 + 604800000000000
+      |       GROUP BY e.u),
+      |fr AS (SELECT c.cb, CAST(count(*) AS BIGINT) AS n_completed
+      |       FROM s2 JOIN coh c ON s2.u = c.u GROUP BY 1)
+      |SELECT z.cb AS cohort_bucket, z.n_cohort,
+      |  COALESCE(w1.w1_active, 0) AS w1_active,
+      |  round(COALESCE(w1.w1_active, 0) / CAST(z.n_cohort AS DOUBLE), 9) AS w1_retention_r,
+      |  COALESCE(ms.mean_sessions_r, 0.0) AS mean_sessions_r,
+      |  round(COALESCE(fr.n_completed, 0) / CAST(z.n_cohort AS DOUBLE), 6) AS funnel_rate_r
+      |FROM sizes z
+      |LEFT JOIN w1 ON z.cb = w1.cb
+      |LEFT JOIN ms ON z.cb = ms.cb
+      |LEFT JOIN fr ON z.cb = fr.cb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_pixel_stats" -> (q100PixelStats _),
+    "q101_curation_dashboard" -> (q101CurationDashboard _),
     "q94_dup_spans" -> (q94DupSpans _),
     "q95_hashed_classifier" -> (q95HashedClassifier _),
     "q96_pq_adc" -> (q96PqAdc _),
@@ -218,6 +347,8 @@ object PipelineQueries {
     "q99_random_projection" -> (q99RandomProjection _))
 
   val oracleSql: Map[String, String] = Map(
+    "q100_pixel_stats" -> q100Sql,
+    "q101_curation_dashboard" -> q101Sql,
     "q94_dup_spans" -> q94Sql,
     "q95_hashed_classifier" -> q95Sql,
     "q96_pq_adc" -> q96Sql,

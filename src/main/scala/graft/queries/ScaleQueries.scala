@@ -374,16 +374,16 @@ object ScaleQueries {
     */
   def q67CoverageReport(s: SparkSession, dir: String): DataFrame = {
     // distinct (user, day) is the shared base: bounds→spine, per-user
-    // spans, and observed days all derive from it. PERSIST it — plain
+    // spans, and observed days all derive from it. MATERIALIZE it — plain
     // exchange reuse does not fire here (the optimizer rewrites each
     // consumer differently, e.g. collapsing min/max over the distinct into
     // aggs over the raw scan, so the subtrees stop being identical and the
     // fact table would be scanned once PER consumer). The cached set is
     // |users|×|days| rows — dimension-scale next to the fact table.
-    val days = Tables.events(s, dir)
-      .select(col("user_id"), col("ts").cast("date").as("day"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = graft.operators.Materialize.once(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct())
     val spine = graft.ticks.Calendar.weekdaySpineFromBounds(
       days.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
     graft.lake.Validation.coverageReport(days, "user_id", "day", spine)
@@ -669,10 +669,12 @@ object ScaleQueries {
       lpad((col("s_suppkey") + 900000).cast("string"), 10, "0").as("cik"),
       col("s_name").as("company"))
     // applySnapshot consumes the master in three subplans (extension join,
-    // existing-key anti-join, max-sid agg) — cache the dimension build, as
-    // q45 does, instead of re-running its prefix-sum assignment three times.
+    // existing-key anti-join, max-sid agg) — materialize the dimension
+    // build, as q45 does, instead of re-running its prefix-sum assignment
+    // three times (and instead of cache(), whose CacheManager entry would
+    // pin the blocks for the session's lifetime).
     graft.master.SecurityMaster.applySnapshot(
-        MasterQueries.deriveMaster(s, dir).cache(),
+        graft.operators.Materialize.once(MasterQueries.deriveMaster(s, dir)),
         snapExisting.unionByName(snapNew),
         java.sql.Date.valueOf("2003-06-30"))
       .select(col("security_id"), col("permno"), col("symbol"), col("cik"),

@@ -160,6 +160,11 @@ object TextQueries {
     // collision curve keeps recall complete at the gated margin (verified
     // against the exact oracle at sf0.01 AND sf0.1) while cutting bucket
     // collisions — and with them the verify join — by orders of magnitude.
+    // ASSUMPTION, not a universal default: this is only sound because the
+    // similarity profile is bimodal. A corpus with pairs near the 0.2
+    // threshold (e.g. J≈0.5: ~60% miss under J⁴) needs banding re-sized to
+    // the threshold — DedupSpec's mid-similarity adversarial fixture pins
+    // that parameterization (32×1 there) by asserting LSH == exact.
     Dedup.nearDuplicates(Tables.documents(s, dir), "text", "doc_id",
       threshold = 0.2, numHashes = 32, bands = 8)
 

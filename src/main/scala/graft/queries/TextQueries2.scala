@@ -369,8 +369,13 @@ object TextQueries2 {
     * name heuristics, universe/current.py:20-88).
     */
   def q41RegexFilter(s: SparkSession, dir: String): DataFrame =
+    // predicate terms chosen over the FIXTURE vocabulary (p_name is
+    // "<adj> <noun>" with nouns ring/bolt/widget/…, p_brand is Brand#N) so
+    // the gate filters a nonzero, selective subset (~10% of part) — the
+    // round-4 (brass|steel) predicate matched nothing, making the oracle
+    // comparison vacuous
     Tables.part(s, dir)
-      .filter(col("p_type").rlike("(?i)(brass|steel)") &&
+      .filter(col("p_name").rlike("(?i)(ring|bolt)") &&
         !col("p_name").contains("green") &&
         col("p_brand").startsWith("Brand#1"))
       .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_brand"))
@@ -378,7 +383,7 @@ object TextQueries2 {
   val q41Sql: String =
     """SELECT p_partkey, p_name, p_type, p_brand
       |FROM part
-      |WHERE regexp_matches(p_type, '(?i)(brass|steel)')
+      |WHERE regexp_matches(p_name, '(?i)(ring|bolt)')
       |  AND NOT contains(p_name, 'green')
       |  AND starts_with(p_brand, 'Brand#1')""".stripMargin
 

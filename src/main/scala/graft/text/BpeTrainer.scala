@@ -94,24 +94,29 @@ object BpeTrainer {
     val spark = df.sparkSession
     import scala.collection.mutable.ArrayBuffer
     val out = ArrayBuffer.empty[(Int, String, String, Long, Long)]
-    var toks = tokensExploded(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each generation is MATERIALIZED (eager localCheckpoint): generation N
+    // is a plan leaf, so round N+1 analyses a constant-size DAG instead of
+    // N nested merge-apply layers — at a real vocab size (30k merges) the
+    // replanning cost of a growing lineage dominates long before the data.
+    // Superseded generations become unreachable when `toks` is rebound and
+    // are reclaimed by the ContextCleaner; the per-round `scratch` window
+    // relation keeps its deterministic persist/unpersist lifecycle.
+    var toks = graft.operators.Materialize.once(
+      tokensExploded(df, textCol, idCol))
     var i = 1
     var done = false
     while (i <= rounds && !done) {
       round(toks) match {
         case Some((l, r, c, next, scratch)) =>
-          val persisted = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val n = persisted.count()
+          val materialized = graft.operators.Materialize.once(next)
+          val n = materialized.count()
           scratch.unpersist()
-          toks.unpersist()
-          toks = persisted
+          toks = materialized
           out += ((i, l, r, c, n))
           i += 1
         case None => done = true
       }
     }
-    toks.unpersist()
     import spark.implicits._
     out.toSeq.toDF("round", "lhs", "rhs", "cnt", "tokens_after")
   }

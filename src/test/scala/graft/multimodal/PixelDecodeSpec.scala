@@ -1,0 +1,154 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PixelDecodeSpec extends SparkTestBase {
+
+  // ---- hand-built PNG encoder (test-only): real zlib via Deflater, one
+  // chosen filter byte per scanline ----
+
+  private def crc32(b: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32(); c.update(b); c.getValue.toInt
+  }
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    bb.putInt(crc32(typ.getBytes("US-ASCII") ++ data))
+    bb.array()
+  }
+
+  /** 8-bit PNG from row-major samples; `filters(r)` picks each scanline's
+    * filter type (0-4), exercising the de-filter paths.
+    */
+  private def png(w: Int, h: Int, channels: Int, samples: Array[Int],
+      filters: Int => Int): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val bpr = w * channels
+    // raw scanlines with filter bytes, filtered per RFC 2083 §6
+    val raw = new Array[Byte](h * (bpr + 1))
+    for (r <- 0 until h) {
+      val f = filters(r)
+      raw(r * (bpr + 1)) = f.toByte
+      for (x <- 0 until bpr) {
+        val v = samples(r * bpr + x)
+        val a = if (x >= channels) samples(r * bpr + x - channels) else 0
+        val up = if (r > 0) samples((r - 1) * bpr + x) else 0
+        val c = if (r > 0 && x >= channels) samples((r - 1) * bpr + x - channels) else 0
+        val filtered = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - up
+          case 3 => v - (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(r * (bpr + 1) + 1 + x) = (filtered & 0xff).toByte
+      }
+    }
+    val deflated = {
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(out)
+      d.write(raw); d.close(); out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+  }
+
+  test("PNG 1x1 grayscale round-trips through inflate + de-filter") {
+    val img = PixelDecode.decode(png(1, 1, 1, Array(137), _ => 0)).get
+    assert((img.format, img.width, img.height, img.channels) === (("png", 1, 1, 1)))
+    assert(img.samples.toSeq === Seq(137))
+  }
+
+  test("PNG truecolor round-trips under every filter type") {
+    val samples = Array.tabulate(4 * 3 * 3)(i => (i * 37 + 11) % 256)
+    for (f <- 0 to 4) {
+      val img = PixelDecode.decode(png(3, 4, 3, samples, _ => f)).get
+      assert(img.samples.toSeq === samples.toSeq, s"filter $f")
+    }
+    // mixed filters per scanline (the realistic encoder output)
+    val mixed = PixelDecode.decode(png(3, 4, 3, samples, r => r % 5)).get
+    assert(mixed.samples.toSeq === samples.toSeq)
+  }
+
+  test("PNG RGBA and gray+alpha channel counts decode") {
+    val rgba = Array.tabulate(2 * 2 * 4)(i => (i * 53) % 256)
+    val img = PixelDecode.decode(png(2, 2, 4, rgba, _ => 4)).get
+    assert(img.channels === 4 && img.samples.toSeq === rgba.toSeq)
+    val ga = Array.tabulate(2 * 2 * 2)(i => (i * 91 + 3) % 256)
+    val img2 = PixelDecode.decode(png(2, 2, 2, ga, _ => 1)).get
+    assert(img2.channels === 2 && img2.samples.toSeq === ga.toSeq)
+  }
+
+  test("truncated or corrupt PNG quarantines (None), never throws") {
+    val good = png(3, 4, 3, Array.fill(36)(7), _ => 0)
+    // cut INSIDE the IDAT chunk (IHDR ends at byte 33, IDAT data starts at
+    // 41): the chunk length now points past the array → quarantine
+    assert(PixelDecode.decode(good.take(50)).isEmpty)
+    val badDeflate = good.clone()
+    badDeflate(45) = (badDeflate(45) ^ 0x55).toByte // corrupt zlib payload
+    // either inflater error (None via catch) or short output (None) — must not throw
+    PixelDecode.decode(badDeflate)
+    assert(PixelDecode.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PixelDecode.decode(null).isEmpty)
+  }
+
+  test("BMP decode normalizes bottom-up BGR to top-down RGB") {
+    // 2x2, distinct per-pixel colors: image row 0 = [(1,2,3),(4,5,6)],
+    // row 1 = [(7,8,9),(10,11,12)] — file stores row 1 FIRST (bottom-up),
+    // bytes per pixel B,G,R; stride 8 (2*3 padded to 4)
+    val pix = Array[Int](
+      9, 8, 7, 12, 11, 10, 0, 0, // file row 0 = image row 1, + 2 pad bytes
+      3, 2, 1, 6, 5, 4, 0, 0)    // file row 1 = image row 0
+    val header = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).putInt(54 + 16).putInt(0).putInt(54)
+      .putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val img = PixelDecode.decode(header ++ pix.map(_.toByte)).get
+    assert((img.width, img.height, img.channels) === ((2, 2, 3)))
+    assert(img.samples.toSeq ===
+      Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)) // RGB, top row first
+    assert(img.at(0, 0, 0) === 1 && img.at(1, 1, 2) === 12)
+  }
+
+  test("synthetic BMP pattern (Column byte math) decodes to the formula") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(5L, 6L, 7L, 8L).toDF("media_id")
+      .select(col("media_id"),
+        Multimodal.syntheticBmpPattern(col("media_id"),
+          (lit(1) + col("media_id") % 5).cast("int"),
+          (lit(1) + col("media_id") % 4).cast("int")).as("payload"))
+    val rows = Multimodal.pixelStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(5L, 6L, 7L, 8L)) {
+      val w = (1 + id % 5).toInt; val h = (1 + id % 4).toInt
+      def v(r: Int, c: Int, ch: Int) = ((id * 31 + r * 7 + c * 3 + ch * 11) % 256).toInt
+      val all = for { r <- 0 until h; c <- 0 until w } yield v(r, c, 0)
+      val row = rows(id)
+      assert(row.getString(1) === "bmp")
+      assert(row.getInt(2) === w && row.getInt(3) === h)
+      assert(row.getDouble(5) === all.map(_.toLong).sum.toDouble / (w * h)) // r_mean
+      assert(row.getInt(6) === all.min && row.getInt(7) === all.max)
+      assert(row.getInt(14) === v(0, 0, 0))          // top_left_r
+      assert(row.getInt(15) === v(h - 1, w - 1, 2))  // bottom_right_b
+    }
+  }
+
+  test("pixelStats quarantines undecodable payloads as null stats") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq((1L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val r = Multimodal.pixelStats(media).collect().head
+    assert(r.getLong(0) === 1L && r.isNullAt(1) && r.isNullAt(5))
+  }
+}

@@ -29,6 +29,44 @@ class DedupSpec extends SparkTestBase {
     assert(short === Seq("tiny doc"))
   }
 
+  test("mid-similarity adversarial fixture: banding sized to the threshold keeps LSH == exact") {
+    // 30 document pairs engineered at exactly J = 0.5 (14 shared + 6 own
+    // tokens → 12 shared of 18 shingles each → 12/24) — the profile q27's
+    // 8-band×4-row choice does NOT cover (its J⁴ collision curve misses a
+    // J=0.5 pair with ~60% probability; that choice is valid only on the
+    // gated corpus, where measured pair similarity is bimodal: ~0.02
+    // background vs ≥0.88 true pairs). Banding re-sized for the threshold
+    // (32 bands × 1 row: miss probability (1−J)^32 ≈ 2e-10) must make the
+    // banded result EQUAL the exact all-pairs join here — the assertion
+    // that pins how to parameterize on a non-bimodal corpus.
+    val mid = (0 until 30).flatMap { p =>
+      val shared = (0 until 14).map(i => s"w${p}_$i")
+      val a = (shared ++ (0 until 6).map(i => s"a${p}_$i")).mkString(" ")
+      val b = (shared ++ (0 until 6).map(i => s"b${p}_$i")).mkString(" ")
+      Seq((2L * p, a), (2L * p + 1, b))
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.allPairsJaccard(mid, "text", "doc_id", 0.3))
+    assert(exact.size === 30) // every engineered pair, nothing else
+    val lsh = pairs(Dedup.nearDuplicates(mid, "text", "doc_id",
+      threshold = 0.3, numHashes = 32, bands = 32))
+    assert(lsh === exact)
+  }
+
+  test("clusters: chain graph converges over many rounds with FLAT lineage") {
+    // a 13-node chain forces ~12 propagation rounds (the min label travels
+    // one hop per round) — the shape where a growing plan lineage would
+    // blow up replanning at scale. Each round is an eager localCheckpoint,
+    // so the returned plan must be a LEAF (LogicalRDD), not 12 nested join
+    // layers.
+    val chain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(chain)
+    assert(out.queryExecution.optimizedPlan.getClass.getSimpleName === "LogicalRDD")
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size === 13 && labels.values.forall(_ === 0L))
+  }
+
   test("minhash-LSH near-duplicates finds exact and near pairs, skips unrelated") {
     val nd = Dedup.nearDuplicates(docs, "text", "doc_id",
       threshold = 0.5, numHashes = 32, bands = 16)

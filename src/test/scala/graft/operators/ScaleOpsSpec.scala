@@ -150,19 +150,15 @@ class ScaleOpsSpec extends SparkTestBase {
     val df = graft.queries.ScaleQueries.q67CoverageReport(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so AQE finalizes the plan
     val plan = df.queryExecution.executedPlan.toString
-    // all three consumers (spine bounds, per-user spans, observed days)
-    // must read the InMemory base, so the events parquet is scanned only
-    // by the single cache fill — no FileScan outside InMemoryRelation
-    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
-    assert(cacheReads >= 3, s"expected >=3 cache reads:\n$plan")
-    // any FileScan line must sit under an InMemoryRelation (deeper indent),
-    // i.e. the only parquet read is the cache fill itself
-    val lines = plan.linesIterator.toSeq
-    val imrIndent = lines.filter(_.contains("InMemoryRelation"))
-      .map(_.indexOf("InMemoryRelation")).minOption.getOrElse(Int.MaxValue)
-    lines.filter(_.contains("FileScan parquet")).foreach { l =>
-      assert(l.indexOf("FileScan parquet") > imrIndent, s"uncached scan:\n$plan")
-    }
+    // the distinct (user, day) base is MATERIALIZED (eager localCheckpoint)
+    // before the query plan is built, so all three consumers (spine bounds,
+    // per-user spans, observed days) must read the checkpointed RDD leaf —
+    // and the events parquet must not appear in this plan AT ALL (its one
+    // scan happened in the materialization job)
+    val leafReads = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(leafReads >= 3, s"expected >=3 materialized-leaf reads:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"events re-scanned instead of reading the materialized base:\n$plan")
   }
 
   test("stratified sample is seed-deterministic with in-tolerance fractions") {
