@@ -1,8 +1,7 @@
 package graft.multimodal
 
-/** Real PIXEL decode for the two container formats that need no external
-  * codec — closing the last stubbed sliver of the multimodal path
-  * (reference keeps decode in its Python handlers; here it is
+/** Real PIXEL decode for the multimodal path — closing the last stubbed
+  * sliver (the reference keeps decode in its Python handlers; here it is
   * first-principles byte work plus the JDK's zlib):
   *
   *  - BMP: uncompressed 24-bit (BI_RGB), bottom-up or top-down, 4-byte row
@@ -11,10 +10,13 @@ package graft.multimodal
   *    non-interlaced — IDAT chunks concatenated, inflated with
   *    `java.util.zip.Inflater` (in the JDK, no new dependency), and each
   *    scanline de-filtered (None/Sub/Up/Average/Paeth).
+  *  - JPEG: baseline sequential via [[JpegDecode]] — Huffman entropy
+  *    decode, dequantize, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB,
+  *    all from the T.81 spec.
   *
-  * Anything else (palette PNGs, interlace, 16-bit depth, RLE BMPs, JPEG —
-  * which needs a DCT codec) returns None: at corpus scale a decode stage
-  * quarantines what it cannot parse, it never crashes the scan.
+  * Anything else (palette PNGs, interlace, 16-bit depth, RLE BMPs,
+  * progressive/arithmetic JPEG) returns None: at corpus scale a decode
+  * stage quarantines what it cannot parse, it never crashes the scan.
   */
 object PixelDecode {
 
@@ -35,6 +37,7 @@ object PixelDecode {
     try {
       if (isBmp(b)) decodeBmp(b)
       else if (isPng(b)) decodePng(b)
+      else if (isJpeg(b)) JpegDecode.decode(b)
       else None
     } catch { case _: Exception => None } // truncated/corrupt → quarantine
   }
@@ -83,6 +86,9 @@ object PixelDecode {
   }
 
   // ---- PNG ----
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
   private val pngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

@@ -55,7 +55,11 @@ object MasterQueries {
     // ContextCleaner-reclaimed when the query's plans are dropped, where a
     // cache() entry stays pinned in the CacheManager for the session's
     // lifetime (the round-4 bench regression).
-    val master = graft.operators.Materialize.once(deriveMaster(s, dir))
+    // coalesce(4): the master is ~|customer| rows — materializing and
+    // re-reading a dimension through 32 shuffle-width partitions pays 32
+    // task launches per consumer job for no parallelism benefit
+    val master = graft.operators.Materialize.once(
+      deriveMaster(s, dir).coalesce(4))
     val probes = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name").as("symbol"),

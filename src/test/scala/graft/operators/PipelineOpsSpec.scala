@@ -151,6 +151,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(0).getAs[Double]("mean_hours_r") === 0.0)
   }
 
+  test("Funnel.completions: per-user frame of last-stage reachers, consistent with report") {
+    val win = 7L * 86400L * 1000000000L
+    val done = Funnel.completions(funnelEvents, "user_id", "event_type",
+      "ts_ns", Seq("view", "click", "purchase"), win).collect()
+    // only u1 completes view→click→purchase in order inside the window
+    assert(done.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(done.head.getLong(1) === 0L)      // t0 = first view
+    assert(done.head.getLong(2) === 2 * H)   // t_prev = purchase time
+    // frame cardinality must equal report's last-stage n_users
+    val n = Funnel.report(funnelEvents, "user_id", "event_type", "ts_ns",
+      Seq("view", "click", "purchase"), win)
+      .filter(col("stage") === "purchase").select("n_users")
+      .as[Long].head()
+    assert(n === done.length.toLong)
+  }
+
   // ---------------- Retention ----------------
 
   test("Retention: epoch-aligned cohorts, offsets, distinct active users") {
