@@ -29,9 +29,21 @@ object Lake {
     * the reference's month-to-date total refetch + overwrite,
     * update/app.py:296-445): only partitions present in `df` are replaced.
     */
+  /** Cluster the rows by their partition values before a partitioned
+    * write, so each partition directory receives files from as few tasks
+    * as possible instead of (writer parallelism × partitions) shards —
+    * THE small-files control at scale: without it a 1000-task job writing
+    * 365 day-partitions can emit 365 000 files. Costs one shuffle of the
+    * written data, the standard trade every production lake writer makes
+    * (AQE coalesces the post-shuffle side to sensible sizes).
+    */
+  private def clusterByPartitions(df: DataFrame, partitionCols: Seq[String]) =
+    if (partitionCols.isEmpty) df
+    else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+
   def overwritePartitions(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String]): Unit =
-    df.write
+    clusterByPartitions(df, partitionCols).write
       .mode("overwrite")
       // per-write option, NOT a session conf mutation: other writers in the
       // same session keep Spark's default static overwrite semantics
@@ -42,7 +54,8 @@ object Lake {
   /** Append-only write (U1 concat-at-rest). */
   def appendPartitions(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String]): Unit =
-    df.write.mode("append").partitionBy(partitionCols: _*).parquet(s"$root/$table")
+    clusterByPartitions(df, partitionCols).write
+      .mode("append").partitionBy(partitionCols: _*).parquet(s"$root/$table")
 
   /** Partition-pruned read (S9/§3.3): pass partition-column predicates so the
     * scan's PartitionFilters prune directories before any IO.

@@ -77,7 +77,13 @@ object Snapshots {
     val f = fs(spark, root)
     val dir = dataDir(root, table)
     val before = listDataFiles(f, dir)
-    df.write.mode("append").partitionBy(partitionCols: _*).parquet(dir)
+    // cluster by partition values: one writer task per partition value
+    // instead of (parallelism × partitions) file shards — see
+    // Lake.clusterByPartitions for the scale rationale
+    val clustered =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    clustered.write.mode("append").partitionBy(partitionCols: _*).parquet(dir)
     val added = (listDataFiles(f, dir) -- before).toSeq.sorted
 
     val prevVersion = latestVersion(spark, root, table)

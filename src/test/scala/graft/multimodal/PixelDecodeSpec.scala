@@ -143,6 +143,31 @@ class PixelDecodeSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: random and magic-prefixed garbage never throws or hangs (quarantine contract)") {
+    // decode() walks UNTRUSTED bytes — at corpus scale a poisoned payload
+    // must quarantine (None), never crash or loop the scan. Seeded PRNG so
+    // a failure reproduces.
+    val rnd = new scala.util.Random(74517L)
+    val magics = Seq(
+      Array[Byte](0x42, 0x4d),                                // BM
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), // PNG
+      Array(0xff, 0xd8).map(_.toByte),                        // JPEG SOI
+      Array.empty[Byte])
+    for (i <- 0 until 400) {
+      val body = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(body)
+      val payload = magics(i % magics.length) ++ body
+      PixelDecode.decode(payload) // must return, None or Some — no throw
+    }
+    // structured prefixes with corrupted tails: take each valid builder
+    // output and flip bytes through the whole container
+    val valid = png(3, 4, 3, Array.tabulate(36)(_ % 256), r => r % 5)
+    for (pos <- 8 until valid.length by 7) {
+      val mut = valid.clone(); mut(pos) = (mut(pos) ^ 0xa5).toByte
+      PixelDecode.decode(mut)
+    }
+  }
+
   test("pixelStats quarantines undecodable payloads as null stats") {
     val spark2 = spark
     import spark2.implicits._
