@@ -266,6 +266,13 @@ object PipelineQueries {
     * ([[graft.operators.Funnel.completions]]). Three operator families
     * composed through user-keyed joins — cohort-cardinality relations
     * only, the event stream is never collected or globally windowed.
+    *
+    * The fact table is deliberately scanned once per leg (each leg prunes
+    * to 2-3 columns at the parquet reader): at 100 TB, re-scanning a
+    * column-pruned fact beats materializing a projected copy the legs
+    * would share — a localCheckpoint of the fact is corpus-sized (and
+    * single-replica), and a lake write round-trip only wins when many
+    * more than four consumers share it.
     */
   def q101CurationDashboard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
