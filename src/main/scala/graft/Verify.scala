@@ -20,7 +20,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce's narrow dependency pulls
+      // the ENTIRE query computation into a single task (HOF-heavy per-row
+      // queries ground one core for minutes at sf0.1); repartition keeps
+      // the compute at full parallelism and single-tasks only the write of
+      // the (small) result
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -82,7 +82,7 @@ object Dedup {
 
   /** Signature computation over a pre-built (id, shingle) relation — the
     * single home of the hash formula, shared by [[minhashSignatures]] and
-    * [[nearDuplicates]] (which reuses its persisted pairs).
+    * [[nearDuplicates]] (which reuses its materialized pairs).
     */
   def minhashSignaturesFromPairs(pairs: DataFrame, numHashes: Int = 32): DataFrame = {
     val aggs = (0 until numHashes).map(i =>

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * integer epoch-nanos end to end; the only float op is the final
   * mean division (one fixed IEEE chain, oracle-replayable).
   *
-  * For funnels with many stages persist the intermediate stage frames —
-  * each union branch otherwise re-derives its prefix chain.
+  * For funnels with many stages, materialize the intermediate stage
+  * frames ([[Materialize.once]] — released by the ContextCleaner, unlike
+  * persist) — each union branch otherwise re-derives its prefix chain.
   */
 object Funnel {
 

@@ -110,6 +110,12 @@ private[text] final class BatchPrefetcher(
   producer.setDaemon(true)
   producer.start()
 
+  // if the task stops consuming mid-partition (limit, failure elsewhere),
+  // the producer may be parked on a full queue holding upstream resources —
+  // unblock it when the task completes
+  Option(org.apache.spark.TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit] { _ => queue.clear(); producer.interrupt() })
+
   private var staged: AnyRef = null
   override def hasNext: Boolean = {
     if (staged == null) staged = queue.take()

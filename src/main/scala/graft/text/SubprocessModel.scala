@@ -67,6 +67,12 @@ private[text] final class SubprocessScorer(
   private val stdout = new BufferedReader(
     new InputStreamReader(process.getInputStream, UTF_8))
 
+  // a task can stop consuming mid-partition (limit, take, failure
+  // elsewhere) — tie the scorer's lifetime to the TASK, not to iterator
+  // exhaustion, or abandoned processes outlive their work
+  Option(org.apache.spark.TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit](_ => process.destroyForcibly()))
+
   // stderr drained continuously (a blocked stderr pipe would wedge the
   // scorer); last few lines kept for the failure message
   private val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]

@@ -92,6 +92,25 @@ class SubprocessModelSpec extends SparkTestBase {
     assert(fullMessage(e).contains("unparsable"))
   }
 
+  test("early-stopped consumption reaps the scorer process (task-scoped lifetime)") {
+    import scala.jdk.StreamConverters._
+    def marked: Long = ProcessHandle.current().descendants().toScala(Seq)
+      .count(p => p.info().commandLine()
+        .map[Boolean](_.contains("GRAFT_EARLY_STOP_MARKER")).orElse(false)).toLong
+    // a unique argv marker so concurrent suites' processes can't interfere
+    val markedScorer = awkScorer.patch(1, Seq("-v", "M=GRAFT_EARLY_STOP_MARKER"), 0)
+    val chunks = (1 to 5000).map(i => (i.toLong, s"text number $i"))
+      .toDF("id", "chunk").coalesce(1)
+    val out = new SubprocessSentimentModel(markedScorer)
+      .score(chunks, "chunk").limit(3).collect()
+    assert(out.length === 3)
+    // limit stops the iterator mid-partition; the task-completion listener
+    // must still destroy the scorer — wait out the async reap
+    val deadline = System.currentTimeMillis() + 15000
+    while (System.currentTimeMillis() < deadline && marked > 0) Thread.sleep(200)
+    assert(marked === 0, "scorer process survived an early-stopped task")
+  }
+
   test("plugs into the full sentiment pipeline unchanged (T4 contract)") {
     val filings = Seq((1L, "Strong growth in revenue. Some risk and decline."))
       .toDF("doc_id", "body")
