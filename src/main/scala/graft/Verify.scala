@@ -8,7 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // Optional trailing args: run only the named queries (local iteration).
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's cores (capped — beyond 16 threads the sf0.01
+    // correctness dump is scheduling-bound, not compute-bound)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      (Runtime.getRuntime.availableProcessors min 16).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,9 +28,15 @@ object Verify {
       // queries ground one core for minutes at sf0.1); repartition keeps
       // the compute at full parallelism and single-tasks only the write of
       // the (small) result
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query timing on stderr: a stalled run is attributable to a
+        // query from the captured tail alone (same rationale as Bench's
+        // per-query lines)
+        System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -41,6 +41,22 @@ object Assembly {
       .select(col(idCol), col(domainCol), col("rank"))
   }
 
+  /** Per-group cap: keep at most `k` rows per group, chosen by the same
+    * content-independent md5 priority as [[mixByWeights]] (stable across
+    * engines and runs). Unlike the window idiom (full per-group sort,
+    * full-width shuffle), this runs on [[graft.plans.TopKPerKey]]'s
+    * bounded heaps: each input partition forwards at most k rows per
+    * group, so shuffle volume is ≤ k·groups per partition regardless of
+    * group size — the shape a per-domain cap needs when one domain holds
+    * a third of the corpus. Returns the input columns plus `priority`.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val pri = md5(col(idCol).cast("string").cast("binary"))
+    graft.plans.TopKPerKey(df.withColumn("priority", pri), k,
+      keyCols = Seq(groupCol), orderBys = Seq(("priority", true), (idCol, true)))
+  }
+
   /** Deterministic stratified sample: keep a row iff the md5-derived hash
     * of its key falls under the stratum's threshold — `hash(key) mod denom
     * < round(fraction × denom)`. A narrow map (no shuffle, no RNG state),

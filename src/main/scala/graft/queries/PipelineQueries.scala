@@ -3,11 +3,13 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-4 training-pipeline + analytics queries: exact-substring
+/** Training-pipeline + product-analytics queries: exact-substring
   * duplication (q94), hashed-linear-classifier quality scoring (q95),
-  * product-quantization ANN (q96), and ordered-funnel analytics (q97).
-  * Every gate replays end to end in DuckDB — hashing, codebooks, and
-  * integer-unit score/distance math are all engine-portable.
+  * product-quantization ANN (q96), funnel/retention (q97/q98), pixel
+  * stats (q100), the curation dashboard (q101), per-source caps (q102),
+  * and event-path analytics (q103/q104). Every gate replays end to end
+  * in DuckDB — hashing, codebooks, and integer-unit score/distance math
+  * are all engine-portable.
   */
 object PipelineQueries {
 
@@ -343,8 +345,67 @@ object PipelineQueries {
       |LEFT JOIN ms ON z.cb = ms.cb
       |LEFT JOIN fr ON z.cb = fr.cb""".stripMargin
 
+  /** Per-source document cap ([[graft.operators.Assembly.capPerGroup]]):
+    * at most 10 docs per source by md5 priority, on the TopKPerKey
+    * bounded-heap operator (partial top-k before the shuffle — the
+    * per-domain cap posture for a corpus where one domain dominates).
+    */
+  def q102SourceCaps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.capPerGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 10)
+      .select(col("doc_id"), col("source"), col("priority"))
+
+  val q102Sql: String =
+    """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority
+      |FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) <= 10""".stripMargin
+
+  /** Event-type transition matrix ([[graft.operators.Paths.transitions]]):
+    * one user-keyed lag window, pair counts with map-side partials, and a
+    * broadcast join against the (type-cardinality) per-prev totals.
+    */
+  def q103EventTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Paths.transitions(
+      Tables.events(s, dir), "user_id", "ts_ns", "event_id", "event_type")
+
+  val q103Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
+      |  FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, sum(n_transitions) AS tot FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.event_type, c.n_transitions,
+      |  round(c.n_transitions / CAST(t.tot AS DOUBLE), 9) AS share_r
+      |FROM c JOIN t USING (prev_type)""".stripMargin
+
+  /** Top opening paths ([[graft.operators.Paths.topPaths]]): first 3 event
+    * types per user (row_number-bounded BEFORE the collect), path counts,
+    * global top-20 over the already-aggregated path relation.
+    */
+  def q104TopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Paths.topPaths(
+      Tables.events(s, dir), "user_id", "ts_ns", "event_id", "event_type",
+      pathLen = 3, k = 20)
+
+  val q104Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+      |  FROM e WHERE rn <= 3 GROUP BY user_id),
+      |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1),
+      |t AS (SELECT count(*) AS tot FROM p)
+      |SELECT path, n_users, round(n_users / CAST(tot AS DOUBLE), 9) AS share_r
+      |FROM c, t ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
+    "q102_source_caps" -> (q102SourceCaps _),
+    "q103_event_transitions" -> (q103EventTransitions _),
+    "q104_top_paths" -> (q104TopPaths _),
     "q101_curation_dashboard" -> (q101CurationDashboard _),
     "q94_dup_spans" -> (q94DupSpans _),
     "q95_hashed_classifier" -> (q95HashedClassifier _),
@@ -355,6 +416,9 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q100_pixel_stats" -> q100Sql,
+    "q102_source_caps" -> q102Sql,
+    "q103_event_transitions" -> q103Sql,
+    "q104_top_paths" -> q104Sql,
     "q101_curation_dashboard" -> q101Sql,
     "q94_dup_spans" -> q94Sql,
     "q95_hashed_classifier" -> q95Sql,

@@ -27,6 +27,10 @@ class MaterializeSpec extends SparkTestBase {
   }
 
   test("materialized intermediates are reclaimed once results are dropped") {
+    // earlier suites in the shared session may hold .cache() entries of
+    // their own — clear them so the assertions below test THIS test's
+    // operators, not suite ordering (caches are hints; clearing is safe)
+    spark.catalog.clearCache()
     val baseline = storedRdds
     val docs = (0 until 60).map(i =>
       (i.toLong, s"token$i alpha beta gamma delta epsilon token${i % 7} zeta"))
