@@ -401,8 +401,121 @@ object PipelineQueries {
       |SELECT path, n_users, round(n_users / CAST(tot AS DOUBLE), 9) AS share_r
       |FROM c, t ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin
 
+  /** BPE merge application ([[graft.text.BpeEncoder]]): encode every
+    * document against a fixed rank-ordered merge table (pairs chosen
+    * over the fixture's common-word adjacencies so the gate is selective
+    * at every SF). The Spark side runs the true min-rank fixpoint loop;
+    * because no rule's output can be a rule operand (outputs contain a
+    * space, operands are single words), that loop provably equals one
+    * greedy-leftmost replace-all pass per rule in rank order — which is
+    * what the oracle replays with a bracket-delimited replace chain.
+    */
+  def q105BpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeEncoder.encodeStats(
+      Tables.documents(s, dir), "text", "doc_id", q105Merges)
+
+  private val q105Merges = Seq(
+    ("table", "hash"), ("a", "the"), ("sort", "query"), ("value", "spark"))
+
+  val q105Sql: String =
+    """WITH b AS (SELECT doc_id AS id,
+      |    '<' || array_to_string(string_split_regex(trim(lower(text)), '\s+'), '><') || '>' AS s,
+      |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_words
+      |  FROM documents),
+      |e AS (SELECT id, n_words,
+      |    replace(replace(replace(replace(s,
+      |      '<table><hash>', '<table hash>'),
+      |      '<a><the>', '<a the>'),
+      |      '<sort><query>', '<sort query>'),
+      |      '<value><spark>', '<value spark>') AS s2
+      |  FROM b),
+      |c AS (SELECT id, n_words,
+      |    len(s2) - len(replace(s2, '<', '')) AS n_tokens FROM e)
+      |SELECT id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_words - n_tokens AS BIGINT) AS n_merged
+      |FROM c""".stripMargin
+
+  /** RFM user segmentation: per-user recency (last event), frequency
+    * (event count), monetary (exact cents), each cut into quartiles, then
+    * segment rollups. The quartile is NTILE(4) — but computed from a
+    * [[graft.operators.GlobalOrder]] distributed rank plus the explicit
+    * ntile remainder formula instead of a global window, so the
+    * user-cardinality relation is never moved to one task (the formula is
+    * replayed verbatim in the oracle, so both engines share one
+    * definition rather than trusting two NTILE implementations to agree).
+    */
+  def q106RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts_ns")).as("recency_ns"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+    val n = users.agg(count(lit(1)).as("n_users_total"))
+    // quartile of `metric` over the global (metric, user_id) order; higher
+    // recency/frequency/monetary should score higher, so rank ascending
+    // and the bucket index IS the score (1 = lowest quartile)
+    def withQuartile(df: DataFrame, metric: String, out: String): DataFrame = {
+      val ranked = graft.operators.GlobalOrder
+        .runningRowNumber(df, Seq(metric, "user_id"), "__rank")
+        .crossJoin(broadcast(n))
+      ranked.withColumn(out, ntileFromRank(col("__rank"), col("n_users_total"), 4))
+        .drop("__rank", "n_users_total")
+    }
+    val scored = withQuartile(
+      withQuartile(withQuartile(users, "recency_ns", "r_q"),
+        "frequency", "f_q"),
+      "monetary_cents", "m_q")
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("segment_cents"))
+  }
+
+  /** NTILE(k) from a 1-based global rank: the first (n mod k) buckets
+    * take ceil(n/k) rows, the rest floor(n/k) — the standard remainder
+    * rule, written once and shared with the SQL oracle.
+    */
+  private def ntileFromRank(rank: Column, nRows: Column, k: Int): Column = {
+    val base = nRows.divide(k).cast("long")           // floor(n/k)
+    val rem = nRows % k
+    val cut = rem * (base + 1)                        // rows in the fat buckets
+    when(rank <= cut, (rank - 1).divide(base + 1).cast("long") + 1)
+      .otherwise(rem + (rank - cut - 1).divide(base).cast("long") + 1)
+      .cast("int")
+  }
+
+  val q106Sql: String =
+    """WITH u AS (SELECT user_id, max(ts) AS recency,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT count(*) AS n FROM u),
+      |r AS (SELECT u.*, n,
+      |    row_number() OVER (ORDER BY recency, user_id) AS rr,
+      |    row_number() OVER (ORDER BY frequency, user_id) AS fr,
+      |    row_number() OVER (ORDER BY monetary_cents, user_id) AS mr
+      |  FROM u, p),
+      |q AS (SELECT monetary_cents,
+      |    CASE WHEN rr <= (n % 4) * (n // 4 + 1)
+      |      THEN (rr - 1) // (n // 4 + 1) + 1
+      |      ELSE n % 4 + (rr - (n % 4) * (n // 4 + 1) - 1) // (n // 4) + 1 END AS r_q,
+      |    CASE WHEN fr <= (n % 4) * (n // 4 + 1)
+      |      THEN (fr - 1) // (n // 4 + 1) + 1
+      |      ELSE n % 4 + (fr - (n % 4) * (n // 4 + 1) - 1) // (n // 4) + 1 END AS f_q,
+      |    CASE WHEN mr <= (n % 4) * (n // 4 + 1)
+      |      THEN (mr - 1) // (n // 4 + 1) + 1
+      |      ELSE n % 4 + (mr - (n % 4) * (n // 4 + 1) - 1) // (n // 4) + 1 END AS m_q
+      |  FROM r)
+      |SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+      |  CAST(m_q AS INT) AS m_q,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+      |FROM q GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
+    "q105_bpe_encode" -> (q105BpeEncode _),
+    "q106_rfm_segments" -> (q106RfmSegments _),
     "q102_source_caps" -> (q102SourceCaps _),
     "q103_event_transitions" -> (q103EventTransitions _),
     "q104_top_paths" -> (q104TopPaths _),
@@ -417,6 +530,8 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q100_pixel_stats" -> q100Sql,
     "q102_source_caps" -> q102Sql,
+    "q105_bpe_encode" -> q105Sql,
+    "q106_rfm_segments" -> q106Sql,
     "q103_event_transitions" -> q103Sql,
     "q104_top_paths" -> q104Sql,
     "q101_curation_dashboard" -> q101Sql,
