@@ -334,7 +334,53 @@ object LakeQueries {
       |UNION ALL
       |SELECT *, 'delete' AS change_type FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM v2)""".stripMargin
 
+  /** CDC apply / MERGE INTO ([[graft.operators.Cdc]]): treat orders as an
+    * ordered change log over customer balances — order status 'F'
+    * (fulfilled-and-closed in this synthetic mapping) deletes the account,
+    * anything else upserts the latest order's price as the new balance in
+    * exact cents; last writer per custkey wins by (o_orderdate,
+    * o_orderkey). One key-partitioned compaction window + ONE full-outer
+    * equi-join against the base snapshot.
+    */
+  def q107CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      col("c_name"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("c_acctbal_cents"))
+    val ops = Tables.orders(s, dir).select(
+      col("o_custkey").as("c_custkey"),
+      col("o_orderdate"), col("o_orderkey"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.operators.Cdc.merge(base, ops,
+        keyCols = Seq("c_custkey"),
+        seqCols = Seq("o_orderdate", "o_orderkey"),
+        opCol = "op", deleteOp = "D",
+        valueCols = Map("c_acctbal_cents" -> col("cents")))
+      .withColumnRenamed("__changed", "changed")
+  }
+
+  val q107Sql: String =
+    """WITH ops AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders),
+      |last AS (SELECT * FROM ops
+      |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+      |base AS (SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS c_acctbal_cents
+      |  FROM customer)
+      |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey, b.c_name,
+      |  b.c_nationkey,
+      |  CASE WHEN l.op = 'U' THEN l.cents ELSE b.c_acctbal_cents END AS c_acctbal_cents,
+      |  CAST(CASE WHEN l.op = 'U' THEN 1 ELSE 0 END AS INT) AS changed
+      |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_cdc_merge" -> (q107CdcMerge _),
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q89_time_travel" -> (q89TimeTravel _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
@@ -345,6 +391,7 @@ object LakeQueries {
     "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "q107_cdc_merge" -> q107Sql,
     "q71_stream_stream_join" -> q71Sql,
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,

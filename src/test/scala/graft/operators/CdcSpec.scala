@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "alice", 100L), (2L, "bob", 200L), (3L, "carol", 300L), (4L, "dave", 400L)
+  ).toDF("k", "name", "bal")
+
+  // key 1: update then DELETE (delete wins — higher seq)
+  // key 2: delete then UPDATE (update wins)
+  // key 3: untouched (carry-over)
+  // key 5: insert (absent from base)
+  private val ops = Seq(
+    (1L, 10L, "U", 111L), (1L, 20L, "D", 0L),
+    (2L, 10L, "D", 0L), (2L, 20L, "U", 222L),
+    (4L, 10L, "U", 444L),
+    (5L, 10L, "U", 555L)
+  ).toDF("k", "seq", "op", "v")
+
+  test("compact: last writer per key wins") {
+    val last = Cdc.compact(ops, Seq("k"), Seq("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(last === Map(1L -> "D", 2L -> "U", 4L -> "U", 5L -> "U"))
+  }
+
+  test("merge: delete drops, upsert replaces, carry-over survives, insert appears") {
+    val out = Cdc.merge(base, ops, Seq("k"), Seq("seq"), "op", "D",
+        Map("bal" -> col("v")))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.get(2), r.getInt(3))).toMap
+    assert(!out.contains(1L))                              // deleted
+    assert(out(2L) === ((Some("bob"), 222L, 1)))           // updated
+    assert(out(3L) === ((Some("carol"), 300L, 0)))         // carry-over
+    assert(out(4L) === ((Some("dave"), 444L, 1)))          // updated
+    assert(out(5L) === ((None, 555L, 1)))                  // insert: null name
+  }
+
+  test("merge is idempotent: re-applying the same log changes nothing") {
+    val once = Cdc.merge(base, ops, Seq("k"), Seq("seq"), "op", "D",
+      Map("bal" -> col("v"))).drop("__changed")
+    // same full log again: the delete deletes an already-absent key
+    // (no-op), the upserts write the values the rows already hold
+    val again = Cdc.merge(once, ops, Seq("k"), Seq("seq"), "op", "D",
+      Map("bal" -> col("v"))).drop("__changed")
+    assert(again.exceptAll(once).isEmpty && once.exceptAll(again).isEmpty)
+  }
+}
