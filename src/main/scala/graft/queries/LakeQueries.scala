@@ -379,8 +379,79 @@ object LakeQueries {
       |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
       |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
 
+  /** Streaming CDC apply — the maintenance loop a lake table actually
+    * runs: an AvailableNow file stream of ops feeds `foreachBatch`, each
+    * batch [[graft.operators.Cdc.merge]]d into a VERSIONED parquet state
+    * (read v{n}, write v{n+1} — no read-overwrite hazard, and every
+    * historical state stays addressable, the q89 time-travel posture).
+    * Events play a balance change log: 'error' closes the account,
+    * anything else upserts the event's value in cents, last (ts_ns,
+    * event_id) wins. Even user ids pre-exist with zero balances (so
+    * carry-over/update/delete all exercise); odd ids arrive as streaming
+    * inserts. Deterministic end state → full DuckDB replay.
+    */
+  def q108StreamingCdc(s: SparkSession, dir: String): DataFrame = {
+    val ops = Tables.events(s, dir).select(
+      col("user_id"), col("ts_ns"), col("event_id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val src = stageOnce(ops, "cdc_ops", dir)
+
+    val base = Tables.events(s, dir).select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("balance_cents", lit(0L))
+
+    val tag = math.abs(dir.hashCode)
+    val stateRoot = s"/tmp/graft_q108_state_$tag"
+    val ckpt = s"/tmp/graft_q108_ckpt_$tag"
+    // full-rebuild gate, not a resume test (I6 covers resume): fresh
+    // state + checkpoint per invocation
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    Seq(stateRoot, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    base.repartition(4).write.parquet(s"$stateRoot/v0")
+
+    val stream = Incremental.fileStream(s, src, ops.schema)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = s.read.parquet(s"$stateRoot/v$batchId")
+        graft.operators.Cdc.merge(st, batch,
+            keyCols = Seq("user_id"), seqCols = Seq("ts_ns", "event_id"),
+            opCol = "op", deleteOp = "D",
+            valueCols = Map("balance_cents" -> col("cents")))
+          .drop("__changed")
+          .repartition(4).write.parquet(s"$stateRoot/v${batchId + 1}")
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toInt).max
+    s.read.parquet(s"$stateRoot/v$latest")
+  }
+
+  val q108Sql: String =
+    """WITH ops AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |last AS (SELECT * FROM ops
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |base AS (SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS balance_cents
+      |  FROM events WHERE user_id % 2 = 0)
+      |SELECT coalesce(b.user_id, l.user_id) AS user_id,
+      |  CASE WHEN l.op = 'U' THEN l.cents ELSE b.balance_cents END AS balance_cents
+      |FROM base b FULL OUTER JOIN last l ON b.user_id = l.user_id
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q107_cdc_merge" -> (q107CdcMerge _),
+    "q108_streaming_cdc" -> (q108StreamingCdc _),
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q89_time_travel" -> (q89TimeTravel _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
@@ -392,6 +463,7 @@ object LakeQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q107_cdc_merge" -> q107Sql,
+    "q108_streaming_cdc" -> q108Sql,
     "q71_stream_stream_join" -> q71Sql,
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,
