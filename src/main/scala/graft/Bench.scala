@@ -73,8 +73,15 @@ object Bench {
       // breakage marker in the JSON
       val times = (1 to trials).flatMap { _ =>
         val t0 = System.nanoTime()
-        val r = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+        // noop sink, NOT count(): count() lets column pruning drop the
+        // final projection entirely, so a query whose cost lives in its
+        // output expressions (HOF-heavy per-row math) benches as a bare
+        // scan. The noop sink computes every output column and discards
+        // the rows — the honest full-materialization cost.
+        val r = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
         resetSessionState()
         r
       }

@@ -39,6 +39,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same session-state hygiene as Bench: clear cache entries and nudge
+      // the ContextCleaner (localCheckpoint blocks free on driver GC) so a
+      // 100+-query dump doesn't accumulate storage pressure across queries
+      spark.catalog.clearCache()
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,13 +47,38 @@ object Quantization {
   /** Per-vector quantization report: scale, a checksum of the int8 codes
     * (sum of codes — proves bit-identical quantization without hauling 64
     * columns through the compare), and the reconstruction RMSE.
+    *
+    * The scale is materialized ONCE per row in its own projection and the
+    * downstream lambdas reference the COLUMN: inlining the max-abs
+    * expression into the per-element lambdas (the [[quantize]]/[[rmse]]
+    * convenience shape) makes the interpreted HOF evaluator recompute the
+    * O(d) scan for EVERY element — O(d²) per row, measured 623 s for the
+    * sf0.1 corpus vs sub-second with the column reference. CollapseProject
+    * keeps the split: it never inlines a non-cheap alias with multiple
+    * consumers.
     */
   def report(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol)
     emb.select(col(idCol),
-      maxAbsScale(v).as("scale"),
-      aggregate(quantize(v), lit(0L), (acc, q) => acc + q).as("code_sum"),
-      round(rmse(v), 9).as("rmse_r"))
+        transform(col(vecCol), _.cast("double")).as("__v"),
+        maxAbsScale(col(vecCol)).as("scale"))
+      .select(col(idCol), col("scale"),
+        aggregate(
+          transform(col("__v"), x => round(x * 127.0 / col("scale")).cast("long")),
+          lit(0L), (acc, q) => acc + q).as("code_sum"),
+        round(rmseGivenScale(col("__v"), col("scale")), 9).as("rmse_r"))
+  }
+
+  /** [[rmse]] with the per-row scale supplied as a column (no per-element
+    * recompute); same IEEE chain as [[rmse]].
+    */
+  private def rmseGivenScale(v: Column, s: Column): Column = {
+    val sq = aggregate(
+      transform(v, x => {
+        val d = x - round(x * 127.0 / s) * s / 127.0
+        d * d
+      }),
+      lit(0.0), (acc, e) => acc + e)
+    sqrt(sq / size(v))
   }
 }

@@ -512,10 +512,108 @@ object PipelineQueries {
       |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
       |FROM q GROUP BY 1, 2, 3""".stripMargin
 
+  /** The END-TO-END curation pipeline, one DAG: exact dedup → near-dup
+    * removal → quality gate → per-source caps → corpus manifest. Every
+    * stage is an operator gated on its own elsewhere (q25/q27/q80/q102);
+    * this query proves they COMPOSE — the thing a user actually runs.
+    *
+    * Non-vacuity by construction: every 20th doc re-arrives as a clone
+    * under a new id (the daily-batch duplicate shape — stage 1 must drop
+    * them at any SF); the quality thresholds are tuned to the fixture's
+    * metric distributions so each predicate filters a real slice
+    * (mean_word_len p90≈4.77, dup_bigram_frac p90≈0.13, n_tokens
+    * p10≈21); caps bite at k=8 < docs-per-source. The LSH leg's
+    * recall-complete argument is exactly q27's: stage 1 removes only the
+    * clones, so the near-dup input is the original corpus.
+    */
+  def q109CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"), col("text"))
+    val clones = raw.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val docs = raw.unionByName(clones)
+
+    // 1. exact dedup: min id per content hash
+    val w = Window.partitionBy(col("content_hash"))
+    val exactKept = docs.withColumn("content_hash", md5(col("text")))
+      .withColumn("__min", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__min"))
+      .drop("__min", "content_hash")
+
+    // 2. near-dup removal: LSH candidates + exact verify (q27 parameters),
+    // drop the higher id of each verified pair
+    val dup = graft.operators.Dedup
+      .nearDuplicates(exactKept, "text", "doc_id",
+        threshold = 0.2, numHashes = 32, bands = 8)
+      .select(col("id_b").as("doc_id")).distinct()
+    val nearKept = exactKept.join(dup, Seq("doc_id"), "left_anti")
+
+    // 3. pipeline-tuned quality gate over the survivors
+    val quality = graft.text.QualityFilters
+      .gopherStats(nearKept, "text", "doc_id")
+      .filter(col("mean_word_len") <= 4.6 &&
+        col("dup_bigram_frac") <= 0.10 && col("n_tokens") >= 25)
+      .select(col("id").as("doc_id"))
+    val qualityKept = nearKept.join(quality, Seq("doc_id"), "left_semi")
+
+    // 4. per-source caps on the TopKPerKey bounded heaps
+    val capped = graft.operators.Assembly
+      .capPerGroup(qualityKept, "source", "doc_id", k = 8)
+
+    // 5. manifest
+    capped.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(graft.text.TextFunctions.tokens(col("text"))))
+        .cast("long").as("total_tokens"))
+  }
+
+  val q109Sql: String =
+    """WITH raw AS (SELECT doc_id, source, text FROM documents),
+      |all_docs AS (SELECT * FROM raw UNION ALL
+      |  SELECT doc_id + 1000000, source, text FROM raw WHERE doc_id % 20 = 0),
+      |ek AS (SELECT doc_id, source, text FROM (
+      |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM all_docs)
+      |  WHERE doc_id = mn),
+      |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM ek),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+      |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |dup AS (SELECT DISTINCT id_b AS doc_id FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN sizes sa ON p.id_a = sa.doc_id
+      |  JOIN sizes sb ON p.id_b = sb.doc_id
+      |  WHERE shared*1.0/(sa.n + sb.n - shared) >= 0.2),
+      |nk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      |t2 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM nk),
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM t2),
+      |uni0 AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |uni AS (SELECT doc_id, sum(c) AS n_tokens, sum(len(tok)*c) AS char_sum
+      |  FROM uni0 GROUP BY 1),
+      |bg0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(generate_series(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t2),
+      |bi0 AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+      |bi AS (SELECT doc_id, sum(c) AS n_bigrams,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_c FROM bi0 GROUP BY 1),
+      |qk AS (SELECT u.doc_id FROM uni u LEFT JOIN bi USING (doc_id)
+      |  WHERE char_sum*1.0/n_tokens <= 4.6
+      |    AND coalesce(dup_bigram_c, 0)*1.0/coalesce(n_bigrams, 1) <= 0.10
+      |    AND n_tokens >= 25),
+      |kept AS (SELECT nk.* FROM nk JOIN qk USING (doc_id)),
+      |capped AS (SELECT * FROM kept QUALIFY row_number() OVER (PARTITION BY source
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) <= 8)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
+      |FROM capped GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q106_rfm_segments" -> (q106RfmSegments _),
+    "q109_curation_pipeline" -> (q109CurationPipeline _),
     "q102_source_caps" -> (q102SourceCaps _),
     "q103_event_transitions" -> (q103EventTransitions _),
     "q104_top_paths" -> (q104TopPaths _),
@@ -532,6 +630,7 @@ object PipelineQueries {
     "q102_source_caps" -> q102Sql,
     "q105_bpe_encode" -> q105Sql,
     "q106_rfm_segments" -> q106Sql,
+    "q109_curation_pipeline" -> q109Sql,
     "q103_event_transitions" -> q103Sql,
     "q104_top_paths" -> q104Sql,
     "q101_curation_dashboard" -> q101Sql,
