@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * merge it into a base snapshot. The non-temporal sibling of the SCD-2
   * maintenance in [[graft.master.SecurityMaster]] (which keeps history;
   * this produces the current state the reference's read-modify-write
-  * cycle rebuilds per partition).
+  * cycle rebuilds per partition — storage/handlers/ticks.py:209-347's
+  * filter-existing-then-append loop, generalized to deletes).
   *
   * Scale design: compaction is one key-partitioned window (max-seq row
   * per key — the dedup-latest shape, partial-agg friendly); the merge is
