@@ -609,11 +609,66 @@ object PipelineQueries {
       |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
       |FROM capped GROUP BY 1""".stripMargin
 
+  /** Persisted ANN index ([[graft.operators.AnnIndex]]): build the IVF
+    * index once (cell-partitioned parquet), then probe it with a fresh
+    * query batch — nothing shared in memory between build and probe, the
+    * lifecycle a daily vector-search pipeline runs. Same deterministic
+    * fixture centroids as q54; corpus excludes the query slice so probes
+    * exercise pure index lookups.
+    */
+  def q110AnnIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val root = s"/tmp/graft_q110_index_${math.abs(dir.hashCode)}"
+    graft.operators.AnnIndex.build(
+      emb.filter(col("vec_id") % 100 =!= 0), cents, root)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+    graft.operators.AnnIndex.probe(s, root, queries, k = 10, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos_sim_r"), col("rank"))
+  }
+
+  val q110Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 50),
+      |assign AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM e, cents c WHERE e.vec_id % 100 <> 0)
+      |  WHERE rn = 1),
+      |qcells AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM e, cents c WHERE e.vec_id % 100 = 0)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, q.qv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      |  FROM assign a JOIN qcells q USING (cell)),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q109_curation_pipeline" -> (q109CurationPipeline _),
+    "q110_ann_index_probe" -> (q110AnnIndexProbe _),
     "q102_source_caps" -> (q102SourceCaps _),
     "q103_event_transitions" -> (q103EventTransitions _),
     "q104_top_paths" -> (q104TopPaths _),
@@ -631,6 +686,7 @@ object PipelineQueries {
     "q105_bpe_encode" -> q105Sql,
     "q106_rfm_segments" -> q106Sql,
     "q109_curation_pipeline" -> q109Sql,
+    "q110_ann_index_probe" -> q110Sql,
     "q103_event_transitions" -> q103Sql,
     "q104_top_paths" -> q104Sql,
     "q101_curation_dashboard" -> q101Sql,
