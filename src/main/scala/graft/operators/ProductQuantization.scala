@@ -115,4 +115,53 @@ object ProductQuantization {
       .select(col("query_id"), col("neighbor_id"),
         (col("adc_nano") / 1e9).as("adc_r"), col("rank"))
   }
+
+  /** IVF-PQ — the composition the scaladoc above promises (and the shape
+    * billion-scale ANN actually ships): route each query to its `nprobe`
+    * highest-cosine IVF cells, then ADC-score ONLY those cells' encoded
+    * vectors. Candidate generation is [[Similarity.assignCells]]' inverted
+    * index joined with the broadcast query-routing table; the candidate
+    * relation (≈ nprobe/nlist of the corpus per query) drives the encoded
+    * join, so the exhaustive code scan of [[adcTopK]] never happens.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, k: Int, m: Int, subDim: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val inverted = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), col("cell"))
+    val qCells = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cos", Similarity.cosine(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cell").asc)))
+      .filter(col("__r") <= nprobe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val cands = inverted.join(broadcast(qCells), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+
+    val encoded = encode(corpus, codebooks, m, subDim, idCol, vecCol)
+    val lut = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("qv"))
+      .select(col("query_id"), explode(sequence(lit(0L), lit(m - 1L))).as("sub"),
+        col("qv"))
+      .select(col("query_id"), col("sub"),
+        slice(col("qv"), (col("sub") * subDim + 1).cast("int"), lit(subDim)).as("qsub"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sqNano(col("qsub"), col("cvec")).as("d_nano"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_nano").asc, col("neighbor_id").asc)
+    cands.join(encoded, Seq("id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d_nano")).as("adc_nano"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc_nano"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("adc_nano") / 1e9).as("adc_r"), col("rank"))
+  }
 }

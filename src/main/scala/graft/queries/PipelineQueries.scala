@@ -663,9 +663,89 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF-PQ ([[graft.operators.ProductQuantization.ivfAdcTopK]]): q54's
+    * cell routing composed with q96's ADC scoring — candidates come from
+    * the inverted cell index (≈ nprobe/nlist of the corpus per query) and
+    * only they are ADC-scored. Same deterministic fixture centroids,
+    * seeds, and integer-nano distance chain as the two parents, so the
+    * oracle is their SQL composed.
+    */
+  def q111IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantization._
+    val emb = Tables.embeddings(s, dir)
+    val seeds = emb.filter(col("vec_id") % 25 === 3).orderBy(col("vec_id")).limit(16)
+    val cb = codebooksFromSeeds(seeds, m = 8, subDim = 8)
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    ivfAdcTopK(emb, emb.filter(col("vec_id") % 100 === 0), cents, cb,
+      k = 10, m = 8, subDim = 8, nprobe = 4)
+  }
+
+  val q111Sql: String = {
+    val fold = (a: String, b: String) =>
+      s"""CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, 8), j -> ($a[j]-$b[j])*($a[j]-$b[j]))),
+         |      (acc, x) -> acc + x) * 1e9) AS BIGINT)""".stripMargin
+    val cos = (a: String, b: String) =>
+      s"""list_dot_product($a, $b) /
+         |        (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |seeds AS (SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS code
+       |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 25 = 3 ORDER BY vec_id ASC LIMIT 16) s0),
+       |cb AS (SELECT CAST(s.sub AS BIGINT) AS sub, seeds.code,
+       |         seeds.v[s.sub*8+1 : s.sub*8+8] AS cvec
+       |       FROM seeds, subs s),
+       |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 50),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM e, cents c WHERE e.vec_id % 100 = 0)
+       |  WHERE rn <= 4),
+       |cand AS (SELECT a.vec_id AS id, q.query_id
+       |  FROM assign a JOIN qcells q USING (cell)
+       |  WHERE a.vec_id <> q.query_id),
+       |sv AS (SELECT e.vec_id AS id, CAST(s.sub AS BIGINT) AS sub,
+       |         e.v[s.sub*8+1 : s.sub*8+8] AS svec
+       |       FROM e, subs s),
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT sv.id, sv.sub, cb.code,
+       |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+       |        ${fold("sv.svec", "cb.cvec")} ASC, cb.code ASC) AS rn
+       |    FROM sv JOIN cb USING (sub)) r
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.query_id, cb.sub, cb.code, ${fold("q.qsub", "cb.cvec")} AS d_nano
+       |  FROM (SELECT e.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+       |          e.v[s.sub*8+1 : s.sub*8+8] AS qsub
+       |        FROM e, subs s WHERE e.vec_id % 100 = 0) q
+       |  JOIN cb ON q.sub = cb.sub),
+       |scored AS (SELECT c.query_id, c.id AS neighbor_id,
+       |    CAST(sum(d_nano) AS BIGINT) AS adc_nano
+       |  FROM cand c
+       |  JOIN enc ON enc.id = c.id
+       |  JOIN lut l ON l.query_id = c.query_id AND enc.sub = l.sub AND enc.code = l.code
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, adc_nano,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_nano / 1e9 AS adc_r, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
     "q105_bpe_encode" -> (q105BpeEncode _),
+    "q111_ivf_pq" -> (q111IvfPq _),
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q109_curation_pipeline" -> (q109CurationPipeline _),
     "q110_ann_index_probe" -> (q110AnnIndexProbe _),
@@ -687,6 +767,7 @@ object PipelineQueries {
     "q106_rfm_segments" -> q106Sql,
     "q109_curation_pipeline" -> q109Sql,
     "q110_ann_index_probe" -> q110Sql,
+    "q111_ivf_pq" -> q111Sql,
     "q103_event_transitions" -> q103Sql,
     "q104_top_paths" -> q104Sql,
     "q101_curation_dashboard" -> q101Sql,
