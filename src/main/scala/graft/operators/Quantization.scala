@@ -59,7 +59,7 @@ object Quantization {
     */
   def report(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    emb.select(col(idCol),
+    Parallelism.spread(emb).select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"),
         maxAbsScale(col(vecCol)).as("scale"))
       .select(col(idCol), col("scale"),

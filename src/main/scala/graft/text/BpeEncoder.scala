@@ -64,8 +64,11 @@ object BpeEncoder {
     val spark = df.sparkSession
     import spark.implicits._
     val m = merges.toIndexedSeq
-    val toks: Dataset[(Long, Seq[String])] = df
-      .select(col(idCol).cast("long"), TextFunctions.tokens(col(textCol)))
+    // spread a narrow scan before the per-document encode loop — a
+    // few-row-group corpus file would otherwise serialize the CPU-heavy
+    // map onto a handful of cores (no-op at real file counts)
+    val toks: Dataset[(Long, Seq[String])] = graft.operators.Parallelism
+      .spread(df.select(col(idCol).cast("long"), TextFunctions.tokens(col(textCol))))
       .as[(Long, Seq[String])]
     toks.map { case (id, ws) =>
       val enc = encode(ws.toIndexedSeq, m)
