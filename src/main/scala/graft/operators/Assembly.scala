@@ -75,6 +75,41 @@ object Assembly {
       .filter(h < thr(col(stratumCol)))
   }
 
+  /** Temperature-flattened domain mixing (the multilingual-sampling
+    * standard: sample domain i with probability ∝ p_i^α, α < 1 boosting
+    * low-resource domains): per-domain quotas from α = 0.5 over the
+    * domains' `massCol` totals, kept docs chosen by the md5 priority.
+    *
+    * α is fixed at 0.5 deliberately: `sqrt` is correctly rounded in IEEE
+    * 754 (identical in every engine), while `pow(x, α)` may differ in the
+    * last ulp across libm implementations — so this parameterization
+    * keeps the whole quota computation under the exactness gate. The
+    * normalizer Σ√mass is folded over the DOMAIN-SORTED list (a fixed
+    * fold order makes the double sum engine-exact; domain cardinality is
+    * tiny by definition). Returns per-domain (mass, quota, n_docs,
+    * n_kept).
+    */
+  def temperatureMixSqrt(df: DataFrame, domainCol: String, idCol: String,
+      massCol: String, budget: Long): DataFrame = {
+    val masses = df.groupBy(col(domainCol))
+      .agg(sum(col(massCol)).cast("long").as("mass"))
+    val z = masses.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(domainCol).as("d"), sqrt(col("mass")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("z"))
+    val quotas = masses.crossJoin(broadcast(z))
+      .select(col(domainCol), col("mass"),
+        floor(lit(budget.toDouble) * sqrt(col("mass")) / col("z")).cast("long").as("quota"))
+    val pri = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(pri.asc, col(idCol).asc)
+    df.select(col(domainCol), col(idCol))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(domainCol))
+      .groupBy(col(domainCol), col("mass"), col("quota"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__rank") <= col("quota")).cast("long")).as("n_kept"))
+  }
+
   /** Length-bucketed batch assignment: bucket = `min(len / bucketWidth,
     * maxBucket)` (fixed ranges — a narrow map), batch id = position within
     * the bucket's (len, id) order divided by `batchSize`. Returns per-batch

@@ -753,10 +753,37 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Temperature-flattened domain mixing
+    * ([[graft.operators.Assembly.temperatureMixSqrt]]): α = 0.5 quotas
+    * over per-source character mass, budget 300 — binding at every SF
+    * (quota < docs-per-source), and sqrt keeps the quota math IEEE-exact
+    * in both engines (pow would drift in the last ulp).
+    */
+  def q112TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.temperatureMixSqrt(
+      Tables.documents(s, dir), "source", "doc_id", "n_chars", budget = 300L)
+
+  val q112Sql: String =
+    """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1),
+      |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(sqrt(mass) ORDER BY source)), (acc, x) -> acc + x) AS z FROM m),
+      |q AS (SELECT m.source, m.mass,
+      |    CAST(floor(300 * sqrt(m.mass) / z.z) AS BIGINT) AS quota FROM m, z),
+      |r AS (SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      |  FROM documents)
+      |SELECT q.source, q.mass, q.quota,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN r.rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM r JOIN q USING (source) GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q111_ivf_pq" -> (q111IvfPq _),
+    "q112_temperature_mix" -> (q112TemperatureMix _),
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q109_curation_pipeline" -> (q109CurationPipeline _),
     "q110_ann_index_probe" -> (q110AnnIndexProbe _),
@@ -779,6 +806,7 @@ object PipelineQueries {
     "q109_curation_pipeline" -> q109Sql,
     "q110_ann_index_probe" -> q110Sql,
     "q111_ivf_pq" -> q111Sql,
+    "q112_temperature_mix" -> q112Sql,
     "q103_event_transitions" -> q103Sql,
     "q104_top_paths" -> q104Sql,
     "q101_curation_dashboard" -> q101Sql,
