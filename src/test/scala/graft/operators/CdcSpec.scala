@@ -39,6 +39,31 @@ class CdcSpec extends SparkTestBase {
     assert(out(5L) === ((None, 555L, 1)))                  // insert: null name
   }
 
+  test("merge ≡ sequential in-memory reducer on randomized logs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val baseRows = (1L to 30L).filter(_ % 2 == 0).map(k => (k, s"n$k", k * 10))
+      val opRows = (1 to 200).map { i =>
+        ((rnd.nextInt(40) + 1).toLong, i.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000).toLong)
+      }
+      // reference semantics, computed sequentially: last op per key wins;
+      // D removes the key, U sets the value, untouched base rows carry over
+      val lastOp = opRows.groupBy(_._1).map { case (k, os) => k -> os.maxBy(_._2) }
+      val expected = (baseRows.map(r => r._1 -> (Option(r._2), r._3)).toMap ++
+        lastOp.collect { case (k, (_, _, "U", v)) =>
+          k -> (baseRows.find(_._1 == k).map(_._2), v) })
+        .filterNot { case (k, _) => lastOp.get(k).exists(_._3 == "D") }
+
+      val got = Cdc.merge(baseRows.toDF("k", "name", "bal"),
+          opRows.toDF("k", "seq", "op", "v"),
+          Seq("k"), Seq("seq"), "op", "D", Map("bal" -> col("v")))
+        .collect().map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString), r.getLong(2)))
+        .toMap
+      assert(got === expected)
+    }
+  }
+
   test("merge is idempotent: re-applying the same log changes nothing") {
     val once = Cdc.merge(base, ops, Seq("k"), Seq("seq"), "op", "D",
       Map("bal" -> col("v"))).drop("__changed")
