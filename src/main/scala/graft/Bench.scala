@@ -52,7 +52,11 @@ object Bench {
     // query's steady-state cost with first-hit codegen compilation and any
     // transient host contention; min-of-trials is the standard estimator
     // for the former.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    // 3 trials: with min-of-2, one interference spike landing on a query's
+    // both runs (observed: suite totals swung 114-128s with ambient host
+    // load, the slow set moving between runs) pollutes the committed
+    // number; a third sample makes the min robust to a single bad window
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     // local iteration: SPARK_GRAFT_ONLY=q55_...,q52_... restricts the set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
