@@ -70,37 +70,69 @@ object Bench {
       spark.catalog.clearCache()
       spark.sharedState.cacheManager.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(t => only.isEmpty || only(t._1)).map { case (name, fn) =>
-      // a throwing trial must NOT contribute a (fast) failure duration to
-      // the min — successful trials only; all-fail reports -1 as an explicit
-      // breakage marker in the JSON
-      val times = (1 to trials).flatMap { _ =>
+    // 1-minute loadavg at trial start: a contention-polluted capture is then
+    // self-diagnosing from the artifact alone (spikes correlate with load)
+    def loadavg(): Double = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => only.isEmpty || only(t._1))
+    // Trials run ROUND-ROBIN across the whole suite (trial 1 of every query,
+    // then trial 2, ...), not back-to-back per query: back-to-back trials
+    // let ONE multi-minute host-contention window cover all N trials of the
+    // 2-3 queries underneath it, so min-of-N passes the spike straight into
+    // the committed number (round 5's official artifact recorded 81 s for a
+    // 1.4 s query this way). Interleaved, a contention window touches at
+    // most one trial per query and the min discards it.
+    case class Trial(sec: Double, ok: Boolean, load: Double, ts: Long)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Trial]]
+      .withDefaultValue(Vector.empty)
+    for (t <- 1 to trials) {
+      for ((name, fn) <- queryList) {
+        val load = loadavg()
+        val ts = System.currentTimeMillis() / 1000
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets column pruning drop the
         // final projection entirely, so a query whose cost lives in its
         // output expressions (HOF-heavy per-row math) benches as a bare
         // scan. The noop sink computes every output column and discards
         // the rows — the honest full-materialization cost.
-        val r = try {
+        val trial = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+          Trial((System.nanoTime() - t0) / 1e9, ok = true, load, ts)
+        } catch { case _: Throwable =>
+          Trial((System.nanoTime() - t0) / 1e9, ok = false, load, ts)
+        }
+        samples(name) = samples(name) :+ trial
         resetSessionState()
-        r
+        // GC at every query boundary (outside the timed region) nudges the
+        // ContextCleaner to reclaim the finished query's localCheckpoint
+        // blocks before the next query runs — without it a trial round
+        // re-creates round 4's cumulative pinned-storage interference.
+        System.gc()
       }
-      // GC at query boundaries (outside any timed region) nudges the
-      // ContextCleaner to reclaim the finished query's localCheckpoint
-      // blocks; per-trial it would only add wall-clock.
-      System.gc()
-      val best = if (times.nonEmpty) times.min else -1.0
-      // one line per completed query: a driver-side stall is attributable
-      // to a query from the captured stdout tail alone
+      println(f"[round] trial $t/$trials done, load=${loadavg()}%.2f")
+    }
+    val results = queryList.map { case (name, _) =>
+      // a throwing trial must NOT contribute a (fast) failure duration to
+      // the min — successful trials only; all-fail reports -1 as an explicit
+      // breakage marker in the JSON
+      val oks = samples(name).filter(_.ok).map(_.sec)
+      val best = if (oks.nonEmpty) oks.min else -1.0
       println(f"[q] $name $best%.3fs")
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-trial detail (duration, success, 1-min loadavg, epoch sec) so a
+    // polluted capture is diagnosable from BENCH_local.json without a rerun
+    val trialsJson = queryList.map { case (name, _) =>
+      val arr = samples(name).map { tr =>
+        s"""{"sec":${math.rint(tr.sec * 1000) / 1000},"ok":${tr.ok},"load":${tr.load},"ts":${tr.ts}}"""
+      }.mkString("[", ",", "]")
+      s"\"" + name + "\":" + arr
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full-precision per-query map goes to a FILE: the driver captures only
     // a ~2 KB tail of stdout, and a 91-query JSON line (~4 KB) gets its head
@@ -111,7 +143,7 @@ object Bench {
     val outFile =
       if (only.isEmpty) "BENCH_local.json" else "BENCH_local_partial.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$trialsJson,"sf":"$sfDir"}""" + "\n")
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")

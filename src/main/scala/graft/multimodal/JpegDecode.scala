@@ -206,6 +206,13 @@ object JpegDecode {
           case 0xdd => restartInterval = be16(b, seg)
           case 0xda => // SOS — entropy data follows
             if (comps == null || width <= 0 || height <= 0) return None
+            // Decode-bomb guard: SOF0 geometry drives the per-component
+            // Double-plane allocations in decodeScan before any entropy
+            // data is validated — a tiny stream claiming 65535×65535 would
+            // request ~34 GB, and the resulting OutOfMemoryError is an
+            // Error the quarantine catch cannot intercept. Cap shared with
+            // PixelDecode's PNG path.
+            if (width.toLong * height > PixelDecode.MaxPixels) return None
             val ns = u8(b, seg)
             if (ns != comps.length) return None
             var p = seg + 1

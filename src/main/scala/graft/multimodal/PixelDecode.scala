@@ -20,6 +20,14 @@ package graft.multimodal
   */
 object PixelDecode {
 
+  /** Decode-bomb cap on header-declared geometry (width × height): frames
+    * beyond 16.7 Mpixel (e.g. 4096×4096) quarantine rather than allocate —
+    * allocation happens before entropy data is validated, and the OOM a
+    * 34 GB plane request raises is an Error, not an Exception, so the
+    * `catch` in decode() would not contain it. Shared with [[JpegDecode]].
+    */
+  val MaxPixels: Long = 1L << 24
+
   /** Decoded pixel grid: row-major samples, `channels` interleaved per
     * pixel, top row first. BMP is normalized to RGB order; PNG keeps its
     * native sample order (gray / RGB / gray+alpha / RGBA).
@@ -108,6 +116,11 @@ object PixelDecode {
       case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
     }
     if (w <= 0 || h <= 0) return None
+    // Decode-bomb guard: header-declared geometry drives the allocations
+    // below BEFORE any entropy data is validated, and an OutOfMemoryError
+    // is an Error the quarantine catch can't intercept. A 50-byte stream
+    // claiming 65535×65535 must return None, not kill the executor.
+    if (w.toLong * h > MaxPixels) return None
 
     // concatenate IDAT chunk payloads (chunk walk, CRCs not re-verified —
     // the inflater + expected-length check catch corruption)
@@ -134,7 +147,11 @@ object PixelDecode {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
+      // n == 0 with needsInput → truncated stream; with needsDictionary
+      // (zlib FDICT flag set in the 2-byte header) inflate() returns 0
+      // forever without consuming input — without this exit a crafted
+      // payload spins the executor task indefinitely
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
       got += n
     }
     inf.end()

@@ -381,9 +381,14 @@ object LakeQueries {
 
   /** Streaming CDC apply — the maintenance loop a lake table actually
     * runs: an AvailableNow file stream of ops feeds `foreachBatch`, each
-    * batch [[graft.operators.Cdc.merge]]d into a VERSIONED parquet state
-    * (read v{n}, write v{n+1} — no read-overwrite hazard, and every
-    * historical state stays addressable, the q89 time-travel posture).
+    * batch [[graft.operators.Cdc.mergeStateful]]'d into a VERSIONED
+    * parquet state (read v{n}, write v{n+1} — no read-overwrite hazard,
+    * and every historical state stays addressable, the q89 time-travel
+    * posture). The state carries each key's winning (ts_ns, event_id) and
+    * a delete tombstone, so last-writer-wins holds GLOBALLY across
+    * batches even though the staged files deliver ops out of seq order —
+    * `maxFilesPerTrigger = 2` forces 4 micro-batches precisely to
+    * exercise that path (a plain per-batch merge diverges here).
     * Events play a balance change log: 'error' closes the account,
     * anything else upserts the event's value in cents, last (ts_ns,
     * event_id) wins. Even user ids pre-exist with zero balances (so
@@ -409,17 +414,18 @@ object LakeQueries {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
     Seq(stateRoot, ckpt).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    base.repartition(4).write.parquet(s"$stateRoot/v0")
+    graft.operators.Cdc.seedState(base, ops, Seq("ts_ns", "event_id"))
+      .repartition(4).write.parquet(s"$stateRoot/v0")
 
-    val stream = Incremental.fileStream(s, src, ops.schema)
+    val stream = Incremental.fileStream(s, src, ops.schema,
+      maxFilesPerTrigger = Some(2))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val st = s.read.parquet(s"$stateRoot/v$batchId")
-        graft.operators.Cdc.merge(st, batch,
+        graft.operators.Cdc.mergeStateful(st, batch,
             keyCols = Seq("user_id"), seqCols = Seq("ts_ns", "event_id"),
             opCol = "op", deleteOp = "D",
             valueCols = Map("balance_cents" -> col("cents")))
-          .drop("__changed")
           .repartition(4).write.parquet(s"$stateRoot/v${batchId + 1}")
         (): Unit
       }
@@ -431,7 +437,7 @@ object LakeQueries {
     val latest = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
       .map(_.getPath.getName).filter(_.startsWith("v"))
       .map(_.drop(1).toInt).max
-    s.read.parquet(s"$stateRoot/v$latest")
+    graft.operators.Cdc.currentView(s.read.parquet(s"$stateRoot/v$latest"))
   }
 
   val q108Sql: String =

@@ -475,11 +475,15 @@ object PipelineQueries {
     * take ceil(n/k) rows, the rest floor(n/k) — the standard remainder
     * rule, written once and shared with the SQL oracle.
     */
-  private def ntileFromRank(rank: Column, nRows: Column, k: Int): Column = {
+  private[queries] def ntileFromRank(rank: Column, nRows: Column, k: Int): Column = {
     val base = nRows.divide(k).cast("long")           // floor(n/k)
     val rem = nRows % k
     val cut = rem * (base + 1)                        // rows in the fat buckets
-    when(rank <= cut, (rank - 1).divide(base + 1).cast("long") + 1)
+    // n < k → base == 0: the otherwise-branch would divide by zero (double
+    // Infinity → cast long → garbage buckets, silently). NTILE then gives
+    // each of the n rows its own bucket: bucket = rank.
+    when(base === 0, rank)
+      .when(rank <= cut, (rank - 1).divide(base + 1).cast("long") + 1)
       .otherwise(rem + (rank - cut - 1).divide(base).cast("long") + 1)
       .cast("int")
   }
@@ -621,7 +625,19 @@ object PipelineQueries {
 
   def q110AnnIndexProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val root = s"/tmp/graft_q110_index_${math.abs(dir.hashCode)}"
+    // The index root is keyed on a CONTENT fingerprint of the corpus
+    // (count + max id + order-insensitive xxhash64 xor — one cheap
+    // column-pruned scan), not the fixture path: a path-keyed root served
+    // a STALE index when a long-lived session saw the corpus change under
+    // the same path (and /tmp outlives the JVM, while the guard set does
+    // not). A changed corpus now hashes to a fresh root and rebuilds;
+    // an unchanged one keeps hitting the built index.
+    val fp = emb.agg(
+        count(lit(1)), coalesce(max(col("vec_id")).cast("long"), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
+      .first()
+    val root = "/tmp/graft_q110_index_" + math.abs(
+      java.util.Objects.hash(fp.getLong(0), fp.getLong(1), fp.getLong(2)))
     // index built ONCE per corpus (the stageOnce discipline): the probe is
     // the recurring operation a daily batch runs and the one the bench
     // should price; un-cache on failure so a half-written index is never

@@ -38,7 +38,8 @@ class SubprocessSentimentModel(
     command: Seq[String],
     override val name: String = "subprocess",
     override val version: String = "1.0",
-    maxInFlight: Int = 512) extends SentimentModel with Serializable {
+    maxInFlight: Int = 512,
+    exitTimeoutSec: Int = 30) extends SentimentModel with Serializable {
   require(command.nonEmpty, "scorer command must be non-empty")
   require(maxInFlight > 0, "maxInFlight must be positive")
 
@@ -48,16 +49,18 @@ class SubprocessSentimentModel(
       chunks.schema.add("label", StringType).add("score", DoubleType))
     val cmd = command
     val inFlight = maxInFlight
+    val exitSec = exitTimeoutSec
     chunks.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
-      else new SubprocessScorer(rows, idx, cmd, inFlight)
+      else new SubprocessScorer(rows, idx, cmd, inFlight, exitSec)
     }(enc)
   }
 }
 
 /** Per-partition lifecycle: spawn, pump, zip responses, tear down. */
 private[text] final class SubprocessScorer(
-    rows: Iterator[Row], textIdx: Int, command: Seq[String], maxInFlight: Int)
+    rows: Iterator[Row], textIdx: Int, command: Seq[String], maxInFlight: Int,
+    exitTimeoutSec: Int = 30)
     extends Iterator[Row] {
   import java.io.{BufferedReader, InputStreamReader}
   import java.nio.charset.StandardCharsets.UTF_8
@@ -125,9 +128,17 @@ private[text] final class SubprocessScorer(
     if (staged eq DONE) {
       pending.put(DONE) // keep terminal, not blocking
       if (writeFailure != null) fail(s"feeding input failed: $writeFailure")
-      // protocol check: no extra output after the last expected response
-      if (stdout.readLine() != null) fail("emitted more lines than inputs")
-      val code = process.waitFor()
+      // Protocol check with a BOUNDED wait: a bare readLine() here only
+      // returns when the scorer writes or closes stdout, so a scorer that
+      // answered every input but ignores stdin EOF (never exits, never
+      // closes stdout) would wedge the task forever. Wait for exit with a
+      // deadline first; once the process is gone the pipe is at EOF and
+      // ready()/readLine() cannot block.
+      if (!process.waitFor(exitTimeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS))
+        fail(s"did not exit within ${exitTimeoutSec}s of input EOF")
+      if (stdout.ready() && stdout.readLine() != null)
+        fail("emitted more lines than inputs")
+      val code = process.exitValue()
       if (code != 0) fail(s"exited with code $code")
       false
     } else true

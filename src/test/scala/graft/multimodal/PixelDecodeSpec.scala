@@ -168,6 +168,65 @@ class PixelDecodeSpec extends SparkTestBase {
     }
   }
 
+  test("zlib FDICT header quarantines instead of spinning the inflate loop") {
+    // A preset-dictionary zlib stream (FLG bit 5 set) makes Inflater
+    // return 0 with needsDictionary() — neither needsInput() nor
+    // finished() — so a loop exiting only on needsInput() spins forever.
+    // Build one with a real Deflater+dictionary so the header is valid.
+    val dict = "graftdict".getBytes("US-ASCII")
+    val d = new java.util.zip.Deflater()
+    d.setDictionary(dict)
+    d.setInput(Array.fill[Byte](13)(7)) // 1x1 RGB + filter byte won't match, any payload works
+    d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf)
+    d.end()
+    val fdictIdat = buf.take(n)
+    assert((fdictIdat(1) & 0x20) != 0, "test stream must set FDICT")
+    val payload =
+      Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+          .putInt(1).putInt(1).put(8.toByte).put(2.toByte)
+          .put(0.toByte).put(0.toByte).put(0.toByte).array()) ++
+        chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.empty)
+    // must return promptly — the spec itself is the hang guard
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val f = done.submit(new java.util.concurrent.Callable[Option[PixelDecode.Image]] {
+        def call() = PixelDecode.decode(payload)
+      })
+      assert(f.get(10, java.util.concurrent.TimeUnit.SECONDS).isEmpty)
+    } finally done.shutdownNow()
+  }
+
+  test("decode-bomb geometry quarantines before allocating (PNG and JPEG)") {
+    // 50-byte streams claiming huge frames: allocation would OOM (an
+    // Error, uncatchable by the quarantine) — the geometry cap must
+    // return None first, and fast
+    val hugePng =
+      Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+          .putInt(46000).putInt(46000).put(8.toByte).put(2.toByte)
+          .put(0.toByte).put(0.toByte).put(0.toByte).array()) ++
+        chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.empty)
+    assert(PixelDecode.decode(hugePng).isEmpty)
+    // minimal JPEG: SOI, DQT, SOF0 claiming 65535x65535, DHT, SOS
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((data.length + 2) >> 8).toByte, ((data.length + 2) & 0xff).toByte) ++ data
+    val dqt = seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(16))
+    val sof = seg(0xc0, Array[Byte](8,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, // 65535 x 65535
+      1, 1, 0x11, 0))
+    val dhtBits = Array.fill[Byte](16)(0); dhtBits(0) = 1
+    val dht = seg(0xc4, Array[Byte](0x00) ++ dhtBits ++ Array[Byte](0)) ++
+      seg(0xc4, Array[Byte](0x10) ++ dhtBits ++ Array[Byte](0))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val hugeJpeg = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ sos ++
+      Array[Byte](0, 0) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(PixelDecode.decode(hugeJpeg).isEmpty)
+  }
+
   test("pixelStats quarantines undecodable payloads as null stats") {
     val spark2 = spark
     import spark2.implicits._

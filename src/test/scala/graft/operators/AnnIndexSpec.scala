@@ -38,4 +38,38 @@ class AnnIndexSpec extends SparkTestBase {
     val plan = stored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin [cell"), plan)
   }
+
+  test("q110 index key is a content fingerprint: a changed corpus under the SAME path rebuilds") {
+    // the round-5 path-keyed root served a stale index when the corpus
+    // changed under an unchanged path within one long-lived session
+    val dir = "/tmp/graft_annindex_fp_corpus"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val r1 = graft.queries.PipelineQueries.q110AnnIndexProbe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(r1.nonEmpty)
+
+    // mutate the corpus in place: shift every corpus vector id by 1000
+    // (queries/centroid slices land on different vec_ids → different
+    // neighbors), same path
+    val mutated = emb.withColumn("vec_id", col("vec_id") + lit(1000L))
+    val tmp = s"$dir/embeddings_next.parquet"
+    mutated.write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+
+    val r2 = graft.queries.PipelineQueries.q110AnnIndexProbe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(r2.nonEmpty)
+    // every id in the mutated corpus is shifted — a stale index would
+    // return the OLD neighbor ids for the new queries (or nothing at all)
+    assert(r2.map(_._2).forall(_ >= 1000L),
+      "probe returned neighbor ids from the stale pre-mutation index")
+    assert(r1 !== r2)
+  }
 }

@@ -64,6 +64,51 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("mergeStateful: later batch with LOWER seq never overwrites a newer value") {
+    val st0 = Cdc.seedState(base, ops, Seq("seq"))
+    // batch 1 carries the HIGH-seq ops, batch 2 the low-seq stragglers —
+    // the out-of-order delivery a per-batch Cdc.merge gets wrong
+    val batch1 = ops.filter(col("seq") === 20L || col("k") >= 4L)
+    val batch2 = ops.filter(col("seq") === 10L && col("k") < 4L)
+    val st2 = Cdc.mergeStateful(
+      Cdc.mergeStateful(st0, batch1, Seq("k"), Seq("seq"), "op", "D",
+        Map("bal" -> col("v"))),
+      batch2, Seq("k"), Seq("seq"), "op", "D", Map("bal" -> col("v")))
+    val out = Cdc.currentView(st2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // key 1: D@20 applied first; the late U@10 must NOT resurrect it
+    assert(!out.contains(1L))
+    // key 2: U@20 (222) applied first; the late D@10 must NOT delete it
+    assert(out(2L) === 222L)
+    assert(out(3L) === 300L && out(4L) === 444L && out(5L) === 555L)
+  }
+
+  test("mergeStateful batch-wise ≡ merge on the full log, any batch split") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val baseRows = (1L to 30L).filter(_ % 2 == 0).map(k => (k, s"n$k", k * 10))
+      val opRows = rnd.shuffle((1 to 200).map { i =>
+        ((rnd.nextInt(40) + 1).toLong, i.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000).toLong)
+      })
+      val baseDf = baseRows.toDF("k", "name", "bal")
+      val opsDf = opRows.toDF("k", "seq", "op", "v")
+      val expected = Cdc.merge(baseDf, opsDf, Seq("k"), Seq("seq"), "op", "D",
+          Map("bal" -> col("v"))).drop("__changed")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      // arbitrary 4-way split of the SHUFFLED log → ops arrive across
+      // batches in no seq order at all
+      val batches = opRows.grouped((opRows.size + 3) / 4).toSeq
+      val finalState = batches.foldLeft(Cdc.seedState(baseDf, opsDf, Seq("seq"))) {
+        (st, b) => Cdc.mergeStateful(st, b.toDF("k", "seq", "op", "v"),
+          Seq("k"), Seq("seq"), "op", "D", Map("bal" -> col("v")))
+      }
+      val got = Cdc.currentView(finalState)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(got === expected, s"trial $trial diverged")
+    }
+  }
+
   test("merge is idempotent: re-applying the same log changes nothing") {
     val once = Cdc.merge(base, ops, Seq("k"), Seq("seq"), "op", "D",
       Map("bal" -> col("v"))).drop("__changed")

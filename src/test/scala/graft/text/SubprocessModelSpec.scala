@@ -92,6 +92,22 @@ class SubprocessModelSpec extends SparkTestBase {
     assert(fullMessage(e).contains("unparsable"))
   }
 
+  test("scorer that answers every row but never exits fails within the deadline") {
+    // answers each line correctly, then ignores stdin EOF and sleeps: an
+    // unbounded readLine() probe after the last response would wedge the
+    // task forever; the bounded waitFor must fail it loudly instead
+    val chunks = Seq((1L, "a"), (2L, "b")).toDF("id", "chunk").coalesce(1)
+    val zombie = new SubprocessSentimentModel(
+      Seq("sh", "-c",
+        """while read l; do printf 'neutral\t0.5\n'; done; sleep 600"""),
+      exitTimeoutSec = 2)
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] { zombie.score(chunks, "chunk").collect() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(fullMessage(e).contains("did not exit within"))
+    assert(secs < 60, s"deadline not enforced (took ${secs}s)")
+  }
+
   test("early-stopped consumption reaps the scorer process (task-scoped lifetime)") {
     import scala.jdk.StreamConverters._
     def marked: Long = ProcessHandle.current().descendants().toScala(Seq)
