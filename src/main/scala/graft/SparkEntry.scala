@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.ApiQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.queries.TrainingQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.GateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.ApiQueries.oracleSql ++
       graft.queries.ScaleQueries.oracleSql ++
       graft.queries.TrainingQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.GateQueries.oracleSql
 }

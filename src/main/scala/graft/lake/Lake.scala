@@ -109,7 +109,10 @@ object Lake {
     */
   def listPartitions(spark: SparkSession, root: String, table: String): Seq[String] = {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val base = new Path(s"$root/$table")
+    // qualify the base so the relative-path strip below works whether the
+    // caller passed a scheme-qualified root or a bare path (listStatus
+    // always returns fully-qualified children)
+    val base = fs.makeQualified(new Path(s"$root/$table"))
     if (!fs.exists(base)) return Seq.empty
     def walk(p: Path): Seq[String] = {
       val children = fs.listStatus(p).filter(_.isDirectory)

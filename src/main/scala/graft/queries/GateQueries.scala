@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.{FooterMetadata, Lake}
+import graft.master.SecurityMaster
+import graft.streaming.Incremental
+import graft.ticks.Calendar
+
+/** Oracle gates for the ten SURVEY §2 operators that were previously
+  * spec-only (round-5 verdict ask #2): S13 footer metadata, S14 partition
+  * listing, P4 all-null drop, J3 sid→info lookup, J10 FIGI rebrand, A3
+  * datapoint dedup, W2 lag-4 YoY, I2 trading-day gate, I5 year-end
+  * compaction, I6 stateful stream resume. Each query drives the REAL
+  * operator (the same code the specs exercise) and lands on a result the
+  * DuckDB oracle can recompute from the fixture tables alone.
+  */
+object GateQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def localFs(s: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+
+  private def rm(s: SparkSession, paths: String*): Unit = {
+    val fs = localFs(s)
+    paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  /** S13 — real parquet footer key-value metadata: export nation as a
+    * single self-describing file ([[FooterMetadata.exportWithMetadata]]:
+    * row groups appended verbatim, footer rewritten with the merged KV),
+    * read the footer back with parquet-hadoop, and prove the file stayed
+    * Spark-readable by re-reading its rows. Reference
+    * security_master.py:828-892 (crsp_end_date / export_timestamp /
+    * version / row_count embedded in the export's own footer).
+    */
+  def q113FooterMeta(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+    val path = s"/tmp/graft_q113_export_${math.abs(dir.hashCode)}.parquet"
+    FooterMetadata.exportWithMetadata(nation, path,
+      crspEndDate = "2002-12-31", exportTimestamp = "2026-01-01T00:00:00Z")
+    val (rows, meta) = FooterMetadata.loadWithMetadata(s, path)
+    // project the four contract keys (the footer also carries Spark's own
+    // schema key, which is what keeps the file Spark-readable) and a
+    // re-read row count proving the append-file byte copy kept data intact
+    val entries =
+      Seq("crsp_end_date", "export_timestamp", "row_count", "version")
+        .map(k => (k, meta(k))) :+ ("reread_rows", rows.count().toString)
+    val s2 = s; import s2.implicits._
+    entries.toDF("key", "value")
+  }
+
+  val q113Sql: String =
+    """SELECT 'crsp_end_date' AS key, '2002-12-31' AS value
+      |UNION ALL SELECT 'export_timestamp', '2026-01-01T00:00:00Z'
+      |UNION ALL SELECT 'row_count', CAST((SELECT count(*) FROM nation) AS VARCHAR)
+      |UNION ALL SELECT 'version', '1.0'
+      |UNION ALL SELECT 'reread_rows', CAST((SELECT count(*) FROM nation) AS VARCHAR)""".stripMargin
+
+  /** S14 — partition listing + existence probes over a freshly written
+    * Hive-partitioned table ([[Lake.listPartitions]] /
+    * [[Lake.partitionExists]]; reference list_objects_v2 walking,
+    * storage/pipeline/validation.py:84-235). The listing is re-derived
+    * from the directory tree, not from what was written, and a probe for
+    * a partition that was never written must come back absent.
+    */
+  def q114LakeListing(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q114_lake_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Lake.overwritePartitions(o, root, "orders_by_year", Seq("o_year"))
+    val probes = Lake.listPartitions(s, root, "orders_by_year")
+      .map(p => (p, Lake.partitionExists(s, root, "orders_by_year", p))) :+
+      ("o_year=2099", Lake.partitionExists(s, root, "orders_by_year", "o_year=2099"))
+    val s2 = s; import s2.implicits._
+    probes.toDF("partition", "present0")
+      .select(col("partition"), col("present0").cast("int").as("present"))
+  }
+
+  val q114Sql: String =
+    """SELECT concat('o_year=', CAST(year(o_orderdate) AS VARCHAR)) AS partition,
+      |  1 AS present
+      |FROM orders GROUP BY 1
+      |UNION ALL SELECT 'o_year=2099', 0""".stripMargin
+
+  /** P4 — all-null row drop after calendar alignment: per-supplier daily
+    * bars left-joined onto the weekday spine ([[Calendar.align]]) produce
+    * null-quantity rows for every non-traded weekday, and
+    * [[Calendar.dropAllNullRows]] removes exactly those (reference
+    * update/app.py:385-393). The surviving set — weekday bars only — is
+    * what the oracle recomputes.
+    */
+  def q115AllnullDrop(s: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").cast("long").as("security_id"),
+        col("l_shipdate").cast("date").as("date"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    val bounds = bars.agg(min(col("date")).as("lo"), max(col("date")).as("hi"))
+    val aligned = Calendar.align(bars, Calendar.weekdaySpineFromBounds(bounds))
+    Calendar.dropAllNullRows(aligned, Seq("qty_cents"))
+      .select(col("security_id"),
+        date_format(col("date"), "yyyy-MM-dd").as("day"), col("qty_cents"))
+  }
+
+  val q115Sql: String =
+    """SELECT CAST(l_suppkey AS BIGINT) AS security_id,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS day,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem
+      |WHERE isodow(l_shipdate) <= 5
+      |GROUP BY 1, 2""".stripMargin
+
+  /** J3 — sid→info lookup: [[SecurityMaster.symbolHistory]] (reference
+    * get_symbol_history, security_master.py:762-779) for three known ids
+    * of the q45-derived master — each id's full symbol timeline, the
+    * pre-rename name then the post-split `.N` rebrand.
+    */
+  def q116SidLookup(s: SparkSession, dir: String): DataFrame = {
+    val master = graft.operators.Materialize.once(
+      MasterQueries.deriveMaster(s, dir).coalesce(4))
+    Seq(1001L, 1002L, 1003L)
+      .map(sid => SecurityMaster.symbolHistory(master, sid)
+        .withColumn("security_id", lit(sid)))
+      .reduce(_.unionByName(_))
+      .select(col("security_id"), col("symbol"),
+        date_format(col("start_date"), "yyyy-MM-dd").as("start_day"),
+        date_format(col("end_date"), "yyyy-MM-dd").as("end_day"))
+  }
+
+  val q116Sql: String =
+    """WITH ids AS (SELECT c_custkey, c_name,
+      |    1000 + dense_rank() OVER (ORDER BY c_custkey) AS security_id
+      |  FROM customer),
+      |sel AS (SELECT * FROM ids WHERE security_id IN (1001, 1002, 1003))
+      |SELECT security_id, c_name AS symbol,
+      |  '1994-01-01' AS start_day,
+      |  strftime(DATE '1997-01-01' + CAST(c_custkey % 400 AS INT) - 1, '%Y-%m-%d') AS end_day
+      |FROM sel
+      |UNION ALL
+      |SELECT security_id, c_name || '.N',
+      |  strftime(DATE '1997-01-01' + CAST(c_custkey % 400 AS INT), '%Y-%m-%d'), '2002-12-31'
+      |FROM sel""".stripMargin
+
+  /** J10 — FIGI rebrand stitching ([[SecurityMaster.rebrandMatches]],
+    * reference security_master.py:1105-1136): disappeared × appeared
+    * symbols matched on equal share-class FIGI. The %50 key folds several
+    * suppliers onto each FIGI, so the match is genuinely many-to-many;
+    * odd-key suppliers never reappear and must produce no pair.
+    */
+  def q117FigiRebrand(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val figi = concat(lit("FIGI"),
+      lpad((col("s_suppkey") % 50).cast("string"), 4, "0"))
+    val disappeared = sup.select(col("s_name").as("symbol"), figi.as("figi"))
+    val appeared = sup.filter(col("s_suppkey") % 2 === 0)
+      .select(concat(col("s_name"), lit(".X")).as("symbol"), figi.as("figi"))
+    SecurityMaster.rebrandMatches(disappeared, appeared)
+  }
+
+  val q117Sql: String =
+    """WITH d AS (SELECT s_name AS old_symbol,
+      |    'FIGI' || lpad(CAST(s_suppkey % 50 AS VARCHAR), 4, '0') AS figi
+      |  FROM supplier),
+      |a AS (SELECT s_name || '.X' AS new_symbol,
+      |    'FIGI' || lpad(CAST(s_suppkey % 50 AS VARCHAR), 4, '0') AS figi
+      |  FROM supplier WHERE s_suppkey % 2 = 0)
+      |SELECT old_symbol, new_symbol, figi FROM d JOIN a USING (figi)""".stripMargin
+
+  /** A3 — datapoint dedup inside the EDGAR parse ([[EdgarFacts.parse]]
+    * dedup window; reference collection/fundamental.py:47-120): the same
+    * (accn, frame, filed) datapoint is planted under BOTH revenue
+    * candidate tags with DIFFERENT values — the priority-0 tag's value
+    * must win, and the tag-unique datapoint must survive. The conflicting
+    * value (`*100+2`) appearing anywhere in the output is the failure.
+    */
+  def q118DatapointDedup(s: SparkSession, dir: String): DataFrame = {
+    val json = format_string(
+      """{"cik": %s, "facts": {"us-gaap": {
+        |"Revenues": {"units": {"USD": [
+        |  {"val": %s, "accn": "A1", "form": "10-K", "filed": "2000-03-01", "frame": "CY1999"}]}},
+        |"SalesRevenueNet": {"units": {"USD": [
+        |  {"val": %s, "accn": "A1", "form": "10-K", "filed": "2000-03-01", "frame": "CY1999"},
+        |  {"val": %s, "accn": "A2", "form": "10-Q", "filed": "2000-06-01", "frame": "CY2000Q1"}]}}
+        |}}}""".stripMargin.replace("\n", ""),
+      col("n_nationkey").cast("string"),
+      (col("n_nationkey") * 100 + 1).cast("string"),
+      (col("n_nationkey") * 100 + 2).cast("string"),
+      (col("n_nationkey") * 100 + 3).cast("string"))
+    graft.fundamental.EdgarFacts.parse(
+      Tables.nation(s, dir).select(json.as("body")), "body")
+      .select(col("cik"), col("concept"), col("unit"), col("value"),
+        col("accn"), col("form"),
+        date_format(col("filed"), "yyyy-MM-dd").as("filed_day"),
+        col("frame"),
+        date_format(col("start"), "yyyy-MM-dd").as("start_day"),
+        date_format(col("end"), "yyyy-MM-dd").as("end_day"))
+  }
+
+  val q118Sql: String =
+    """SELECT lpad(CAST(n_nationkey AS VARCHAR), 10, '0') AS cik,
+      |  'rev' AS concept, 'USD' AS unit,
+      |  CAST(n_nationkey*100 + 1 AS DOUBLE) AS value, 'A1' AS accn,
+      |  '10-K' AS form, '2000-03-01' AS filed_day, 'CY1999' AS frame,
+      |  CAST(NULL AS VARCHAR) AS start_day, CAST(NULL AS VARCHAR) AS end_day
+      |FROM nation
+      |UNION ALL
+      |SELECT lpad(CAST(n_nationkey AS VARCHAR), 10, '0'), 'rev', 'USD',
+      |  CAST(n_nationkey*100 + 3 AS DOUBLE), 'A2', '10-Q', '2000-06-01',
+      |  'CY2000Q1', NULL, NULL
+      |FROM nation""".stripMargin
+
+  /** W2 — lag-4 year-over-year on quarterly rows (reference
+    * derived/metrics.py:158-163: avg_ast/avg_eqt = (x + lag4(x))/2):
+    * quarterly ta/te series per synthetic symbol flow through the REAL
+    * [[graft.fundamental.DerivedMetrics.compute]] EAV pipeline (pivot →
+    * windowed pass → unpivot); only the two lag-4 metrics survive the
+    * null filter because every other input concept is absent.
+    */
+  def q119YoyLag4(s: SparkSession, dir: String): DataFrame = {
+    val qtrEnd = date_sub(
+      add_months(to_date(date_trunc("quarter", col("o_orderdate"))), 3), 1)
+    val wide = Tables.orders(s, dir)
+      .groupBy(
+        concat(lit("S"), lpad((col("o_custkey") % 20).cast("string"), 2, "0")).as("symbol"),
+        qtrEnd.as("as_of_date"))
+      .agg(
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("double").as("ta_val"),
+        count(lit(1)).cast("double").as("te_val"))
+    val eavLong = wide.select(col("symbol"), col("as_of_date"),
+      expr("stack(2, 'ta', ta_val, 'te', te_val) as (concept, value)"))
+    graft.fundamental.DerivedMetrics.compute(eavLong)
+      .filter(col("metric").isin("avg_ast", "avg_eqt"))
+      .select(col("symbol"),
+        date_format(col("as_of_date"), "yyyy-MM-dd").as("as_of_day"),
+        col("metric"), col("value"))
+  }
+
+  val q119Sql: String =
+    """WITH q AS (SELECT 'S' || lpad(CAST(o_custkey % 20 AS VARCHAR), 2, '0') AS symbol,
+      |    CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS as_of_date,
+      |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) AS ta,
+      |    CAST(count(*) AS DOUBLE) AS te
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT symbol, as_of_date,
+      |    (ta + lag(ta, 4) OVER (PARTITION BY symbol ORDER BY as_of_date)) / 2 AS avg_ast,
+      |    (te + lag(te, 4) OVER (PARTITION BY symbol ORDER BY as_of_date)) / 2 AS avg_eqt
+      |  FROM q)
+      |SELECT symbol, strftime(as_of_date, '%Y-%m-%d') AS as_of_day,
+      |  'avg_ast' AS metric, avg_ast AS value
+      |FROM l WHERE avg_ast IS NOT NULL
+      |UNION ALL
+      |SELECT symbol, strftime(as_of_date, '%Y-%m-%d'), 'avg_eqt', avg_eqt
+      |FROM l WHERE avg_eqt IS NOT NULL""".stripMargin
+
+  /** I2 — the trading-day gate ([[Calendar.weekdaySpine]]; reference
+    * utils/calendar.py:32-55): one year's weekday spine, each order
+    * landing on it counted per month. Weekend order dates must contribute
+    * nothing; months differ in weekday count (the gate's actual output).
+    */
+  def q120TradingGate(s: SparkSession, dir: String): DataFrame = {
+    val spine = Calendar.weekdaySpine(s, "1995-01-01", "1995-12-31")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("date"), col("o_orderkey"))
+    spine.join(o, Seq("date"), "left")
+      .groupBy(month(col("date")).as("month"))
+      .agg(countDistinct(col("date")).as("n_trading_days"),
+        count(col("o_orderkey")).as("n_orders"))
+  }
+
+  val q120Sql: String =
+    """WITH spine AS (SELECT CAST(unnest(generate_series(
+      |    DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS date),
+      |wd AS (SELECT date FROM spine WHERE isodow(date) <= 5)
+      |SELECT CAST(month(date) AS INT) AS month,
+      |  CAST(count(DISTINCT date) AS BIGINT) AS n_trading_days,
+      |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |FROM wd LEFT JOIN orders ON o_orderdate = date
+      |GROUP BY 1""".stripMargin
+
+  /** I5 — year-end compaction ([[Lake.compactYears]]; reference
+    * update/app.py:447-607, 12 monthlies → history.parquet): two
+    * incremental appends fragment every (security_id, year) partition
+    * into two files, compaction folds each back to ONE, and the gate
+    * checks both the surviving rows AND the physical layout
+    * (`_metadata.file_path` distinct count == 1 per partition).
+    */
+  def q121Compaction(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q121_lake_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val bars = Tables.lineitem(s, dir).select(
+      (col("l_suppkey") % 10).cast("long").as("security_id"),
+      year(col("l_shipdate")).as("year"),
+      col("l_orderkey"), col("l_quantity"))
+    Lake.appendPartitions(bars.filter(col("l_orderkey") % 2 === 0),
+      root, "ticks", Seq("security_id", "year"))
+    Lake.appendPartitions(bars.filter(col("l_orderkey") % 2 =!= 0),
+      root, "ticks", Seq("security_id", "year"))
+    // compact every year present in the data (driver-side collect of a
+    // handful of distinct years — dimension-sized, not a fact collect)
+    val years = Lake.read(s, root, "ticks").select(col("year"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    Lake.compactYears(s, root, "ticks", years)
+    Lake.read(s, root, "ticks")
+      .groupBy(col("security_id").cast("long").as("security_id"),
+        col("year").cast("int").as("year"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+  }
+
+  val q121Sql: String =
+    """SELECT CAST(l_suppkey % 10 AS BIGINT) AS security_id,
+      |  CAST(year(l_shipdate) AS INT) AS year,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** I6 — stateful stream resume ([[Incremental.runIncrementalToParquet]];
+    * reference daily update loop): run one, stage MORE files, run two with
+    * the SAME checkpoint — the second run must process only the new files.
+    * Any reprocessing doubles counts and fails the oracle; any missed file
+    * undershoots it. Exactly-once across restarts, gated end to end.
+    */
+  def q122StreamResume(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val src = s"/tmp/graft_q122_src_$tag"
+    val sink = s"/tmp/graft_q122_sink_$tag"
+    val ckpt = s"/tmp/graft_q122_ckpt_$tag"
+    rm(s, src, sink, ckpt)
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    def run(): Unit = Incremental.runIncrementalToParquet(
+      Incremental.fileStream(s, src, ev.schema), sink, ckpt)
+    ev.filter(col("event_id") % 2 === 0).repartition(4)
+      .write.mode("append").parquet(src)
+    run()
+    ev.filter(col("event_id") % 2 =!= 0).repartition(4)
+      .write.mode("append").parquet(src)
+    run()
+    s.read.parquet(sink).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val q122Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q113_footer_meta" -> (q113FooterMeta _),
+    "q114_lake_listing" -> (q114LakeListing _),
+    "q115_allnull_drop" -> (q115AllnullDrop _),
+    "q116_sid_lookup" -> (q116SidLookup _),
+    "q117_figi_rebrand" -> (q117FigiRebrand _),
+    "q118_datapoint_dedup" -> (q118DatapointDedup _),
+    "q119_yoy_lag4" -> (q119YoyLag4 _),
+    "q120_trading_gate" -> (q120TradingGate _),
+    "q121_compaction" -> (q121Compaction _),
+    "q122_stream_resume" -> (q122StreamResume _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q113_footer_meta" -> q113Sql,
+    "q114_lake_listing" -> q114Sql,
+    "q115_allnull_drop" -> q115Sql,
+    "q116_sid_lookup" -> q116Sql,
+    "q117_figi_rebrand" -> q117Sql,
+    "q118_datapoint_dedup" -> q118Sql,
+    "q119_yoy_lag4" -> q119Sql,
+    "q120_trading_gate" -> q120Sql,
+    "q121_compaction" -> q121Sql,
+    "q122_stream_resume" -> q122Sql)
+}
