@@ -72,6 +72,10 @@ object Pipeline {
             .getOrElse("consolidated_years", ""))
 
       case "read" =>
+        // cache() without unpersist is deliberate here ONLY because this is
+        // a run-to-completion CLI: spark.stop() a few lines down drops the
+        // whole CacheManager. A long-lived session must use
+        // operators.Materialize.once instead (the round-4 lesson).
         val master = graft.queries.MasterQueries.deriveMaster(spark, sfDir)
           .withColumn("symbol", SecurityMaster.normalizeSymbol(col("symbol")))
           .cache()

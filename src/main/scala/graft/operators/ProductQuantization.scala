@@ -50,7 +50,10 @@ object ProductQuantization {
     */
   def codebooksFromSeeds(seeds: DataFrame, m: Int, subDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val code = (row_number().over(Window.orderBy(col(idCol).asc)) - 1)
+    // constant partition key over the nCodes-row seed set: same one-
+    // partition execution, but no "No Partition Defined" warning noise
+    val code = (row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col(idCol).asc)) - 1)
       .cast("long").as("code")
     val subs = explode(sequence(lit(0), lit(m - 1))).as("sub")
     seeds
