@@ -65,15 +65,29 @@ object Lake {
 
   /** I5 — year-end compaction: rewrite the given (entity, year) partitions
     * as one file each (the reference's 12-monthlies → history.parquet,
-    * update/app.py:447-607). Dynamic overwrite keeps it idempotent;
-    * `fileSizeTarget` governs output fan-out for fat partitions.
+    * update/app.py:447-607). Dynamic overwrite keeps it idempotent.
+    *
+    * `maxRecordsPerFile` (0 = unlimited) bounds fat partitions: the writer
+    * rolls to a new file every N records WITHIN the partition's single
+    * task — the exact, shuffle-free file-size control (a salted
+    * repartition can only approximate a file count, and hash collisions
+    * merge buckets).
     */
   def compactYears(spark: SparkSession, root: String, table: String,
-      years: Seq[Int], filesPerPartition: Int = 1): Unit = {
+      years: Seq[Int], maxRecordsPerFile: Long = 0L): Unit = {
     val df = read(spark, root, table).filter(col("year").isin(years: _*))
-    overwritePartitions(
-      df.repartition(filesPerPartition, col("security_id"), col("year")),
-      root, table, Seq("security_id", "year"))
+    // Cluster BY KEY here and tell overwritePartitions not to re-cluster:
+    // its own repartition would collapse with this one (Catalyst keeps
+    // only the outermost of adjacent repartitions). One task per
+    // (security_id, year) → one file, or ceil(rows/maxRecordsPerFile)
+    // files when the cap is set.
+    val keyed = df.repartition(col("security_id"), col("year"))
+    keyed.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("security_id", "year")
+      .parquet(s"$root/$table")
   }
 
   /** S13 — manifest sidecar for partitioned TABLES (one JSON per table;

@@ -56,6 +56,20 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.read(spark, root, "daily_ticks").count() === 2)
   }
 
+  test("compaction maxRecordsPerFile bounds fat-partition files exactly") {
+    // regression: the old filesPerPartition repartition(n, cols) was
+    // adjacent to overwritePartitions' own repartition(cols) and Catalyst
+    // keeps only the outermost — the file-count knob silently did nothing
+    val root = tmpRoot()
+    val fat = bars((1 to 40).map(i => (1L, f"2023-01-${i % 28 + 1}%02d", i.toDouble)): _*)
+    Lake.overwritePartitions(fat, root, "daily_ticks", Seq("security_id", "year"))
+    Lake.compactYears(spark, root, "daily_ticks", Seq(2023), maxRecordsPerFile = 15L)
+    val dir = new java.io.File(new java.net.URI(s"$root/daily_ticks/security_id=1/year=2023"))
+    val parquets = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquets === 3, s"40 rows / 15-record cap: expected 3 files, got $parquets") // ceil(40/15)
+    assert(Lake.read(spark, root, "daily_ticks").count() === 40)
+  }
+
   test("manifest round-trip (S13)") {
     val root = tmpRoot()
     Lake.writeManifest(spark, root, "daily_ticks", 42L, "3",
