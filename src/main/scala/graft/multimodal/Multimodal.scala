@@ -235,6 +235,138 @@ object Multimodal {
     syntheticBmp(width, height, pixelArray)
   }
 
+  /** A real 16-bit PCM WAV (RIFF + fmt + data) whose mono samples follow
+    * the deterministic formula `s(i) = ((id*37 + i*13) % 2048) - 1024` —
+    * assembled entirely in Column byte math (LE int16 two's complement via
+    * pmod into [0, 65536)). An oracle replays the FORMULA, so any defect
+    * in this encoder or in [[WavDecode]]'s walk (chunk sizes, LE order,
+    * sign extension) breaks the comparison. The audio sibling of
+    * [[syntheticBmpPattern]].
+    */
+  def syntheticWavPattern(id: Column, nSamples: Column,
+      sampleRate: Int = 8000): Column = {
+    val sample = (i: Column) =>
+      pmod(id * 37 + i * 13, lit(2048)) - lit(1024)
+    // int16 two's complement: pmod(v, 65536) maps negatives to 65536+v
+    val dataHex = array_join(
+      transform(sequence(lit(0), nSamples - 1),
+        i => leHex(pmod(sample(i), lit(65536)), 2)), "")
+    val dataLen = nSamples * 2
+    val fmtHex = concat(
+      lit("666d7420"), leHex(lit(16), 4),        // "fmt ", size 16
+      leHex(lit(1), 2), leHex(lit(1), 2),        // PCM, mono
+      leHex(lit(sampleRate), 4),                 // sample rate
+      leHex(lit(sampleRate * 2), 4),             // byte rate
+      leHex(lit(2), 2), leHex(lit(16), 2))       // block align, 16-bit
+    unhex(concat(
+      lit("52494646"), leHex(dataLen + lit(36), 4), lit("57415645"), // RIFF size WAVE
+      fmtHex,
+      lit("64617461"), leHex(dataLen, 4), dataHex))                  // data chunk
+  }
+
+  /** Audio feature extraction over media rows: REAL PCM decode
+    * ([[WavDecode]]), then frame channel 0 into `frameSize`-sample windows
+    * and emit the standard per-frame features — RMS energy
+    * (sqrt(Σs²/n), exact integer sums → IEEE-exact in any engine), peak
+    * |s|, and the zero-crossing count (consecutive pairs whose signs
+    * differ, 0 counted as non-negative). The trailing partial frame is
+    * kept with its true n_samples. Undecodable payloads are quarantined
+    * (no rows), the corpus-scale contract.
+    */
+  def audioFeatures(media: DataFrame, frameSize: Int): DataFrame = {
+    require(frameSize > 0, "frameSize must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType),
+      StructField("zero_crossings", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          WavDecode.decode(payload) match {
+            case Some(clip) if clip.nFrames > 0 =>
+              val n = clip.nFrames
+              (0 until (n + frameSize - 1) / frameSize).iterator.map { f =>
+                val lo = f * frameSize
+                val hi = math.min(lo + frameSize, n)
+                var sumSq = 0.0
+                var peak = 0
+                var zc = 0
+                var i = lo
+                while (i < hi) {
+                  val s = clip.at(i, 0)
+                  sumSq += s.toDouble * s
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  if (i > lo && ((clip.at(i - 1, 0) < 0) != (s < 0))) zc += 1
+                  i += 1
+                }
+                Row(id, f, hi - lo, math.sqrt(sumSq / (hi - lo)), peak, zc)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor image resize over a decoded pixel grid: output
+    * pixel (r, c) samples source pixel (r*h/oh, c*w/ow) (floor — the
+    * standard scale-then-truncate mapping). Pure index arithmetic, no
+    * interpolation: exact, replayable, and the cheap first stage every
+    * thumbnail/preprocess pipeline runs before a model-specific resample.
+    */
+  def resizeNearest(img: PixelDecode.Image, ow: Int, oh: Int): PixelDecode.Image = {
+    require(ow > 0 && oh > 0, "output geometry must be positive")
+    val out = new Array[Int](ow * oh * img.channels)
+    var r = 0
+    while (r < oh) {
+      val sr = r * img.height / oh
+      var c = 0
+      while (c < ow) {
+        val sc = c * img.width / ow
+        var ch = 0
+        while (ch < img.channels) {
+          out((r * ow + c) * img.channels + ch) = img.at(sr, sc, ch)
+          ch += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    PixelDecode.Image(img.format, ow, oh, img.channels, out)
+  }
+
+  /** Resize media payloads to (ow × oh) and emit every output pixel as a
+    * row — decode ([[PixelDecode]]) + [[resizeNearest]] per partition.
+    * Undecodable payloads quarantine to no rows.
+    */
+  def resizePixels(media: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("r", IntegerType), StructField("c", IntegerType),
+      StructField("red", IntegerType), StructField("green", IntegerType),
+      StructField("blue", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val payload = if (row.isNullAt(1)) null else row.getAs[Array[Byte]](1)
+          PixelDecode.decode(payload) match {
+            case Some(img) if img.channels >= 3 =>
+              val small = resizeNearest(img, ow, oh)
+              for { r <- 0 until oh; c <- 0 until ow } yield
+                Row(id, r, c, small.at(r, c, 0), small.at(r, c, 1), small.at(r, c, 2))
+            case _ => Seq.empty
+          }
+        }
+      }(enc)
+  }
+
   /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) so the
     * multimodal path is exercisable on the driver fixtures.
     */

@@ -259,6 +259,66 @@ object PipelineQueries {
       |    AS bottom_right_b
       |FROM pxv GROUP BY doc_id, w, h""".stripMargin
 
+  /** Audio features over REAL 16-bit PCM WAV payloads: each document
+    * carries a [[graft.multimodal.Multimodal.syntheticWavPattern]] clip
+    * (RIFF container assembled in Column byte math, samples from a
+    * deterministic formula), decoded from first principles by
+    * [[graft.multimodal.WavDecode]] and framed into 64-sample windows —
+    * per-frame RMS energy, peak, zero-crossing count. The oracle replays
+    * the FORMULA (never touching bytes): integer-exact Σs² keeps the
+    * IEEE sqrt bit-identical across engines; varying clip lengths leave
+    * a partial trailing frame to catch off-by-one framing.
+    */
+  def q123AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val n = (lit(96) + (col("doc_id") % 3) * 64).cast("int")
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticWavPattern(col("doc_id"), n)
+        .as("payload"))
+    graft.multimodal.Multimodal.audioFeatures(media, frameSize = 64)
+  }
+
+  val q123Sql: String =
+    """WITH g AS (SELECT doc_id, 96 + (doc_id % 3) * 64 AS n FROM documents),
+      |s1 AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n-1 AS BIGINT))) AS i FROM g),
+      |sv AS (SELECT doc_id, i, CAST((doc_id*37 + i*13) % 2048 - 1024 AS INT) AS s FROM s1),
+      |fr AS (SELECT doc_id, CAST(i // 64 AS INT) AS frame_idx, i, s,
+      |    lag(s) OVER (PARTITION BY doc_id, i // 64 ORDER BY i) AS prev FROM sv)
+      |SELECT doc_id AS media_id, frame_idx, CAST(count(*) AS INT) AS n_samples,
+      |  sqrt(sum(CAST(s AS DOUBLE) * s) / count(*)) AS rms,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+      |    THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+      |FROM fr GROUP BY 1, 2""".stripMargin
+
+  /** Nearest-neighbor image resize over real decoded pixels: the
+    * [[graft.multimodal.Multimodal.syntheticBmpPattern]] corpus (4×3 up
+    * to 8×6 frames) resized to a fixed 3×2 thumbnail, every output pixel
+    * emitted. The oracle replays the formula at the floor-mapped source
+    * coordinates (r·h/oh, c·w/ow), so a defect in the decode walk OR the
+    * index mapping breaks the comparison.
+    */
+  def q124ImageResize(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(4) + col("doc_id") % 5).cast("int")
+    val h = (lit(3) + col("doc_id") % 4).cast("int")
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticBmpPattern(col("doc_id"), w, h)
+        .as("payload"))
+    graft.multimodal.Multimodal.resizePixels(media, ow = 3, oh = 2)
+  }
+
+  val q124Sql: String =
+    """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+      |                  CAST(3 + doc_id % 4 AS INT) AS h FROM documents),
+      |p1 AS (SELECT doc_id, w, h, unnest([0, 1]) AS r FROM g),
+      |p2 AS (SELECT doc_id, w, h, r, unnest([0, 1, 2]) AS c FROM p1)
+      |SELECT doc_id AS media_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+      |  CAST((doc_id*31 + (r*h//2)*7 + (c*w//3)*3) % 256 AS INT) AS red,
+      |  CAST((doc_id*31 + (r*h//2)*7 + (c*w//3)*3 + 11) % 256 AS INT) AS green,
+      |  CAST((doc_id*31 + (r*h//2)*7 + (c*w//3)*3 + 22) % 256 AS INT) AS blue
+      |FROM p2""".stripMargin
+
   /** Composite product-analytics dashboard — the report a training-data
     * curation pipeline runs over its interaction telemetry: per 7-day
     * cohort, size + week-1 retention ([[graft.operators.Retention]]),
@@ -797,6 +857,8 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "q100_pixel_stats" -> (q100PixelStats _),
+    "q123_audio_features" -> (q123AudioFeatures _),
+    "q124_image_resize" -> (q124ImageResize _),
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q111_ivf_pq" -> (q111IvfPq _),
     "q112_temperature_mix" -> (q112TemperatureMix _),
@@ -816,6 +878,8 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q100_pixel_stats" -> q100Sql,
+    "q123_audio_features" -> q123Sql,
+    "q124_image_resize" -> q124Sql,
     "q102_source_caps" -> q102Sql,
     "q105_bpe_encode" -> q105Sql,
     "q106_rfm_segments" -> q106Sql,
