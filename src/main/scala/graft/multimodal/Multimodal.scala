@@ -367,6 +367,107 @@ object Multimodal {
       }(enc)
   }
 
+  /** A structurally real AVI (RIFF 'AVI ' → LIST hdrl [avih + LIST strl
+    * [strh 'vids' + strf BITMAPINFOHEADER]] → LIST movi [`00db` frames])
+    * whose uncompressed 24-bit DIB frames carry the deterministic pixel
+    * formula `(id*31 + f*17 + r*7 + c*3 + ch*11) % 256` — assembled
+    * entirely in Column byte math: bottom-up rows, BGR order, 4-byte
+    * stride, correct nested RIFF sizes. The video sibling of
+    * [[syntheticBmpPattern]]/[[syntheticWavPattern]]: an oracle replays
+    * the FORMULA, so any defect in this encoder or [[AviDecode]]'s
+    * container walk breaks the comparison.
+    */
+  def syntheticAviPattern(id: Column, width: Column, height: Column,
+      nFrames: Column): Column = {
+    def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+    def fourcc(s: String): String =
+      s.getBytes("US-ASCII").map("%02x".format(_)).mkString
+    def sample(f: Column, r: Column, c: Column, ch: Int): Column =
+      hexByte(pmod(id * 31 + f * 17 + r * 7 + c * 3 + lit(ch) * 11, lit(256)))
+    val stride = floor((width * 3 + lit(3)) / lit(4)).cast("int") * 4
+    val padHex = repeat(lit("00"), (stride - width * 3).cast("int"))
+    val frameSize = stride * height
+    def rowHex(f: Column)(r: Column): Column = concat(
+      array_join(transform(sequence(lit(0), width - 1),
+        c => concat(sample(f, r, c, 2), sample(f, r, c, 1), sample(f, r, c, 0))), ""),
+      padHex)
+    val frameHex = (f: Column) => concat(
+      lit(fourcc("00db")), leHex(frameSize, 4),
+      array_join(transform(sequence(height - 1, lit(0), lit(-1)), r => rowHex(f)(r)), ""))
+    val moviData = array_join(
+      transform(sequence(lit(0), nFrames - 1), frameHex), "")
+    // stride*height is a multiple of 4 → chunks are even, no pad bytes
+    val moviSize = lit(4) + nFrames * (frameSize + 8)
+    val strf = concat(lit(fourcc("strf")), leHex(lit(40), 4),
+      leHex(lit(40), 4), leHex(width, 4), leHex(height, 4),
+      leHex(lit(1), 2), leHex(lit(24), 2),
+      lit("00000000"),                    // BI_RGB
+      leHex(frameSize, 4), lit("0" * 32)) // ppm/clr fields
+    val strh = concat(lit(fourcc("strh")), leHex(lit(56), 4),
+      lit(fourcc("vids")), lit("00000000"), // handler = DIB
+      lit("0" * 32),                        // flags, priority, language, initialFrames, scale
+      lit("00000000"), lit("00000000"),     // rate, start
+      leHex(nFrames, 4),                    // length
+      lit("0" * 24),                        // bufsize, quality, sampleSize
+      lit("0" * 16))                        // rcFrame
+    val strl = concat(lit(fourcc("LIST")), leHex(lit(4 + 64 + 48), 4),
+      lit(fourcc("strl")), strh, strf)
+    val avih = concat(lit(fourcc("avih")), leHex(lit(56), 4),
+      leHex(lit(40000), 4), lit("0" * 24),  // µs/frame, bytes/sec..flags
+      leHex(nFrames, 4), lit("00000000"),
+      leHex(lit(1), 4), lit("00000000"),    // one stream
+      leHex(width, 4), leHex(height, 4), lit("0" * 32))
+    val hdrlSize = lit(4 + 64 + (8 + 4 + 64 + 48))
+    val hdrl = concat(lit(fourcc("LIST")), leHex(hdrlSize, 4),
+      lit(fourcc("hdrl")), avih, strl)
+    val riffSize = lit(4) + (hdrlSize + 8) + (moviSize + 8)
+    unhex(concat(
+      lit(fourcc("RIFF")), leHex(riffSize, 4), lit(fourcc("AVI ")),
+      hdrl,
+      lit(fourcc("LIST")), leHex(moviSize, 4), lit(fourcc("movi")), moviData))
+  }
+
+  /** Per-frame channel statistics over video payloads: REAL container +
+    * pixel decode ([[AviDecode]]), one row per sampled frame — the
+    * frame-sample → decode → feature shape a video curation pipeline
+    * runs. The position probes (`top_left_r`, `bottom_right_b`) expose
+    * the bottom-up/BGR normalization per frame. Undecodable payloads
+    * quarantine to no rows.
+    */
+  def videoFrameStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("r_mean", DoubleType), StructField("g_mean", DoubleType),
+      StructField("b_mean", DoubleType),
+      StructField("top_left_r", IntegerType),
+      StructField("bottom_right_b", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val payload = if (row.isNullAt(1)) null else row.getAs[Array[Byte]](1)
+          AviDecode.decode(payload) match {
+            case Some(v) =>
+              val n = (v.width.toLong * v.height).toDouble
+              (0 until v.nFrames).iterator.map { f =>
+                val sums = new Array[Long](3)
+                var i = 0
+                val fr = v.frames(f)
+                while (i < fr.length) { sums(i % 3) += fr(i); i += 1 }
+                Row(id, f, v.width, v.height,
+                  sums(0) / n, sums(1) / n, sums(2) / n,
+                  v.at(f, 0, 0, 0),
+                  v.at(f, v.height - 1, v.width - 1, 2))
+              }
+            case None => Iterator.empty
+          }
+        }
+      }(enc)
+  }
+
   /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) so the
     * multimodal path is exercisable on the driver fixtures.
     */

@@ -319,6 +319,47 @@ object PipelineQueries {
       |  CAST((doc_id*31 + (r*h//2)*7 + (c*w//3)*3 + 22) % 256 AS INT) AS blue
       |FROM p2""".stripMargin
 
+  /** Video frame statistics over REAL AVI containers: each document
+    * carries a [[graft.multimodal.Multimodal.syntheticAviPattern]] clip
+    * (nested RIFF assembled in Column byte math; uncompressed 24-bit DIB
+    * frames from a deterministic per-frame pixel formula), decoded from
+    * first principles by [[graft.multimodal.AviDecode]] (container walk +
+    * the BMP pixel-walk semantics per frame) — one row per frame with
+    * channel means and the position probes that expose bottom-up/BGR
+    * normalization bugs. The oracle replays the formula over the
+    * (frame, row, col, channel) grid, never touching bytes.
+    */
+  def q125VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(2) + col("doc_id") % 4).cast("int")
+    val h = (lit(2) + col("doc_id") % 3).cast("int")
+    val f = (lit(1) + col("doc_id") % 3).cast("int")
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticAviPattern(col("doc_id"), w, h, f)
+        .as("payload"))
+    graft.multimodal.Multimodal.videoFrameStats(media)
+  }
+
+  val q125Sql: String =
+    """WITH g AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS w,
+      |    CAST(2 + doc_id % 3 AS INT) AS h, 1 + doc_id % 3 AS nf FROM documents),
+      |f1 AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(nf-1 AS BIGINT))) AS f FROM g),
+      |p1 AS (SELECT doc_id, w, h, f, unnest(generate_series(0, CAST(h-1 AS BIGINT))) AS r FROM f1),
+      |p2 AS (SELECT doc_id, w, h, f, r, unnest(generate_series(0, CAST(w-1 AS BIGINT))) AS c FROM p1),
+      |px AS (SELECT doc_id, w, h, f, r, c, unnest([0, 1, 2]) AS ch FROM p2),
+      |pv AS (SELECT doc_id, w, h, f, r, c, ch,
+      |    CAST((doc_id*31 + f*17 + r*7 + c*3 + ch*11) % 256 AS INT) AS v FROM px)
+      |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+      |  w AS width, h AS height,
+      |  CAST(sum(CASE WHEN ch = 0 THEN v END) AS DOUBLE) / (w*h) AS r_mean,
+      |  CAST(sum(CASE WHEN ch = 1 THEN v END) AS DOUBLE) / (w*h) AS g_mean,
+      |  CAST(sum(CASE WHEN ch = 2 THEN v END) AS DOUBLE) / (w*h) AS b_mean,
+      |  CAST(max(CASE WHEN r = 0 AND c = 0 AND ch = 0 THEN v END) AS INT)
+      |    AS top_left_r,
+      |  CAST(max(CASE WHEN r = h-1 AND c = w-1 AND ch = 2 THEN v END) AS INT)
+      |    AS bottom_right_b
+      |FROM pv GROUP BY doc_id, f, w, h""".stripMargin
+
   /** Composite product-analytics dashboard — the report a training-data
     * curation pipeline runs over its interaction telemetry: per 7-day
     * cohort, size + week-1 retention ([[graft.operators.Retention]]),
@@ -859,6 +900,7 @@ object PipelineQueries {
     "q100_pixel_stats" -> (q100PixelStats _),
     "q123_audio_features" -> (q123AudioFeatures _),
     "q124_image_resize" -> (q124ImageResize _),
+    "q125_video_frames" -> (q125VideoFrames _),
     "q105_bpe_encode" -> (q105BpeEncode _),
     "q111_ivf_pq" -> (q111IvfPq _),
     "q112_temperature_mix" -> (q112TemperatureMix _),
@@ -880,6 +922,7 @@ object PipelineQueries {
     "q100_pixel_stats" -> q100Sql,
     "q123_audio_features" -> q123Sql,
     "q124_image_resize" -> q124Sql,
+    "q125_video_frames" -> q125Sql,
     "q102_source_caps" -> q102Sql,
     "q105_bpe_encode" -> q105Sql,
     "q106_rfm_segments" -> q106Sql,
