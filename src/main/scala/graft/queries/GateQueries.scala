@@ -347,7 +347,82 @@ object GateQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1""".stripMargin
 
+  /** §3.3 minute read path ([[graft.ticks.TicksClient.getMinuteTicks]];
+    * reference minute layout storage/handlers/ticks.py:441, symbol
+    * resolution storage/clients/ticks.py:130-146) over BOTH 2024 DST
+    * boundaries — the risk case SURVEY §7.5 #6 names. A 30-minute UTC
+    * spine spanning each transition converts to stored ET wall-clock
+    * ([[graft.ticks.MinuteBars.utcToEtWallClock]]) and lands in the
+    * {sid}/{Y}/{MM}/{DD} lake; the client resolves SYM0 per-day across a
+    * mid-year sid reassignment (7000 until June, 7002 from July) and
+    * reads each day partition-pruned. The spring day must surface 46
+    * half-hour bars (23-hour day, no 02:xx ET), the fall day 50 with the
+    * 01:xx ET fold twice (same wall clock, distinct volumes) — the
+    * oracle replays the whole chain through DuckDB's own tz engine, so a
+    * wrong offset, a missed gap/fold, or mis-routed day directories all
+    * break the hash.
+    */
+  def q126MinuteDst(s: SparkSession, dir: String): DataFrame = {
+    import graft.ticks.{MinuteBars, TicksClient}
+    val root = s"/tmp/graft_q126_lake_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val sids = Tables.nation(s, dir).filter(col("n_nationkey") < 3)
+      .select((col("n_nationkey") + 7000L).as("security_id"))
+    def spine(startUtc: String, endUtc: String) =
+      s.range(1).select(explode(sequence(
+        to_timestamp(lit(startUtc)), to_timestamp(lit(endUtc)),
+        expr("interval 30 minutes"))).as("utc_ts"))
+    val utc = spine("2024-03-09 20:00:00", "2024-03-11 05:30:00")
+      .unionByName(spine("2024-11-02 20:00:00", "2024-11-04 05:30:00"))
+    val bars = sids.crossJoin(broadcast(utc)) // dim × dim, 3×~140 rows
+      .withColumn("ts", MinuteBars.utcToEtWallClock(col("utc_ts")))
+      .withColumn("volume", col("security_id") * 100000L +
+        (unix_timestamp(col("utc_ts")) / 60).cast("long") % 100000L)
+      .select(col("security_id"), col("ts"), col("volume"))
+    TicksClient.writeMinuteTicks(bars, root)
+    val s2 = s; import s2.implicits._
+    val master = Seq(
+      ("SYM0", 7000L, "2024-01-01", "2024-06-30"),
+      ("SYM0", 7002L, "2024-07-01", "2024-12-31"),
+      ("SYM1", 7001L, "2024-01-01", "2024-12-31"))
+      .toDF("symbol", "security_id", "start_s", "end_s")
+      .select(col("symbol"), col("security_id"),
+        col("start_s").cast("date").as("start_date"),
+        col("end_s").cast("date").as("end_date"))
+    val client = new graft.ticks.TicksClient(s, root, master)
+    Seq(("spring", "SYM0", "2024-03-10"), ("fall", "SYM0", "2024-11-03"),
+      ("sym1_spring", "SYM1", "2024-03-10"))
+      .map { case (probe, sym, day) =>
+        client.getMinuteTicks(sym, day).withColumn("probe", lit(probe)) }
+      .reduce(_.unionByName(_))
+      .select(col("probe"), col("security_id").cast("long").as("security_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("et_min"), col("volume"))
+  }
+
+  val q126Sql: String =
+    """WITH mins AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-03-09 20:00:00',
+      |    TIMESTAMP '2024-03-11 05:30:00', INTERVAL 30 MINUTE)) AS utc_naive
+      |  UNION ALL
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-11-02 20:00:00',
+      |    TIMESTAMP '2024-11-04 05:30:00', INTERVAL 30 MINUTE))),
+      |sids AS (SELECT n_nationkey + 7000 AS security_id FROM nation WHERE n_nationkey < 3),
+      |bars AS (
+      |  SELECT s.security_id,
+      |    timezone('America/New_York', utc_naive AT TIME ZONE 'UTC') AS et_ts,
+      |    s.security_id*100000 + CAST(epoch(utc_naive)/60 AS BIGINT) % 100000 AS volume
+      |  FROM sids s CROSS JOIN mins),
+      |probes AS (
+      |  SELECT 'spring' AS probe, CAST(7000 AS BIGINT) AS sid, DATE '2024-03-10' AS day
+      |  UNION ALL SELECT 'fall', 7002, DATE '2024-11-03'
+      |  UNION ALL SELECT 'sym1_spring', 7001, DATE '2024-03-10')
+      |SELECT p.probe, b.security_id,
+      |  strftime(b.et_ts, '%Y-%m-%d %H:%M') AS et_min, b.volume
+      |FROM probes p JOIN bars b
+      |  ON b.security_id = p.sid AND CAST(b.et_ts AS DATE) = p.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q126_minute_dst" -> (q126MinuteDst _),
     "q113_footer_meta" -> (q113FooterMeta _),
     "q114_lake_listing" -> (q114LakeListing _),
     "q115_allnull_drop" -> (q115AllnullDrop _),
@@ -360,6 +435,7 @@ object GateQueries {
     "q122_stream_resume" -> (q122StreamResume _))
 
   val oracleSql: Map[String, String] = Map(
+    "q126_minute_dst" -> q126Sql,
     "q113_footer_meta" -> q113Sql,
     "q114_lake_listing" -> q114Sql,
     "q115_allnull_drop" -> q115Sql,

@@ -72,4 +72,67 @@ class TicksClient(spark: SparkSession, root: String, master: DataFrame) {
   /** Bulk (symbol, day) resolution for fact-table attachment. */
   def resolveSymbols(df: DataFrame): DataFrame =
     SecurityMaster.resolve(df, master)
+
+  /** Minute bars for (symbol, trading day) — the reference's second read
+    * API (minute layout `data/raw/ticks/minute/{security_id}/{YYYY}/{MM}/
+    * {DD}/ticks.parquet`, reference storage/handlers/ticks.py:441,
+    * update/app.py:619; symbol resolution _resolve_symbol,
+    * storage/clients/ticks.py:130-146). The symbol resolves AS OF the
+    * requested day (strictly more correct than the reference's year-end
+    * resolution across an intra-year rename), and the read reaches the
+    * scan as static PartitionFilters on all four partition columns —
+    * the {sid}/{Y}/{MM}/{DD} directory walk with no IO outside the day.
+    *
+    * The sid lookup is a dimension-sized driver collect — the exact
+    * lookup the reference caches driver-side per (symbol, year); the
+    * master is broadcast-scale by construction.
+    *
+    * Bars come back in stored ET wall-clock (`timestamp_ntz`, see
+    * [[MinuteBars]]): a spring-forward day has no 02:xx rows and a
+    * fall-back day carries the 01:xx ET fold twice (two UTC instants,
+    * one wall-clock minute) — exactly the exchange-clock shape.
+    */
+  def getMinuteTicks(symbol: String, day: String): DataFrame = {
+    val d = java.time.LocalDate.parse(day)
+    val sids = master
+      .filter(col("symbol") === symbol &&
+        col("start_date") <= lit(day).cast("date") &&
+        col("end_date") >= lit(day).cast("date"))
+      .select(col("security_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    Lake.read(spark, root, TicksClient.MinuteTable)
+      .filter(col("security_id").isin(sids: _*) &&
+        col("year") === d.getYear && col("month") === d.getMonthValue &&
+        col("day") === d.getDayOfMonth)
+      .withColumn("symbol", lit(symbol))
+      .orderBy(col("ts"))
+  }
+}
+
+object TicksClient {
+
+  val MinuteTable = "minute_ticks"
+
+  /** Write minute bars into the {sid}/{Y}/{MM}/{DD} layout. Partition
+    * columns derive from the stored ET wall-clock `ts` — the reference's
+    * day folders are ET trading days (handlers/ticks.py:441). Append-mode:
+    * the daily incremental adds new day directories without touching old
+    * ones (use [[graft.lake.Lake.overwritePartitions]] semantics via
+    * [[rewriteMinuteTicks]] for idempotent re-runs).
+    */
+  def writeMinuteTicks(df: DataFrame, root: String): Unit =
+    Lake.appendPartitions(withDayPartitions(df), root, MinuteTable,
+      Seq("security_id", "year", "month", "day"))
+
+  /** Idempotent variant: dynamic partition overwrite of exactly the
+    * (sid, day) partitions present in `df`.
+    */
+  def rewriteMinuteTicks(df: DataFrame, root: String): Unit =
+    Lake.overwritePartitions(withDayPartitions(df), root, MinuteTable,
+      Seq("security_id", "year", "month", "day"))
+
+  private def withDayPartitions(df: DataFrame): DataFrame =
+    df.withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
 }

@@ -1,0 +1,241 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: measures how the dedup / ANN / curation
+  * headliners scale when the corpus grows 10× and 100×, producing the
+  * empirical leg of the 100 TB argument (observed scaling exponents, not
+  * just plan-shape audits).
+  *
+  * Fixture blowup — "more distinct documents", not "the same documents
+  * repeated": each copy k of `documents` rewrites the text through a
+  * copy-specific alphabet rotation (a Caesar bijection). A character
+  * bijection preserves tokenization, token/char counts, and every
+  * within-copy shingle-Jaccard relation EXACTLY (shingles map 1:1), while
+  * making cross-copy shingle sets disjoint — so the duplicate structure
+  * per copy is isomorphic to the original and candidate generation cannot
+  * cheat by colliding copies. A naive `union of identical copies` would
+  * instead make every doc a 10-way exact duplicate and blow the
+  * within-bucket pair count quadratically — a pathological corpus, not a
+  * bigger one. Embedding copies rotate the 64 dims by k (norm- and
+  * within-copy-geometry-preserving, cross-copy decorrelated).
+  *
+  * ID offsets are multiples of 1e8, so every doc_id/vec_id modulus the
+  * query suite keys on (%10 batch split, %20 clones, %25 seeds, %100
+  * panels) is preserved per copy — each query sees per-copy structure
+  * identical to the 1× fixture.
+  *
+  * Two measurement families:
+  *   - the registered queries verbatim on the blown-up dir (q25, q27,
+  *     q28, q93, q94, q109, q110; q111 to 10× by default — its fixture
+  *     pins nlist = N/100, so corpus×centroid assignment is the known
+  *     quadratic term of the FIXTURE parameterization, not the operator);
+  *   - the ANN scale path parameterized the way a deployment would be:
+  *     nlist ∝ √N with a FIXED 20-query panel, where probe cost should
+  *     grow ~√N (candidates/query = nprobe·N/nlist) and build ~N^1.5.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleStress"`; env:
+  * SPARK_GRAFT_SCALES=1,10,100  SPARK_GRAFT_TRIALS=2
+  * SPARK_GRAFT_Q111_MAX=10  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  * Writes BENCH_scale_local.json (full detail, one JSON object).
+  */
+object ScaleStress {
+
+  private val Lo = "abcdefghijklmnopqrstuvwxyz"
+  private val Dim = 64
+  private val IdStride = 100000000L // preserves %10/%20/%25/%100 per copy
+
+  /** Copy-k text bijection: rotate the alphabet by k (case-preserving). */
+  private def rotAlphabet(k: Int): (String, String) = {
+    val r = ((k % 26) + 26) % 26
+    val lo = Lo.drop(r) + Lo.take(r)
+    (Lo + Lo.toUpperCase, lo + lo.toUpperCase)
+  }
+
+  private def blowupDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val (from, to) = rotAlphabet(k)
+      docs.select(
+        (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+        (if (k == 0) col("text") else translate(col("text"), from, to)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+
+  /** Copy-k embedding bijection: rotate the 64 dims by k. */
+  private def blowupEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val r = k % Dim
+      val vec =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, Dim - r),
+          slice(col("embedding"), 1, r))
+      emb.select(
+        (col("vec_id") + lit(k * IdStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.reduce(_.unionByName(_))
+
+  private def ensureBlowup(s: SparkSession, srcDir: String, factor: Int): String = {
+    val dir = s"/tmp/graft_scale_x$factor"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_BLOWUP_DONE")
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      blowupDocuments(graft.queries.Tables.documents(s, srcDir), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      blowupEmbeddings(graft.queries.Tables.embeddings(s, srcDir), factor)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
+  /** ANN parameterized as a deployment would: nlist = ⌈√N⌉ centroids
+    * picked deterministically, query panel FIXED at the 1× fixture's 20
+    * vectors (a daily query batch does not grow with the corpus).
+    */
+  private def annScalePath(s: SparkSession, dir: String, factor: Int): (DataFrame, DataFrame) = {
+    val emb = graft.queries.Tables.embeddings(s, dir)
+    val n = emb.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
+    // every ⌈N/nlist⌉-th vector by id — deterministic, corpus-spread
+    val stride = math.max(1L, n / nlist)
+    val cents = emb.filter(col("vec_id") % lit(stride) === 7)
+      .limit(nlist)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val queries = emb.filter(col("vec_id") < IdStride && col("vec_id") % 100 === 0)
+    (cents, queries)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val q111Max = sys.env.getOrElse("SPARK_GRAFT_Q111_MAX", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val verbatim = Seq(
+      "q25_dedup_exact", "q27_minhash_lsh", "q28_simhash",
+      "q93_incremental_neardup", "q94_dup_spans", "q109_curation_pipeline",
+      "q110_ann_index_probe", "q111_ivf_pq")
+    val registry = graft.SparkEntry.queries
+
+    def loadavg(): Double = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+
+    // name -> scale -> (minSec, rows, loads)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long, Seq[Double])]]
+    def record(name: String, factor: Int, sec: Double, rows: Long, loads: Seq[Double]): Unit = {
+      val m = results.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty)
+      m(factor) = (sec, rows, loads)
+      println(f"[scale] $name%-28s x$factor%-4d ${sec}%8.3f s  rows=$rows  load=${loads.map(l => f"$l%.1f").mkString(",")}")
+    }
+
+    def timeDf(mk: () => DataFrame): (Double, Long, Seq[Double]) = {
+      var best = Double.MaxValue
+      var rows = -1L
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to trials) {
+        loads += loadavg()
+        val t0 = System.nanoTime()
+        val df = mk()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+        reset()
+      }
+      rows = mk().count()
+      reset()
+      (best, rows, loads.toSeq)
+    }
+
+    val dirs = scales.map(f =>
+      f -> (if (f == 1) srcDir else ensureBlowup(spark, srcDir, f))).toMap
+
+    // warm page cache + codegen on every scale dir
+    dirs.values.foreach { d =>
+      spark.read.parquet(s"$d/documents.parquet").count()
+      spark.read.parquet(s"$d/embeddings.parquet").count()
+    }
+
+    for (f <- scales; name <- verbatim) {
+      if (name != "q111_ivf_pq" || f <= q111Max) {
+        val (sec, rows, loads) = timeDf(() => registry(name)(spark, dirs(f)))
+        record(name, f, sec, rows, loads)
+      }
+    }
+
+    // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
+    for (f <- scales) {
+      val dir = dirs(f)
+      val (cents, queries) = annScalePath(spark, dir, f)
+      val emb = graft.queries.Tables.embeddings(spark, dir)
+      val root = s"/tmp/graft_scale_annidx_x$f"
+      val (bSec, _, bLoads) = {
+        var best = Double.MaxValue
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (_ <- 1 to trials) {
+          loads += loadavg()
+          val t0 = System.nanoTime()
+          graft.operators.AnnIndex.build(emb, cents, root)
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) best = sec
+          reset()
+        }
+        (best, 0L, loads.toSeq)
+      }
+      record("ann_build_sqrtN", f, bSec, emb.count(), bLoads)
+      val (pSec, pRows, pLoads) = timeDf(() =>
+        graft.operators.AnnIndex.probe(spark, root, queries, k = 10, nprobe = 4))
+      record("ann_probe_fixedpanel", f, pSec, pRows, pLoads)
+    }
+
+    // least-squares slope of log t vs log scale = observed scaling exponent
+    def exponent(m: collection.Map[Int, (Double, Long, Seq[Double])]): Double = {
+      val pts = m.toSeq.sortBy(_._1)
+        .map { case (f, (t, _, _)) => (math.log(f.toDouble), math.log(math.max(t, 1e-3))) }
+      if (pts.size < 2) return Double.NaN
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val qJson = results.map { case (name, m) =>
+      val times = m.toSeq.sortBy(_._1).map { case (f, (t, rows, loads)) =>
+        s""""x$f":{"sec":${r3(t)},"rows":$rows,"loads":[${loads.map(r3).mkString(",")}]}"""
+      }.mkString(",")
+      val e = exponent(m)
+      val eJson = if (e.isNaN) "null" else r3(e).toString
+      s""""$name":{$times,"exponent":$eJson}"""
+    }.mkString("{", ",", "}")
+    val out =
+      s"""{"metric":"scale_stress","sf_base":"$srcDir","scales":[${scales.mkString(",")}],"trials":$trials,"queries":$qJson}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_scale_local.json"), out + "\n")
+    println(out)
+    spark.stop()
+  }
+}
