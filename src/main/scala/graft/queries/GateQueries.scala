@@ -406,7 +406,8 @@ object GateQueries {
       |  UNION ALL
       |  SELECT unnest(generate_series(TIMESTAMP '2024-11-02 20:00:00',
       |    TIMESTAMP '2024-11-04 05:30:00', INTERVAL 30 MINUTE))),
-      |sids AS (SELECT n_nationkey + 7000 AS security_id FROM nation WHERE n_nationkey < 3),
+      |sids AS (SELECT CAST(n_nationkey + 7000 AS BIGINT) AS security_id
+      |         FROM nation WHERE n_nationkey < 3),
       |bars AS (
       |  SELECT s.security_id,
       |    timezone('America/New_York', utc_naive AT TIME ZONE 'UTC') AS et_ts,
