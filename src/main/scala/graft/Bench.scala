@@ -147,9 +147,16 @@ object Bench {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // median 1-min loadavg across ALL trials, in the headline itself: the
+    // committed number carries its own ambient-contention context (verdict
+    // r6 ask #7 — no more cross-referencing BENCH_local.json to judge a
+    // capture)
+    val allLoads = samples.values.flatten.map(_.load).toSeq.sorted
+    val medianLoad =
+      if (allLoads.isEmpty) -1.0 else allLoads(allLoads.size / 2)
     // silence any trailing executor/stop chatter so this stays the tail
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"full":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"median_load":${r3(medianLoad)},"queries":$top,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

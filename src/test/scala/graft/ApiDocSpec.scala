@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** docs/API.md contract: every code block on that page appears here
+  * verbatim (modulo the surrounding fixture setup) and must compile and
+  * execute against the sf0.001 fixtures. If an example drifts from the
+  * API, this suite — not a user — finds out.
+  */
+class ApiDocSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(name: String) = s"/tmp/graft_apidoc_$name"
+
+  private def docs = graft.queries.Tables.documents(spark, dir)
+    .select(col("doc_id"), col("source"), col("text"))
+  private def emb = graft.queries.Tables.embeddings(spark, dir)
+
+  /** symbol, security_id, start_date, end_date — the master schema every
+    * client example consumes.
+    */
+  private def master = {
+    val s = spark; import s.implicits._
+    Seq(("SYM0", 7000L, "2024-01-01", "2024-06-30"),
+        ("SYM0", 7002L, "2024-07-01", "2024-12-31"),
+        ("SYM1", 7001L, "2024-01-01", "2024-12-31"))
+      .toDF("symbol", "security_id", "start_s", "end_s")
+      .select(col("symbol"), col("security_id"),
+        col("start_s").cast("date").as("start_date"),
+        col("end_s").cast("date").as("end_date"))
+  }
+
+  test("TicksClient example: getDailyTicks + getMinuteTicks") {
+    import graft.ticks.TicksClient
+    val root = tmp("ticks")
+    // fixture lake: daily bars for sid 7000/7001 across 2024, minute bars
+    // for the 2024-03-10 DST day
+    val daily = spark.range(0, 120).select(
+      explode(array(lit(7000L), lit(7001L))).as("security_id"),
+      date_add(lit("2024-01-02").cast("date"), col("id").cast("int")).as("date"),
+      (col("id") * 10).cast("double").as("close"))
+      .withColumn("year", year(col("date")))
+    graft.lake.Lake.overwritePartitions(daily, root, "daily_ticks",
+      Seq("security_id", "year"))
+    val bars = spark.range(0, 60).select(
+      lit(7000L).as("security_id"),
+      (to_timestamp(lit("2024-03-10 06:00:00")).cast("long") + col("id") * 60)
+        .cast("timestamp").as("ts"),
+      col("id").as("volume"))
+    TicksClient.rewriteMinuteTicks(bars, root)
+
+    // --- docs/API.md: TicksClient ---
+    val client = new TicksClient(spark, root, master)
+    // daily bars, rename-aware across the range
+    val dailyBars = client.getDailyTicks("SYM0", "2024-01-02", "2024-03-28")
+    // one ET trading day of minute bars (DST-correct; day routed via master)
+    val minutes = client.getMinuteTicks("SYM0", "2024-03-10")
+    // --- end ---
+
+    assert(dailyBars.count() > 0 && minutes.count() === 60)
+    assert(dailyBars.columns.contains("symbol"))
+  }
+
+  test("Lake example: overwrite, read, compact, list") {
+    import graft.lake.Lake
+    val root = tmp("lake")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val df = spark.range(0, 100).select(
+      (col("id") % 3 + 7000L).as("security_id"),
+      (col("id") % 2 + 1995).cast("int").as("year"),
+      col("id").as("v"))
+    val years = Seq(1995, 1996)
+
+    // --- docs/API.md: Lake ---
+    Lake.overwritePartitions(df, root, "ticks",
+      Seq("security_id", "year"))                  // dynamic partition overwrite
+    val back  = Lake.read(spark, root, "ticks")    // pruned when filtered
+    assert(back.count() === 100)                   // (count before the rewrite below)
+    Lake.compactYears(spark, root, "ticks", years) // 1 file per (sid, year) target
+    val parts = Lake.listPartitions(spark, root, "ticks")
+    // --- end ---
+
+    assert(parts.exists(_.contains("1995")))
+    assert(Lake.read(spark, root, "ticks").count() === 100)
+  }
+
+  test("SecurityMaster example: resolveExact, resolve, symbolHistory") {
+    import graft.master.SecurityMaster
+    val s = spark; import s.implicits._
+    val facts = Seq(("SYM0", "2024-02-01"), ("SYM0", "2024-08-01"),
+        ("SYM1", "2024-05-05"), ("NOPE", "2024-05-05"))
+      .toDF("symbol", "day_s")
+      .select(col("symbol"), col("day_s").cast("date").as("day"))
+
+    // --- docs/API.md: SecurityMaster ---
+    val withSid  = SecurityMaster.resolveExact(facts, master)  // interval as-of join
+    val resolved = SecurityMaster.resolve(facts, master)       // + fuzzy auto-resolve
+    val history  = SecurityMaster.symbolHistory(master, sid = 7000L)
+    // --- end ---
+
+    val bySym = withSid.collect().map(r =>
+      (r.getString(0), r.getDate(1).toString) -> r.get(2)).toMap
+    assert(bySym(("SYM0", "2024-02-01")) === 7000L) // pre-rename interval
+    assert(bySym(("SYM0", "2024-08-01")) === 7002L) // post-rename interval
+    assert(bySym(("NOPE", "2024-05-05")) == null)
+    assert(resolved.count() === 4 && history.count() > 0)
+  }
+
+  test("Dedup example: exact, nearDuplicates, simhash, clusters") {
+    import graft.operators.Dedup
+
+    // --- docs/API.md: Dedup ---
+    val uniq  = Dedup.exact(docs, "text", "doc_id")          // min-id per content hash
+    val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", // MinHash→LSH→verify
+      threshold = 0.2, numHashes = 32, bands = 8)
+    val sim   = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 3)
+    val clust = Dedup.clusters(pairs)                        // connected components
+    // --- end ---
+
+    assert(uniq.count() > 0 && uniq.count() <= docs.count())
+    assert(pairs.columns.contains("id_a") && pairs.columns.contains("id_b"))
+    sim.count(); clust.count() // execute the full chain
+  }
+
+  test("Similarity/AnnIndex example: brute force + persisted index probe") {
+    import graft.operators.{Similarity, AnnIndex}
+    val idxRoot = tmp("annidx")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val centroids = emb.filter(col("vec_id") % 25 === 3).limit(8)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+
+    // --- docs/API.md: Similarity / AnnIndex ---
+    val knn = Similarity.bruteForceTopK(emb, queries, k = 10)  // exact baseline
+
+    AnnIndex.build(emb, centroids, idxRoot)                    // cell-partitioned index
+    val ann = AnnIndex.probe(spark, idxRoot, queries, k = 10, nprobe = 4)
+    // --- end ---
+
+    assert(knn.groupBy(col("query_id")).count()
+      .agg(max(col("count"))).head().getLong(0) <= 10)
+    assert(ann.count() > 0)
+  }
+
+  test("Cdc example: last-writer-wins merge with deletes") {
+    import graft.operators.Cdc
+    val s = spark; import s.implicits._
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("user_id", "balance_cents")
+    val ops = Seq((1L, 5L, 100L, "U", 111L), (2L, 6L, 101L, "D", 0L),
+        (3L, 7L, 102L, "U", 333L))
+      .toDF("user_id", "ts_ns", "event_id", "op", "cents")
+
+    // --- docs/API.md: Cdc ---
+    val merged = Cdc.merge(base, ops,
+      keyCols = Seq("user_id"), seqCols = Seq("ts_ns", "event_id"),
+      opCol = "op", deleteOp = "D",
+      valueCols = Map("balance_cents" -> col("cents")))
+    // --- end ---
+
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 111L, 3L -> 333L)) // 2 deleted, 1 updated, 3 inserted
+  }
+
+  test("Assembly example: mixByWeights + capPerGroup") {
+    import graft.operators.Assembly
+
+    // --- docs/API.md: Assembly ---
+    val mixed  = Assembly.mixByWeights(docs, "source", "doc_id",
+      weights = Map("web" -> 0.5, "news" -> 0.3), budget = 100L)
+    val capped = Assembly.capPerGroup(docs, "source", "doc_id", k = 8)
+    // --- end ---
+
+    assert(mixed.filter(col("source") === "web").count() <= 50)
+    assert(capped.groupBy(col("source")).count()
+      .agg(max(col("count"))).head().getLong(0) <= 8)
+  }
+
+  test("QualityFilters example: gopher stats gate") {
+    import graft.text.QualityFilters
+
+    // --- docs/API.md: QualityFilters ---
+    val stats = QualityFilters.gopherStats(docs, "text", "doc_id")
+      .filter(col("n_tokens") >= 25 && col("dup_bigram_frac") <= 0.10)
+    // --- end ---
+
+    assert(stats.count() > 0)
+  }
+
+  test("Sentiment example: pipeline with the lexicon model") {
+    import graft.text.{Sentiment, LexiconSentimentModel}
+    val filings = docs.limit(20)
+
+    // --- docs/API.md: Sentiment ---
+    val scored = Sentiment.pipeline(filings, "text", Seq("doc_id"),
+      model = new LexiconSentimentModel(), chunkSize = 1500, overlap = 200)
+    // --- end ---
+
+    assert(scored.count() === 20)
+  }
+
+  test("Multimodal example: features, pixel stats, audio, resize") {
+    import graft.multimodal.Multimodal
+    val media = docs.limit(30).select(
+      col("doc_id").as("media_id"),
+      Multimodal.syntheticBmpPattern(col("doc_id"),
+        (lit(2) + col("doc_id") % 5).cast("int"),
+        (lit(2) + col("doc_id") % 4).cast("int")).as("payload"))
+    val audio = docs.limit(30).select(
+      col("doc_id").as("media_id"),
+      Multimodal.syntheticWavPattern(col("doc_id"),
+        (lit(300) + col("doc_id") % 100).cast("int")).as("payload"))
+
+    // --- docs/API.md: Multimodal ---
+    val feats  = Multimodal.extractFeatures(media)          // batched per partition
+    val pixels = Multimodal.pixelStats(media)               // decode + stats per image
+    val rms    = Multimodal.audioFeatures(audio, frameSize = 256)
+    val small  = Multimodal.resizePixels(media, ow = 8, oh = 8)
+    // --- end ---
+
+    assert(feats.count() === 30)
+    assert(pixels.filter(col("format") === "bmp").count() === 30)
+    assert(rms.count() > 0 && small.count() === 30L * 8 * 8) // one row per output pixel
+  }
+}

@@ -42,6 +42,74 @@ class AnalyticsPlanSpec extends SparkTestBase {
     assert(windows <= 1, s"compaction must be the only window:\n$plan")
   }
 
+  // -- round-8 additions: plan gates for the suite's most expensive
+  //    composites (q108/q109/q111), so a plan regression fails CI instead
+  //    of silently inflating the bench --
+
+  /** Final AQE section only (the string repeats under "== Initial Plan ==").*/
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q109 curation pipeline: no cartesian/nested-loop, bounded exchanges, pruned scan") {
+    val df = graft.queries.PipelineQueries.q109CurationPipeline(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every join in the five-stage DAG is equi (LSH bands, anti/semi on
+    // doc_id, broadcast manifest) — a nested loop anywhere is a regression
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 30, s"exchange blowup ($exchanges):\n$plan")
+    // column pruning must survive the five stages: the documents scan
+    // reads exactly the three columns the pipeline consumes
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    val docReads = reads.filter(_.contains("text"))
+    assert(docReads.nonEmpty, s"no documents scan found:\n$plan")
+    docReads.foreach { rs =>
+      assert(!rs.contains("n_chars") && !rs.contains("lang"),
+        s"documents scan reads unused columns ($rs):\n$plan")
+    }
+  }
+
+  test("q111 IVF-PQ: cross joins are broadcast-dim only, no cartesian, bounded exchanges") {
+    val df = graft.queries.PipelineQueries.q111IvfPq(spark, sf)
+    val plan = finalPlan(df)
+    // a CartesianProduct would mean a dim relation lost its broadcast
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONLY nested loops allowed are the two intentional
+    // corpus×centroids / queries×centroids broadcast crossJoins (plus
+    // AQE-reused copies); each must carry a broadcast build side
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 3, s"unexpected nested-loop count $bnl:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 30, s"exchange blowup ($exchanges):\n$plan")
+  }
+
+  test("q108 stateful CDC merge plans as one full-outer equi-join (per micro-batch shape)") {
+    import org.apache.spark.sql.functions._
+    // the exact per-batch plan q108's foreachBatch builds, on fixture data
+    val ev = graft.queries.Tables.events(spark, sf)
+    val ops = ev.select(col("user_id"), col("ts_ns"), col("event_id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val base = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0).withColumn("balance_cents", lit(0L))
+    val state = Cdc.seedState(base, ops, Seq("ts_ns", "event_id"))
+    val merged = Cdc.mergeStateful(state, ops,
+      keyCols = Seq("user_id"), seqCols = Seq("ts_ns", "event_id"),
+      opCol = "op", deleteOp = "D",
+      valueCols = Map("balance_cents" -> col("cents")))
+    val plan = finalPlan(merged)
+    assert("FullOuter".r.findAllIn(plan).length === 1,
+      s"expected exactly one full-outer join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // ops-compaction window is the only window in the merge
+    assert("Window \\[".r.findAllIn(plan).length <= 1, plan)
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 10, s"exchange blowup ($exchanges):\n$plan")
+  }
+
   test("q106 windows are __pid-partitioned only (GlobalOrder posture)") {
     val df = graft.queries.PipelineQueries.q106RfmSegments(spark, sf)
     // optimizedPlan: same fingerprint GlobalOrderSpec pins — an
