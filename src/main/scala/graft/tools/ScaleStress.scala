@@ -124,10 +124,16 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val verbatim = Seq(
-      "q25_dedup_exact", "q27_minhash_lsh", "q28_simhash",
-      "q93_incremental_neardup", "q94_dup_spans", "q109_curation_pipeline",
-      "q110_ann_index_probe", "q111_ivf_pq")
+    // SPARK_GRAFT_ONLY=q25_...,q27_... restricts the verbatim set (e.g. an
+    // x100 pass over just the sublinear dedup family); the ANN sqrtN path
+    // runs unless SPARK_GRAFT_ANN=0
+    val verbatim = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq(
+        "q25_dedup_exact", "q27_minhash_lsh", "q28_simhash",
+        "q93_incremental_neardup", "q94_dup_spans", "q109_curation_pipeline",
+        "q110_ann_index_probe", "q111_ivf_pq"))
+    val runAnn = sys.env.getOrElse("SPARK_GRAFT_ANN", "1") != "0"
     val registry = graft.SparkEntry.queries
 
     def loadavg(): Double = try {
@@ -186,7 +192,7 @@ object ScaleStress {
     }
 
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
-    for (f <- scales) {
+    for (f <- scales if runAnn) {
       val dir = dirs(f)
       val (cents, queries) = annScalePath(spark, dir, f)
       val emb = graft.queries.Tables.embeddings(spark, dir)
