@@ -50,15 +50,19 @@ object ProductQuantization {
     */
   def codebooksFromSeeds(seeds: DataFrame, m: Int, subDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // constant partition key over the nCodes-row seed set: same one-
-    // partition execution, but no "No Partition Defined" warning noise
-    val code = (row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col(idCol).asc)) - 1)
-      .cast("long").as("code")
+    // Dense 0-based codes over the nCodes-row seed set WITHOUT a window
+    // (collect_list → array_sort → posexplode): Window.partitionBy(lit(0))
+    // gets constant-folded into an unpartitioned WindowExec, whose "No
+    // Partition Defined" warning reads as a scale bug in every bench tail.
+    // The single-row aggregate is the same one-task execution over a
+    // dimension-sized relation, with no window operator.
     val subs = explode(sequence(lit(0), lit(m - 1))).as("sub")
     seeds
-      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
-      .select(col(idCol), code, col("v"))
+      .select(struct(col(idCol).as("k"),
+        transform(col(vecCol), _.cast("double")).as("v")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("code", "s")))
+      .select(col("code").cast("long").as("code"), col("s.v").as("v"))
       .select(col("code"), subs, col("v"))
       .select(col("sub").cast("long").as("sub"), col("code"),
         slice(col("v"), (col("sub") * subDim + 1).cast("int"), lit(subDim)).as("cvec"))

@@ -120,17 +120,19 @@ object Similarity {
     val seeds = corpus
       .orderBy(xxhash64(col(idCol)))
       .limit(nlist)
-    // nlist rows — window over the dimension-sized seed set only. The
-    // constant partition key changes nothing about execution (all nlist
-    // rows land in one partition either way) but keeps the "No Partition
-    // Defined" warning out of every bench/verify tail, where it reads as
-    // a scale bug that isn't there.
+    // Dense 0-based cell ids over the nlist-row seed set WITHOUT a window:
+    // collect_list → array_sort → posexplode. A Window.partitionBy(lit(0))
+    // looks like it bounds the spec, but the optimizer constant-folds the
+    // literal away, leaving an unpartitioned WindowExec and its "No
+    // Partition Defined" warning in every bench/verify tail. The single-row
+    // aggregate has the same execution shape (nlist rows to one task —
+    // dimension-sized by contract) and no window at all.
     val c0 = seeds
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("centroid"))
-      .withColumn("cell",
-        (row_number().over(
-          Window.partitionBy(lit(0)).orderBy(xxhash64(col(idCol)))) - 1).cast("long"))
-      .select(col("cell"), col("centroid"))
+      .select(struct(xxhash64(col(idCol)).as("k"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("cell", "s")))
+      .select(col("cell").cast("long").as("cell"), col("s.centroid").as("centroid"))
     (0 until iters).foldLeft(c0) { (cents, _) =>
       assignCells(corpus, cents, idCol, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))

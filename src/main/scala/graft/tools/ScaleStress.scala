@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "runMain graft.tools.ScaleStress"`; env:
   * SPARK_GRAFT_SCALES=1,10,100  SPARK_GRAFT_TRIALS=2
   * SPARK_GRAFT_Q111_MAX=10  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
-  * Writes BENCH_scale_local.json (full detail, one JSON object).
+  * SPARK_GRAFT_ONLY=q25_…,q27_…  SPARK_GRAFT_ANN=0
+  * SPARK_GRAFT_SCALE_OUT=BENCH_scale_x100.json
+  * Writes BENCH_scale_local.json (full detail, one JSON object) unless
+  * SPARK_GRAFT_SCALE_OUT overrides the path.
   */
 object ScaleStress {
 
@@ -239,8 +242,8 @@ object ScaleStress {
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"scale_stress","sf_base":"$srcDir","scales":[${scales.mkString(",")}],"trials":$trials,"queries":$qJson}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_scale_local.json"), out + "\n")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_local.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     println(out)
     spark.stop()
   }
