@@ -25,10 +25,21 @@ object GraftFunctions {
       "shingle_hashes(tokens, k) requires a literal integer k")
   }
 
+  /** unicode_norm(s, 'NFC'): the form must be a literal — the kernel is
+    * specialized on it at plan time.
+    */
+  private[expressions] def unicodeNormBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s, org.apache.spark.sql.catalyst.expressions.Literal(f, _)) if f != null =>
+      UnicodeNormalize(s, f.toString)
+    case _ => throw new IllegalArgumentException(
+      "unicode_norm(s, form) requires a literal form string (NFC/NFD/NFKC/NFKD)")
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "shingle_hashes" -> (shingleBuilder _))
+    "shingle_hashes" -> (shingleBuilder _),
+    "unicode_norm" -> (unicodeNormBuilder _))
 
   def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -48,7 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Seq(
       ("cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
       ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
-      ("shingle_hashes", (exprs: Seq[Expression]) => GraftFunctions.shingleBuilder(exprs)))
+      ("shingle_hashes", (exprs: Seq[Expression]) => GraftFunctions.shingleBuilder(exprs)),
+      ("unicode_norm", (exprs: Seq[Expression]) => GraftFunctions.unicodeNormBuilder(exprs)))
       .foreach { case (name, builder) =>
         e.injectFunction((
           org.apache.spark.sql.catalyst.FunctionIdentifier(name),

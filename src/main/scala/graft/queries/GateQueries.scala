@@ -523,7 +523,65 @@ object GateQueries {
       |  TRUE AS agrees_jdk, TRUE AS near_formula
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
+  /** Unicode normalization, end to end: each doc id appends a deterministic
+    * accent-bearing suffix in a mix of PRECOMPOSED and DECOMPOSED forms
+    * (distinct byte sequences, identical visible text), then the
+    * [[graft.text.Normalization]] pipeline — the codegen'd
+    * [[graft.expressions.UnicodeNormalize]] kernel plus built-ins — emits
+    * the NFC form's md5/length and the canonical dedup key (NFC →
+    * accent-fold → lower). The DuckDB oracle rebuilds the same suffixes
+    * from chr() codepoints and replays through its OWN independent Unicode
+    * engine (`nfc_normalize`, `strip_accents`): two implementations of
+    * UAX #15 must agree byte-for-byte or the hash breaks. Rows whose
+    * decomposed/precomposed pair collapses to the same canonical md5 prove
+    * the dedup-key property the operator exists for.
+    */
+  def q128UnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Normalization
+    // explicit \u escapes: the precomposed and decomposed pairs must stay
+    // DIFFERENT byte sequences in source (an editor/tooling NFC pass on
+    // typed-out combining marks would silently collapse them)
+    val variants = array(
+      lit("café au lait"),                   // precomposed e-acute
+      lit("café au lait"),                  // decomposed e + U+0301
+      lit("naïve résumé"),         // precomposed
+      lit("naïve résumé"),      // decomposed
+      lit("Straße zur Hölle"),          // sharp-s kept, o-uml precomposed
+      lit("Straße zur Hölle"))         // sharp-s kept, o + U+0308
+    val raw = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 24), lit(" | "),
+          element_at(variants, (col("doc_id") % 6 + 1).cast("int"))).as("raw"))
+    raw.select(
+      col("doc_id"),
+      length(col("raw")).as("raw_len"),
+      md5(Normalization.nfc(col("raw")).cast("binary")).as("nfc_md5"),
+      length(Normalization.nfc(col("raw"))).as("nfc_len"),
+      md5(Normalization.canonical(col("raw")).cast("binary")).as("canon_md5"))
+  }
+
+  val q128Sql: String =
+    """WITH v AS (
+      |  SELECT * FROM (VALUES
+      |    (0, 'caf' || chr(233) || ' au lait'),
+      |    (1, 'cafe' || chr(769) || ' au lait'),
+      |    (2, 'na' || chr(239) || 've r' || chr(233) || 'sum' || chr(233)),
+      |    (3, 'nai' || chr(776) || 've re' || chr(769) || 'sume' || chr(769)),
+      |    (4, 'Stra' || chr(223) || 'e zur H' || chr(246) || 'lle'),
+      |    (5, 'Stra' || chr(223) || 'e zur Ho' || chr(776) || 'lle')) t(i, s)),
+      |raw AS (
+      |  SELECT doc_id, substring(text, 1, 24) || ' | ' || v.s AS raw
+      |  FROM documents JOIN v ON v.i = doc_id % 6
+      |  WHERE doc_id % 3 = 0)
+      |SELECT doc_id, CAST(length(raw) AS INT) AS raw_len,
+      |  md5(nfc_normalize(raw)) AS nfc_md5,
+      |  CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len,
+      |  md5(lower(strip_accents(nfc_normalize(raw)))) AS canon_md5
+      |FROM raw""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q128_unicode_norm" -> (q128UnicodeNorm _),
     "q127_jpeg_decode" -> (q127JpegDecode _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q113_footer_meta" -> (q113FooterMeta _),
@@ -538,6 +596,7 @@ object GateQueries {
     "q122_stream_resume" -> (q122StreamResume _))
 
   val oracleSql: Map[String, String] = Map(
+    "q128_unicode_norm" -> q128Sql,
     "q127_jpeg_decode" -> q127Sql,
     "q126_minute_dst" -> q126Sql,
     "q113_footer_meta" -> q113Sql,

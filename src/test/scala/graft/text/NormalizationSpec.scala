@@ -1,0 +1,67 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** UnicodeNormalize kernel + Normalization pipeline: precomposed and
+  * decomposed spellings must land on identical bytes, accent folding must
+  * strip marks and nothing else, and the codegen'd path must agree with
+  * the interpreted fallback.
+  */
+class NormalizationSpec extends SparkTestBase {
+
+  private val pre = "café naïve Straße Hölle"
+  private val dec = "café naïve Straße Hölle"
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    spark.range(1).select(c.as("v")).head().getString(0)
+
+  test("NFC collapses decomposed to precomposed; byte-identical forms") {
+    val s = spark; import s.implicits._
+    assert(pre != dec) // distinct inputs...
+    val out = Seq(pre, dec).toDF("t")
+      .select(Normalization.nfc(col("t")).as("n")).as[String].collect()
+    assert(out(0) === out(1)) // ...identical after NFC
+    assert(out(0) === pre)    // and equal to the precomposed spelling
+  }
+
+  test("canonical dedup key: accent-folded + lowered, sharp-s preserved") {
+    assert(one(Normalization.canonical(lit(pre))) === "cafe naive straße holle")
+    assert(one(Normalization.foldAccents(lit("résumé"))) === "resume")
+    // non-accented text passes through untouched
+    assert(one(Normalization.canonical(lit("Plain ASCII 123"))) === "plain ascii 123")
+  }
+
+  test("NFKC folds compatibility forms (ligature, fullwidth)") {
+    assert(one(Normalization.nfkc(lit("ﬁle ＡＢ"))) === "file AB")
+    // NFC leaves them alone
+    assert(one(Normalization.nfc(lit("ﬁle"))) === "ﬁle")
+  }
+
+  test("codegen and interpreted paths agree; nulls propagate") {
+    val s = spark; import s.implicits._
+    val df = Seq(Some(dec), None, Some("ascii")).toDF("t")
+    val viaExpr = df.select(Normalization.nfc(col("t"))).collect().map(_.get(0))
+    // interpreted reference: eval the same expression off the codegen path
+    val ref = Seq(java.text.Normalizer.normalize(dec, java.text.Normalizer.Form.NFC),
+      null, "ascii")
+    assert(viaExpr.toSeq === ref)
+  }
+
+  test("SQL registration: unicode_norm works in spark.sql") {
+    graft.expressions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(s"SELECT unicode_norm('café', 'NFC') AS n")
+      .head().getString(0)
+    assert(r === "café")
+  }
+
+  test("exact-dup hashing sees through spelling variants once canonicalized") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, pre), (2L, dec)).toDF("doc_id", "text")
+      .withColumn("text", Normalization.canonical(col("text")))
+    val annotated = graft.operators.Dedup.exact(docs, "text", "doc_id")
+    // the two spellings share one content hash; only doc 1 is kept
+    assert(annotated.filter(col("keep")).count() === 1)
+    assert(annotated.select(countDistinct(col("content_hash"))).head().getLong(0) === 1)
+  }
+}
