@@ -199,6 +199,44 @@ class ApiDocSpec extends SparkTestBase {
     assert(scored.count() === 20)
   }
 
+  test("Snapshots example: commit, time travel, CDF, vacuum") {
+    import graft.lake.Snapshots
+    val root = tmp("snap")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val df = spark.range(0, 10).select(col("id"), lit(1995).as("year"))
+    val df2 = spark.range(5, 15).select(col("id"), lit(1995).as("year"))
+
+    // --- docs/API.md: Snapshots ---
+    val v1 = Snapshots.commit(df, root, "t", Seq("year"))   // returns version
+    val v2 = Snapshots.commit(df2, root, "t", Seq("year"))
+    val asOf = Snapshots.readVersion(spark, root, "t", v1)  // time travel
+    val cdf  = Snapshots.diff(spark, root, "t", v1, v2)     // insert/delete rows
+    assert(asOf.count() === 10)   // (materialize before vacuum drops v1)
+    assert(cdf.filter(col("change_type").isin("insert", "delete")).count() > 0)
+    Snapshots.vacuum(spark, root, "t", keepVersions = 1)
+    // --- end ---
+
+    assert(Snapshots.readVersion(spark, root, "t", v2).count() === 10)
+  }
+
+  test("Packing/Contamination example") {
+    import graft.operators.{Packing, Contamination}
+    val docs2 = docs.withColumn("n_tokens",
+      size(graft.text.TextFunctions.tokens(col("text"))).cast("long"))
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+
+    // --- docs/API.md: Packing / Contamination ---
+    val packed = Packing.packByBudget(docs2, "n_tokens",
+      orderCols = Seq("doc_id"), budget = 2048L)     // contiguous context packs
+    val contam = Contamination.report(docs, evalSet, "text", "doc_id", k = 8)
+    // --- end ---
+
+    assert(packed.groupBy(col("pack_id")).agg(sum(col("n_tokens")).as("s"))
+      .filter(col("s") > 2048L + 400L).count() === 0) // budget + one doc slack
+    assert(contam.count() > 0)
+  }
+
   test("Multimodal example: features, pixel stats, audio, resize") {
     import graft.multimodal.Multimodal
     val media = docs.limit(30).select(

@@ -16,11 +16,18 @@ class SparkEntrySpec extends SparkTestBase {
     assert(os.size === 128)
   }
 
-  test("all queries build a plan at smoke scale without throwing") {
+  test("all queries build a plan at smoke scale without throwing; none is cartesian") {
     SparkEntry.queries.foreach { case (name, fn) =>
       // plan construction only — execution is Verify/Bench territory
       val df = fn(spark, "/root/testdata/sf0.001")
       assert(df.columns.nonEmpty, name)
+      // GLOBAL scale invariant: a CartesianProduct means a cross join lost
+      // its broadcast (intentional dim crossJoins plan as
+      // BroadcastNestedLoopJoin, never CartesianProduct) — at 100 TB that
+      // is a cluster-killer, so it fails CI for EVERY registered query
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
     }
   }
 }
