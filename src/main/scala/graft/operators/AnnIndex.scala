@@ -32,6 +32,29 @@ object AnnIndex {
       .parquet(s"$root/assignments")
   }
 
+  /** Incremental maintenance: assign a NEW vector batch against the
+    * STORED centroids and append it into the cell partitions — the daily
+    * operation of a growing vector store. Nothing existing is re-read or
+    * re-clustered: the append touches only the (few) cell directories the
+    * batch lands in, so cost is O(|batch| × nlist) assignment + the
+    * appended bytes, independent of corpus size. Because assignment is
+    * deterministic against the same centroid table, an index maintained
+    * by appends is EQUAL to one rebuilt from scratch over the union —
+    * the invariant q129 gates and AnnIndexSpec asserts.
+    *
+    * (Centroid drift is deliberate out-of-scope here: re-clustering is a
+    * rebuild — [[build]] — not maintenance; IVF deployments re-train
+    * centroids on a much slower cadence than they ingest.)
+    */
+  def append(newBatch: DataFrame, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newBatch.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    Similarity.assignCells(newBatch, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$root/assignments")
+  }
+
   /** Probe the stored index with a query batch: route each query to its
     * `nprobe` highest-cosine cells, exactly re-score only those cells'
     * stored vectors, return (query_id, neighbor_id, cos_sim, rank ≤ k).

@@ -580,7 +580,70 @@ object GateQueries {
       |  md5(lower(strip_accents(nfc_normalize(raw)))) AS canon_md5
       |FROM raw""".stripMargin
 
+  /** Incremental ANN index maintenance ([[graft.operators.AnnIndex
+    * .append]]): build the index on 80% of the corpus, append the
+    * remaining 20% as a later batch against the STORED centroids, probe
+    * the maintained index. The oracle replays assignment + probe over the
+    * WHOLE corpus in one pass — the gate's invariant is exactly
+    * "append-maintained index ≡ full rebuild", so a broken append (lost
+    * rows, re-derived centroids, wrong cell routing) changes the probe's
+    * candidate sets and breaks the hash. Probes re-rounded to 9dp as in
+    * q110.
+    */
+  def q129AnnAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = s"/tmp/graft_q129_index_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val corpus = emb.filter(col("vec_id") % 100 =!= 0) // queries never stored
+    graft.operators.AnnIndex.build(
+      corpus.filter(col("vec_id") % 5 =!= 4), cents, root)
+    // the daily batch: appended later, against the stored centroid table
+    graft.operators.AnnIndex.append(
+      corpus.filter(col("vec_id") % 5 === 4), root)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    graft.operators.AnnIndex.probe(s, root, queries, k = 10, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 9).as("cos_sim_r"), col("rank"))
+  }
+
+  val q129Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 50),
+      |assign AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM e, cents c WHERE e.vec_id % 100 <> 0)
+      |  WHERE rn = 1),
+      |qcells AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM e, cents c WHERE e.vec_id % 100 = 0)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, q.qv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      |  FROM assign a JOIN qcells q USING (cell)),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q129_ann_append" -> (q129AnnAppend _),
     "q128_unicode_norm" -> (q128UnicodeNorm _),
     "q127_jpeg_decode" -> (q127JpegDecode _),
     "q126_minute_dst" -> (q126MinuteDst _),
@@ -596,6 +659,7 @@ object GateQueries {
     "q122_stream_resume" -> (q122StreamResume _))
 
   val oracleSql: Map[String, String] = Map(
+    "q129_ann_append" -> q129Sql,
     "q128_unicode_norm" -> q128Sql,
     "q127_jpeg_decode" -> q127Sql,
     "q126_minute_dst" -> q126Sql,

@@ -126,15 +126,20 @@ class ApiDocSpec extends SparkTestBase {
   test("Similarity/AnnIndex example: brute force + persisted index probe") {
     import graft.operators.{Similarity, AnnIndex}
     val idxRoot = tmp("annidx")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idxRoot), true)
     val queries = emb.filter(col("vec_id") % 100 === 0)
     val centroids = emb.filter(col("vec_id") % 25 === 3).limit(8)
       .select(col("vec_id").cast("long").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
 
+    val todaysBatch = emb.filter(col("vec_id") % 7 === 3)
+
     // --- docs/API.md: Similarity / AnnIndex ---
     val knn = Similarity.bruteForceTopK(emb, queries, k = 10)  // exact baseline
 
     AnnIndex.build(emb, centroids, idxRoot)                    // cell-partitioned index
+    AnnIndex.append(todaysBatch, idxRoot)                      // daily incremental add
     val ann = AnnIndex.probe(spark, idxRoot, queries, k = 10, nprobe = 4)
     // --- end ---
 

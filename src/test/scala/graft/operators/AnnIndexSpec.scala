@@ -11,6 +11,37 @@ class AnnIndexSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("append-maintained index ≡ full rebuild (probe-identical)") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    val full = "/tmp/graft_annindex_spec_full"
+    val inc = "/tmp/graft_annindex_spec_inc"
+    Seq(full, inc).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    AnnIndex.build(corpus, cents, full)
+    // incremental: 80% built, 20% appended in two separate daily batches
+    AnnIndex.build(corpus.filter(col("vec_id") % 5 =!= 4), cents, inc)
+    AnnIndex.append(
+      corpus.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0), inc)
+    AnnIndex.append(
+      corpus.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 =!= 0), inc)
+
+    def probeSet(root: String) =
+      AnnIndex.probe(spark, root, queries, k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = probeSet(full)
+    val b = probeSet(inc)
+    assert(a.nonEmpty && a === b)
+  }
+
   test("stored-index probe ≡ in-memory ivfTopK; broadcast probe join") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
     val cents = emb.filter(col("vec_id") % 100 === 50)
