@@ -55,6 +55,31 @@ class NormalizationSpec extends SparkTestBase {
     assert(r === "café")
   }
 
+  test("properties on random strings: idempotence, canonical stability, null safety") {
+    val s = spark; import s.implicits._
+    // deterministic pseudo-random strings mixing ASCII, precomposed,
+    // combining marks, ligatures, and astral-plane codepoints
+    val alphabet: Array[String] = Array(
+      "a", "Z", "9", " ", "é", "é", "ï", "ï", "ß", "ﬁ",
+      "Ａ", "中", "🎉", "é́" /* e-acute + extra acute */)
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = strs.toDF("t")
+    val checked = df.select(
+      (Normalization.nfc(Normalization.nfc(col("t"))) ===
+        Normalization.nfc(col("t"))).as("nfc_idem"),
+      (Normalization.canonical(col("t")) ===
+        Normalization.canonical(Normalization.nfd(col("t")))).as("canon_stable"),
+      (Normalization.nfkc(Normalization.nfkc(col("t"))) ===
+        Normalization.nfkc(col("t"))).as("nfkc_idem"))
+    val bad = checked.filter(!col("nfc_idem") || !col("canon_stable") || !col("nfkc_idem"))
+    assert(bad.count() === 0)
+    // null in, null out, no crash
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(Normalization.canonical(col("t"))).head().isNullAt(0))
+  }
+
   test("exact-dup hashing sees through spelling variants once canonicalized") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, pre), (2L, dec)).toDF("doc_id", "text")
