@@ -456,6 +456,10 @@ object GateQueries {
       StructField("near_formula", BooleanType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     geom.mapPartitions { rows =>
+      // memory-cached ImageIO streams JVM-wide: the default file cache
+      // creates+deletes a /tmp file per ImageIO.read call — at bench scale
+      // that is tens of thousands of file churns per trial
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
         def px(y: Int, x: Int, ch: Int): Int =
@@ -538,27 +542,35 @@ object GateQueries {
     */
   def q128UnicodeNorm(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Normalization
-    // explicit \u escapes: the precomposed and decomposed pairs must stay
-    // DIFFERENT byte sequences in source (an editor/tooling NFC pass on
-    // typed-out combining marks would silently collapse them)
+    // Explicit \u escapes (backslash-u in SOURCE, expanded by scalac): the
+    // precomposed and decomposed pairs must stay DIFFERENT byte sequences,
+    // and raw combining-mark bytes would not survive a normalizing
+    // editor/formatter pass over this file.
     val variants = array(
-      lit("café au lait"),                   // precomposed e-acute
-      lit("café au lait"),                  // decomposed e + U+0301
-      lit("naïve résumé"),         // precomposed
-      lit("naïve résumé"),      // decomposed
-      lit("Straße zur Hölle"),          // sharp-s kept, o-uml precomposed
-      lit("Straße zur Hölle"))         // sharp-s kept, o + U+0308
+      lit("caf\u00e9 au lait"),                         // precomposed e-acute
+      lit("cafe\u0301 au lait"),                        // decomposed e + U+0301
+      lit("na\u00efve r\u00e9sum\u00e9"),             // precomposed
+      lit("nai\u0308ve re\u0301sume\u0301"),          // decomposed
+      lit("Stra\u00dfe zur H\u00f6lle"),               // sharp-s kept, o-uml precomposed
+      lit("Stra\u00dfe zur Ho\u0308lle"))              // sharp-s kept, o + U+0308
+    // doc_id % 5 is COPRIME to 6, so the %6 variant index cycles through
+    // ALL six variants (a %3 filter would visit only indices 0 and 3 and
+    // leave the paired spellings untested)
+    val variant = element_at(variants, (col("doc_id") % 6 + 1).cast("int"))
     val raw = Tables.documents(s, dir)
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"),
-        concat(substring(col("text"), 1, 24), lit(" | "),
-          element_at(variants, (col("doc_id") % 6 + 1).cast("int"))).as("raw"))
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), variant.as("suffix"),
+        concat(substring(col("text"), 1, 24), lit(" | "), variant).as("raw"))
     raw.select(
       col("doc_id"),
       length(col("raw")).as("raw_len"),
       md5(Normalization.nfc(col("raw")).cast("binary")).as("nfc_md5"),
       length(Normalization.nfc(col("raw"))).as("nfc_len"),
-      md5(Normalization.canonical(col("raw")).cast("binary")).as("canon_md5"))
+      md5(Normalization.canonical(col("raw")).cast("binary")).as("canon_md5"),
+      // canonical of the bare variant: each precomposed/decomposed PAIR
+      // shares this value across rows — the dedup-key collapse property,
+      // visible in (and hash-checked through) the gate output itself
+      md5(Normalization.canonical(col("suffix")).cast("binary")).as("variant_canon_md5"))
   }
 
   val q128Sql: String =
@@ -571,13 +583,15 @@ object GateQueries {
       |    (4, 'Stra' || chr(223) || 'e zur H' || chr(246) || 'lle'),
       |    (5, 'Stra' || chr(223) || 'e zur Ho' || chr(776) || 'lle')) t(i, s)),
       |raw AS (
-      |  SELECT doc_id, substring(text, 1, 24) || ' | ' || v.s AS raw
+      |  SELECT doc_id, v.s AS suffix,
+      |    substring(text, 1, 24) || ' | ' || v.s AS raw
       |  FROM documents JOIN v ON v.i = doc_id % 6
-      |  WHERE doc_id % 3 = 0)
+      |  WHERE doc_id % 5 = 0)
       |SELECT doc_id, CAST(length(raw) AS INT) AS raw_len,
       |  md5(nfc_normalize(raw)) AS nfc_md5,
       |  CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len,
-      |  md5(lower(strip_accents(nfc_normalize(raw)))) AS canon_md5
+      |  md5(lower(strip_accents(nfc_normalize(raw)))) AS canon_md5,
+      |  md5(lower(strip_accents(nfc_normalize(suffix)))) AS variant_canon_md5
       |FROM raw""".stripMargin
 
   /** Incremental ANN index maintenance ([[graft.operators.AnnIndex
@@ -592,8 +606,14 @@ object GateQueries {
     */
   def q129AnnAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val root = s"/tmp/graft_q129_index_${math.abs(dir.hashCode)}"
-    rm(s, root)
+    // UNIQUE root per invocation (not path-keyed): the gate's point is to
+    // exercise build+append each run, and a shared path-keyed root would
+    // race concurrent runs over the same fixture dir (one rm'ing while the
+    // other probes) and could serve a stale index — the exact hazard q110
+    // solved with content fingerprints. Dirs are /tmp-small and reaped
+    // with the OS tmp cleanup; the returned probe reads lazily, so the
+    // directory must outlive this call.
+    val root = s"/tmp/graft_q129_index_${math.abs(dir.hashCode)}_${System.nanoTime()}"
     val cents = emb.filter(col("vec_id") % 100 === 50)
       .select(col("vec_id").cast("long").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))

@@ -95,16 +95,46 @@ object Tables {
     * `ts` = µs-precision TimestampType. DuckDB's `epoch_ns(ts)` oracle side
     * agrees with either generation (ns natively; µs×1000 for the new one).
     */
+  // Memoized per-dir epoch scale of a LongType events.ts (ns/us/ms/s →
+  // multiplier to ns). A LongType ts is USUALLY the nanosAsLong read of
+  // ns-precision parquet, but a regen could ship raw int64 micros — also
+  // LongType, indistinguishable at schema level, and silently 1000× wrong
+  // without this probe (one tiny max() job per dir per JVM).
+  private val eventsTsScale =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def detectLongTsScale(raw: DataFrame, dir: String): Long =
+    eventsTsScale.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.functions.{abs => fabs, col, max}
+      val m = raw.agg(max(fabs(col("ts")))).head()
+      val v = if (m.isNullAt(0)) 0L else m.getLong(0)
+      // epoch magnitudes for post-1973 instants: s ~1e8+, ms ~1e11+,
+      // us ~1e14+, ns ~1e17+
+      val mult =
+        if (v >= 100000000000000000L) 1L          // already nanos
+        else if (v >= 100000000000000L) 1000L     // micros
+        else if (v >= 100000000000L) 1000000L     // millis
+        else 1000000000L                          // seconds
+      if (mult != 1L)
+        System.err.println(
+          s"[tables] events.ts is int64 at 1/$mult ns scale in $dir — scaling to ns")
+      mult
+    })
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = apply(s, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => // ns-precision fixture read as epoch-nanos long
-        raw.withColumnRenamed("ts", "ts_ns")
-          // single home of the precision-critical ns→µs truncation rule
-          .withColumn("ts", graft.ticks.MinuteBars.truncateNanos(col("ts_ns")))
+      case LongType => // epoch-integer fixture; scale probed by magnitude
+        val mult = detectLongTsScale(raw, dir)
+        val renamed = raw.withColumnRenamed("ts", "ts_ns")
+        val scaled =
+          if (mult == 1L) renamed
+          else renamed.withColumn("ts_ns", col("ts_ns") * lit(mult))
+        // single home of the precision-critical ns→µs truncation rule
+        scaled.withColumn("ts", graft.ticks.MinuteBars.truncateNanos(col("ts_ns")))
       case _ => // µs-precision fixture (TIMESTAMP or TIMESTAMP_NTZ)
         // NTZ→instant under the session zone (UTC in Verify/Bench), matching
         // DuckDB's naive-timestamp epoch_ns interpretation exactly

@@ -137,6 +137,13 @@ object ScaleStress {
         "q93_incremental_neardup", "q94_dup_spans", "q109_curation_pipeline",
         "q110_ann_index_probe", "q111_ivf_pq"))
     val runAnn = sys.env.getOrElse("SPARK_GRAFT_ANN", "1") != "0"
+    // fail fast on a typo'd SPARK_GRAFT_ONLY name — before minutes of
+    // blowup-fixture I/O, not at first registry(name) lookup after it
+    locally {
+      val unknown = verbatim.filterNot(graft.SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(",")}")
+    }
     val registry = graft.SparkEntry.queries
 
     def loadavg(): Double = try {

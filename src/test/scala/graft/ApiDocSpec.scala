@@ -133,12 +133,14 @@ class ApiDocSpec extends SparkTestBase {
       .select(col("vec_id").cast("long").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
 
+    // history and today's batch are DISJOINT — append does not dedup
+    val history = emb.filter(col("vec_id") % 7 =!= 3)
     val todaysBatch = emb.filter(col("vec_id") % 7 === 3)
 
     // --- docs/API.md: Similarity / AnnIndex ---
     val knn = Similarity.bruteForceTopK(emb, queries, k = 10)  // exact baseline
 
-    AnnIndex.build(emb, centroids, idxRoot)                    // cell-partitioned index
+    AnnIndex.build(history, centroids, idxRoot)                // cell-partitioned index
     AnnIndex.append(todaysBatch, idxRoot)                      // daily incremental add
     val ann = AnnIndex.probe(spark, idxRoot, queries, k = 10, nprobe = 4)
     // --- end ---

@@ -36,6 +36,22 @@ class TablesSpec extends SparkTestBase {
     }.isEmpty)
   }
 
+  test("events: raw int64 MICROS ts is detected by magnitude and scaled to ns") {
+    val dir = "/tmp/graft_tablesspec_events_us"
+    // a plausible future regen: plain int64 epoch-micros (NOT the
+    // nanosAsLong read of ns-precision parquet — same LongType, 1000x off)
+    val base = 1700000000000000L // ~2023-11 in epoch-micros
+    spark.range(0, 5).select(
+        col("id").as("event_id"),
+        (lit(base) + col("id") * 60000000L).as("ts"),
+        col("id").as("user_id"), lit("view").as("event_type"),
+        col("id").cast("double").as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    val first = ev.orderBy("event_id").select("ts_ns").head().getLong(0)
+    assert(first === base * 1000L) // scaled micros -> nanos
+  }
+
   test("events: both fixture generations land on the ts_ns/ts contract") {
     val dir = "/tmp/graft_tablesspec_events"
     // new-generation fixture: timestamp[us] (NTZ)

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
 class NormalizationSpec extends SparkTestBase {
 
   private val pre = "café naïve Straße Hölle"
-  private val dec = "café naïve Straße Hölle"
+  // dec spells the SAME visible text with combining marks, written as
+  // explicit \u escapes so a normalizing formatter cannot collapse it
+  private val dec = "cafe\u0301 nai\u0308ve Stra\u00dfe Ho\u0308lle"
 
   private def one(c: org.apache.spark.sql.Column): String =
     spark.range(1).select(c.as("v")).head().getString(0)
