@@ -662,7 +662,97 @@ object GateQueries {
       |SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim_r, rank
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  // ten-word headers — exactly one segment wide, so prepending them keeps
+  // the injection aligned to Boilerplate's segment grid
+  private val HdrA =
+    "copyright all rights reserved terms of service apply here now"
+  private val HdrB =
+    "subscribe to our newsletter for updates and exclusive content today"
+
+  /** Corpus-level boilerplate removal ([[graft.text.Boilerplate]], the
+    * CCNet/RefinedWeb shared-segment pass): two distinct 10-word headers
+    * are planted on deterministic doc strata (doc_id%4 → header A,
+    * doc_id%6 → header B, %12 gets both), prepended so each lands on one
+    * aligned segment. The REAL operator chunks, counts document
+    * frequency, and strips segments in ≥3 docs; the oracle replays
+    * injection + segmentation + frequency + ordered reassembly in SQL, so
+    * a mis-chunk, an off-by-one in the segment grid, or an unstable
+    * reassembly order all break the hash. Docs NOT in either stratum must
+    * come through verbatim (their segments are corpus-unique).
+    */
+  def q130Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit(HdrA + " ")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(HdrB + " ")).otherwise(lit("")),
+        col("text")).as("text"))
+    graft.text.Boilerplate.removeFrequentSegments(
+      docs, "text", "doc_id", segWords = 10, minDocs = 3)
+  }
+
+  val q130Sql: String =
+    s"""WITH src AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0 THEN '$HdrA ' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '$HdrB ' ELSE '' END) || text AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM src),
+      |segs AS (SELECT doc_id, g.i AS seg_idx, g.seg FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(0, (len(t)-1)//10),
+      |      i -> {'i': CAST(i AS BIGINT),
+      |            'seg': array_to_string(t[i*10+1:i*10+10], ' ')})) AS g
+      |    FROM toks)),
+      |freq AS (SELECT seg FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+      |fl AS (SELECT s.doc_id, s.seg_idx, s.seg, (f.seg IS NOT NULL) AS dup
+      |       FROM segs s LEFT JOIN freq f USING (seg))
+      |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+      |FROM fl GROUP BY 1""".stripMargin
+
+  /** Entity resolution ([[graft.operators.RecordLinkage]]): every customer
+    * name becomes a dirty probe with ONE digit overwritten at a
+    * key-derived position (10 + custkey%3 — inside the digit run, outside
+    * the blocking key), then linked back by blocking on the
+    * perturbation-stable last-4-digit substring + levenshtein ≤ 1 +
+    * min-(distance, ref-id) pick. At sf0.1 the last-4 block genuinely
+    * collides (custkey vs custkey±10000) and the wrong candidate sits at
+    * distance 2 — the threshold and the argmin both do real work.
+    */
+  def q131EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val p = (lit(10) + (col("c_custkey") % 3)).cast("int")
+    val probes = cust.select(col("c_custkey").as("probe_id"),
+      concat(col("c_name").substr(lit(1), (p - 1).cast("int")), lit("x"),
+        col("c_name").substr((p + 1).cast("int"), lit(18))).as("pname"))
+    graft.operators.RecordLinkage.link(
+        probes, cust.select(col("c_custkey"), col("c_name")),
+        probeId = "probe_id", probeName = "pname",
+        refId = "c_custkey", refName = "c_name",
+        blockKey = c => c.substr(lit(15), lit(4)), maxDistance = 1)
+      .withColumn("distance", col("distance").cast("long"))
+  }
+
+  val q131Sql: String =
+    """WITH probes AS (SELECT c_custkey AS probe_id,
+      |    substr(c_name, 1, CAST(9 + (c_custkey % 3) AS INT)) || 'x' ||
+      |    substr(c_name, CAST(11 + (c_custkey % 3) AS INT)) AS pname
+      |  FROM customer),
+      |cand AS (SELECT p.probe_id, r.c_custkey AS rid,
+      |    levenshtein(p.pname, r.c_name) AS dist
+      |  FROM probes p JOIN customer r
+      |    ON substr(p.pname, 15, 4) = substr(r.c_name, 15, 4)
+      |  WHERE levenshtein(p.pname, r.c_name) <= 1),
+      |best AS (SELECT probe_id, rid, dist,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY dist, rid) AS rn,
+      |    count(*) OVER (PARTITION BY probe_id) AS nc
+      |  FROM cand)
+      |SELECT b.probe_id, b.rid AS matched_id, CAST(b.dist AS BIGINT) AS distance,
+      |  CAST(b.nc AS BIGINT) AS n_candidates
+      |FROM best b WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_entity_resolution" -> (q131EntityResolution _),
+    "q130_boilerplate" -> (q130Boilerplate _),
     "q129_ann_append" -> (q129AnnAppend _),
     "q128_unicode_norm" -> (q128UnicodeNorm _),
     "q127_jpeg_decode" -> (q127JpegDecode _),
@@ -679,6 +769,8 @@ object GateQueries {
     "q122_stream_resume" -> (q122StreamResume _))
 
   val oracleSql: Map[String, String] = Map(
+    "q131_entity_resolution" -> q131Sql,
+    "q130_boilerplate" -> q130Sql,
     "q129_ann_append" -> q129Sql,
     "q128_unicode_norm" -> q128Sql,
     "q127_jpeg_decode" -> q127Sql,

@@ -78,7 +78,35 @@ object ScaleStress {
         vec.as("embedding"), col("label"))
     }.reduce(_.unionByName(_))
 
-  private def ensureBlowup(s: SparkSession, srcDir: String, factor: Int): String = {
+  /** Relational/event blowup: k-th copy offsets every KEY column by
+    * k·IdStride and leaves all value/time columns untouched, so the
+    * per-copy join/window/funnel structure is EXACTLY the 1× fixture's
+    * (users, orders and customers of different copies are disjoint; every
+    * per-key relation — asof matches, funnel steps, CDC last-writer
+    * sequences — is isomorphic per copy). Cross-copy work cannot collide:
+    * a super-linear measurement is the operator's, not the corpus's.
+    * Reads the RAW fixture (ts passes through whatever generation it is;
+    * Tables.events normalizes at load time exactly as at 1×).
+    */
+  private def blowupByIdOffset(df: DataFrame, factor: Int,
+      idCols: Seq[String]): DataFrame =
+    (0 until factor).map { k =>
+      df.select(df.columns.map { c =>
+        if (idCols.contains(c)) (col(c) + lit(k * IdStride)).as(c) else col(c)
+      }: _*)
+    }.reduce(_.unionByName(_))
+
+  /** Queries whose inputs are the relational/event tables — their presence
+    * in the measured set triggers the relational blowup leg.
+    */
+  private val RelFamily: Set[String] = Set(
+    "q1_pricing_summary", "q56_grouping_sets", "q57_salted_join",
+    "q9_asof_join", "q10_interval_join", "q107_cdc_merge",
+    "q97_funnel", "q98_retention", "q103_event_transitions",
+    "q106_rfm_segments")
+
+  private def ensureBlowup(s: SparkSession, srcDir: String, factor: Int,
+      withRel: Boolean): String = {
     val dir = s"/tmp/graft_scale_x$factor"
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_BLOWUP_DONE")
@@ -89,6 +117,27 @@ object ScaleStress {
       blowupEmbeddings(graft.queries.Tables.embeddings(s, srcDir), factor)
         .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       fs.create(marker, true).close()
+    }
+    val relMarker = new org.apache.hadoop.fs.Path(s"$dir/_BLOWUP_REL_DONE")
+    if (withRel && !fs.exists(relMarker)) {
+      // raw reads: key offsets only, value/time columns byte-identical
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def raw(name: String) = s.read.parquet(s"$srcDir/$name.parquet")
+      val keyed = Seq(
+        "events" -> Seq("event_id", "user_id"),
+        "orders" -> Seq("o_orderkey", "o_custkey"),
+        "customer" -> Seq("c_custkey"),
+        "lineitem" -> Seq("l_orderkey"))
+      keyed.foreach { case (name, ids) =>
+        blowupByIdOffset(raw(name), factor, ids)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      // dimension tables ride along verbatim (nation/region joins, dict
+      // broadcasts) — per-copy fan-out to them is the 1× fan-out
+      Seq("nation", "region", "supplier", "part").foreach { name =>
+        raw(name).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      fs.create(relMarker, true).close()
     }
     dir
   }
@@ -185,13 +234,18 @@ object ScaleStress {
       (best, rows, loads.toSeq)
     }
 
+    val withRel = verbatim.exists(RelFamily.contains)
+    if (withRel) // a ns-generation events fixture needs this to read raw
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dirs = scales.map(f =>
-      f -> (if (f == 1) srcDir else ensureBlowup(spark, srcDir, f))).toMap
+      f -> (if (f == 1) srcDir else ensureBlowup(spark, srcDir, f, withRel))).toMap
 
     // warm page cache + codegen on every scale dir
+    val warmTables =
+      Seq("documents", "embeddings") ++
+        (if (withRel) Seq("events", "orders", "customer", "lineitem") else Nil)
     dirs.values.foreach { d =>
-      spark.read.parquet(s"$d/documents.parquet").count()
-      spark.read.parquet(s"$d/embeddings.parquet").count()
+      warmTables.foreach(t => spark.read.parquet(s"$d/$t.parquet").count())
     }
 
     for (f <- scales; name <- verbatim) {
