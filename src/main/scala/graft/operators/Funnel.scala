@@ -64,7 +64,11 @@ object Funnel {
     chain.zip(stages).zipWithIndex.map { case ((df, st), i) =>
       df.agg(
           count(lit(1)).as("n_users"),
-          coalesce(sum(col("t_prev") - col("t0")), lit(0L)).as("__sum_ns"))
+          // decimal(38,0) sum: |delta| ≤ windowNs but the SUM over a
+          // 100×-scale user base overflows int64 (found by ScaleStress at
+          // x30) — exact decimal matches the oracle's HUGEINT sum
+          coalesce(sum((col("t_prev") - col("t0")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("__sum_ns"))
         .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
           col("n_users"),
           when(col("n_users") === 0L, lit(0.0))

@@ -750,7 +750,46 @@ object GateQueries {
       |  CAST(b.nc AS BIGINT) AS n_candidates
       |FROM best b WHERE rn = 1""".stripMargin
 
+  /** Per-group OLS trend + Pearson correlation ([[graft.operators.Trend]]):
+    * quantity-cents against days-since-epoch-midpoint per part stratum.
+    * Every moment is an exact integer sum; the doubles derive from
+    * sub-2^53 integers through correctly-rounded IEEE ops in the same
+    * expression order on both engines, so even the UNROUNDED slope is
+    * bit-identical — the 9dp rounding is output convention, not slack.
+    */
+  def q132OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("g", (col("l_partkey") % 50).cast("int"))
+    graft.operators.Trend.ols(li, Seq("g"),
+        x = datediff(col("l_shipdate").cast("date"),
+          lit("1995-06-01").cast("date")),
+        y = round(col("l_quantity") * 100).cast("long"))
+      .select(col("g"), col("n"),
+        round(col("slope"), 9).as("slope_r"),
+        round(col("intercept"), 9).as("intercept_r"),
+        round(col("corr"), 9).as("corr_r"))
+  }
+
+  val q132Sql: String =
+    """WITH b AS (SELECT CAST(l_partkey % 50 AS INT) AS g,
+      |    date_diff('day', DATE '1995-06-01', CAST(l_shipdate AS DATE)) AS x,
+      |    CAST(round(l_quantity*100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      |  FROM b GROUP BY 1)
+      |SELECT g, n,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 9) AS slope_r,
+      |  round((CAST(sy AS DOUBLE) -
+      |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 9) AS intercept_r,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9) AS corr_r
+      |FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q132_ols_trend" -> (q132OlsTrend _),
     "q131_entity_resolution" -> (q131EntityResolution _),
     "q130_boilerplate" -> (q130Boilerplate _),
     "q129_ann_append" -> (q129AnnAppend _),
@@ -769,6 +808,7 @@ object GateQueries {
     "q122_stream_resume" -> (q122StreamResume _))
 
   val oracleSql: Map[String, String] = Map(
+    "q132_ols_trend" -> q132Sql,
     "q131_entity_resolution" -> q131Sql,
     "q130_boilerplate" -> q130Sql,
     "q129_ann_append" -> q129Sql,

@@ -216,6 +216,13 @@ object ScaleStress {
       println(f"[scale] $name%-28s x$factor%-4d ${sec}%8.3f s  rows=$rows  load=${loads.map(l => f"$l%.1f").mkString(",")}")
     }
 
+    // Inter-query settle: a measured query's tail work (GC, shuffle file
+    // cleanup, ContextCleaner) can bleed into the NEXT query's trials when
+    // the suite runs back-to-back — observed as a bimodal 4s/18s split on
+    // the same query at the same scale. A few idle seconds between
+    // measured queries keeps each capture independent.
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "0").toInt * 1000L
+
     def timeDf(mk: () => DataFrame): (Double, Long, Seq[Double]) = {
       var best = Double.MaxValue
       var rows = -1L
@@ -231,6 +238,7 @@ object ScaleStress {
       }
       rows = mk().count()
       reset()
+      if (settleMs > 0) Thread.sleep(settleMs)
       (best, rows, loads.toSeq)
     }
 

@@ -267,4 +267,55 @@ class ApiDocSpec extends SparkTestBase {
     assert(pixels.filter(col("format") === "bmp").count() === 30)
     assert(rms.count() > 0 && small.count() === 30L * 8 * 8) // one row per output pixel
   }
+
+  test("Boilerplate example: frequent-segment dictionary + removal") {
+    // --- docs/API.md: Boilerplate ---
+    import graft.text.Boilerplate
+
+    val clean = Boilerplate.removeFrequentSegments(docs, "text", "doc_id",
+      segWords = 10, minDocs = 3) // (id, n_segments, n_removed, clean_text)
+    val dict  = Boilerplate.frequentSegments(docs, "text", "doc_id", 10, 3)
+    // --- end ---
+
+    assert(clean.count() === docs.count())
+    assert(clean.columns.toSeq ===
+      Seq("id", "n_segments", "n_removed", "clean_text"))
+    assert(dict.columns.toSeq === Seq("seg", "n_docs"))
+  }
+
+  test("RecordLinkage example: block + levenshtein + argmin") {
+    val s = spark; import s.implicits._
+    val reference = Seq((100L, "acme corp 0017"), (101L, "zen labs 0018"))
+      .toDF("rid", "rname")
+    val dirty = Seq((1L, "acme c0rp 0017"), (2L, "zen labz 0018"))
+      .toDF("pid", "pname")
+
+    // --- docs/API.md: RecordLinkage ---
+    import graft.operators.RecordLinkage
+
+    val linked = RecordLinkage.link(dirty, reference,
+      probeId = "pid", probeName = "pname", refId = "rid", refName = "rname",
+      blockKey = c => substring(c, -4, 4), maxDistance = 2)
+    // --- end ---
+
+    val m = linked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 100L, 2L -> 101L))
+  }
+
+  test("Trend example: per-group OLS over integer moments") {
+    val li = graft.queries.Tables.lineitem(spark, dir)
+      .withColumn("g", (col("l_partkey") % 10).cast("int"))
+
+    // --- docs/API.md: Trend ---
+    import graft.operators.Trend
+
+    val trends = Trend.ols(li, Seq("g"),
+      x = datediff(col("l_shipdate").cast("date"), lit("1995-06-01").cast("date")),
+      y = round(col("l_quantity") * 100).cast("long"))
+    // --- end ---
+
+    assert(trends.count() === 10)
+    assert(trends.columns.toSeq ===
+      Seq("g", "n", "slope", "intercept", "corr"))
+  }
 }
