@@ -119,15 +119,44 @@ object RelationalQueries3 {
       |  CAST(count(*) AS BIGINT) AS num_trades
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Daily VWAP ([[graft.ticks.MinuteBars.vwapDaily]]): events recast as
+    * minute bars (value = price, a key-derived small integer = volume so
+    * weights genuinely vary). Integer-cents numerator ⇒ the single final
+    * division is bit-reproducible; zero-volume groups surface as null.
+    */
+  def q133Vwap(s: SparkSession, dir: String): DataFrame = {
+    val minute = Tables.events(s, dir).select(
+      col("user_id").as("security_id"),
+      col("ts"),
+      col("value").as("close"),
+      // %11 INCLUDING zero-volume bars — the null-guard path stays live
+      (col("event_id") % 11).as("volume"))
+    graft.ticks.MinuteBars.vwapDaily(minute)
+      .select(col("security_id"),
+        date_format(col("date"), "yyyy-MM-dd").as("date"),
+        round(col("vwap"), 9).as("vwap_r"), col("volume"))
+  }
+
+  val q133Sql: String =
+    """SELECT user_id AS security_id,
+      |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+      |  round(CASE WHEN sum(event_id % 11) > 0
+      |    THEN CAST(sum(CAST(round(value*100) AS BIGINT) * (event_id % 11)) AS DOUBLE)
+      |         / CAST(sum(event_id % 11) AS DOUBLE) / 100.0 END, 9) AS vwap_r,
+      |  CAST(sum(event_id % 11) AS BIGINT) AS volume
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_q4_derivation" -> (q46Q4Derivation _),
     "q47_approx_distinct" -> (q47ApproxDistinct _),
     "q48_ohlc_rollup" -> (q48OhlcRollup _),
-    "q49_minute_to_daily" -> (q49MinuteToDaily _))
+    "q49_minute_to_daily" -> (q49MinuteToDaily _),
+    "q133_vwap" -> (q133Vwap _))
 
   val oracleSql: Map[String, String] = Map(
     "q46_q4_derivation" -> q46Sql,
     "q47_approx_distinct" -> q47Sql,
     "q48_ohlc_rollup" -> q48Sql,
-    "q49_minute_to_daily" -> q49Sql)
+    "q49_minute_to_daily" -> q49Sql,
+    "q133_vwap" -> q133Sql)
 }

@@ -70,6 +70,35 @@ object ScaleQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Targeted (hot-key-only) salting under GENUINE skew: one fifth of
+    * lineitem is remapped onto a single join key, so the unsalted join
+    * piles ~20% of the fact table on one reducer. `hotKeySaltedJoin`
+    * detects the heavy hitter exactly, salts only its rows 8-way, and
+    * replicates the right side for hot keys alone (≤ 8·hotKeys rows, vs
+    * q57's full 8× replication). Oracle replays the remap + plain join —
+    * the technique must be result-invariant.
+    */
+  def q134HotkeySalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 5 === 0, lit(40L))
+        .otherwise(col("l_orderkey")).as("jk"),
+      col("l_extendedprice"))
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("jk"), col("o_orderpriority"))
+    SkewJoin.hotKeySaltedJoin(li, ords, "jk", saltFactor = 8, hotKeys = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  val q134Sql: String =
+    """WITH li AS (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 40
+      |    ELSE l_orderkey END AS jk, l_extendedprice FROM lineitem)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+      |FROM li JOIN orders ON jk = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** Bucket-pruned co-located join: both sides written with
     * `bucketBy(8, custkey)` + in-bucket sort, then joined on the bucket
     * key — the sort-merge join reads each bucket pair directly with NO
@@ -827,6 +856,7 @@ object ScaleQueries {
     "q62_symbol_pruning" -> (q62SymbolPruning _),
     "q56_grouping_sets" -> (q56GroupingSets _),
     "q57_salted_join" -> (q57SaltedJoin _),
+    "q134_hotkey_salted" -> (q134HotkeySalted _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
     "q59_bloom_prune" -> (q59BloomPrune _),
     "q60_hash_split" -> (q60HashSplit _),
@@ -851,6 +881,7 @@ object ScaleQueries {
     "q62_symbol_pruning" -> q62Sql,
     "q56_grouping_sets" -> q56Sql,
     "q57_salted_join" -> q57Sql,
+    "q134_hotkey_salted" -> q134Sql,
     "q58_bucketed_join" -> q58Sql,
     "q59_bloom_prune" -> q59Sql,
     "q60_hash_split" -> q60Sql,

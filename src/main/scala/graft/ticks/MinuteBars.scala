@@ -55,4 +55,25 @@ object MinuteBars {
         max_by(col("close"), col("ts")).as("close"),
         sum(col("volume")).as("volume"),
         sum(col("num_trades")).as("num_trades"))
+
+  /** Daily VWAP per security: Σ(price_cents·volume) / Σvolume / 100 — the
+    * canonical execution-quality benchmark. The weighted numerator folds
+    * as an exact integer (price in cents × integer volume), so the one
+    * IEEE division at the end is bit-reproducible across engines and
+    * reduction orders; zero-volume days come back null rather than ±Inf.
+    * Same single grouped pass as [[toDailyBars]] — partial-agg'd,
+    * window-free, linear at any scale.
+    */
+  def vwapDaily(minute: DataFrame, priceCol: String = "close",
+      volCol: String = "volume"): DataFrame = {
+    val num = sum(round(col(priceCol) * 100).cast("long") * col(volCol))
+    val vol = sum(col(volCol))
+    minute
+      .withColumn("date", to_date(col("ts")))
+      .groupBy(col("security_id"), col("date"))
+      .agg(
+        when(vol > 0, num.cast("double") / vol.cast("double") / lit(100.0))
+          .as("vwap"),
+        vol.as("volume"))
+  }
 }

@@ -101,9 +101,9 @@ object ScaleStress {
     */
   private val RelFamily: Set[String] = Set(
     "q1_pricing_summary", "q56_grouping_sets", "q57_salted_join",
-    "q9_asof_join", "q10_interval_join", "q107_cdc_merge",
-    "q97_funnel", "q98_retention", "q103_event_transitions",
-    "q106_rfm_segments")
+    "q134_hotkey_salted", "q9_asof_join", "q10_interval_join",
+    "q107_cdc_merge", "q97_funnel", "q98_retention",
+    "q103_event_transitions", "q106_rfm_segments")
 
   private def ensureBlowup(s: SparkSession, srcDir: String, factor: Int,
       withRel: Boolean): String = {

@@ -20,6 +20,26 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted.length === 901)
   }
 
+  test("hot-key salted join ≡ plain join, under skew and without it") {
+    val left = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "lv")
+    val right = Seq(("hot", 1), ("k950", 2), ("other", 3)).toDF("key", "rv")
+    val plain = left.join(right, "key").select("key", "lv", "rv")
+      .collect().map(_.toString).sorted
+    val targeted = SkewJoin.hotKeySaltedJoin(left, right, "key",
+        saltFactor = 8, hotKeys = 2)
+      .select("key", "lv", "rv").collect().map(_.toString).sorted
+    assert(targeted.toSeq === plain.toSeq)
+
+    // hotKeys larger than the distinct key count: everything salts, still ≡
+    val uniform = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("key", "lv")
+    val r2 = Seq(("a", 9), ("c", 8)).toDF("key", "rv")
+    val all = SkewJoin.hotKeySaltedJoin(uniform, r2, "key", 4, hotKeys = 100)
+      .select("key", "lv", "rv").collect().map(_.toString).sorted
+    assert(all.toSeq === uniform.join(r2, "key").select("key", "lv", "rv")
+      .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("MedianSkew aggregator matches the reference Pearson formula") {
     // values 1,2,3,4,100: mean=22, median=3, sample std≈43.56
     val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")

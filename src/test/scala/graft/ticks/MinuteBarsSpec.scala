@@ -60,4 +60,19 @@ class MinuteBarsSpec extends SparkTestBase {
     assert(d.getAs[Double]("low") === 9.9)
     assert(d.getAs[Long]("volume") === 600L)
   }
+
+  test("daily VWAP weights by volume exactly; zero-volume day is null") {
+    val m = Seq(
+      (1L, "2024-06-14 09:30:00", 10.0, 100L), // 10.00 × 100
+      (1L, "2024-06-14 09:31:00", 20.0, 300L), // 20.00 × 300
+      (2L, "2024-06-14 09:30:00", 99.0, 0L) // zero volume — must be null
+    ).toDF("security_id", "s", "close", "volume")
+      .withColumn("ts", $"s".cast("timestamp_ntz")).drop("s")
+    val out = MinuteBars.vwapDaily(m).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // (1000×100 + 2000×300) / 400 / 100 = 17.5 — exact dyadic, bit-equal
+    assert(out(1L).getAs[Double]("vwap") === 17.5)
+    assert(out(1L).getAs[Long]("volume") === 400L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("vwap")))
+  }
 }
