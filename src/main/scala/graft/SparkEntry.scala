@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.ScaleQueries.queries ++
       graft.queries.TrainingQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.GateQueries.queries
+      graft.queries.GateQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.ScaleQueries.oracleSql ++
       graft.queries.TrainingQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.GateQueries.oracleSql
+      graft.queries.GateQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }
