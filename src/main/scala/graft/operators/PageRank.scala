@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round damped PageRank over an edge list — the authority signal a
+  * web-corpus pipeline uses to weight hosts/domains before sampling
+  * (OPIC/Common-Crawl-style domain ranking).
+  *
+  * Engine-exact by construction: ranks live as MICRO-scaled BIGINTs
+  * (rank × 10⁶) and every round re-quantizes through the same
+  * `round(double)` chain on both engines, so a DuckDB oracle can unroll
+  * the rounds as CTEs and hash-match the final ranks exactly (the TfIdf /
+  * Perplexity micro-fixed-point trick applied to an iterative operator).
+  *
+  * Semantics (documented simplifications, identical in the oracle):
+  *   - nodes = distinct sources ∪ destinations
+  *   - per round: contrib(e) = round(rank(src)/outdeg(src)),
+  *     rank'(v) = round(0.15·10⁶/N) + round(0.85·Σ contrib(e into v))
+  *   - dangling mass is dropped (teleport-only redistribution), the
+  *     standard sparse-graph simplification
+  *
+  * Scale posture: each round is one equi-join of the edge relation with
+  * the (node, rank) relation plus one groupBy(dst) — shuffle ∝ |E|, no
+  * global window, no driver-side graph. Edges and out-degrees are computed
+  * once and reused across rounds; rounds are a fixed small constant (the
+  * operator is a ranking signal, not a convergence solver).
+  */
+object PageRank {
+
+  /** @return (node: long, rank_micro: long) after `iters` rounds */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // scalar aggregate, not a data collect: N is one number
+    val n = nodes.count()
+    val teleportMicro = math.round((1.0 - damping) * 1e6 / n)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val init = nodes.select(col("node"),
+      lit(math.round(1e6 / n)).as("rank_micro"))
+    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+      val contribs = e
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank_micro").cast("double") / col("deg"))
+            .cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportMicro) +
+            round(coalesce(col("sc"), lit(0L)) * damping).cast("long"))
+            .as("rank_micro"))
+    }
+    // one materialization of the final ranks, then drop the cached inputs
+    val out = ranks.localCheckpoint(true)
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    out
+  }
+}

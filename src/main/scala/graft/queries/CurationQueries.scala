@@ -103,11 +103,133 @@ object CurationQueries {
       |WHERE o_orderdate BETWEEN TIMESTAMP '1995-06-01' AND TIMESTAMP '1996-05-31'
       |GROUP BY 1""".stripMargin
 
+  /** URL canonicalization ([[graft.text.UrlNormalize]]): three synthetic
+    * URL shapes per document (mixed-case scheme/host, default and
+    * non-default ports, tracking params, fragments, trailing slashes), and
+    * the oracle emits the EXPECTED canonical form straight from the
+    * generating formula (the q31 formula-replay pattern) — any parser
+    * defect (case rule, port rule, param filter/sort, slash strip) breaks
+    * the hash on 500 rows.
+    */
+  def q137UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val url = when(col("doc_id") % 3 === 0,
+      concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/Path/"), col("doc_id").cast("string"),
+        lit("/?utm_source=feed&b="), col("lang"), lit("&a=1#frag")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("http://News.Site"), (col("doc_id") % 5).cast("string"),
+          lit(".org:80/a/b?z=9&utm_campaign=x&y=2&fbclid=abc")))
+      .otherwise(concat(lit("https://cdn.host"), (col("doc_id") % 4).cast("string"),
+        lit(".net:8443/file/"), col("doc_id").cast("string")))
+    d.select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        graft.text.UrlNormalize.canonicalUrl(col("url")).as("canonical"),
+        graft.text.UrlNormalize.host(col("url")).as("host"))
+  }
+
+  val q137Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |      'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path/'
+      |        || CAST(doc_id AS VARCHAR) || '?a=1&b=' || lang
+      |    WHEN doc_id % 3 = 1 THEN
+      |      'http://news.site' || CAST(doc_id % 5 AS VARCHAR) || '.org/a/b?y=2&z=9'
+      |    ELSE
+      |      'https://cdn.host' || CAST(doc_id % 4 AS VARCHAR) || '.net:8443/file/'
+      |        || CAST(doc_id AS VARCHAR) END AS canonical,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      |    WHEN doc_id % 3 = 1 THEN 'news.site' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+      |    ELSE 'cdn.host' || CAST(doc_id % 4 AS VARCHAR) || '.net' END AS host
+      |FROM documents""".stripMargin
+
+  /** Column profiling ([[graft.operators.Profiling]]) over five orders
+    * columns: exact ANALYZE semantics (null counts, exact distincts,
+    * micro-scaled numeric extremes, string length stats) in one scan,
+    * replayed column by column in SQL.
+    */
+  def q138Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority"))
+
+  val q138Sql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |  min(CAST(round($c * 1e6) AS BIGINT)) AS min_micro,
+         |  max(CAST(round($c * 1e6) AS BIGINT)) AS max_micro,
+         |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+         |  CAST(NULL AS BIGINT) AS len_sum FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS BIGINT) AS min_micro, CAST(NULL AS BIGINT) AS max_micro,
+         |  CAST(min(len($c)) AS BIGINT) AS min_len,
+         |  CAST(max(len($c)) AS BIGINT) AS max_len,
+         |  CAST(sum(len($c)) AS BIGINT) AS len_sum FROM orders""".stripMargin
+    Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+      num("o_totalprice"), str("o_orderpriority")).mkString("\nUNION ALL\n")
+  }
+
+  /** Fixed-round PageRank ([[graft.operators.PageRank]]) over the
+    * undirected customer↔supplier trade graph (multi-edges kept as
+    * weights). Micro-quantized ranks make all 3 rounds hash-exact — the
+    * oracle unrolls them as CTEs, so a defect in out-degrees, the contrib
+    * rounding, teleport, or the damping chain shifts rank_micro somewhere
+    * in the graph.
+    */
+  def q139PageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
+  }
+
+  val q139Sql: String = {
+    def round(i: Int, prev: String): String =
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(sum(CAST(round(CAST(r.rm AS DOUBLE) / d.deg) AS BIGINT)) AS BIGINT) AS sc
+         |  FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |    CAST(round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |        * CAST(1000000 AS DOUBLE) / nn.n) AS BIGINT)
+         |    + CAST(round(CAST(coalesce(c.sc, 0) AS DOUBLE)
+         |        * CAST(0.85 AS DOUBLE)) AS BIGINT) AS rm
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON nodes.node = c.node)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT cust AS src, supp AS dst FROM p
+       |      UNION ALL SELECT supp, cust FROM p),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(round(CAST(1000000 AS DOUBLE) / nn.n) AS BIGINT) AS rm
+       |       FROM nodes CROSS JOIN nn),
+       |${round(1, "r0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")}
+       |SELECT node, rm AS rank_micro FROM r3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q135_semdedup" -> (q135SemDedup _),
-    "q136_file_skipping" -> (q136FileSkipping _))
+    "q136_file_skipping" -> (q136FileSkipping _),
+    "q137_url_canonical" -> (q137UrlCanonical _),
+    "q138_profile" -> (q138Profile _),
+    "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q135_semdedup" -> q135Sql,
-    "q136_file_skipping" -> q136Sql)
+    "q136_file_skipping" -> q136Sql,
+    "q137_url_canonical" -> q137Sql,
+    "q138_profile" -> q138Sql,
+    "q139_pagerank" -> q139Sql)
 }
