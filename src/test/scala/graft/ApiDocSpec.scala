@@ -318,4 +318,75 @@ class ApiDocSpec extends SparkTestBase {
     assert(trends.columns.toSeq ===
       Seq("g", "n", "slope", "intercept", "corr"))
   }
+
+  test("SemDedup example: cluster then prune tau-similar neighbors") {
+    // --- docs/API.md: SemDedup ---
+    import graft.operators.{SemDedup, Similarity}
+
+    val cents   = Similarity.ivfCentroids(emb, nlist = 16)
+    val verdict = SemDedup.dedup(emb, cents, tau = 0.95)
+    val kept    = emb.join(verdict.filter(col("kept") === 1), "vec_id")
+    // --- end ---
+
+    assert(verdict.count() === emb.count())
+    assert(verdict.columns.toSeq ===
+      Seq("vec_id", "cell", "n_dup_lower", "kept"))
+    assert(kept.count() > 0)
+  }
+
+  test("UrlNormalize example: canonical URLs + per-host rollup") {
+    val pages = docs.select(col("doc_id"),
+      concat(lit("HTTPS://Host"), (col("doc_id") % 3).cast("string"),
+        lit(".Com:443/p/"), col("doc_id").cast("string"),
+        lit("/?utm_source=x&a=1")).as("url"))
+
+    // --- docs/API.md: UrlNormalize ---
+    import graft.text.UrlNormalize
+
+    val canon = pages.select(
+      UrlNormalize.canonicalUrl(col("url")).as("url_c"),
+      UrlNormalize.host(col("url")).as("host"))
+    val perHost = canon.groupBy("host").agg(countDistinct("url_c").as("n_pages"))
+    // --- end ---
+
+    assert(perHost.count() === 3)
+    assert(canon.filter(col("url_c").contains("utm_")).count() === 0)
+    assert(canon.filter(col("url_c").startsWith("https://host")).count() === canon.count())
+  }
+
+  test("FileStats example: write with manifest, pruned range read") {
+    val s = spark; import s.implicits._
+    val path = tmp("filestats")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+
+    // --- docs/API.md: FileStats ---
+    import graft.lake.FileStats
+
+    FileStats.writeWithStats(df, path, "k", numFiles = 64)
+    val hits = FileStats.readRange(spark, path, "k", lit(100L), lit(199L))
+    val opened = FileStats.candidateFiles(spark, path, lit(100L), lit(199L))
+    // --- end ---
+
+    assert(hits.count() === 100)
+    assert(opened.size < FileStats.totalFiles(spark, path))
+  }
+
+  test("Profiling + PageRank examples") {
+    val orders = graft.queries.Tables.orders(spark, dir)
+    val edges = orders.select(col("o_custkey").as("src"),
+      (col("o_orderkey") % 50).as("dst"))
+
+    // --- docs/API.md: Analytics (Profiling, PageRank) ---
+    import graft.operators.{Profiling, PageRank}
+
+    val report = Profiling.profile(orders, Seq("o_orderkey", "o_totalprice"))
+    val ranks  = PageRank.run(edges, "src", "dst", iters = 3) // (node, rank_micro)
+    // --- end ---
+
+    assert(report.count() === 2)
+    assert(ranks.columns.toSeq === Seq("node", "rank_micro"))
+    assert(ranks.agg(min(col("rank_micro"))).head().getLong(0) > 0)
+  }
 }
