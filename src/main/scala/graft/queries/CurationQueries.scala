@@ -219,7 +219,54 @@ object CurationQueries {
        |SELECT node, rm AS rank_micro FROM r3""".stripMargin
   }
 
+  /** Portable HLL sketches ([[graft.operators.Hll]]): per-event-type
+    * distinct-user sketches over events. The harmonic denominator is an
+    * exact BIGINT (Σ 2^(55−M_j)) and the registers replay from the md5
+    * formula, so the gate hash-covers the full sketch state (s, v_zero)
+    * AND the micro-rounded estimate; exact distinct counts ride along as
+    * the accuracy reference.
+    */
+  def q140HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sk = graft.operators.Hll.build(ev, Seq("event_type"), "user_id")
+    val ex = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sk.select(col("event_type"),
+        graft.operators.Hll.harmonicS(col("registers")).as("s"),
+        graft.operators.Hll.emptyRegisters(col("registers")).as("v_zero"),
+        graft.operators.Hll.estimateMicro(col("registers")).as("est_micro"))
+      .join(ex, "event_type")
+  }
+
+  val q140Sql: String =
+    """WITH h AS (SELECT event_type AS grp, user_id,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      |  FROM events),
+      |reg AS (SELECT grp, hv % 64 AS j,
+      |    max(CASE WHEN (hv >> 6) = 0 THEN 55
+      |        ELSE 55 - length(ltrim(bin(hv >> 6), '0')) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |agg AS (SELECT grp,
+      |    CAST(sum(CAST(power(2, 55 - rho) AS BIGINT)) AS BIGINT)
+      |      + (64 - count(*)) * CAST(power(2, 55) AS BIGINT) AS s,
+      |    64 - count(*) AS v_zero
+      |  FROM reg GROUP BY 1),
+      |est AS (SELECT grp, s, CAST(v_zero AS BIGINT) AS v_zero,
+      |    CAST(0.709 AS DOUBLE) * 64 * 64 * power(2, 55) / s AS raw
+      |  FROM agg),
+      |fin AS (SELECT grp, s, v_zero,
+      |    CAST(round((CASE WHEN raw <= 160.0 AND v_zero > 0
+      |        THEN 64 * ln(CAST(64 AS DOUBLE) / v_zero) ELSE raw END) * 1e6)
+      |      AS BIGINT) AS est_micro
+      |  FROM est),
+      |ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+      |  FROM events GROUP BY 1)
+      |SELECT f.grp AS event_type, f.s, f.v_zero, f.est_micro,
+      |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+      |FROM fin f JOIN ex USING (grp)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q140_hll_distinct" -> (q140HllDistinct _),
     "q135_semdedup" -> (q135SemDedup _),
     "q136_file_skipping" -> (q136FileSkipping _),
     "q137_url_canonical" -> (q137UrlCanonical _),
@@ -227,6 +274,7 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q140_hll_distinct" -> q140Sql,
     "q135_semdedup" -> q135Sql,
     "q136_file_skipping" -> q136Sql,
     "q137_url_canonical" -> q137Sql,
