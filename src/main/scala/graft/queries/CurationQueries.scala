@@ -265,7 +265,95 @@ object CurationQueries {
       |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
       |FROM fin f JOIN ex USING (grp)""".stripMargin
 
+  /** Positional inverted index + phrase search
+    * ([[graft.text.InvertedIndex]]): the corpus's most frequent trigram is
+    * derived FROM the index (two 1:1 positional self-joins; count-desc,
+    * lexicographic tiebreak; 1-row driver pick — dimension-sized) and then
+    * phrase-searched through the posting lists. The oracle re-derives the
+    * same phrase and recounts matches positionally, so index positions,
+    * the phrase-join offsets, and the tiebreak are all under the hash at
+    * any scale factor — no hardcoded phrase to go vacuous on a new
+    * fixture.
+    */
+  def q141PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.InvertedIndex
+    // six consumers (3 trigram legs + 3 posting-list filters) — compute the
+    // explode once; the index relation is narrow token rows
+    val idx = graft.operators.Materialize.once(
+      InvertedIndex.build(Tables.documents(s, dir), "text", "doc_id"))
+    val top = InvertedIndex.trigrams(idx)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc, col("w3").asc)
+      .limit(1).collect().head // the phrase pick: one row, driver-sized
+    val phrase = Seq(top.getString(0), top.getString(1), top.getString(2))
+    InvertedIndex.phraseSearch(idx, phrase)
+      .select(col("id"), lit(phrase(0)).as("w1"), lit(phrase(1)).as("w2"),
+        lit(phrase(2)).as("w3"), col("n_matches"))
+  }
+
+  val q141Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      |  FROM t WHERE len(t) >= 3),
+      |tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, count(*) AS c
+      |  FROM pos GROUP BY 1, 2, 3),
+      |top AS (SELECT w1, w2, w3 FROM tri
+      |  ORDER BY c DESC, w1 ASC, w2 ASC, w3 ASC LIMIT 1),
+      |m AS (SELECT doc_id, count(*) AS n_matches
+      |  FROM pos, top
+      |  WHERE t[i] = w1 AND t[i+1] = w2 AND t[i+2] = w3
+      |  GROUP BY 1)
+      |SELECT m.doc_id AS id, top.w1, top.w2, top.w3, m.n_matches
+      |FROM m CROSS JOIN top""".stripMargin
+
+  /** One-pass Pearson correlation matrix ([[graft.operators.CorrMatrix]])
+    * over four integer-scaled lineitem measures. Decimal(38,0) moments
+    * match DuckDB's HUGEINT sums exactly; the oracle replays the identical
+    * moment formula, corr rounded at 9dp (the q29 convention).
+    */
+  def q142CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    graft.operators.CorrMatrix.pearson(li, Seq(
+      "quantity_c" -> round(col("l_quantity") * 100),
+      "extprice_c" -> round(col("l_extendedprice") * 100),
+      "discount_bp" -> round(col("l_discount") * 10000),
+      "tax_bp" -> round(col("l_tax") * 10000)))
+      .select(col("col_x"), col("col_y"), col("n"),
+        round(col("corr"), 9).as("corr_r"))
+  }
+
+  val q142Sql: String = {
+    val names = Seq("quantity_c", "extprice_c", "discount_bp", "tax_bp")
+    def pair(x: String, y: String) =
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |  CASE WHEN CAST(n * ss_$x - s_$x * s_$x AS DOUBLE) > 0
+         |        AND CAST(n * ss_$y - s_$y * s_$y AS DOUBLE) > 0 THEN
+         |    round(CAST(n * sp_${x}__$y - s_$x * s_$y AS DOUBLE) /
+         |      (sqrt(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE)) *
+         |       sqrt(CAST(n * ss_$y - s_$y * s_$y AS DOUBLE))), 9)
+         |  END AS corr_r
+         |FROM m""".stripMargin
+    val ps = for { i <- names.indices; j <- names.indices if i < j }
+      yield pair(names(i), names(j))
+    s"""WITH b AS (SELECT
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity_c,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS extprice_c,
+       |    CAST(round(l_discount * 10000) AS BIGINT) AS discount_bp,
+       |    CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+       |  FROM lineitem),
+       |m AS (SELECT count(*) AS n,
+       |  ${names.map(c => s"sum($c) AS s_$c, sum($c * $c) AS ss_$c").mkString(", ")},
+       |  ${(for { i <- names.indices; j <- names.indices if i < j }
+           yield s"sum(${names(i)} * ${names(j)}) AS sp_${names(i)}__${names(j)}")
+           .mkString(", ")}
+       |  FROM b)
+       |${ps.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_corr_matrix" -> (q142CorrMatrix _),
+    "q141_phrase_search" -> (q141PhraseSearch _),
     "q140_hll_distinct" -> (q140HllDistinct _),
     "q135_semdedup" -> (q135SemDedup _),
     "q136_file_skipping" -> (q136FileSkipping _),
@@ -274,6 +362,8 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q142_corr_matrix" -> q142Sql,
+    "q141_phrase_search" -> q141Sql,
     "q140_hll_distinct" -> q140Sql,
     "q135_semdedup" -> q135Sql,
     "q136_file_skipping" -> q136Sql,
