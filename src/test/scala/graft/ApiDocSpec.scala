@@ -389,4 +389,42 @@ class ApiDocSpec extends SparkTestBase {
     assert(ranks.columns.toSeq === Seq("node", "rank_micro"))
     assert(ranks.agg(min(col("rank_micro"))).head().getLong(0) > 0)
   }
+
+  test("InvertedIndex example: build, phrase, AND") {
+    // --- docs/API.md: InvertedIndex ---
+    import graft.text.InvertedIndex
+
+    val idx     = InvertedIndex.build(docs, "text", "doc_id")
+    val hits    = InvertedIndex.phraseSearch(idx, Seq("risk", "factors"))
+    val allOf   = InvertedIndex.allTerms(idx, Seq("risk", "liquidity"))
+    // --- end ---
+
+    assert(idx.columns.toSeq === Seq("term", "id", "pos"))
+    assert(hits.columns.toSeq === Seq("id", "n_matches"))
+    assert(allOf.columns.toSeq === Seq("id"))
+  }
+
+  test("Hll + CorrMatrix examples: mergeable sketches, one-pass corr") {
+    val events = graft.queries.Tables.events(spark, dir)
+    val li = graft.queries.Tables.lineitem(spark, dir)
+
+    // --- docs/API.md: Analytics (Hll, CorrMatrix) ---
+    import graft.operators.{Hll, CorrMatrix}
+
+    val daily  = Hll.build(events, Seq("event_type"), "user_id")
+    val folded = daily.groupBy("event_type")
+      .agg(reduce(collect_list("registers"),
+        array_repeat(lit(0), 64), (a, b) => Hll.merge(a, b)).as("registers"))
+    val est    = folded.select(col("event_type"),
+      Hll.estimateMicro(col("registers")).as("est_micro"))
+    val corr   = CorrMatrix.pearson(li, Seq(
+      "qty" -> round(col("l_quantity") * 100),
+      "price" -> round(col("l_extendedprice") * 100)))
+    // --- end ---
+
+    assert(est.count() === daily.count())
+    assert(est.agg(min(col("est_micro"))).head().getLong(0) > 0)
+    val c = corr.collect()
+    assert(c.length === 1 && c.head.getString(0) === "qty")
+  }
 }
