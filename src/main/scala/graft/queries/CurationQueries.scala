@@ -351,7 +351,89 @@ object CurationQueries {
        |${ps.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Histogram-sketch quantiles ([[graft.operators.Histogram]]): per-flag
+    * equal-width histograms over extendedprice cents (64 bins × 2000$),
+    * inverted at four quantiles. The bin → cumulative → interpolation
+    * chain replays in SQL with every arithmetic step double-forced, so a
+    * binning or inversion defect shifts an est_micro somewhere.
+    */
+  def q143HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val h = graft.operators.Histogram.build(li, Seq("g"), "cents",
+      lo = 0L, binWidth = 200000L, bins = 64)
+    graft.operators.Histogram.quantileMicro(h, Seq("g"),
+      lo = 0L, binWidth = 200000L, qs = Seq(0.25, 0.5, 0.75, 0.99))
+  }
+
+  val q143Sql: String =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |    least(greatest(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      / CAST(200000 AS DOUBLE)) AS BIGINT), 0), 63) AS bin
+      |  FROM lineitem),
+      |h AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2),
+      |c AS (SELECT g, bin, n,
+      |    sum(n) OVER (PARTITION BY g ORDER BY bin) AS cum,
+      |    sum(n) OVER (PARTITION BY g ORDER BY bin) - n AS bef,
+      |    sum(n) OVER (PARTITION BY g) AS total
+      |  FROM h),
+      |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |    CAST(0.75 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+      |hit AS (SELECT g, q, bin, n, bef, q * total AS t
+      |  FROM c CROSS JOIN qs
+      |  WHERE (cum >= q * total AND bef < q * total)
+      |     OR (q * total <= 0 AND bef = 0))
+      |SELECT g, q,
+      |  CAST(round((CAST(0 AS DOUBLE) + CAST(200000 AS DOUBLE) *
+      |    (bin + greatest((t - bef) / n, CAST(0 AS DOUBLE)))) * 1e6) AS BIGINT)
+      |    AS est_micro
+      |FROM hit""".stripMargin
+
+  /** Reciprocal-rank fusion ([[graft.text.HybridSearch]]): two
+    * deterministic top-20 retrieval lists over documents (token count and
+    * distinct-token count, doc_id tiebreaks) fused with k = 60. The gate
+    * pins the micro-exact contribution sums, list membership counting,
+    * and the fused ranking's tiebreak; the input scorers are deliberately
+    * simple — BM25 itself is gated at q65, this gates the FUSION.
+    */
+  def q144RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      graft.text.TextFunctions.tokens(col("text")).as("t"))
+    def topRanked(metric: org.apache.spark.sql.Column): DataFrame = {
+      val top = toks.select(col("doc_id").as("id"), metric.as("m"))
+        .orderBy(col("m").desc, col("id").asc).limit(20) // TakeOrdered top-k
+      top.select(struct((-col("m")).as("nm"), col("id")).as("s"))
+        .agg(array_sort(collect_list(col("s"))).as("arr")) // 20 rows
+        .select(posexplode(col("arr")).as(Seq("pos", "s")))
+        .select(col("s.id").as("id"), (col("pos") + 1).cast("long").as("rank"))
+    }
+    val byLen = topRanked(size(col("t")))
+    val byDistinct = topRanked(size(array_distinct(col("t"))))
+    graft.text.HybridSearch.rrf(Seq(byLen, byDistinct), "id", "rank", k = 60)
+  }
+
+  val q144Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |l1 AS (SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY len(t) DESC, doc_id ASC) AS r
+      |  FROM t QUALIFY r <= 20),
+      |l2 AS (SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY len(list_distinct(t)) DESC, doc_id ASC) AS r
+      |  FROM t QUALIFY r <= 20),
+      |c AS (SELECT id, CAST(round(1e6 / (60 + r)) AS BIGINT) AS c FROM l1
+      |      UNION ALL
+      |      SELECT id, CAST(round(1e6 / (60 + r)) AS BIGINT) AS c FROM l2),
+      |f AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+      |    count(*) AS n_lists FROM c GROUP BY 1)
+      |SELECT id, rrf_micro, n_lists,
+      |  row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS rank
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q144_rrf_fusion" -> (q144RrfFusion _),
+    "q143_hist_quantiles" -> (q143HistQuantiles _),
     "q142_corr_matrix" -> (q142CorrMatrix _),
     "q141_phrase_search" -> (q141PhraseSearch _),
     "q140_hll_distinct" -> (q140HllDistinct _),
@@ -362,6 +444,8 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q144_rrf_fusion" -> q144Sql,
+    "q143_hist_quantiles" -> q143Sql,
     "q142_corr_matrix" -> q142Sql,
     "q141_phrase_search" -> q141Sql,
     "q140_hll_distinct" -> q140Sql,
