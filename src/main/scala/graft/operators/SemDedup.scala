@@ -41,8 +41,26 @@ object SemDedup {
     *         strictly lower id and `kept` = 1 iff that count is 0
     */
   def dedup(emb: DataFrame, centroids: DataFrame, tau: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = Similarity.assignCells(emb, centroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    verdict(Similarity.assignCells(emb, centroids, idCol, vecCol),
+      tau, idCol, vecCol)
+
+  /** [[dedup]] with the two-level ROUTED assignment
+    * ([[Similarity.assignCellsRouted]]) — the deployment shape when nlist
+    * grows with the corpus (constant cell size): assignment cost drops
+    * from n·nlist to ~2n·√nlist, i.e. n^1.5 instead of n² over the whole
+    * job. Approximate routing can place a vector in a second-best cell
+    * (recall dial: `probes`); the within-cell pruning semantics are
+    * unchanged.
+    */
+  def dedupRouted(emb: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 2): DataFrame =
+    verdict(Similarity.assignCellsRouted(emb, centroids, idCol, vecCol,
+      probes = probes), tau, idCol, vecCol)
+
+  private def verdict(assigned: DataFrame, tau: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val lo = assigned.select(col("cell"), col(idCol).as("__lo_id"),
       col(vecCol).as("__lo_vec"))
     val hi = assigned.select(col("cell"), col(idCol).as("__hi_id"),

@@ -166,6 +166,71 @@ object Similarity {
       .select(col(idCol), col(vecCol), (-col("__best.nc")).cast("long").as("cell"))
   }
 
+  /** Two-level ROUTED cell assignment — the deployment-shape mitigation of
+    * flat assignment's n·nlist kernel cost: cluster the centroid table
+    * itself into ~√nlist super-cells, route each vector to its best
+    * `probes` supers, then score only those supers' member centroids.
+    * Kernel work drops from n·nlist to ~n·(√nlist + probes·nlist/√nlist)
+    * ≈ 2n·√nlist — with nlist ∝ n (SemDeDup's constant-cell-size regime)
+    * that is n^1.5 instead of n² (the ann_build_sqrtN bound).
+    *
+    * Approximate: a vector whose true nearest centroid lives outside its
+    * probed supers lands in a second-best cell; `probes` = 2 is the
+    * standard recall dial. Exact when clusters are separated at the super
+    * level (SemDedupSpec pins both directions).
+    *
+    * Output schema matches [[assignCells]]: (idCol, vecCol, cell).
+    */
+  def assignCellsRouted(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nsuper: Int = 0, probes: Int = 1): DataFrame = {
+    val cents = Materialize.once(centroids)
+    val nlist = cents.count() // scalar: centroid-table size
+    val ns = if (nsuper > 0) nsuper
+      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    // rename before clustering the centroid table: ivfCentroids'
+    // internal assignCells crossJoins its corpus against (cell, centroid)
+    // and identical names would be ambiguous
+    val supers = Materialize.once(
+      ivfCentroids(cents.select(col("cell").as("cid"), col("centroid").as("cvec")),
+        ns, iters = 2, idCol = "cid", vecCol = "cvec")
+        .select(col("cell").as("super"), col("centroid").as("sc")))
+    // centroid -> super (nlist × ns pairs — dimension-sized)
+    val centSuper = Materialize.once(cents
+      .crossJoin(broadcast(supers))
+      .withColumn("__cos", cosine(col("centroid"), col("sc")))
+      .select(col("cell"), col("centroid"),
+        struct(coalesce(col("__cos"), lit(-2.0)).as("c"), (-col("super")).as("ns"))
+          .as("__sc"))
+      .groupBy(col("cell"))
+      .agg(first(col("centroid")).as("centroid"), max(col("__sc")).as("__b"))
+      .select(col("cell"), col("centroid"), (-col("__b.ns")).cast("long").as("super")))
+    // vector -> top-`probes` supers WITHOUT a fact-sized window: the
+    // per-vector super list is ns entries (a small constant), so a bounded
+    // collect → sort → slice → explode keeps it one partial-agg shuffle
+    val vSupers = corpus
+      .crossJoin(broadcast(supers))
+      .withColumn("__cos", cosine(col(vecCol), col("sc")))
+      .select(col(idCol), col(vecCol),
+        struct((-coalesce(col("__cos"), lit(-2.0))).as("nc"), col("super")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        slice(array_sort(collect_list(col("__s"))), 1, probes).as("__top"))
+      .select(col(idCol), col(vecCol), explode(col("__top")).as("__e"))
+      .select(col(idCol), col(vecCol), col("__e.super").as("super"))
+    // candidates = member centroids of the probed supers only
+    vSupers
+      .join(broadcast(centSuper.select(col("super"), col("cell"), col("centroid"))),
+        Seq("super"))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .select(col(idCol), col(vecCol),
+        struct(coalesce(col("__cos"), lit(-2.0)).as("c"), (-col("cell")).as("nc"))
+          .as("__sc"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), max(col("__sc")).as("__best"))
+      .select(col(idCol), col(vecCol), (-col("__best.nc")).cast("long").as("cell"))
+  }
+
   /** IVF approximate top-k: train (or reuse) centroids, invert the corpus
     * by cell, send each query to its `nprobe` highest-cosine cells, and
     * exactly re-score only those cells' vectors. The classic accuracy/cost

@@ -271,6 +271,22 @@ object ScaleStress {
       }
     }
 
+    // Routed SemDeDup deployment shape: nlist ∝ n (the constant-cell-size
+    // regime that makes flat assignment n²) but assignment goes through
+    // the two-level router — bound n^1.5, the measured counterpart of
+    // q135's documented fixture-pinned exponent.
+    val runRouted = sys.env.getOrElse("SPARK_GRAFT_ROUTED", "0") != "0"
+    for (f <- scales if runRouted) {
+      val emb = graft.queries.Tables.embeddings(spark, dirs(f))
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") % 100 === 50)
+        .select(col("vec_id").cast("long").as("cell"),
+          transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      val (sec, rows, loads) = timeDf(() =>
+        graft.operators.SemDedup.dedupRouted(emb, cents, tau = 0.9, probes = 2))
+      record("semdedup_routed", f, sec, rows, loads)
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)

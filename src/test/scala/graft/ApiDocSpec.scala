@@ -390,6 +390,21 @@ class ApiDocSpec extends SparkTestBase {
     assert(ranks.agg(min(col("rank_micro"))).head().getLong(0) > 0)
   }
 
+  test("HybridSearch example: reciprocal-rank fusion") {
+    val s = spark; import s.implicits._
+    val bm25Top = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val annTop = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+
+    // --- docs/API.md: HybridSearch ---
+    import graft.text.HybridSearch
+
+    val fused = HybridSearch.rrf(Seq(bm25Top, annTop), "id", "rank", k = 60)
+    // --- end ---
+
+    assert(fused.orderBy("rank").select("id").as[Long].collect().head === 2L)
+    assert(fused.columns.toSeq === Seq("id", "rrf_micro", "n_lists", "rank"))
+  }
+
   test("InvertedIndex example: build, phrase, AND") {
     // --- docs/API.md: InvertedIndex ---
     import graft.text.InvertedIndex

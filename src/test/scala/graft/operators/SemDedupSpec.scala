@@ -58,6 +58,34 @@ class SemDedupSpec extends SparkTestBase {
     assert(out.select("cell").distinct().count() === 2)
   }
 
+  test("routed assignment: exact on separated geometry; clones still drop") {
+    val out = SemDedup.dedupRouted(corpus, cents, tau = 0.99, probes = 1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out === Array(
+      (1L, 0L, 1), (2L, 1L, 0), (3L, 0L, 1),
+      (4L, 0L, 1), (5L, 1L, 0), (6L, 0L, 1)))
+  }
+
+  test("full-probe routing degenerates to flat assignment exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 100L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cs = (0L until 16L).map(c =>
+      (c, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("cell", "centroid")
+    val flat = Similarity.assignCells(vecs, cs)
+      .select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    // nsuper = 4, probes = 4 probes EVERY super -> candidate set is the
+    // whole centroid table -> argmax must match flat assignment bit for bit
+    val routedAll = Similarity.assignCellsRouted(vecs, cs, nsuper = 4, probes = 4)
+      .select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    assert(routedAll === flat)
+    // probes = 1 is approximate but must still produce one cell per vector
+    val routed1 = Similarity.assignCellsRouted(vecs, cs, nsuper = 4, probes = 1)
+    assert(routed1.count() === 100)
+    assert(routed1.select("cell").distinct().count() <= 16)
+  }
+
   test("verdict is partitioning-invariant") {
     val a = SemDedup.dedup(corpus.repartition(7), cents, tau = 0.99)
       .orderBy("vec_id").collect().toSeq
