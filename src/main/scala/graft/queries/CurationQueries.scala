@@ -17,6 +17,20 @@ object CurationQueries {
     paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Stage a frame once per (name, dir) as a small multi-file parquet dir
+    * for file-stream sources (the LakeQueries idiom).
+    */
+  private def stageOnce(df: => DataFrame, name: String, dir: String): String = {
+    val src = s"/tmp/graft_stage_${name}_${math.abs(dir.hashCode)}"
+    if (staged.add(src)) {
+      try df.repartition(8).write.mode("overwrite").parquet(src)
+      catch { case e: Throwable => staged.remove(src); throw e }
+    }
+    src
+  }
+
   /** SemDeDup ([[graft.operators.SemDedup]]): the corpus is embeddings plus
     * planted clones (every vec_id % 10 == 3 re-enters as id + 1,000,000 with
     * the vector scaled by 1.5 — float-rounded exactly the same way by both
@@ -431,7 +445,81 @@ object CurationQueries {
       |  row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS rank
       |FROM f""".stripMargin
 
+  /** Streaming sketch maintenance: per-micro-batch HLL builds merged into
+    * versioned parquet state (the q108 read-v{n}/write-v{n+1} pattern,
+    * AvailableNow + checkpoint, maxFilesPerTrigger=2 forcing 4 real
+    * micro-batches). The gate invariant is merge associativity end to
+    * end: stream-folded state ≡ whole-corpus build, so the oracle is the
+    * q140 replay. A MISSED file undershoots registers and breaks the
+    * hash; re-delivery is absorbed by design (sketch union is idempotent
+    * — the operational selling point of sketch state).
+    */
+  def q145StreamHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hll
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val src = stageOnce(ev, "hll_events", dir)
+    val tag = math.abs(dir.hashCode)
+    val stateRoot = s"/tmp/graft_q145_state_$tag"
+    val ckpt = s"/tmp/graft_q145_ckpt_$tag"
+    rm(s, stateRoot, ckpt) // full-rebuild gate (I6 covers resume)
+    Hll.build(ev.limit(0), Seq("event_type"), "user_id")
+      .write.parquet(s"$stateRoot/v0")
+    val zero = array_repeat(lit(0), 64)
+    val q = graft.streaming.Incremental
+      .fileStream(s, src, ev.schema, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = s.read.parquet(s"$stateRoot/v$batchId")
+        st.select(col("event_type"), col("registers").as("r_a"))
+          .join(Hll.build(batch, Seq("event_type"), "user_id")
+            .select(col("event_type"), col("registers").as("r_b")),
+            Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            Hll.merge(coalesce(col("r_a"), zero), coalesce(col("r_b"), zero))
+              .as("registers"))
+          .repartition(1).write.parquet(s"$stateRoot/v${batchId + 1}")
+        (): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toInt).max
+    s.read.parquet(s"$stateRoot/v$latest")
+      .select(col("event_type"),
+        Hll.harmonicS(col("registers")).as("s"),
+        Hll.emptyRegisters(col("registers")).as("v_zero"),
+        Hll.estimateMicro(col("registers")).as("est_micro"))
+  }
+
+  val q145Sql: String =
+    """WITH h AS (SELECT event_type AS grp, user_id,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      |  FROM events),
+      |reg AS (SELECT grp, hv % 64 AS j,
+      |    max(CASE WHEN (hv >> 6) = 0 THEN 55
+      |        ELSE 55 - length(ltrim(bin(hv >> 6), '0')) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |agg AS (SELECT grp,
+      |    CAST(sum(CAST(power(2, 55 - rho) AS BIGINT)) AS BIGINT)
+      |      + (64 - count(*)) * CAST(power(2, 55) AS BIGINT) AS s,
+      |    64 - count(*) AS v_zero
+      |  FROM reg GROUP BY 1),
+      |est AS (SELECT grp, s, CAST(v_zero AS BIGINT) AS v_zero,
+      |    CAST(0.709 AS DOUBLE) * 64 * 64 * power(2, 55) / s AS raw
+      |  FROM agg)
+      |SELECT grp AS event_type, s, v_zero,
+      |  CAST(round((CASE WHEN raw <= 160.0 AND v_zero > 0
+      |      THEN 64 * ln(CAST(64 AS DOUBLE) / v_zero) ELSE raw END) * 1e6)
+      |    AS BIGINT) AS est_micro
+      |FROM est""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q145_stream_hll" -> (q145StreamHll _),
     "q144_rrf_fusion" -> (q144RrfFusion _),
     "q143_hist_quantiles" -> (q143HistQuantiles _),
     "q142_corr_matrix" -> (q142CorrMatrix _),
@@ -444,6 +532,7 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q145_stream_hll" -> q145Sql,
     "q144_rrf_fusion" -> q144Sql,
     "q143_hist_quantiles" -> q143Sql,
     "q142_corr_matrix" -> q142Sql,

@@ -110,6 +110,40 @@ class AnalyticsPlanSpec extends SparkTestBase {
     assert(exchanges <= 10, s"exchange blowup ($exchanges):\n$plan")
   }
 
+  // -- round-8 second leg: plan gates for the new operator families --
+
+  test("q135 SemDeDup: one broadcast centroid crossJoin, pair join is equi, bounded exchanges") {
+    val df = graft.queries.CurationQueries.q135SemDedup(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONLY nested loop allowed is the intentional corpus×centroids
+    // broadcast (plus AQE reuse); the within-cell pair join must be a
+    // hash/sort-merge equi-join on cell, never a product
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"unexpected nested-loop count $bnl:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 15, s"exchange blowup ($exchanges):\n$plan")
+  }
+
+  test("q141 phrase search: posting joins are equi, no nested loop, no fact window") {
+    val df = graft.queries.CurationQueries.q141PhraseSearch(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Window ["), s"phrase search must not window:\n$plan")
+  }
+
+  test("q143/q144: only group-partitioned windows anywhere (no global sort state)") {
+    val h = graft.queries.CurationQueries.q143HistQuantiles(spark, sf)
+    assert(!h.queryExecution.optimizedPlan.toString
+      .contains("windowspecdefinition(ORDER"),
+      "q143 contains a single-partition window")
+    val r = graft.queries.CurationQueries.q144RrfFusion(spark, sf)
+    assert(!r.queryExecution.optimizedPlan.toString
+      .contains("windowspecdefinition(ORDER"),
+      "q144 contains a single-partition window")
+  }
+
   test("q106 windows are __pid-partitioned only (GlobalOrder posture)") {
     val df = graft.queries.PipelineQueries.q106RfmSegments(spark, sf)
     // optimizedPlan: same fingerprint GlobalOrderSpec pins — an
