@@ -75,6 +75,50 @@ object Assembly {
       .filter(h < thr(col(stratumCol)))
   }
 
+  /** Leakage-free holdout split: the assignment unit is the GROUP
+    * (host/source/document family), never the row — templated or
+    * near-duplicate rows inside one group can therefore never straddle
+    * train/test (the leakage the per-row split of
+    * [[graft.queries.ScaleQueries.q60HashSplit]] cannot prevent).
+    * md5-bucketed per mille: engine-portable, RNG-free, and
+    * growth-consistent — a group's split never changes as the corpus
+    * grows. Map-only; no shuffle.
+    */
+  def groupHoldout(df: DataFrame, groupCol: String,
+      trainPerMille: Int = 800, validPerMille: Int = 100): DataFrame = {
+    require(trainPerMille >= 0 && validPerMille >= 0 &&
+      trainPerMille + validPerMille <= 1000, "per-mille budgets out of range")
+    val b = conv(substring(md5(col(groupCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long") % 1000
+    df.withColumn("split",
+      when(b < trainPerMille, "train")
+        .when(b < trainPerMille + validPerMille, "valid")
+        .otherwise("test"))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES keys): each row gets key = ln(u)/w with u an
+    * md5-derived uniform in (0, 1], and the k LARGEST keys win —
+    * equivalent to u^(1/w) ordering, so selection probability is
+    * proportional to weight, without replacement, in one distributed
+    * top-k (TakeOrdered — no shuffle of the corpus). RNG-free: the same
+    * row always draws the same u, so samples are reproducible and
+    * growth-consistent. Keys are nano-rounded for engine-exact ordering
+    * (ln's last-ulp libm differences vanish at 1e-9 granularity —
+    * the TfIdf margin argument).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val u = (hv + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    val keyNano = round(log(u) / weight * 1e9).cast("long")
+    df.select(col(idCol), weight.cast("double").as("w"),
+        keyNano.as("key_nano"))
+      .orderBy(col("key_nano").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Temperature-flattened domain mixing (the multilingual-sampling
     * standard: sample domain i with probability ∝ p_i^α, α < 1 boosting
     * low-resource domains): per-domain quotas from α = 0.5 over the

@@ -518,7 +518,47 @@ object CurationQueries {
       |    AS BIGINT) AS est_micro
       |FROM est""".stripMargin
 
+  /** Leakage-free group holdout ([[graft.operators.Assembly.groupHoldout]]):
+    * documents split by SOURCE, so every source's docs land in exactly one
+    * split. The (split, source) grid pins each source's assignment under
+    * the hash; leakage-freeness is structural (split is a function of
+    * source alone).
+    */
+  def q146GroupHoldout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.groupHoldout(Tables.documents(s, dir), "source")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val q146Sql: String =
+    """SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
+      |    ELSE 'test' END AS split, source, count(*) AS n_docs
+      |FROM (SELECT source,
+      |    CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 1000 AS b
+      |  FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic weighted sampling
+    * ([[graft.operators.Assembly.weightedSample]], A-ES keys): top-100
+    * documents by ln(u)/n_chars — selection probability ∝ length, without
+    * replacement, reproducible. The oracle regenerates u from the md5
+    * formula and replays the nano-rounded key ordering.
+    */
+  def q147WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assembly.weightedSample(Tables.documents(s, dir),
+      "doc_id", col("n_chars"), k = 100)
+
+  val q147Sql: String =
+    """SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+      |  CAST(round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) + 1) / power(2, 60))
+      |    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+      |FROM documents
+      |ORDER BY key_nano DESC, doc_id ASC
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q147_weighted_sample" -> (q147WeightedSample _),
+    "q146_group_holdout" -> (q146GroupHoldout _),
     "q145_stream_hll" -> (q145StreamHll _),
     "q144_rrf_fusion" -> (q144RrfFusion _),
     "q143_hist_quantiles" -> (q143HistQuantiles _),
@@ -532,6 +572,8 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q147_weighted_sample" -> q147Sql,
+    "q146_group_holdout" -> q146Sql,
     "q145_stream_hll" -> q145Sql,
     "q144_rrf_fusion" -> q144Sql,
     "q143_hist_quantiles" -> q143Sql,

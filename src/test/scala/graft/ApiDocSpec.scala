@@ -172,15 +172,23 @@ class ApiDocSpec extends SparkTestBase {
   test("Assembly example: mixByWeights + capPerGroup") {
     import graft.operators.Assembly
 
+    val docsFull = graft.queries.Tables.documents(spark, dir)
+
     // --- docs/API.md: Assembly ---
     val mixed  = Assembly.mixByWeights(docs, "source", "doc_id",
       weights = Map("web" -> 0.5, "news" -> 0.3), budget = 100L)
     val capped = Assembly.capPerGroup(docs, "source", "doc_id", k = 8)
+    val split  = Assembly.groupHoldout(docs, "source")     // leakage-free by group
+    val sample = Assembly.weightedSample(docsFull, "doc_id",
+      weight = col("n_chars"), k = 1000)                   // A-ES, reproducible
     // --- end ---
 
     assert(mixed.filter(col("source") === "web").count() <= 50)
     assert(capped.groupBy(col("source")).count()
       .agg(max(col("count"))).head().getLong(0) <= 8)
+    assert(split.groupBy("source")
+      .agg(countDistinct("split").as("k")).filter(col("k") =!= 1).count() === 0)
+    assert(sample.count() <= 1000)
   }
 
   test("QualityFilters example: gopher stats gate") {

@@ -44,6 +44,37 @@ class AssemblySpec extends SparkTestBase {
     assert(counts("de") === 17L) // quota 1000, only 17 exist
   }
 
+  test("groupHoldout: split is a function of the group; every group lands in one split") {
+    val rows = (0L until 300L).map(i => (i, s"host${i % 30}")).toDF("id", "host")
+    val out = Assembly.groupHoldout(rows, "host")
+    // leakage-free: each host maps to exactly one split
+    assert(out.groupBy("host").agg(countDistinct("split").as("k"))
+      .filter($"k" =!= 1).count() === 0)
+    // growth-consistency: dropping rows never moves a surviving host
+    val sub = Assembly.groupHoldout(rows.filter($"id" < 100), "host")
+      .select("host", "split").distinct().as[(String, String)].collect().toMap
+    val full = out.select("host", "split").distinct()
+      .as[(String, String)].collect().toMap
+    sub.foreach { case (h, s) => assert(full(h) === s, h) }
+    // budgets: per-mille thresholds partition the bucket space
+    val zeroValid = Assembly.groupHoldout(rows, "host", 1000, 0)
+    assert(zeroValid.filter($"split" =!= "train").count() === 0)
+  }
+
+  test("weightedSample: heavier rows win proportionally; sample is reproducible") {
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) 100L else 1L)).toDF("id", "w")
+    val out = Assembly.weightedSample(rows, "id", col("w"), k = 200)
+    assert(out.count() === 200)
+    // ~99% of picks should be heavy rows (w=100 vs w=1 at 1000/1000 split)
+    val heavy = out.filter($"id" % 2 === 0).count()
+    assert(heavy >= 180, s"heavy picks: $heavy")
+    // without replacement + deterministic
+    assert(out.select("id").distinct().count() === 200)
+    val again = Assembly.weightedSample(rows, "id", col("w"), k = 200)
+    assert(out.orderBy("id").collect().toSeq === again.orderBy("id").collect().toSeq)
+  }
+
   test("lengthBuckets: batches respect size, buckets respect ranges, waste matches model") {
     val out = Assembly.lengthBuckets(docs, "len", "doc_id",
         bucketWidth = 10L, maxBucket = 3, batchSize = 8)
