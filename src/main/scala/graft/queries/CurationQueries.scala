@@ -556,7 +556,43 @@ object CurationQueries {
       |ORDER BY key_nano DESC, doc_id ASC
       |LIMIT 100""".stripMargin
 
+  /** Per-group winsorization ([[graft.operators.Winsorize]]) of
+    * extendedprice cents at p01/p99: the gate pins the interpolated
+    * bounds (the q72 percentile parity), the strict-inequality clip
+    * counts, and the EXACT milli-scaled sum of the clipped column.
+    */
+  def q148Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.operators.Winsorize.clip(li, Seq("g"), "cents", 0.01, 0.99)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents").cast("double") < col("lo_bound"), 1L)
+          .otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("cents").cast("double") > col("hi_bound"), 1L)
+          .otherwise(0L)).as("n_clipped_hi"),
+        sum(col("clipped_milli")).as("clipped_milli_sum"))
+  }
+
+  val q148Sql: String =
+    """WITH v AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |b AS (SELECT g, quantile_cont(c, 0.01) AS lo, quantile_cont(c, 0.99) AS hi
+      |  FROM v GROUP BY 1),
+      |cl AS (SELECT g, c, lo, hi,
+      |    CAST(round(least(greatest(CAST(c AS DOUBLE), lo), hi) * 10) AS BIGINT)
+      |      AS cm
+      |  FROM v JOIN b USING (g))
+      |SELECT g, count(*) AS n,
+      |  CAST(sum(CASE WHEN CAST(c AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN CAST(c AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_hi,
+      |  CAST(sum(cm) AS BIGINT) AS clipped_milli_sum
+      |FROM cl GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_winsorize" -> (q148Winsorize _),
     "q147_weighted_sample" -> (q147WeightedSample _),
     "q146_group_holdout" -> (q146GroupHoldout _),
     "q145_stream_hll" -> (q145StreamHll _),
@@ -572,6 +608,7 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q148_winsorize" -> q148Sql,
     "q147_weighted_sample" -> q147Sql,
     "q146_group_holdout" -> q146Sql,
     "q145_stream_hll" -> q145Sql,
