@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.TrainingQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.GateQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.TrainingQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.GateQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql
 }

@@ -85,4 +85,32 @@ object Hll {
       lit(M.toDouble) * log(lit(M.toDouble) / v)).otherwise(raw)
     round(est * 1e6).cast("long")
   }
+
+  /** Sketch set algebra over a per-group sketch relation (one row per
+    * group, a `registers` array): for every unordered group pair
+    * (ga < gb) emit the two single-set estimates, the union estimate
+    * (from the element-wise-max merged registers), and the
+    * inclusion–exclusion intersection estimate
+    * |A∩B| ≈ max(0, |A| + |B| − |A∪B|) — all micro-rounded, the
+    * intersection as EXACT integer arithmetic over the three already-
+    * rounded micros.
+    *
+    * This is the sketch-only answer to "how many users do these two
+    * segments share" at 100 TB: the pair join runs over dimension-sized
+    * sketch rows (one per group), never over the data — broadcast the
+    * right side; the fact table was consumed once by [[build]].
+    */
+  def pairwiseSetEstimates(sketches: DataFrame, groupCol: String): DataFrame = {
+    val a = sketches.select(col(groupCol).as("ga"), col("registers").as("__ra"))
+    val b = sketches.select(col(groupCol).as("gb"), col("registers").as("__rb"))
+    // dimension-sized per-group sketch rows — broadcast pair enumeration
+    a.join(broadcast(b), col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        estimateMicro(col("__ra")).as("est_a_micro"),
+        estimateMicro(col("__rb")).as("est_b_micro"),
+        estimateMicro(merge(col("__ra"), col("__rb"))).as("est_union_micro"))
+      .withColumn("est_intersect_micro",
+        greatest(lit(0L),
+          col("est_a_micro") + col("est_b_micro") - col("est_union_micro")))
+  }
 }

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 graph/association wave: degree-ordered triangle counting over
+  * the order→part co-occurrence graph, market-basket association rules,
+  * χ² token–label feature selection, and HLL sketch set algebra
+  * (union / inclusion–exclusion intersection). Each gate replays end to
+  * end in DuckDB over the same parquet tables.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Triangle counting ([[graft.operators.Triangles]]) on the part
+    * co-occurrence graph (edge = two parts sharing an order), restricted
+    * to the deterministic node color `l_partkey % 4 == 0` — the
+    * node-coloring estimator's sampled subgraph (count scales by 4³ for
+    * the whole-graph estimate; the oracle pins the sampled counts
+    * themselves, which is strictly stronger). Degree-ordered orientation
+    * caps wedge fan-out at O(√m) per node; the oracle counts the same
+    * triangles by the orientation-free a<b<c id-order join, so an
+    * orientation bug (double count, missed hub wedge) breaks the hash.
+    */
+  def q149Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = graft.operators.CoOccurrence.pairCounts(li, "l_orderkey", "l_partkey")
+    graft.operators.Triangles.perNode(edges, "x", "y")
+      .select(col("node").as("part_node"), col("triangles"))
+  }
+
+  val q149Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |  FROM lineitem WHERE l_partkey % 4 = 0),
+      |e AS (SELECT a.i AS x, b.i AS y FROM li a
+      |  JOIN li b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+      |t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM e e1
+      |  JOIN e e2 ON e1.y = e2.x
+      |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+      |n AS (SELECT a AS node FROM t
+      |  UNION ALL SELECT b FROM t
+      |  UNION ALL SELECT c FROM t)
+      |SELECT node AS part_node, count(*) AS triangles FROM n GROUP BY 1""".stripMargin
+
+  /** Market-basket association rules ([[graft.operators.CoOccurrence]]):
+    * part pairs co-ordered in ≥ 2 orders, with exact support/item counts
+    * and micro-rounded confidence (both directions) and lift. The lift
+    * denominator n·s/(cx·cy) is IEEE-double over exact longs in a fixed
+    * operation order — bit-replayable in SQL.
+    */
+  def q152AssocRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CoOccurrence.rules(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+
+  val q152Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |ic AS (SELECT i, count(*) AS c FROM li GROUP BY 1),
+      |nn AS (SELECT count(DISTINCT g) AS n FROM li),
+      |pc AS (SELECT a.i AS x, b.i AS y, count(*) AS s FROM li a
+      |  JOIN li b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2
+      |  HAVING count(*) >= 2)
+      |SELECT pc.x, pc.y, pc.s AS support, cx.c AS x_count, cy.c AS y_count,
+      |  CAST(round(CAST(pc.s AS DOUBLE) / CAST(cx.c AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS conf_xy_micro,
+      |  CAST(round(CAST(pc.s AS DOUBLE) / CAST(cy.c AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS conf_yx_micro,
+      |  CAST(round(CAST(nn.n AS DOUBLE) * CAST(pc.s AS DOUBLE) /
+      |    (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE)) * 1e6) AS BIGINT)
+      |    AS lift_micro
+      |FROM pc JOIN ic cx ON cx.i = pc.x JOIN ic cy ON cy.i = pc.y
+      |CROSS JOIN nn""".stripMargin
+
+  /** χ² token–label feature selection
+    * ([[graft.text.FeatureSelection.chiSquareTokens]]): token presence vs
+    * the `lang = 'en'` label over `documents`. Exact 2×2 contingency
+    * counts per token are under the hash alongside the micro-rounded
+    * statistic, so both the counting plumbing and the IEEE formula replay.
+    */
+  def q150Chi2Tokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("lab", col("lang") === "en")
+    graft.text.FeatureSelection.chiSquareTokens(docs, "doc_id", "toks", "lab",
+      minDocs = 5L)
+  }
+
+  val q150Sql: String =
+    """WITH base AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
+      |pres AS (SELECT DISTINCT b.doc_id, b.lab, tok AS token
+      |  FROM base b, unnest(string_split(b.text, ' ')) AS s(tok)),
+      |tot AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM base),
+      |pt AS (SELECT token,
+      |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |  FROM pres GROUP BY 1),
+      |f AS (SELECT token, a, b, pos - a AS c, n - pos - b AS d, n
+      |  FROM pt CROSS JOIN tot WHERE a + b >= 5 AND a + b < n),
+      |g AS (SELECT token, a, b, c, d, n,
+      |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE) AS adbc,
+      |    CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) AS den
+      |  FROM f)
+      |SELECT token, a, b, c, d,
+      |  CASE WHEN den = 0 THEN 0
+      |    ELSE CAST(round(CAST(n AS DOUBLE) * adbc * adbc / den * 1e6) AS BIGINT)
+      |  END AS chi2_micro
+      |FROM g""".stripMargin
+
+  /** HLL sketch set algebra ([[graft.operators.Hll.pairwiseSetEstimates]]):
+    * per-event-type user sketches → every type pair's single-set, union
+    * (merged registers), and inclusion–exclusion intersection estimates,
+    * joined against the EXACT distinct-user intersection so the oracle
+    * pins both the sketch replay and the ground truth it approximates.
+    */
+  def q151HllSetops(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hll
+    val ev = Tables.events(s, dir)
+    val sketches = Hll.build(ev, Seq("event_type"), "user_id")
+    val est = Hll.pairwiseSetEstimates(sketches, "event_type")
+    val gu = ev.select(col("event_type").as("g"), col("user_id").as("u")).distinct()
+    val exact = gu.as("x")
+      .join(gu.as("y"), col("x.u") === col("y.u") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    est.join(exact, Seq("ga", "gb"), "left")
+      .withColumn("exact_intersect", coalesce(col("exact_intersect"), lit(0L)))
+  }
+
+  val q151Sql: String =
+    """WITH h AS (SELECT event_type AS grp, user_id,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      |  FROM events),
+      |reg AS (SELECT grp, hv % 64 AS j,
+      |    max(CASE WHEN (hv >> 6) = 0 THEN 55
+      |        ELSE 55 - length(ltrim(bin(hv >> 6), '0')) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |est1 AS (SELECT grp,
+      |    CAST(sum(CAST(power(2, 55 - rho) AS BIGINT)) AS BIGINT)
+      |      + (64 - count(*)) * CAST(power(2, 55) AS BIGINT) AS s,
+      |    64 - count(*) AS v_zero
+      |  FROM reg GROUP BY 1),
+      |est1f AS (SELECT grp,
+      |    CAST(round((CASE WHEN raw <= 160.0 AND v_zero > 0
+      |        THEN 64 * ln(CAST(64 AS DOUBLE) / v_zero) ELSE raw END) * 1e6)
+      |      AS BIGINT) AS est_micro
+      |  FROM (SELECT grp, v_zero,
+      |      CAST(0.709 AS DOUBLE) * 64 * 64 * power(2, 55) / s AS raw
+      |    FROM est1)),
+      |grps AS (SELECT DISTINCT grp FROM reg),
+      |pairs AS (SELECT a.grp AS ga, b.grp AS gb FROM grps a
+      |  JOIN grps b ON a.grp < b.grp),
+      |mreg AS (SELECT p.ga, p.gb, r.j, max(r.rho) AS rho
+      |  FROM pairs p JOIN reg r ON r.grp = p.ga OR r.grp = p.gb
+      |  GROUP BY 1, 2, 3),
+      |estu AS (SELECT ga, gb,
+      |    CAST(sum(CAST(power(2, 55 - rho) AS BIGINT)) AS BIGINT)
+      |      + (64 - count(*)) * CAST(power(2, 55) AS BIGINT) AS s,
+      |    64 - count(*) AS v_zero
+      |  FROM mreg GROUP BY 1, 2),
+      |estuf AS (SELECT ga, gb,
+      |    CAST(round((CASE WHEN raw <= 160.0 AND v_zero > 0
+      |        THEN 64 * ln(CAST(64 AS DOUBLE) / v_zero) ELSE raw END) * 1e6)
+      |      AS BIGINT) AS est_union_micro
+      |  FROM (SELECT ga, gb, v_zero,
+      |      CAST(0.709 AS DOUBLE) * 64 * 64 * power(2, 55) / s AS raw
+      |    FROM estu)),
+      |gu AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+      |ex AS (SELECT x.g AS ga, y.g AS gb, count(*) AS exact_intersect
+      |  FROM gu x JOIN gu y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2)
+      |SELECT p.ga, p.gb,
+      |  ea.est_micro AS est_a_micro, eb.est_micro AS est_b_micro,
+      |  u.est_union_micro,
+      |  greatest(CAST(0 AS BIGINT),
+      |    ea.est_micro + eb.est_micro - u.est_union_micro)
+      |    AS est_intersect_micro,
+      |  coalesce(ex.exact_intersect, 0) AS exact_intersect
+      |FROM pairs p
+      |JOIN est1f ea ON ea.grp = p.ga
+      |JOIN est1f eb ON eb.grp = p.gb
+      |JOIN estuf u ON u.ga = p.ga AND u.gb = p.gb
+      |LEFT JOIN ex ON ex.ga = p.ga AND ex.gb = p.gb""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q149_triangles" -> (q149Triangles _),
+    "q150_chi2_tokens" -> (q150Chi2Tokens _),
+    "q151_hll_setops" -> (q151HllSetops _),
+    "q152_assoc_rules" -> (q152AssocRules _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q149_triangles" -> q149Sql,
+    "q150_chi2_tokens" -> q150Sql,
+    "q151_hll_setops" -> q151Sql,
+    "q152_assoc_rules" -> q152Sql)
+}

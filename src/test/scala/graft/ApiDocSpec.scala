@@ -449,5 +449,37 @@ class ApiDocSpec extends SparkTestBase {
     assert(est.agg(min(col("est_micro"))).head().getLong(0) > 0)
     val c = corr.collect()
     assert(c.length === 1 && c.head.getString(0) === "qty")
+
+    // --- docs/API.md: Analytics (Hll.pairwiseSetEstimates) ---
+    val overlap = Hll.pairwiseSetEstimates(daily, "event_type")
+    // (ga, gb, est_a_micro, est_b_micro, est_union_micro, est_intersect_micro)
+    // --- end ---
+    assert(overlap.count() > 0)
+    assert(overlap.columns.contains("est_intersect_micro"))
+  }
+
+  test("Triangles + CoOccurrence + FeatureSelection examples") {
+    val li = graft.queries.Tables.lineitem(spark, dir)
+    val docs = graft.queries.Tables.documents(spark, dir)
+
+    // --- docs/API.md: Graph / association mining ---
+    import graft.operators.{Triangles, CoOccurrence}
+    import graft.text.FeatureSelection
+
+    val copurchase = CoOccurrence.pairCounts(li, "l_orderkey", "l_partkey")
+    val triCounts  = Triangles.perNode(copurchase, "x", "y") // (node, triangles)
+    val rules      = CoOccurrence.rules(li, "l_orderkey", "l_partkey",
+      minSupport = 2L)                         // support, confidence, lift
+    val feats      = FeatureSelection.chiSquareTokens(
+      docs.withColumn("toks", split(col("text"), " "))
+        .withColumn("lab", col("lang") === "en"),
+      "doc_id", "toks", "lab", minDocs = 5L)   // (token, a, b, c, d, chi2_micro)
+    // --- end ---
+
+    assert(copurchase.columns.toSeq === Seq("x", "y", "support"))
+    assert(triCounts.columns.toSeq === Seq("node", "triangles"))
+    assert(rules.count() > 0)
+    assert(feats.count() > 0 &&
+      feats.columns.contains("chi2_micro"))
   }
 }

@@ -69,4 +69,24 @@ class HllSpec extends SparkTestBase {
     assert(math.abs(est(regs) - e) < 1e-6) // spark == scala replay
     assert(math.abs(e - 20) / 20 < 0.5, s"estimate $e")
   }
+
+  test("pairwiseSetEstimates: identical groups intersect fully, disjoint near zero") {
+    val a = spark.range(0, 3000).select(lit("a").as("g"), col("id").as("v"))
+    val b = spark.range(0, 3000).select(lit("b").as("g"), col("id").as("v"))
+    val c = spark.range(100000, 103000).select(lit("c").as("g"), col("id").as("v"))
+    val sk = Hll.build(a.union(b).union(c), Seq("g"), "v")
+    val got = Hll.pairwiseSetEstimates(sk, "g")
+      .select("ga", "gb", "est_a_micro", "est_b_micro", "est_union_micro",
+        "est_intersect_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a == b exactly: union estimate equals each single estimate, so the
+    // inclusion–exclusion intersection equals the single-set estimate
+    val (ea, eb, eu, ei) = got(("a", "b"))
+    assert(ea === eb && eu === ea && ei === ea)
+    // a vs c disjoint: intersection estimate within sketch error of zero
+    val (ea2, _, _, ei2) = got(("a", "c"))
+    assert(ei2.toDouble / ea2 < 0.35, s"disjoint intersect $ei2 vs $ea2")
+  }
 }
