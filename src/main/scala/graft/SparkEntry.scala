@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.GateQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.SeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.GateQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
-      graft.queries.GraphQueries.oracleSql
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.SeriesQueries.oracleSql
 }

@@ -186,15 +186,64 @@ object GraphQueries {
       |JOIN estuf u ON u.ga = p.ga AND u.gb = p.gb
       |LEFT JOIN ex ON ex.ga = p.ga AND ex.gb = p.gb""".stripMargin
 
+  /** Fixed-round k-core peeling ([[graft.operators.KCore.peel]]) on the
+    * same node-colored co-purchase graph as q149: 4 peel rounds at
+    * k = 20 (right under the graph's ~29 mean degree, so the peel does
+    * real work — ~15% of nodes and ~19% of edges drop — while k = 25
+    * would collapse the whole graph). The oracle unrolls the 4 rounds as
+    * MATERIALIZED CTEs; surviving nodes AND their final-subgraph degrees
+    * are both under the hash, so a missed cascade (a node whose degree
+    * fell below k only after a neighbor was peeled) breaks it.
+    */
+  def q154KCore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = graft.operators.CoOccurrence.pairCounts(li, "l_orderkey", "l_partkey")
+    graft.operators.KCore.peel(edges, "x", "y", k = 20, rounds = 4)
+      .select(col("n").as("part_node"), col("degree"))
+  }
+
+  val q154Sql: String =
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |  FROM lineitem WHERE l_partkey % 4 = 0),
+      |e0 AS MATERIALIZED (SELECT a.i AS a, b.i AS b FROM li a
+      |  JOIN li b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+      |d1 AS (SELECT n, count(*) AS d FROM
+      |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |k1 AS MATERIALIZED (SELECT n FROM d1 WHERE d >= 20),
+      |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
+      |  JOIN k1 x ON x.n = e.a JOIN k1 y ON y.n = e.b),
+      |d2 AS (SELECT n, count(*) AS d FROM
+      |  (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+      |k2 AS MATERIALIZED (SELECT n FROM d2 WHERE d >= 20),
+      |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
+      |  JOIN k2 x ON x.n = e.a JOIN k2 y ON y.n = e.b),
+      |d3 AS (SELECT n, count(*) AS d FROM
+      |  (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+      |k3 AS MATERIALIZED (SELECT n FROM d3 WHERE d >= 20),
+      |e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
+      |  JOIN k3 x ON x.n = e.a JOIN k3 y ON y.n = e.b),
+      |d4 AS (SELECT n, count(*) AS d FROM
+      |  (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+      |k4 AS MATERIALIZED (SELECT n FROM d4 WHERE d >= 20),
+      |e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e
+      |  JOIN k4 x ON x.n = e.a JOIN k4 y ON y.n = e.b)
+      |SELECT n AS part_node, count(*) AS degree FROM
+      |  (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4)
+      |GROUP BY 1 HAVING count(*) >= 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q149_triangles" -> (q149Triangles _),
     "q150_chi2_tokens" -> (q150Chi2Tokens _),
     "q151_hll_setops" -> (q151HllSetops _),
-    "q152_assoc_rules" -> (q152AssocRules _))
+    "q152_assoc_rules" -> (q152AssocRules _),
+    "q154_kcore" -> (q154KCore _))
 
   val oracleSql: Map[String, String] = Map(
     "q149_triangles" -> q149Sql,
     "q150_chi2_tokens" -> q150Sql,
     "q151_hll_setops" -> q151Sql,
-    "q152_assoc_rules" -> q152Sql)
+    "q152_assoc_rules" -> q152Sql,
+    "q154_kcore" -> q154Sql)
 }

@@ -106,10 +106,20 @@ object ScaleStress {
     "q103_event_transitions", "q106_rfm_segments",
     // round-8 second leg: orders/lineitem/events consumers
     "q136_file_skipping", "q138_profile", "q139_pagerank",
-    "q140_hll_distinct", "q142_corr_matrix")
+    "q140_hll_distinct", "q142_corr_matrix", "q151_hll_setops")
+
+  /** Graph-wave queries need BOTH lineitem keys offset per copy
+    * (l_orderkey AND l_partkey) so each copy's co-purchase graph is
+    * disjoint and isomorphic to the 1× graph — with shared partkeys a
+    * blowup would DENSIFY the graph (support counts multiply) and the
+    * measured exponent would be the corpus's densification, not the
+    * operator's scaling. They read from `$blowupDir/graph`.
+    */
+  private val GraphFamily: Set[String] = Set(
+    "q149_triangles", "q152_assoc_rules")
 
   private def ensureBlowup(s: SparkSession, srcDir: String, factor: Int,
-      withRel: Boolean): String = {
+      withRel: Boolean, withGraph: Boolean = false): String = {
     val dir = s"/tmp/graft_scale_x$factor"
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_BLOWUP_DONE")
@@ -141,6 +151,14 @@ object ScaleStress {
         raw(name).write.mode("overwrite").parquet(s"$dir/$name.parquet")
       }
       fs.create(relMarker, true).close()
+    }
+    val graphMarker = new org.apache.hadoop.fs.Path(s"$dir/_BLOWUP_GRAPH_DONE")
+    if (withGraph && !fs.exists(graphMarker)) {
+      blowupByIdOffset(s.read.parquet(s"$srcDir/lineitem.parquet"), factor,
+        Seq("l_orderkey", "l_partkey"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/graph/lineitem.parquet")
+      fs.create(graphMarker, true).close()
     }
     dir
   }
@@ -246,10 +264,15 @@ object ScaleStress {
     }
 
     val withRel = verbatim.exists(RelFamily.contains)
+    val withGraph = verbatim.exists(GraphFamily.contains)
     if (withRel) // a ns-generation events fixture needs this to read raw
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dirs = scales.map(f =>
-      f -> (if (f == 1) srcDir else ensureBlowup(spark, srcDir, f, withRel))).toMap
+      f -> (if (f == 1) srcDir
+            else ensureBlowup(spark, srcDir, f, withRel, withGraph))).toMap
+    // graph-wave queries read their own double-key-offset lineitem copy
+    def dirFor(name: String, f: Int): String =
+      if (GraphFamily.contains(name) && f != 1) s"${dirs(f)}/graph" else dirs(f)
 
     // warm page cache + codegen on every scale dir
     val warmTables =
@@ -257,6 +280,9 @@ object ScaleStress {
         (if (withRel) Seq("events", "orders", "customer", "lineitem") else Nil)
     dirs.values.foreach { d =>
       warmTables.foreach(t => spark.read.parquet(s"$d/$t.parquet").count())
+    }
+    if (withGraph) dirs.foreach { case (f, d) =>
+      if (f != 1) spark.read.parquet(s"$d/graph/lineitem.parquet").count()
     }
 
     // q111 and q135 share the fixture-pinned nlist ∝ n parameterization
@@ -266,7 +292,7 @@ object ScaleStress {
     val pinnedNlist = Set("q111_ivf_pq", "q135_semdedup")
     for (f <- scales; name <- verbatim) {
       if (!pinnedNlist.contains(name) || f <= q111Max) {
-        val (sec, rows, loads) = timeDf(() => registry(name)(spark, dirs(f)))
+        val (sec, rows, loads) = timeDf(() => registry(name)(spark, dirFor(name, f)))
         record(name, f, sec, rows, loads)
       }
     }

@@ -481,5 +481,24 @@ class ApiDocSpec extends SparkTestBase {
     assert(rules.count() > 0)
     assert(feats.count() > 0 &&
       feats.columns.contains("chi2_micro"))
+
+    val events = graft.queries.Tables.events(spark, dir)
+    val dailyCounts = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        (col("cnt") * 1000).as("v_milli"))
+
+    // --- docs/API.md: Graph / association mining (KCore, ChangePoint) ---
+    import graft.operators.{KCore, ChangePoint}
+
+    val core  = KCore.peel(copurchase, "x", "y", k = 20, rounds = 4)
+    val drift = ChangePoint.cusum(dailyCounts, Seq("event_type"), "day",
+      "v_milli", sigmaMult = 3.0) // + (k_milli, s_pos/neg_milli, flag_pos/neg)
+    // --- end ---
+
+    assert(core.columns.toSeq === Seq("n", "degree"))
+    assert(drift.count() === dailyCounts.count())
+    assert(drift.columns.contains("s_pos_milli"))
   }
 }
