@@ -107,4 +107,144 @@ object AsOfJoin {
         left.columns.map(col) ++
           rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Forward as-of join: for every left row, the single right row with
+    * the SMALLEST `rightOn >= leftOn` in the key group (polars
+    * `strategy="forward"`) — the "next quote after the event" lookup.
+    * Same union-window shape as [[backward]] with time order reversed:
+    * one shuffle on the key, O(|L|+|R|) rows. Ties among right rows at
+    * the same timestamp resolve to the LARGEST `rightTieBreak`.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame =
+    directional(left, right, keys, leftOn, rightOn, rightCols,
+      rightTieBreak, tolerance, forwardDir = true)
+
+  /** Nearest as-of join: backward and forward candidates computed over
+    * ONE shuffled union (same hash partitioning, two sort orders —
+    * Catalyst reuses the exchange), then the closer of the two wins;
+    * equal distances resolve to the backward match. Tolerance, when
+    * given, bounds the winning distance.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    val u = unionFrame(left, right, keys, leftOn, rightOn, rightCols, rightTieBreak)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = distFn(left.schema(leftOn).dataType)
+    val both = u
+      .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__p"), ignoreNulls = true).over(wF))
+    val db = d(col("__t"), col("__mb.__asof_t"))
+    val df = d(col("__mf.__asof_t"), col("__t"))
+    val win = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(db <= df, col("__mb"))
+      .otherwise(col("__mf"))
+    val dist = when(col("__mb").isNull, df)
+      .when(col("__mf").isNull, db)
+      .when(db <= df, db)
+      .otherwise(df)
+    val gated = tolerance match {
+      case Some(tol) => when(dist <= tol.cast("long"), win)
+      case None => win
+    }
+    both.withColumn("__m", gated)
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(col) ++
+          rightCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Shared union construction: right rows carry (t, side=0, tie,
+    * payload); left rows side=1 with null payload. Same inclusivity
+    * convention as [[backward]] (right sorts before left at equal t in
+    * BOTH directions — "at or before"/"at or after" inclusive).
+    */
+  private def unionFrame(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      rightTieBreak: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must be non-empty")
+    val clash = rightCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"rightCols collide with left columns: $clash")
+    val payload = struct(
+      (col(rightOn).as("__asof_t") +: rightCols.map(c => col(c).as(c))): _*)
+    val tieStruct: Column =
+      if (rightTieBreak.nonEmpty) struct(rightTieBreak.map(col): _*)
+      else struct(lit(0).as("z"))
+    val rightSel = right.select(
+      keys.map(col) :+ col(rightOn).cast(left.schema(leftOn).dataType).as("__t") :+
+        lit(0).as("__side") :+
+        tieStruct.as("__tie") :+
+        payload.as("__p"): _*)
+    left
+      .withColumn("__t", col(leftOn))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(rightSel.schema("__tie").dataType))
+      .withColumn("__p", lit(null).cast(rightSel.schema("__p").dataType))
+      .unionByName(rightSel, allowMissingColumns = true)
+  }
+
+  /** Signed time distance by axis type (same conventions as [[backward]]'s
+    * tolerance arithmetic).
+    */
+  private def distFn(dt: org.apache.spark.sql.types.DataType): (Column, Column) => Column =
+    dt match {
+      case org.apache.spark.sql.types.DateType =>
+        (a, b) => datediff(a, b).cast("long")
+      case _: org.apache.spark.sql.types.TimestampType =>
+        (a, b) => unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
+      case _ => (a, b) => a.cast("long") - b.cast("long")
+    }
+
+  private def directional(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      rightTieBreak: Seq[String], tolerance: Option[Column],
+      forwardDir: Boolean): DataFrame = {
+    if (tolerance.isDefined) {
+      require(!left.schema(leftOn).dataType
+        .isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+        "tolerance on a TimestampNTZ axis is ambiguous under DST; " +
+          "convert to epoch micros (or a long axis) explicitly")
+    }
+    val u = unionFrame(left, right, keys, leftOn, rightOn, rightCols, rightTieBreak)
+    val tOrd = if (forwardDir) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tOrd, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val d = distFn(left.schema(leftOn).dataType)
+    val dist =
+      if (forwardDir) d(col("__m.__asof_t"), col("__t"))
+      else d(col("__t"), col("__m.__asof_t"))
+    val withinTol = tolerance match {
+      case Some(tol) =>
+        matched.withColumn("__m",
+          when(col("__m").isNotNull && dist <= tol.cast("long"), col("__m")))
+      case None => matched
+    }
+    withinTol
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(col) ++
+          rightCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

@@ -38,6 +38,66 @@ object RelationalQueries2 {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
 
+  /** J4 breadth — FORWARD as-of join ([[AsOfJoin.forward]]): each
+    * purchase picks up the NEXT error at or after it (polars
+    * `strategy="forward"`; the reference uses backward only — this
+    * completes the strategy family). Same union-window shape, time order
+    * reversed; DuckDB's ASOF with `<=` is the native oracle.
+    */
+  def q155AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ns").as("err_ts"), col("value").as("next_error_value"))
+    AsOfJoin.forward(purchases, errors,
+        keys = Seq("user_id"), leftOn = "ts_ns", rightOn = "err_ts",
+        rightCols = Seq("next_error_value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("next_error_value"))
+  }
+
+  val q155Sql: String =
+    """SELECT p.event_id, p.user_id, p.value, e.value AS next_error_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts <= e.ts""".stripMargin
+
+  /** J4 breadth — NEAREST as-of join ([[AsOfJoin.nearest]]): the closer
+    * of the backward/forward candidates wins, equal distance → backward.
+    * Both candidates come from ONE shuffled union (same partitioning,
+    * two sort orders). The oracle composes two DuckDB ASOF joins and
+    * replays the distance comparison in epoch microseconds.
+    */
+  def q156AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ns").as("err_ts"), col("value").as("nearest_error_value"))
+    AsOfJoin.nearest(purchases, errors,
+        keys = Seq("user_id"), leftOn = "ts_ns", rightOn = "err_ts",
+        rightCols = Seq("nearest_error_value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("nearest_error_value"))
+  }
+
+  val q156Sql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |err AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+      |b AS (SELECT p.event_id, e.ts AS bts, e.value AS bval
+      |  FROM p ASOF LEFT JOIN err e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts),
+      |f AS (SELECT p.event_id, e.ts AS fts, e.value AS fval
+      |  FROM p ASOF LEFT JOIN err e
+      |  ON p.user_id = e.user_id AND p.ts <= e.ts)
+      |SELECT p.event_id, p.user_id, p.value,
+      |  CASE WHEN b.bts IS NULL THEN f.fval
+      |       WHEN f.fts IS NULL THEN b.bval
+      |       WHEN epoch_us(p.ts) - epoch_us(b.bts)
+      |            <= epoch_us(f.fts) - epoch_us(p.ts) THEN b.bval
+      |       ELSE f.fval END AS nearest_error_value
+      |FROM p JOIN b ON b.event_id = p.event_id
+      |JOIN f ON f.event_id = p.event_id""".stripMargin
+
   /** J1/J7 — interval-containment join against a broadcast temporal dimension
     * (the SecurityMaster lookup shape): each nation carries a validity
     * interval derived from its key; orders match if orderdate falls inside.
@@ -335,7 +395,9 @@ object RelationalQueries2 {
     "q18_group_collect" -> (q18GroupCollect _),
     "q19_cumsum" -> (q19Cumsum _),
     "q20_union_by_name" -> (q20UnionByName _),
-    "q21_calendar_spine" -> (q21CalendarSpine _))
+    "q21_calendar_spine" -> (q21CalendarSpine _),
+    "q155_asof_forward" -> (q155AsofForward _),
+    "q156_asof_nearest" -> (q156AsofNearest _))
 
   val oracleSql: Map[String, String] = Map(
     "q9_asof_join" -> q9Sql,
@@ -350,5 +412,7 @@ object RelationalQueries2 {
     "q18_group_collect" -> q18Sql,
     "q19_cumsum" -> q19Sql,
     "q20_union_by_name" -> q20Sql,
-    "q21_calendar_spine" -> q21Sql)
+    "q21_calendar_spine" -> q21Sql,
+    "q155_asof_forward" -> q155Sql,
+    "q156_asof_nearest" -> q156Sql)
 }

@@ -501,4 +501,28 @@ class ApiDocSpec extends SparkTestBase {
     assert(drift.count() === dailyCounts.count())
     assert(drift.columns.contains("s_pos_milli"))
   }
+
+  test("AsOfJoin example: backward / forward / nearest") {
+    val ev = graft.queries.Tables.events(spark, dir)
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("sid"), col("ts_ns").as("t"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("sid"), col("ts_ns").as("qt"),
+        col("value").as("bid"))
+
+    // --- docs/API.md: AsOfJoin — the full polars strategy family ---
+    import graft.operators.AsOfJoin
+
+    val lastQ = AsOfJoin.backward(trades, quotes, Seq("sid"), "t", "qt",
+      rightCols = Seq("bid"))                       // latest quote at/before
+    val nextQ = AsOfJoin.forward(trades, quotes, Seq("sid"), "t", "qt",
+      rightCols = Seq("bid"))                       // first quote at/after
+    val nearQ = AsOfJoin.nearest(trades, quotes, Seq("sid"), "t", "qt",
+      rightCols = Seq("bid"), tolerance = Some(lit(60_000_000L)))
+    // --- end ---
+
+    val n = trades.count()
+    assert(lastQ.count() === n && nextQ.count() === n && nearQ.count() === n)
+    assert(Seq(lastQ, nextQ, nearQ).forall(_.columns.contains("bid")))
+  }
 }

@@ -71,4 +71,50 @@ class AsOfJoinSpec extends SparkTestBase {
     val r = out.collect().head
     assert(r.isNullAt(r.fieldIndex("ta")))
   }
+
+  test("forward as-of attaches earliest right row at or after left time") {
+    val left = Seq(("A", 10L), ("A", 25L), ("A", 40L)).toDF("symbol", "t")
+    val right = Seq(("A", 5L, 1.0), ("A", 25L, 2.0), ("A", 30L, 3.0))
+      .toDF("symbol", "rt", "px")
+    val got = AsOfJoin.forward(left, right, Seq("symbol"), "t", "rt", Seq("px"))
+      .orderBy("t").collect()
+    assert(got(0).getAs[Double]("px") === 2.0) // 10 → next at 25
+    assert(got(1).getAs[Double]("px") === 2.0) // 25 → inclusive match at 25
+    assert(got(2).isNullAt(got(2).fieldIndex("px"))) // 40 → nothing after
+  }
+
+  test("forward tolerance bounds the look-ahead") {
+    val left = Seq(("A", 10L)).toDF("symbol", "t")
+    val right = Seq(("A", 100L, 1.0)).toDF("symbol", "rt", "px")
+    val r = AsOfJoin.forward(left, right, Seq("symbol"), "t", "rt", Seq("px"),
+      tolerance = Some(lit(50))).collect().head
+    assert(r.isNullAt(r.fieldIndex("px")))
+  }
+
+  test("nearest picks the closer side; equal distance prefers backward") {
+    val left = Seq(("A", 10L), ("A", 20L), ("A", 33L), ("A", 3L))
+      .toDF("symbol", "t")
+    val right = Seq(("A", 8L, 1.0), ("A", 30L, 2.0)).toDF("symbol", "rt", "px")
+    val got = AsOfJoin.nearest(left, right, Seq("symbol"), "t", "rt", Seq("px"))
+      .orderBy("t").collect()
+    assert(got(0).getAs[Double]("px") === 1.0) // t=3: only forward... 8 wins
+    assert(got(1).getAs[Double]("px") === 1.0) // t=10: 2 back vs 20 fwd
+    assert(got(2).getAs[Double]("px") === 2.0) // t=20: 12 back vs 10 fwd
+    assert(got(3).getAs[Double]("px") === 2.0) // t=33: only backward side
+    // equal distance: t=19 is 11 from both → backward (px=1.0)
+    val tie = AsOfJoin.nearest(Seq(("A", 19L)).toDF("symbol", "t"), right,
+      Seq("symbol"), "t", "rt", Seq("px")).collect().head
+    assert(tie.getAs[Double]("px") === 1.0)
+  }
+
+  test("nearest tolerance bounds the winning distance") {
+    val left = Seq(("A", 10L)).toDF("symbol", "t")
+    val right = Seq(("A", 50L, 1.0), ("A", 90L, 2.0)).toDF("symbol", "rt", "px")
+    val ok = AsOfJoin.nearest(left, right, Seq("symbol"), "t", "rt", Seq("px"),
+      tolerance = Some(lit(45))).collect().head
+    assert(ok.getAs[Double]("px") === 1.0) // 40 within 45
+    val no = AsOfJoin.nearest(left, right, Seq("symbol"), "t", "rt", Seq("px"),
+      tolerance = Some(lit(30))).collect().head
+    assert(no.isNullAt(no.fieldIndex("px")))
+  }
 }
