@@ -57,9 +57,43 @@ object SeriesQueries {
       |  (pmax - pp) > hh AS flag_neg
       |FROM h""".stripMargin
 
+  /** Trailing-window aggregate join ([[graft.operators.RangeAgg
+    * .trailingSum]]): per purchase, the sum/count of view value-cents in
+    * the trailing 3 days for the same user — computed as S(t) − S(t−w)
+    * via two prefix-sum as-of probes (O(|L|+|R|), no range-join
+    * explosion). The oracle replays it as the literal range join + group
+    * — two different algorithms, one hash.
+    */
+  def q157TrailingAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ns").as("v_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.RangeAgg.trailingSum(purchases, views,
+        keys = Seq("user_id"), leftOn = "ts_ns", rightOn = "v_ts",
+        valueCol = "cents", windowSize = lit(3L * 86400L * 1000000000L))
+      .select(col("event_id"), col("user_id"), col("trail_sum"), col("trail_cnt"))
+  }
+
+  val q157Sql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(coalesce(sum(v.cents), 0) AS BIGINT) AS trail_sum,
+      |  count(v.cents) AS trail_cnt
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |  AND v.ts > p.ts - INTERVAL 3 DAY AND v.ts <= p.ts
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q153_cusum" -> (q153Cusum _))
+    "q153_cusum" -> (q153Cusum _),
+    "q157_trailing_agg" -> (q157TrailingAgg _))
 
   val oracleSql: Map[String, String] = Map(
-    "q153_cusum" -> q153Sql)
+    "q153_cusum" -> q153Sql,
+    "q157_trailing_agg" -> q157Sql)
 }

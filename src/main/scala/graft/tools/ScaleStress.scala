@@ -106,7 +106,9 @@ object ScaleStress {
     "q103_event_transitions", "q106_rfm_segments",
     // round-8 second leg: orders/lineitem/events consumers
     "q136_file_skipping", "q138_profile", "q139_pagerank",
-    "q140_hll_distinct", "q142_corr_matrix", "q151_hll_setops")
+    "q140_hll_distinct", "q142_corr_matrix", "q151_hll_setops",
+    "q153_cusum", "q157_trailing_agg", "q155_asof_forward",
+    "q156_asof_nearest")
 
   /** Graph-wave queries need BOTH lineitem keys offset per copy
     * (l_orderkey AND l_partkey) so each copy's co-purchase graph is
@@ -116,7 +118,7 @@ object ScaleStress {
     * operator's scaling. They read from `$blowupDir/graph`.
     */
   private val GraphFamily: Set[String] = Set(
-    "q149_triangles", "q152_assoc_rules")
+    "q149_triangles", "q152_assoc_rules", "q154_kcore")
 
   private def ensureBlowup(s: SparkSession, srcDir: String, factor: Int,
       withRel: Boolean, withGraph: Boolean = false): String = {

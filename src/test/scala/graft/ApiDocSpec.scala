@@ -524,5 +524,23 @@ class ApiDocSpec extends SparkTestBase {
     val n = trades.count()
     assert(lastQ.count() === n && nextQ.count() === n && nearQ.count() === n)
     assert(Seq(lastQ, nextQ, nearQ).forall(_.columns.contains("bid")))
+
+    val purchases2 = trades.withColumnRenamed("sid", "user_id")
+      .withColumnRenamed("t", "t")
+    val views = quotes.withColumnRenamed("sid", "user_id")
+      .withColumnRenamed("qt", "vt")
+      .withColumn("cents", round(col("bid") * 100).cast("long"))
+
+    // --- docs/API.md: RangeAgg — trailing-window aggregate join ---
+    import graft.operators.RangeAgg
+
+    val spend = RangeAgg.trailingSum(purchases2, views, Seq("user_id"),
+      "t", "vt", "cents", windowSize = lit(3L * 86400 * 1000000000L))
+    // + (trail_sum, trail_cnt), zeros when the window is empty
+    // --- end ---
+
+    assert(spend.count() === purchases2.count())
+    assert(spend.columns.contains("trail_sum") &&
+      spend.columns.contains("trail_cnt"))
   }
 }
