@@ -233,7 +233,63 @@ object GraphQueries {
       |  (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4)
       |GROUP BY 1 HAVING count(*) >= 20""".stripMargin
 
+  /** Prefix-filtered exact set-similarity self-join
+    * ([[graft.operators.SetSimilarityJoin.selfJoin]], the All-Pairs /
+    * PPJoin family): exact Jaccard ≥ 0.8 pairs over 3-shingle sets with
+    * candidates generated ONLY from each document's rarest-shingle
+    * prefix (p = n − ⌈τn⌉ + 1 under the global document-frequency
+    * order) — the published fix for [[Dedup.allPairsJaccard]]'s Σ df²
+    * cost. Corpus = documents + exact clones (doc_id % 10 == 3 re-enter
+    * at id + 1e6). The oracle replays the ENTIRE pipeline — frequency
+    * order, integer prefix arithmetic, length filter, exact-integer
+    * verification — so a broken prefix bound (a missed qualifying pair)
+    * or a leaked non-qualifying candidate breaks the hash.
+    */
+  def q158PrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val clones = base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.operators.SetSimilarityJoin.selfJoin(
+      base.unionByName(clones), "text", "doc_id",
+      thresholdMicro = 800000L, shingleSize = 3)
+  }
+
+  val q158Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3),
+      |toks AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS t FROM docs),
+      |sh AS MATERIALIZED (SELECT doc_id,
+      |    unnest(list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(generate_series(1, len(t) - 2),
+      |        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+      |      ELSE [array_to_string(t, ' ')] END)) AS sh
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |dfreq AS (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1),
+      |ranked AS (SELECT s.doc_id, s.sh, z.n,
+      |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.dfc, s.sh) AS rn
+      |  FROM sh s JOIN dfreq d USING (sh) JOIN sizes z USING (doc_id)),
+      |prefix AS MATERIALIZED (SELECT sh, doc_id, n FROM ranked
+      |  WHERE rn <= n - (800000 * n + 999999) // 1000000 + 1),
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a,
+      |    b.doc_id AS id_b, a.n AS n_a, b.n AS n_b
+      |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  WHERE 800000 * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)),
+      |inter AS (SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS shared
+      |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+      |  JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, shared, n_a, n_b,
+      |  CAST(round(CAST(shared AS DOUBLE)
+      |    / CAST(n_a + n_b - shared AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS jaccard_micro
+      |FROM inter WHERE shared * 1000000 >= 800000 * (n_a + n_b - shared)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q158_prefix_jaccard" -> (q158PrefixJaccard _),
     "q149_triangles" -> (q149Triangles _),
     "q150_chi2_tokens" -> (q150Chi2Tokens _),
     "q151_hll_setops" -> (q151HllSetops _),
@@ -241,6 +297,7 @@ object GraphQueries {
     "q154_kcore" -> (q154KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q158_prefix_jaccard" -> q158Sql,
     "q149_triangles" -> q149Sql,
     "q150_chi2_tokens" -> q150Sql,
     "q151_hll_setops" -> q151Sql,

@@ -543,4 +543,20 @@ class ApiDocSpec extends SparkTestBase {
     assert(spend.columns.contains("trail_sum") &&
       spend.columns.contains("trail_cnt"))
   }
+
+  test("SetSimilarityJoin example: prefix-filtered exact Jaccard") {
+    val docs = graft.queries.Tables.documents(spark, dir)
+      .limit(60) // dimension-sized doc sample for the doc example
+
+    // --- docs/API.md: Dedup (SetSimilarityJoin) ---
+    import graft.operators.SetSimilarityJoin
+
+    val dup = SetSimilarityJoin.selfJoin(docs, "text", "doc_id",
+      thresholdMicro = 800000L) // (id_a, id_b, shared, n_a, n_b, jaccard_micro)
+    // --- end ---
+
+    assert(dup.columns.toSeq ===
+      Seq("id_a", "id_b", "shared", "n_a", "n_b", "jaccard_micro"))
+    dup.count() // executes the full pipeline
+  }
 }
