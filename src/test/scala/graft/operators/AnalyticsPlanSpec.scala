@@ -153,4 +153,51 @@ class AnalyticsPlanSpec extends SparkTestBase {
     assert(!plan.contains("windowspecdefinition(ORDER"),
       "q106 contains a single-partition window:\n" + plan)
   }
+
+  // -- round-8 third-leg plan gates: graph wave + prefix join + the
+  //    as-of/trailing family --
+
+  test("q149 triangles: every join is equi (hash/sort-merge), no nested loop") {
+    val df = graft.queries.GraphQueries.q149Triangles(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"a wedge/closure join lost its equi keys:\n$plan")
+  }
+
+  test("q152 assoc rules: item counts broadcast; scalar n is a broadcast 1-row join") {
+    val df = graft.queries.GraphQueries.q152AssocRules(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the lone nested-loop is the 1-row totals frame by construction —
+    // anything joining data-sized relations that way is a regression
+    val bnl = "BroadcastNestedLoop".r.findAllIn(plan).length
+    assert(bnl <= 1, s"unexpected nested-loop joins:\n$plan")
+  }
+
+  test("q158 prefix jaccard: candidate and verify joins are equi, no fact window") {
+    val df = graft.queries.GraphQueries.q158PrefixJaccard(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"prefix/verify join lost its equi keys:\n$plan")
+    // the only window is the per-doc rank (partitioned by id)
+    assert(!df.queryExecution.optimizedPlan.toString
+      .contains("windowspecdefinition(ORDER"),
+      "q158 contains a single-partition window")
+  }
+
+  test("q156/q157 as-of family: one shuffle shape, key-partitioned windows only") {
+    for ((name, df) <- Seq(
+      "q156" -> graft.queries.RelationalQueries2.q156AsofNearest(spark, sf),
+      "q157" -> graft.queries.SeriesQueries.q157TrailingAgg(spark, sf))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$name:\n$plan")
+      assert(!df.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition(ORDER"),
+        s"$name contains a single-partition window")
+    }
+  }
 }
