@@ -89,11 +89,144 @@ object SeriesQueries {
       |  AND v.ts > p.ts - INTERVAL 3 DAY AND v.ts <= p.ts
       |GROUP BY 1, 2""".stripMargin
 
+  /** Events recast as a per-user price series (value→cents, ordered by
+    * ts — fixture has no (user_id, ts) ties, so the order is total). */
+  private def priceSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  /** Max-drawdown summary ([[graft.ticks.Indicators.drawdownSummary]]):
+    * running peak → drawdown → running max, all integer cents; the
+    * per-security worst drawdown plus peak/new-peak-count diagnostics.
+    */
+  def q159Drawdown(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Indicators.drawdownSummary(
+      priceSeries(s, dir), "user_id", "ts", "cents")
+      .select(col("user_id"), col("max_dd_cents"), col("peak_cents"),
+        col("n_new_peaks"), col("n_obs"))
+
+  val q159Sql: String =
+    """WITH px AS (SELECT user_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT user_id, cents, max(cents) OVER (PARTITION BY user_id
+      |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS peak FROM px)
+      |SELECT user_id,
+      |  CAST(max(peak - cents) AS BIGINT) AS max_dd_cents,
+      |  CAST(max(peak) AS BIGINT) AS peak_cents,
+      |  CAST(sum(CASE WHEN cents = peak THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_peaks,
+      |  count(*) AS n_obs
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** Dyadic EWMA ([[graft.ticks.Indicators.ewmaDyadic]], W=8): exact
+    * BIGINT numerator/denominator with weights 2^(7−j), one IEEE
+    * division under the hash. Head rows renormalise over present lags.
+    */
+  def q160Ewma(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Indicators.ewmaDyadic(
+      priceSeries(s, dir), "user_id", "ts", "cents", window = 8)
+      .select(col("user_id"), col("event_id"),
+        col("ewma_num"), col("ewma_den"), col("ewma"))
+
+  val q160Sql: String =
+    """WITH px AS (SELECT user_id, event_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |l AS (SELECT user_id, event_id,
+      |    cents AS c0, lag(cents, 1) OVER w AS c1,
+      |    lag(cents, 2) OVER w AS c2, lag(cents, 3) OVER w AS c3,
+      |    lag(cents, 4) OVER w AS c4, lag(cents, 5) OVER w AS c5,
+      |    lag(cents, 6) OVER w AS c6, lag(cents, 7) OVER w AS c7
+      |  FROM px WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |nd AS (SELECT user_id, event_id,
+      |    CAST(coalesce(c0*128,0) + coalesce(c1*64,0) + coalesce(c2*32,0)
+      |      + coalesce(c3*16,0) + coalesce(c4*8,0) + coalesce(c5*4,0)
+      |      + coalesce(c6*2,0) + coalesce(c7*1,0) AS BIGINT) AS ewma_num,
+      |    CAST((CASE WHEN c0 IS NULL THEN 0 ELSE 128 END)
+      |      + (CASE WHEN c1 IS NULL THEN 0 ELSE 64 END)
+      |      + (CASE WHEN c2 IS NULL THEN 0 ELSE 32 END)
+      |      + (CASE WHEN c3 IS NULL THEN 0 ELSE 16 END)
+      |      + (CASE WHEN c4 IS NULL THEN 0 ELSE 8 END)
+      |      + (CASE WHEN c5 IS NULL THEN 0 ELSE 4 END)
+      |      + (CASE WHEN c6 IS NULL THEN 0 ELSE 2 END)
+      |      + (CASE WHEN c7 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS ewma_den
+      |  FROM l)
+      |SELECT user_id, event_id, ewma_num, ewma_den,
+      |  round(CAST(ewma_num AS DOUBLE) / ewma_den / 100.0, 9) AS ewma
+      |FROM nd""".stripMargin
+
+  /** Bollinger breach ([[graft.ticks.Indicators.bollingerBreach]], n=20,
+    * k=1): the band test decided in PURE integer arithmetic — no sqrt,
+    * no float, flags cannot drift. Full windows only (flags non-null).
+    * k=1 (not the charting default 2) because the fixture's value
+    * distribution is right-skewed: at k=2 the down side never fires
+    * (0 rows — a vacuous gate); at k=1 both flags are live (~1105/~554).
+    */
+  def q161Bollinger(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Indicators.bollingerBreach(
+      priceSeries(s, dir), "user_id", "ts", "cents", window = 20, k = 1)
+      .filter(col("breach_up").isNotNull) // flags are null ⟺ window not full
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("breach_up"), col("breach_dn"))
+
+  val q161Sql: String =
+    """WITH px AS (SELECT user_id, event_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT user_id, event_id, cents,
+      |    count(*) OVER tw AS n, sum(cents) OVER tw AS s,
+      |    sum(cents * cents) OVER tw AS q
+      |  FROM px WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, cents,
+      |  (n*cents - s) > 0 AND (n*cents-s)*(n*cents-s) > 1*(n*q - s*s)
+      |    AS breach_up,
+      |  (n*cents - s) < 0 AND (n*cents-s)*(n*cents-s) > 1*(n*q - s*s)
+      |    AS breach_dn
+      |FROM w WHERE n = 20""".stripMargin
+
+  /** Cutler RSI ([[graft.ticks.Indicators.rsi]], n=14): trailing
+    * gain/loss cents sums (exact), 100·G/(G+L) as the one division.
+    * Early rows (< 14 deltas) carry null rsi; G=L=0 guards to null.
+    */
+  def q162Rsi(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Indicators.rsi(
+      priceSeries(s, dir), "user_id", "ts", "cents", window = 14)
+      .select(col("user_id"), col("event_id"),
+        col("gain_cents"), col("loss_cents"), col("rsi"))
+
+  val q162Sql: String =
+    """WITH px AS (SELECT user_id, event_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |d AS (SELECT user_id, event_id, ts,
+      |    cents - lag(cents, 1) OVER (PARTITION BY user_id ORDER BY ts)
+      |      AS delta FROM px),
+      |g AS (SELECT user_id, event_id,
+      |    CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER tw
+      |      AS BIGINT) AS gain_cents,
+      |    CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER tw
+      |      AS BIGINT) AS loss_cents,
+      |    count(delta) OVER tw AS nd
+      |  FROM d WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, gain_cents, loss_cents,
+      |  CASE WHEN nd = 14 AND gain_cents + loss_cents > 0
+      |    THEN round(100.0 * gain_cents / (gain_cents + loss_cents), 9)
+      |  END AS rsi
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q153_cusum" -> (q153Cusum _),
-    "q157_trailing_agg" -> (q157TrailingAgg _))
+    "q157_trailing_agg" -> (q157TrailingAgg _),
+    "q159_drawdown" -> (q159Drawdown _),
+    "q160_ewma" -> (q160Ewma _),
+    "q161_bollinger" -> (q161Bollinger _),
+    "q162_rsi" -> (q162Rsi _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_cusum" -> q153Sql,
-    "q157_trailing_agg" -> q157Sql)
+    "q157_trailing_agg" -> q157Sql,
+    "q159_drawdown" -> q159Sql,
+    "q160_ewma" -> q160Sql,
+    "q161_bollinger" -> q161Sql,
+    "q162_rsi" -> q162Sql)
 }

@@ -559,4 +559,30 @@ class ApiDocSpec extends SparkTestBase {
       Seq("id_a", "id_b", "shared", "n_a", "n_b", "jaccard_micro"))
     dup.count() // executes the full pipeline
   }
+
+  test("Indicators example: drawdown / ewma / bollinger / rsi") {
+    val px = graft.queries.Tables.events(spark, dir)
+      .select(col("user_id").as("sid"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+
+    // --- docs/API.md: Indicators — per-security technical indicators ---
+    import graft.ticks.Indicators
+
+    val dd    = Indicators.drawdownSummary(px, "sid", "ts", "cents")
+    // + (max_dd_cents, peak_cents, n_new_peaks, n_obs) per sid
+    val ewma  = Indicators.ewmaDyadic(px, "sid", "ts", "cents", window = 8)
+    // + exact (ewma_num, ewma_den) and the one-division `ewma`
+    val bands = Indicators.bollingerBreach(px, "sid", "ts", "cents",
+      window = 20, k = 2)                  // + breach_up/dn, null until full
+    val mom   = Indicators.rsi(px, "sid", "ts", "cents", window = 14)
+    // + (gain_cents, loss_cents, rsi)
+    // --- end ---
+
+    val n = px.count()
+    assert(dd.count() === px.select("sid").distinct().count())
+    assert(ewma.count() === n && bands.count() === n && mom.count() === n)
+    assert(dd.columns.contains("max_dd_cents") &&
+      ewma.columns.contains("ewma") &&
+      bands.columns.contains("breach_up") && mom.columns.contains("rsi"))
+  }
 }
