@@ -200,6 +200,81 @@ object TrainingQueries {
        |SELECT 3 AS round, lhs, rhs, cnt, (SELECT count(*) FROM t3) AS tokens_after FROM r3w""".stripMargin
   }
 
+  /** The q163/q164 oracle prefix: exact milli covariance numerators
+    * M_ij = n·Σxy − Σx·Σy, matrix normalization to ≤10⁶, and three
+    * unrolled power-iteration rounds with ≤10³ re-quantization — the
+    * same integer/IEEE arithmetic [[graft.operators.Pca]] runs, as CTEs.
+    */
+  private val pcaCtes: String =
+    """WITH q AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |sx AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM q GROUP BY 1),
+      |sxy AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+      |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+      |cv AS (SELECT s.i, s.j, (SELECT n FROM nn) * s.sxy - xi.sx * xj.sx AS m
+      |  FROM sxy s JOIN sx xi ON s.i = xi.i JOIN sx xj ON s.j = xj.i),
+      |mx AS (SELECT max(abs(m)) AS mx FROM cv),
+      |cn AS (SELECT i, j, CAST(round(CAST(m AS DOUBLE)
+      |    / CAST((SELECT mx FROM mx) AS DOUBLE) * 1e6) AS BIGINT) AS c FROM cv),
+      |v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS i) g),
+      |u1 AS (SELECT cn.i AS i, CAST(sum(cn.c * v0.v) AS BIGINT) AS u
+      |  FROM cn JOIN v0 ON cn.j = v0.i GROUP BY 1),
+      |v1 AS (SELECT i, CAST(round(CAST(u AS DOUBLE)
+      |    / CAST((SELECT max(abs(u)) FROM u1) AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM u1),
+      |u2 AS (SELECT cn.i AS i, CAST(sum(cn.c * v1.v) AS BIGINT) AS u
+      |  FROM cn JOIN v1 ON cn.j = v1.i GROUP BY 1),
+      |v2 AS (SELECT i, CAST(round(CAST(u AS DOUBLE)
+      |    / CAST((SELECT max(abs(u)) FROM u2) AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM u2),
+      |u3 AS (SELECT cn.i AS i, CAST(sum(cn.c * v2.v) AS BIGINT) AS u
+      |  FROM cn JOIN v2 ON cn.j = v2.i GROUP BY 1),
+      |v3 AS (SELECT i, CAST(round(CAST(u AS DOUBLE)
+      |    / CAST((SELECT max(abs(u)) FROM u3) AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM u3)""".stripMargin
+
+  /** Principal-component loadings ([[graft.operators.Pca.fitMilli]]):
+    * one distributed exact-integer covariance pass (map-side d² pair
+    * expansion, no self-join) + fixed-round driver power iteration.
+    * The oracle replays covariance, normalization, and all three
+    * rounds relationally — any drift in any stage breaks the hash.
+    */
+  def q163PcaLoadings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.fitMilli(
+      Tables.embeddings(s, dir), "embedding", dims = 64, rounds = 3)
+
+  val q163Sql: String = pcaCtes +
+    "\nSELECT CAST(i AS INTEGER) AS dim, v AS loading_milli FROM v3"
+
+  /** Principal-direction outlier mining ([[graft.operators.Pca
+    * .project]]): distributed exact integer dot product of every
+    * embedding with the learned loadings, global top-50 by |score|
+    * (bounded-heap TakeOrdered; vec_id tiebreak).
+    */
+  def q164PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val loadings = graft.operators.Pca
+      .fitMilli(emb, "embedding", dims = 64, rounds = 3)
+      .orderBy("dim").select("loading_milli")
+      .collect().map(_.getLong(0)) // dimension-sized (64) by construction
+    graft.operators.Pca.project(emb, "embedding", "vec_id", loadings)
+      .orderBy(abs(col("score")).desc, col("vec_id").asc)
+      .limit(50)
+  }
+
+  val q164Sql: String = pcaCtes +
+    """,
+      |proj AS (SELECT e.vec_id,
+      |    CAST(sum(CAST(round(CAST(e.embedding[v3.i + 1] AS DOUBLE) * 1000)
+      |      AS BIGINT) * v3.v) AS BIGINT) AS score
+      |  FROM embeddings e CROSS JOIN v3 GROUP BY 1)
+      |SELECT vec_id, score FROM proj
+      |ORDER BY abs(score) DESC, vec_id LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q88_bpe_merges" -> (q88BpeMerges _),
     "q86_corpus_mix" -> (q86CorpusMix _),
@@ -207,7 +282,9 @@ object TrainingQueries {
     "q79_decontaminate" -> (q79Decontaminate _),
     "q80_quality_gopher" -> (q80QualityGopher _),
     "q81_embedding_centroids" -> (q81EmbeddingCentroids _),
-    "q82_pmi_collocations" -> (q82PmiCollocations _))
+    "q82_pmi_collocations" -> (q82PmiCollocations _),
+    "q163_pca_loadings" -> (q163PcaLoadings _),
+    "q164_pca_project" -> (q164PcaProject _))
 
   val oracleSql: Map[String, String] = Map(
     "q88_bpe_merges" -> q88Sql,
@@ -216,5 +293,7 @@ object TrainingQueries {
     "q79_decontaminate" -> q79Sql,
     "q80_quality_gopher" -> q80Sql,
     "q81_embedding_centroids" -> q81Sql,
-    "q82_pmi_collocations" -> q82Sql)
+    "q82_pmi_collocations" -> q82Sql,
+    "q163_pca_loadings" -> q163Sql,
+    "q164_pca_project" -> q164Sql)
 }

@@ -585,4 +585,21 @@ class ApiDocSpec extends SparkTestBase {
       ewma.columns.contains("ewma") &&
       bands.columns.contains("breach_up") && mom.columns.contains("rsi"))
   }
+
+  test("Pca example: fitMilli + project") {
+    // --- docs/API.md: Pca — exact-integer principal components ---
+    import graft.operators.Pca
+
+    val loadings = Pca.fitMilli(emb, "embedding", dims = 64, rounds = 3)
+    // (dim, loading_milli) with max |loading| = 1000, sign pinned by v0
+    val w = loadings.orderBy("dim").select("loading_milli")
+      .collect().map(_.getLong(0))       // dimension-sized (64)
+    val scores = Pca.project(emb, "embedding", "vec_id", w)
+    // (vec_id, score) — exact integer projection, no shuffle
+    // --- end ---
+
+    assert(w.length === 64 && w.map(math.abs).max === 1000L)
+    assert(scores.count() === emb.count())
+    assert(scores.columns.toSeq === Seq("vec_id", "score"))
+  }
 }
