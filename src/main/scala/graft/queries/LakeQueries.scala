@@ -455,7 +455,96 @@ object LakeQueries {
       |FROM base b FULL OUTER JOIN last l ON b.user_id = l.user_id
       |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
 
+  /** Merge-on-read row-level deletes ([[graft.lake.DeleteVectors]]):
+    * base + two OVERLAPPING equality-delete batches (idempotence is
+    * live), read once through the anti join ('mor' phase), then
+    * `compact` folds deletes into the base and the second read must see
+    * the identical table ('compacted' phase — no delete files left).
+    * The oracle computes the surviving set once and expects it twice.
+    */
+  def q165DeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_mor"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    graft.lake.DeleteVectors.writeBase(base, root, "orders")
+    graft.lake.DeleteVectors.appendDeletes(
+      base.filter(col("k") % 7 === 0).select("k"), root, "orders")
+    graft.lake.DeleteVectors.appendDeletes( // overlaps the %7 batch
+      base.filter(col("k") % 11 === 3).select("k"), root, "orders")
+    def agg(phase: String) = graft.lake.DeleteVectors
+      .readMerged(s, root, "orders", Seq("k"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"), sum("total_cents").as("cents"))
+      .select(lit(phase).as("phase"), col("status"), col("n_orders"), col("cents"))
+    // materialize the MOR phase BEFORE compact rewrites the base files
+    val morRows = agg("mor").collect() // dimension-sized: one row per status
+    val mor = s.createDataFrame(
+      java.util.Arrays.asList(morRows: _*), agg("mor").schema)
+    graft.lake.DeleteVectors.compact(s, root, "orders", Seq("k"))
+    mor.unionByName(agg("compacted"))
+  }
+
+  val q165Sql: String =
+    """WITH o AS (SELECT o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+      |  WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)),
+      |a AS (SELECT status, count(*) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS cents FROM o GROUP BY 1)
+      |SELECT 'mor' AS phase, status, n_orders, cents FROM a
+      |UNION ALL
+      |SELECT 'compacted' AS phase, status, n_orders, cents FROM a""".stripMargin
+
+  /** Additive schema evolution ([[graft.lake.SchemaEvolution]]): batch 0
+    * writes (cust INT, nation INT, bal_cents INT); batch 1 widens cust
+    * and bal_cents to LONG and adds a segment column. `readAll`
+    * reconciles per-batch footer schemas up the widening lattice (the
+    * mergeSchema option would throw on int32-vs-int64) and null-fills
+    * the column batch 0 predates — provenance kept via `_batch`.
+    */
+  def q166SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_evolve"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).as("bal"), col("c_mktsegment"))
+    graft.lake.SchemaEvolution.writeBatch(
+      c.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").cast("int").as("cust"),
+        col("c_nationkey").cast("int").as("nation"),
+        col("bal").cast("int").as("bal_cents")),
+      root, "customers", batch = 0)
+    graft.lake.SchemaEvolution.writeBatch(
+      c.filter(col("c_custkey") % 2 === 1).select(
+        col("c_custkey").cast("long").as("cust"),
+        col("c_nationkey").cast("int").as("nation"),
+        col("bal").cast("long").as("bal_cents"),
+        col("c_mktsegment").as("segment")),
+      root, "customers", batch = 1)
+    graft.lake.SchemaEvolution.readAll(s, root, "customers")
+      .groupBy(col("_batch").as("batch"),
+        coalesce(col("segment"), lit("<none>")).as("segment"))
+      .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal_cents"))
+  }
+
+  val q166Sql: String =
+    """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+      |SELECT 0 AS batch, '<none>' AS segment, count(*) AS n,
+      |  CAST(sum(bal) AS BIGINT) AS bal_cents FROM c WHERE k % 2 = 0
+      |UNION ALL
+      |SELECT 1 AS batch, seg AS segment, count(*) AS n,
+      |  CAST(sum(bal) AS BIGINT) AS bal_cents FROM c WHERE k % 2 = 1
+      |GROUP BY 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q165_delete_vectors" -> (q165DeleteVectors _),
+    "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q107_cdc_merge" -> (q107CdcMerge _),
     "q108_streaming_cdc" -> (q108StreamingCdc _),
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
@@ -468,6 +557,8 @@ object LakeQueries {
     "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "q165_delete_vectors" -> q165Sql,
+    "q166_schema_evolution" -> q166Sql,
     "q107_cdc_merge" -> q107Sql,
     "q108_streaming_cdc" -> q108Sql,
     "q71_stream_stream_join" -> q71Sql,

@@ -602,4 +602,49 @@ class ApiDocSpec extends SparkTestBase {
     assert(scores.count() === emb.count())
     assert(scores.columns.toSeq === Seq("vec_id", "score"))
   }
+
+  test("DeleteVectors example: writeBase / appendDeletes / readMerged / compact") {
+    val s = spark; import s.implicits._
+    val root = tmp("dv")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val df = (1L to 20L).map(i => (i, i * 10)).toDF("k", "v")
+    val staleKeys = Seq(3L, 5L).toDF("k")
+
+    // --- docs/API.md: DeleteVectors — merge-on-read row-level deletes ---
+    import graft.lake.DeleteVectors
+
+    DeleteVectors.writeBase(df, root, "orders")
+    DeleteVectors.appendDeletes(staleKeys, root, "orders")   // keys only
+    val live = DeleteVectors.readMerged(spark, root, "orders", Seq("k"))
+    // --- end ---
+    assert(live.count() === 18)
+    // --- docs/API.md (cont.) ---
+    DeleteVectors.compact(spark, root, "orders", Seq("k"))   // fold + clear
+    // --- end ---
+    assert(DeleteVectors.readMerged(spark, root, "orders", Seq("k")).count() === 18)
+  }
+
+  test("SchemaEvolution example: writeBatch / readAll") {
+    val s = spark; import s.implicits._
+    val root = tmp("se")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val v1df = Seq((1, 100)).toDF("cust", "bal")
+    val v2df = Seq((2L, 200L, "AUTO")).toDF("cust", "bal", "segment")
+
+    // --- docs/API.md: SchemaEvolution — additive schema changes ---
+    import graft.lake.SchemaEvolution
+
+    SchemaEvolution.writeBatch(v1df, root, "customers", batch = 0)
+    SchemaEvolution.writeBatch(v2df, root, "customers", batch = 1) // +col, widened
+    val all = SchemaEvolution.readAll(spark, root, "customers")
+    // --- end ---
+
+    assert(all.count() === 2)
+    assert(all.schema("cust").dataType.typeName === "long")
+    assert(all.columns.contains("segment") && all.columns.contains("_batch"))
+  }
 }
