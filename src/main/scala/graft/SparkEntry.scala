@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.GateQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.SeriesQueries.queries
+      graft.queries.SeriesQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.GateQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
-      graft.queries.SeriesQueries.oracleSql
+      graft.queries.SeriesQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

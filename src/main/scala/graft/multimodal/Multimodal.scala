@@ -235,6 +235,29 @@ object Multimodal {
     syntheticBmp(width, height, pixelArray)
   }
 
+  /** [[syntheticBmpPattern]]'s high-entropy sibling for perceptual-hash
+    * gates: pixel `(id*31 + r²·7 + c²·5 + r·c·3 + ch·11) % 256`. The
+    * linear pattern produces monotone gradients whose dHash is
+    * near-constant across ids (a degenerate near-dup corpus); the
+    * quadratic terms spread the comparison bits ~Bernoulli(½) so only
+    * planted clones are close. Same container, same oracle discipline.
+    */
+  def syntheticBmpScramble(id: Column, width: Column, height: Column): Column = {
+    def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+    def sample(r: Column, c: Column, ch: Int): Column =
+      hexByte(pmod(id * 31 + r * r * 7 + c * c * 5 + r * c * 3 + lit(ch) * 11,
+        lit(256)))
+    val stride = floor((width * 3 + lit(3)) / lit(4)).cast("int") * 4
+    val padHex = repeat(lit("00"), (stride - width * 3).cast("int"))
+    val rowHex = (r: Column) => concat(
+      array_join(transform(sequence(lit(0), width - 1),
+        c => concat(sample(r, c, 2), sample(r, c, 1), sample(r, c, 0))), ""),
+      padHex)
+    val pixelArray = unhex(array_join(
+      transform(sequence(height - 1, lit(0), lit(-1)), rowHex), ""))
+    syntheticBmp(width, height, pixelArray)
+  }
+
   /** A real 16-bit PCM WAV (RIFF + fmt + data) whose mono samples follow
     * the deterministic formula `s(i) = ((id*37 + i*13) % 2048) - 1024` —
     * assembled entirely in Column byte math (LE int16 two's complement via
@@ -262,6 +285,33 @@ object Multimodal {
       lit("52494646"), leHex(dataLen + lit(36), 4), lit("57415645"), // RIFF size WAVE
       fmtHex,
       lit("64617461"), leHex(dataLen, 4), dataHex))                  // data chunk
+  }
+
+  /** [[syntheticWavPattern]]'s high-entropy sibling for fingerprint
+    * gates: `s(i) = ((id*37 + (i+id)²·13 + i·29) % 2048) − 1024`. The
+    * linear pattern's per-frame energies are phase shifts of one
+    * sequence, so energy-contour fingerprints cluster across ids; the
+    * id-dependent quadratic phase decorrelates frames and only planted
+    * clones stay Hamming-close.
+    */
+  def syntheticWavScramble(id: Column, nSamples: Column,
+      sampleRate: Int = 8000): Column = {
+    val sample = (i: Column) =>
+      pmod(id * 37 + (i + id) * (i + id) * 13 + i * 29, lit(2048)) - lit(1024)
+    val dataHex = array_join(
+      transform(sequence(lit(0), nSamples - 1),
+        i => leHex(pmod(sample(i), lit(65536)), 2)), "")
+    val dataLen = nSamples * 2
+    val fmtHex = concat(
+      lit("666d7420"), leHex(lit(16), 4),        // "fmt ", size 16
+      leHex(lit(1), 2), leHex(lit(1), 2),        // PCM, mono
+      leHex(lit(sampleRate), 4),                 // sample rate
+      leHex(lit(sampleRate * 2), 4),             // byte rate
+      leHex(lit(2), 2), leHex(lit(16), 2))       // block align, 16-bit
+    unhex(concat(
+      lit("52494646"), leHex(dataLen + lit(36), 4), lit("57415645"),
+      fmtHex,
+      lit("64617461"), leHex(dataLen, 4), dataHex))
   }
 
   /** Audio feature extraction over media rows: REAL PCM decode

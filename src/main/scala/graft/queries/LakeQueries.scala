@@ -463,7 +463,9 @@ object LakeQueries {
     * The oracle computes the surviving set once and expects it twice.
     */
   def q165DeleteVectors(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_mor"
+    // dir-keyed root: concurrent JVMs (tests, scale harness) on
+    // DIFFERENT fixture dirs must not race on one staging path
+    val root = s"/tmp/graft_mor_${math.abs(dir.hashCode)}"
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -499,14 +501,16 @@ object LakeQueries {
       |SELECT 'compacted' AS phase, status, n_orders, cents FROM a""".stripMargin
 
   /** Additive schema evolution ([[graft.lake.SchemaEvolution]]): batch 0
-    * writes (cust INT, nation INT, bal_cents INT); batch 1 widens cust
-    * and bal_cents to LONG and adds a segment column. `readAll`
-    * reconciles per-batch footer schemas up the widening lattice (the
-    * mergeSchema option would throw on int32-vs-int64) and null-fills
-    * the column batch 0 predates — provenance kept via `_batch`.
+    * writes (cust LONG, nation INT, bal_cents INT); batch 1 widens
+    * bal_cents to LONG and adds a segment column. `readAll` reconciles
+    * per-batch footer schemas up the widening lattice (the mergeSchema
+    * option would throw on int32-vs-int64) and null-fills the column
+    * batch 0 predates — provenance kept via `_batch`. The widened
+    * column is the VALUE column, never the key: ids must survive a
+    * 100× blowup, and the x100 scale harness rejects an int32 key cast.
     */
   def q166SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_evolve"
+    val root = s"/tmp/graft_evolve_${math.abs(dir.hashCode)}"
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -515,7 +519,7 @@ object LakeQueries {
       round(col("c_acctbal") * 100).as("bal"), col("c_mktsegment"))
     graft.lake.SchemaEvolution.writeBatch(
       c.filter(col("c_custkey") % 2 === 0).select(
-        col("c_custkey").cast("int").as("cust"),
+        col("c_custkey").cast("long").as("cust"),
         col("c_nationkey").cast("int").as("nation"),
         col("bal").cast("int").as("bal_cents")),
       root, "customers", batch = 0)

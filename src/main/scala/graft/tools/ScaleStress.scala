@@ -108,7 +108,11 @@ object ScaleStress {
     "q136_file_skipping", "q138_profile", "q139_pagerank",
     "q140_hll_distinct", "q142_corr_matrix", "q151_hll_setops",
     "q153_cusum", "q157_trailing_agg", "q155_asof_forward",
-    "q156_asof_nearest")
+    "q156_asof_nearest",
+    // round-8 fourth/fifth legs: indicator windows (events), MOR deletes
+    // (orders), schema evolution (customer)
+    "q159_drawdown", "q160_ewma", "q161_bollinger", "q162_rsi",
+    "q165_delete_vectors", "q166_schema_evolution")
 
   /** Graph-wave queries need BOTH lineitem keys offset per copy
     * (l_orderkey AND l_partkey) so each copy's co-purchase graph is

@@ -647,4 +647,33 @@ class ApiDocSpec extends SparkTestBase {
     assert(all.schema("cust").dataType.typeName === "long")
     assert(all.columns.contains("segment") && all.columns.contains("_batch"))
   }
+
+  test("Perceptual hashing example: ImageHash / AudioHash / HammingJoin") {
+    val media = docs.select(col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticBmpScramble(
+        col("doc_id") % 13, lit(10), lit(9)).as("payload"))
+    val clips = docs.select(col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticWavScramble(
+        col("doc_id") % 13, lit(2048)).as("payload"))
+
+    // --- docs/API.md: Perceptual hashing — media-level near-dup ---
+    import graft.multimodal.{ImageHash, AudioHash}
+    import graft.operators.HammingJoin
+
+    val imgPairs = ImageHash.nearDuplicates(media, maxDist = 2)
+    val sndPairs = AudioHash.nearDuplicates(clips, maxDist = 2)
+    // --- end ---
+    val hashes = ImageHash.dhash(media).withColumnRenamed("dhash", "h")
+      .withColumnRenamed("media_id", "id")
+    // --- docs/API.md (cont.) ---
+    val pairs = HammingJoin.selfPairs(hashes, "id", "h",
+      bits = 63, bands = 4, maxDist = 2) // (id_a, id_b, h_a, h_b, dist)
+    // --- end ---
+
+    // %13 folding plants exact clones → dist-0 pairs must exist
+    assert(imgPairs.filter(col("dist") === 0).count() > 0)
+    assert(sndPairs.filter(col("dist") === 0).count() > 0)
+    assert(pairs.columns.toSeq ===
+      Seq("id_a", "id_b", "h_a", "h_b", "dist"))
+  }
 }
