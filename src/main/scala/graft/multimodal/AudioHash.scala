@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   */
 object AudioHash {
 
-  val FrameSize = 32
+  val FrameSize = 16
   val MaxFrames = 64
   val Bits: Int = MaxFrames - 1 // 63 comparison bits, sign-safe
 

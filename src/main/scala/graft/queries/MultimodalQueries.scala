@@ -62,14 +62,14 @@ object MultimodalQueries {
       |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin
 
   /** Audio near-dup pairs by 63-bit energy-contour fingerprint
-    * ([[graft.multimodal.AudioHash]]) over %89-seeded 2048-sample PCM
-    * clips (64 frames of 32), Hamming ≤ 2; 63-bit hash.
+    * ([[graft.multimodal.AudioHash]]) over %89-seeded 1024-sample PCM
+    * clips (64 frames of 16), Hamming ≤ 2; 63-bit hash.
     */
   def q168AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     val seed = col("doc_id") % 89
     val media = Tables.documents(s, dir).select(
       col("doc_id").as("media_id"),
-      graft.multimodal.Multimodal.syntheticWavScramble(seed, lit(2048))
+      graft.multimodal.Multimodal.syntheticWavScramble(seed, lit(1024))
         .as("payload"))
     graft.multimodal.AudioHash.nearDuplicates(media, maxDist = 2)
       .select("id_a", "id_b", "h_a", "h_b", "dist")
@@ -79,8 +79,8 @@ object MultimodalQueries {
     """WITH sam AS (SELECT seed, i,
       |    ((seed*37 + (i+seed)*(i+seed)*13 + i*29) % 2048) - 1024 AS s
       |  FROM (SELECT DISTINCT doc_id % 89 AS seed FROM documents),
-      |    (SELECT unnest(generate_series(0, 2047)) AS i) ii),
-      |en AS (SELECT seed, i // 32 AS f, CAST(sum(s*s) AS BIGINT) AS e
+      |    (SELECT unnest(generate_series(0, 1023)) AS i) ii),
+      |en AS (SELECT seed, i // 16 AS f, CAST(sum(s*s) AS BIGINT) AS e
       |  FROM sam GROUP BY 1, 2),
       |bits AS (SELECT a.seed, a.f,
       |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit

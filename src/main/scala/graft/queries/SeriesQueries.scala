@@ -214,7 +214,73 @@ object SeriesQueries {
       |  END AS rsi
       |FROM g""".stripMargin
 
+  /** Daily close series: last value per (user, day) — max_by is exact
+    * (no (user, ts) ties in the fixture). */
+  private def dailyClose(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(round(max_by(col("value"), col("ts")) * 100).cast("long").as("cents"))
+
+  private val dailyCloseSql: String =
+    """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |    CAST(round(max_by(value, ts) * 100) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Historical VaR/ES ([[graft.ticks.Risk.historicalVar]], α = 5%):
+    * exact order statistics of the per-security daily P&L distribution —
+    * the ⌈α·n⌉ index computed with integer `div` (float ceil is off by
+    * one at n = 20k), the ES tail kept as an exact sum/count pair.
+    */
+  def q169HistoricalVar(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Risk.historicalVar(
+      dailyClose(s, dir), "user_id", "day", "cents",
+      alphaNum = 5, alphaDen = 100)
+
+  val q169Sql: String =
+    s"""WITH px AS ($dailyCloseSql),
+      |d AS (SELECT user_id, day,
+      |    cents - lag(cents) OVER (PARTITION BY user_id ORDER BY day) AS dd
+      |  FROM px),
+      |dd AS (SELECT * FROM d WHERE dd IS NOT NULL),
+      |r AS (SELECT user_id, day, dd,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY dd, day) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM dd),
+      |k AS (SELECT *, (n * 5 + 99) // 100 AS kk FROM r)
+      |SELECT user_id, max(n) AS n_deltas,
+      |  CAST(max(CASE WHEN rn = kk THEN dd END) AS BIGINT) AS var_cents,
+      |  CAST(sum(CASE WHEN rn <= kk THEN dd END) AS BIGINT) AS es_sum_cents,
+      |  CAST(sum(CASE WHEN rn <= kk THEN 1 ELSE 0 END) AS BIGINT) AS es_n
+      |FROM k GROUP BY 1""".stripMargin
+
+  /** Cross-sectional momentum backtest ([[graft.ticks.Backtest
+    * .momentumTopK]], lookback 5, top 10): per-security trailing delta,
+    * per-DAY rank (day-partitioned window — never global), next-period
+    * P&L attribution. Integer cents end to end.
+    */
+  def q170Momentum(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Backtest.momentumTopK(
+      dailyClose(s, dir), "user_id", "day", "cents", lookback = 5, k = 10)
+
+  val q170Sql: String =
+    s"""WITH px AS ($dailyCloseSql),
+      |e AS (SELECT user_id, day, cents,
+      |    cents - lag(cents, 5) OVER w AS mom,
+      |    lead(cents, 1) OVER w - cents AS fwd
+      |  FROM px WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |f AS (SELECT * FROM e WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY day ORDER BY mom DESC, user_id) AS rk FROM f)
+      |SELECT day, count(*) AS n_selected,
+      |  CAST(sum(fwd) AS BIGINT) AS pnl_cents,
+      |  CAST(max(fwd) AS BIGINT) AS best_cents,
+      |  CAST(min(fwd) AS BIGINT) AS worst_cents
+      |FROM r WHERE rk <= 10 GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q169_var_historical" -> (q169HistoricalVar _),
+    "q170_momentum_backtest" -> (q170Momentum _),
     "q153_cusum" -> (q153Cusum _),
     "q157_trailing_agg" -> (q157TrailingAgg _),
     "q159_drawdown" -> (q159Drawdown _),
@@ -223,6 +289,8 @@ object SeriesQueries {
     "q162_rsi" -> (q162Rsi _))
 
   val oracleSql: Map[String, String] = Map(
+    "q169_var_historical" -> q169Sql,
+    "q170_momentum_backtest" -> q170Sql,
     "q153_cusum" -> q153Sql,
     "q157_trailing_agg" -> q157Sql,
     "q159_drawdown" -> q159Sql,

@@ -275,7 +275,61 @@ object TrainingQueries {
       |SELECT vec_id, score FROM proj
       |ORDER BY abs(score) DESC, vec_id LIMIT 50""".stripMargin
 
+  /** TextRank keyword extraction ([[graft.text.TextRank.keywords]]):
+    * window-2 co-occurrence edges (lead() windows, no positional
+    * self-join) → the gated fixed-round micro-quantized PageRank →
+    * top-20 tokens. The oracle rebuilds the graph with the bigram-list
+    * trick, assigns the same sorted-vocabulary ids, and unrolls the
+    * identical three ranking rounds.
+    */
+  def q171TextRank(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextRank.keywords(Tables.documents(s, dir), "text", "doc_id",
+      window = 2, iters = 3, topK = 20)
+
+  val q171Sql: String = {
+    def round(i: Int, prev: String): String =
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(sum(CAST(round(CAST(r.rm AS DOUBLE) / d.deg) AS BIGINT)) AS BIGINT) AS sc
+         |  FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |    CAST(round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |        * CAST(1000000 AS DOUBLE) / nn.n) AS BIGINT)
+         |    + CAST(round(CAST(coalesce(c.sc, 0) AS DOUBLE)
+         |        * CAST(0.85 AS DOUBLE)) AS BIGINT) AS rm
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON nodes.node = c.node)""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |p1 AS (SELECT unnest(CASE WHEN len(t) >= 2
+       |    THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS pr FROM t),
+       |p2 AS (SELECT unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS pr FROM t),
+       |pp AS (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2),
+       |ed0 AS (SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b
+       |  FROM pp),
+       |edt AS (SELECT a, b FROM ed0 UNION ALL SELECT b, a FROM ed0),
+       |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+       |  FROM (SELECT DISTINCT unnest(t) AS tok FROM t)),
+       |e AS (SELECT va.tid AS src, vb.tid AS dst FROM edt
+       |  JOIN vocab va ON edt.a = va.tok JOIN vocab vb ON edt.b = vb.tok),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(round(CAST(1000000 AS DOUBLE) / nn.n) AS BIGINT) AS rm
+       |       FROM nodes CROSS JOIN nn),
+       |${round(1, "r0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")}
+       |SELECT v.tok AS token, r3.rm AS rank_micro FROM r3
+       |JOIN vocab v ON r3.node = v.tid
+       |ORDER BY rank_micro DESC, token LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q171_textrank" -> (q171TextRank _),
     "q88_bpe_merges" -> (q88BpeMerges _),
     "q86_corpus_mix" -> (q86CorpusMix _),
     "q87_length_batching" -> (q87LengthBatching _),
@@ -287,6 +341,7 @@ object TrainingQueries {
     "q164_pca_project" -> (q164PcaProject _))
 
   val oracleSql: Map[String, String] = Map(
+    "q171_textrank" -> q171Sql,
     "q88_bpe_merges" -> q88Sql,
     "q86_corpus_mix" -> q86Sql,
     "q87_length_batching" -> q87Sql,

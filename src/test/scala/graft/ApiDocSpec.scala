@@ -676,4 +676,41 @@ class ApiDocSpec extends SparkTestBase {
     assert(pairs.columns.toSeq ===
       Seq("id_a", "id_b", "h_a", "h_b", "dist"))
   }
+
+  test("Risk / Backtest example: historicalVar + momentumTopK") {
+    val px2 = graft.queries.Tables.events(spark, dir)
+      .groupBy(col("user_id").as("sid"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(round(max_by(col("value"), col("ts")) * 100).cast("long").as("cents"))
+
+    // --- docs/API.md: Risk / Backtest — portfolio analytics ---
+    import graft.ticks.{Risk, Backtest}
+
+    val var95 = Risk.historicalVar(px2, "sid", "day", "cents",
+      alphaNum = 5, alphaDen = 100)
+    // (sid, n_deltas, var_cents, es_sum_cents, es_n)
+    val curve = Backtest.momentumTopK(px2, "sid", "day", "cents",
+      lookback = 5, k = 10)
+    // (day, n_selected, pnl_cents, best_cents, worst_cents)
+    // --- end ---
+
+    assert(var95.columns.toSeq ===
+      Seq("sid", "n_deltas", "var_cents", "es_sum_cents", "es_n"))
+    assert(curve.columns.toSeq ===
+      Seq("day", "n_selected", "pnl_cents", "best_cents", "worst_cents"))
+    assert(var95.count() > 0 && curve.count() > 0)
+  }
+
+  test("TextRank example: keywords") {
+    // --- docs/API.md: TextRank — graph keyword extraction ---
+    import graft.text.TextRank
+
+    val kws = TextRank.keywords(docs, "text", "doc_id",
+      window = 2, iters = 3, topK = 20) // (token, rank_micro)
+    // --- end ---
+
+    val rows = kws.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(kws.columns.toSeq === Seq("token", "rank_micro"))
+  }
 }

@@ -38,13 +38,13 @@ class PerceptualHashSpec extends SparkTestBase {
   test("audio fingerprint: same seed ⇒ same fp; two-frame minimum enforced") {
     val media = Seq((1L, 7L), (2L, 7L), (3L, 21L)).toDF("media_id", "seed")
       .select(col("media_id"),
-        Multimodal.syntheticWavScramble(col("seed"), lit(2048)).as("payload"))
+        Multimodal.syntheticWavScramble(col("seed"), lit(1024)).as("payload"))
     val fp = AudioHash.fingerprint(media)
       .select("media_id", "fp").as[(Long, Long)].collect().toMap
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
     val tiny = Seq((9L, 3L)).toDF("media_id", "seed").select(col("media_id"),
-      Multimodal.syntheticWavScramble(col("seed"), lit(40)).as("payload"))
+      Multimodal.syntheticWavScramble(col("seed"), lit(20)).as("payload"))
     assert(AudioHash.fingerprint(tiny).count() === 0, "< 2 frames drops")
   }
 
