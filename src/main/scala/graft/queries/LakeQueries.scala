@@ -546,7 +546,87 @@ object LakeQueries {
       |  CAST(sum(bal) AS BIGINT) AS bal_cents FROM c WHERE k % 2 = 1
       |GROUP BY 2""".stripMargin
 
+  /** Join-view incremental maintenance ([[graft.operators.JoinIvm]]):
+    * a materialized orders⋈customer view maintained under append-only
+    * deltas ON BOTH SIDES via Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB. Splits are
+    * chosen so all delta terms are non-empty (new orders hit old AND new
+    * customers; old orders hit new customers); the oracle is the full
+    * re-join — the maintained view must equal recompute exactly (any
+    * double-counted or dropped term breaks counts).
+    */
+  def q172JoinIvm(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(
+      col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val b = Tables.customer(s, dir).select(
+      col("c_custkey").as("cust"), col("c_nationkey").cast("int").as("nation"))
+    val aOld = a.filter(col("okey") % 10 < 8).drop("okey")
+    val aDelta = a.filter(col("okey") % 10 >= 8).drop("okey")
+    val bOld = b.filter(col("cust") % 5 =!= 0)
+    val bDelta = b.filter(col("cust") % 5 === 0)
+    val jOld = aOld.join(bOld, Seq("cust"))
+    graft.operators.JoinIvm
+      .maintain(jOld, aOld, aDelta, bOld, bDelta, Seq("cust"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+  }
+
+  val q172Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nation, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Incremental ETL end to end: versioned lakes feed the join IVM
+    * through the change-data feed — [[graft.lake.Snapshots.diff]] v1→v2
+    * produces the delta batches for BOTH sides of a lineitem⋈orders
+    * view, [[graft.operators.JoinIvm.maintain]] applies them, and the
+    * result must equal the full re-join of the v2 tables. This is the
+    * composition a daily pipeline runs: no reprocessing of v1 data, only
+    * CDF rows move.
+    */
+  def q173CdfJoinIvm(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_cdfivm_${math.abs(dir.hashCode)}"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("okey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      (col("l_orderkey") % 4).as("pb"))
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+      (col("o_orderkey") % 4).as("pc"))
+    graft.lake.Snapshots.commit(li.filter(col("okey") % 3 =!= 0), root, "li", Seq("pb"))
+    graft.lake.Snapshots.commit(li, root, "li", Seq("pb"))
+    graft.lake.Snapshots.commit(o.filter(col("okey") % 7 =!= 0), root, "ord", Seq("pc"))
+    graft.lake.Snapshots.commit(o, root, "ord", Seq("pc"))
+    def v1(t: String, cols: Seq[String]) = graft.lake.Snapshots
+      .readVersion(s, root, t, 1L).select(cols.map(col): _*)
+    def ins(t: String, cols: Seq[String]) = graft.lake.Snapshots
+      .diff(s, root, t, 1L, 2L)
+      .filter(col("change_type") === "insert").select(cols.map(col): _*)
+    val aOld = v1("li", Seq("okey", "cents"))
+    val bOld = v1("ord", Seq("okey", "status"))
+    val jOld = aOld.join(bOld, Seq("okey"))
+    graft.operators.JoinIvm.maintain(jOld,
+        aOld, ins("li", Seq("okey", "cents")),
+        bOld, ins("ord", Seq("okey", "status")), Seq("okey"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+  }
+
+  val q173Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q172_join_ivm" -> (q172JoinIvm _),
+    "q173_cdf_join_ivm" -> (q173CdfJoinIvm _),
     "q165_delete_vectors" -> (q165DeleteVectors _),
     "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q107_cdc_merge" -> (q107CdcMerge _),
@@ -561,6 +641,8 @@ object LakeQueries {
     "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "q172_join_ivm" -> q172Sql,
+    "q173_cdf_join_ivm" -> q173Sql,
     "q165_delete_vectors" -> q165Sql,
     "q166_schema_evolution" -> q166Sql,
     "q107_cdc_merge" -> q107Sql,

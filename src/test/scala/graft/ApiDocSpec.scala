@@ -713,4 +713,24 @@ class ApiDocSpec extends SparkTestBase {
     assert(rows.length <= 20 && rows.nonEmpty)
     assert(kws.columns.toSeq === Seq("token", "rank_micro"))
   }
+
+  test("JoinIvm example: maintain + deltaJoin") {
+    val s = spark; import s.implicits._
+    val aOld = Seq((1L, 10L)).toDF("k", "av")
+    val aDelta = Seq((2L, 20L)).toDF("k", "av")
+    val bOld = Seq((1L, "x"), (2L, "y")).toDF("k", "bv")
+    val bDelta = Seq((1L, "x2")).toDF("k", "bv")
+    val jOld = aOld.join(bOld, Seq("k"))
+
+    // --- docs/API.md: JoinIvm — incremental join maintenance ---
+    import graft.operators.JoinIvm
+
+    val jNew = JoinIvm.maintain(jOld, aOld, aDelta, bOld, bDelta, Seq("k"))
+    val dJ   = JoinIvm.deltaJoin(aOld, aDelta, bOld, bDelta, Seq("k"))
+    // --- end ---
+
+    val full = aOld.unionByName(aDelta).join(bOld.unionByName(bDelta), Seq("k"))
+    assert(jNew.count() === full.count())
+    assert(dJ.count() === full.count() - jOld.count())
+  }
 }
