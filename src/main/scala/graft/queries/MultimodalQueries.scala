@@ -25,7 +25,12 @@ object MultimodalQueries {
     * via 4-band pigeonhole + exact popcount.
     */
   def q167ImageDhash(s: SparkSession, dir: String): DataFrame = {
-    val seed = col("doc_id") % 83
+    // copy-distinct seeds under the 10^8-stride blowup: a plain %83 would
+    // repeat the SAME 83 images in every blown-up copy and make the pair
+    // relation quadratic in copies (corpus densification, not operator
+    // cost); folding the copy index in keeps per-copy structure identical
+    // and cross-copy images disjoint
+    val seed = col("doc_id") % 83 + (col("doc_id") / 100000000L).cast("long") * 83
     val w = (lit(8) + seed % 9).cast("int")
     val h = (lit(8) + seed % 7).cast("int")
     val media = Tables.documents(s, dir).select(
@@ -36,10 +41,12 @@ object MultimodalQueries {
   }
 
   val q167Sql: String =
-    """WITH g AS (SELECT doc_id, doc_id % 83 AS seed,
-      |    CAST(8 + (doc_id % 83) % 9 AS BIGINT) AS w,
-      |    CAST(8 + (doc_id % 83) % 7 AS BIGINT) AS h
-      |  FROM documents),
+    """WITH g0 AS (SELECT doc_id,
+      |    doc_id % 83 + (doc_id // 100000000) * 83 AS seed FROM documents),
+      |g AS (SELECT doc_id, seed,
+      |    CAST(8 + seed % 9 AS BIGINT) AS w,
+      |    CAST(8 + seed % 7 AS BIGINT) AS h
+      |  FROM g0),
       |px AS (SELECT doc_id, rr.r AS r, cc.c AS c,
       |    (seed*31 + ((rr.r*h)//8)*((rr.r*h)//8)*7
       |      + ((cc.c*w)//8)*((cc.c*w)//8)*5
@@ -66,7 +73,8 @@ object MultimodalQueries {
     * clips (64 frames of 16), Hamming ≤ 2; 63-bit hash.
     */
   def q168AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val seed = col("doc_id") % 89
+    // copy-distinct seeds — same rationale as q167
+    val seed = col("doc_id") % 89 + (col("doc_id") / 100000000L).cast("long") * 89
     val media = Tables.documents(s, dir).select(
       col("doc_id").as("media_id"),
       graft.multimodal.Multimodal.syntheticWavScramble(seed, lit(1024))
@@ -78,7 +86,8 @@ object MultimodalQueries {
   val q168Sql: String =
     """WITH sam AS (SELECT seed, i,
       |    ((seed*37 + (i+seed)*(i+seed)*13 + i*29) % 2048) - 1024 AS s
-      |  FROM (SELECT DISTINCT doc_id % 89 AS seed FROM documents),
+      |  FROM (SELECT DISTINCT doc_id % 89 + (doc_id // 100000000) * 89 AS seed
+      |      FROM documents),
       |    (SELECT unnest(generate_series(0, 1023)) AS i) ii),
       |en AS (SELECT seed, i // 16 AS f, CAST(sum(s*s) AS BIGINT) AS e
       |  FROM sam GROUP BY 1, 2),
@@ -91,7 +100,8 @@ object MultimodalQueries {
       |      AS fp
       |  FROM bits GROUP BY 1),
       |hs AS (SELECT doc_id, fp FROM
-      |  (SELECT doc_id, doc_id % 89 AS seed FROM documents) dd
+      |  (SELECT doc_id, doc_id % 89 + (doc_id // 100000000) * 89 AS seed
+      |    FROM documents) dd
       |  JOIN hs0 USING (seed))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS h_a, b.fp AS h_b,
       |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist

@@ -278,7 +278,106 @@ object SeriesQueries {
       |  CAST(min(fwd) AS BIGINT) AS worst_cents
       |FROM r WHERE rk <= 10 GROUP BY 1""".stripMargin
 
+  /** Split-adjusted history ([[graft.ticks.CorporateActions.adjust]]):
+    * factors as EXACT rationals (den/num products as separate BIGINTs,
+    * one rounded division at the end — no float compounding). Actions
+    * planted from the fixture: every %5 user a 2:1 split at its 10th
+    * day, every %10 user also a 3:2 at its 20th — so single-action,
+    * stacked-action, and no-action paths are ALL live, as are the
+    * before/on/after-split factor regimes.
+    */
+  def q174SplitAdjust(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val px = dailyClose(s, dir)
+    val rk = px.withColumn("rn",
+      row_number().over(W.partitionBy(col("user_id")).orderBy(col("day"))))
+    val acts = rk
+      .filter(col("user_id") % 5 === 0 && col("rn") === 10)
+      .select(col("user_id"), col("day"), lit(2L).as("num"), lit(1L).as("den"))
+      .unionByName(rk
+        .filter(col("user_id") % 10 === 0 && col("rn") === 20)
+        .select(col("user_id"), col("day"), lit(3L).as("num"), lit(2L).as("den")))
+    graft.ticks.CorporateActions.adjust(px, acts, "user_id", "day", "cents")
+      .select(col("user_id"), col("day"), col("cents"),
+        col("fnum"), col("fden"), col("adj_milli"))
+  }
+
+  val q174Sql: String =
+    s"""WITH px AS ($dailyCloseSql),
+      |rk AS (SELECT user_id, day, cents, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY day) AS rn FROM px),
+      |acts AS (
+      |  SELECT user_id, day, 2 AS num, 1 AS den FROM rk
+      |  WHERE user_id % 5 = 0 AND rn = 10
+      |  UNION ALL
+      |  SELECT user_id, day, 3 AS num, 2 AS den FROM rk
+      |  WHERE user_id % 10 = 0 AND rn = 20),
+      |f AS (SELECT p.user_id, p.day, p.cents,
+      |    CAST(coalesce(product(CASE WHEN a.day > p.day THEN a.den END), 1)
+      |      AS BIGINT) AS fnum,
+      |    CAST(coalesce(product(CASE WHEN a.day > p.day THEN a.num END), 1)
+      |      AS BIGINT) AS fden
+      |  FROM px p LEFT JOIN acts a ON p.user_id = a.user_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, day, cents, fnum, fden,
+      |  CAST(round(CAST(cents * fnum * 1000 AS DOUBLE) / fden) AS BIGINT)
+      |    AS adj_milli
+      |FROM f""".stripMargin
+
+  /** NBBO consolidation ([[graft.ticks.Nbbo.consolidate]]): four
+    * synthetic venues (event_id % 4) quoting bid/ask cents; per quote
+    * event, forward-fill each venue's latest quote along the symbol
+    * timeline (total order: ts then event_id — user folding makes raw
+    * ts non-unique per symbol) and take the cross-venue best, with the
+    * locked/crossed tape-quality flag.
+    */
+  def q175Nbbo(s: SparkSession, dir: String): DataFrame = {
+    // tight per-symbol quotes (jitter 0..4 ≪ spread 10..16) with rare +25
+    // bid spikes (event_id % 97): locked/crossed runs start at a spike and
+    // end when the spiking venue re-quotes — both flag values are live and
+    // the false side dominates, as on a real tape
+    val base = (col("user_id") % 20 + 1) * 1000 + col("event_id") % 5
+    val bid = base + when(col("event_id") % 97 === 0, 25L).otherwise(0L)
+    val q = Tables.events(s, dir).select(
+      (col("user_id") % 20).as("sym"), col("ts"), col("event_id"),
+      (col("event_id") % 4).cast("int").as("venue"),
+      bid.cast("long").as("bid"),
+      (bid + col("event_id") % 7 + 10).cast("long").as("ask"))
+    graft.ticks.Nbbo.consolidate(q, "sym", Seq("ts", "event_id"),
+        "venue", "bid", "ask", nVenues = 4)
+      .select(col("sym"), col("event_id"),
+        col("nbbo_bid"), col("nbbo_ask"), col("locked"))
+  }
+
+  val q175Sql: String = {
+    val b = (0 to 3).map(v =>
+      s"last_value(CASE WHEN venue = $v THEN bid END IGNORE NULLS) OVER w AS b$v")
+    val a = (0 to 3).map(v =>
+      s"last_value(CASE WHEN venue = $v THEN ask END IGNORE NULLS) OVER w AS a$v")
+    s"""WITH q AS (SELECT user_id % 20 AS sym, ts, event_id,
+      |    CAST(event_id % 4 AS INT) AS venue,
+      |    CAST((user_id % 20 + 1) * 1000 + event_id % 5
+      |      + (CASE WHEN event_id % 97 = 0 THEN 25 ELSE 0 END) AS BIGINT) AS bid,
+      |    CAST((user_id % 20 + 1) * 1000 + event_id % 5
+      |      + (CASE WHEN event_id % 97 = 0 THEN 25 ELSE 0 END)
+      |      + event_id % 7 + 10 AS BIGINT) AS ask
+      |  FROM events),
+      |f AS (SELECT sym, event_id,
+      |    ${(b ++ a).mkString(",\n      |    ")}
+      |  FROM q WINDOW w AS (PARTITION BY sym ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT sym, event_id,
+      |  greatest(b0, b1, b2, b3) AS nbbo_bid,
+      |  least(a0, a1, a2, a3) AS nbbo_ask,
+      |  greatest(b0, b1, b2, b3) IS NOT NULL
+      |    AND least(a0, a1, a2, a3) IS NOT NULL
+      |    AND greatest(b0, b1, b2, b3) >= least(a0, a1, a2, a3) AS locked
+      |FROM f""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_split_adjust" -> (q174SplitAdjust _),
+    "q175_nbbo" -> (q175Nbbo _),
     "q169_var_historical" -> (q169HistoricalVar _),
     "q170_momentum_backtest" -> (q170Momentum _),
     "q153_cusum" -> (q153Cusum _),
@@ -289,6 +388,8 @@ object SeriesQueries {
     "q162_rsi" -> (q162Rsi _))
 
   val oracleSql: Map[String, String] = Map(
+    "q174_split_adjust" -> q174Sql,
+    "q175_nbbo" -> q175Sql,
     "q169_var_historical" -> q169Sql,
     "q170_momentum_backtest" -> q170Sql,
     "q153_cusum" -> q153Sql,

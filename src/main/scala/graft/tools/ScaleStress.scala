@@ -112,7 +112,13 @@ object ScaleStress {
     // round-8 fourth/fifth legs: indicator windows (events), MOR deletes
     // (orders), schema evolution (customer)
     "q159_drawdown", "q160_ewma", "q161_bollinger", "q162_rsi",
-    "q165_delete_vectors", "q166_schema_evolution")
+    "q165_delete_vectors", "q166_schema_evolution",
+    // round-8 seventh/eighth legs: VaR + momentum (events), join IVM
+    // (orders/customer), CDF-driven IVM (lineitem/orders)
+    "q169_var_historical", "q170_momentum_backtest",
+    "q172_join_ivm", "q173_cdf_join_ivm",
+    // ninth leg: split adjustment + NBBO (events consumers)
+    "q174_split_adjust", "q175_nbbo")
 
   /** Graph-wave queries need BOTH lineitem keys offset per copy
     * (l_orderkey AND l_partkey) so each copy's co-purchase graph is

@@ -733,4 +733,31 @@ class ApiDocSpec extends SparkTestBase {
     assert(jNew.count() === full.count())
     assert(dJ.count() === full.count() - jOld.count())
   }
+
+  test("CorporateActions / Nbbo example: adjust + consolidate") {
+    val s = spark; import s.implicits._
+    val px2 = Seq(("A", "d1", 400L), ("A", "d2", 200L))
+      .toDF("sid", "day", "cents")
+    val actions = Seq(("A", "d2", 2L, 1L)).toDF("sid", "day", "num", "den")
+    val quotes = Seq((1L, 10L, 1L, 0, 100L, 105L), (1L, 11L, 2L, 1, 101L, 104L))
+      .toDF("sym", "ts", "qid", "venue", "bid", "ask")
+
+    // --- docs/API.md: CorporateActions / Nbbo — market-structure ---
+    import graft.ticks.{CorporateActions, Nbbo}
+
+    val adj = CorporateActions.adjust(px2, actions, "sid", "day", "cents")
+    // + (fnum, fden, adj_milli); actions = (sid, day, num, den) splits
+    val tape = Nbbo.consolidate(quotes, "sym", Seq("ts", "qid"),
+      "venue", "bid", "ask", nVenues = 4)
+    // + (nbbo_bid, nbbo_ask, locked)
+    // --- end ---
+
+    val a = adj.select("day", "fnum", "fden", "adj_milli")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(a("d1") === (("d1", 1L, 2L, 200000L))) // pre-split halves
+    assert(a("d2") === (("d2", 1L, 1L, 200000L)))
+    val t = tape.select("qid", "nbbo_bid", "nbbo_ask", "locked")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(t(1) === ((2L, 101L, 104L, false)))
+  }
 }
