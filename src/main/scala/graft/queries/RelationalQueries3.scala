@@ -146,7 +146,66 @@ object RelationalQueries3 {
       |  CAST(sum(event_id % 11) AS BIGINT) AS volume
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Benford first-digit audit ([[graft.operators.DataQuality.benford]])
+    * over order-total cents: fixed micro-integer expected probabilities
+    * (no runtime log10), exact string-math digit extraction, per-digit
+    * deviation with a single rounded division — no float aggregate
+    * whose summation order could drift between engines.
+    */
+  def q178Benford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.benford(
+      Tables.orders(s, dir), round(col("o_totalprice") * 100))
+
+  val q178Sql: String = {
+    val values = graft.operators.DataQuality.BenfordMicro.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE round(o_totalprice * 100) > 0),
+      |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS obs FROM v GROUP BY 1),
+      |p AS (SELECT * FROM (VALUES $values) t(digit, p_micro)),
+      |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
+      |SELECT CAST(p.digit AS INT) AS digit,
+      |  CAST(coalesce(d.obs, 0) AS BIGINT) AS obs, n.n,
+      |  CAST(n.n * p.p_micro AS BIGINT) AS exp_micro,
+      |  CAST(round(
+      |    CAST(coalesce(d.obs, 0) * 1000000 - n.n * p.p_micro AS DOUBLE)
+      |    * CAST(coalesce(d.obs, 0) * 1000000 - n.n * p.p_micro AS DOUBLE)
+      |    / (CAST(n.n * p.p_micro AS DOUBLE) * 1e6)) AS BIGINT) AS dev_micro
+      |FROM p CROSS JOIN n LEFT JOIN d ON p.digit = d.digit""".stripMargin
+  }
+
+  /** HHI concentration ([[graft.operators.DataQuality.hhi]]): supplier
+    * |balance|-share concentration per region (supplier⋈nation⋈region
+    * dims broadcast), Σshare² from exact integer weight moments with one
+    * double division.
+    */
+  def q179Hhi(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+    graft.operators.DataQuality.hhi(sup, Seq("r_name"),
+      abs(round(col("s_acctbal") * 100)))
+  }
+
+  val q179Sql: String =
+    """WITH w AS (SELECT r_name,
+      |    abs(CAST(round(s_acctbal * 100) AS BIGINT)) AS w
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |m AS (SELECT r_name, count(*) AS n, CAST(sum(w) AS BIGINT) AS total,
+      |    CAST(sum(w * w) AS BIGINT) AS sq FROM w GROUP BY 1)
+      |SELECT r_name, n, total,
+      |  CAST(round(CAST(sq AS DOUBLE)
+      |    / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) * 1e6) AS BIGINT)
+      |    AS hhi_micro
+      |FROM m WHERE total > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q178_benford" -> (q178Benford _),
+    "q179_hhi" -> (q179Hhi _),
     "q46_q4_derivation" -> (q46Q4Derivation _),
     "q47_approx_distinct" -> (q47ApproxDistinct _),
     "q48_ohlc_rollup" -> (q48OhlcRollup _),
@@ -154,6 +213,8 @@ object RelationalQueries3 {
     "q133_vwap" -> (q133Vwap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q178_benford" -> q178Sql,
+    "q179_hhi" -> q179Sql,
     "q46_q4_derivation" -> q46Sql,
     "q47_approx_distinct" -> q47Sql,
     "q48_ohlc_rollup" -> q48Sql,

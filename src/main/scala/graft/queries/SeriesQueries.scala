@@ -375,7 +375,82 @@ object SeriesQueries {
       |FROM f""".stripMargin
   }
 
+  /** Tick-rule order-flow imbalance ([[graft.ticks.Microstructure
+    * .flowImbalance]]): up/down-tick signing with zero-tick carry, then
+    * per (symbol, day) signed-volume rollups — all exact integers; the
+    * pre-signing head rows surface in n_unsigned.
+    */
+  def q176FlowImbalance(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(s, dir).select(
+      col("user_id").as("sym"), col("ts"),
+      round(col("value") * 100).cast("long").as("px"),
+      (col("event_id") % 13 + 1).as("sz"))
+    graft.ticks.Microstructure.flowImbalance(t, "sym", Seq("ts"), "px", "sz",
+        bucket = date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .withColumnRenamed("bucket", "day")
+  }
+
+  private val signSql: String =
+    """t AS (SELECT user_id AS sym, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS px,
+      |    event_id % 13 + 1 AS sz FROM events),
+      |d AS (SELECT *, px - lag(px) OVER (PARTITION BY sym ORDER BY ts)
+      |    AS delta FROM t),
+      |sgn AS (SELECT *, last_value(CASE WHEN delta > 0 THEN 1
+      |      WHEN delta < 0 THEN -1 END IGNORE NULLS)
+      |    OVER (PARTITION BY sym ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |    AS side FROM d)""".stripMargin
+
+  val q176Sql: String =
+    s"""WITH $signSql
+      |SELECT sym, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  CAST(sum(CASE WHEN side = 1 THEN sz ELSE 0 END) AS BIGINT) AS buy_vol,
+      |  CAST(sum(CASE WHEN side = -1 THEN sz ELSE 0 END) AS BIGINT) AS sell_vol,
+      |  CAST(sum(CASE WHEN side = 1 THEN sz WHEN side = -1 THEN -sz
+      |    ELSE 0 END) AS BIGINT) AS imbalance,
+      |  CAST(sum(CASE WHEN side IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unsigned
+      |FROM sgn GROUP BY 1, 2""".stripMargin
+
+  /** Kyle's λ ([[graft.ticks.Microstructure.kyleLambda]]): per-symbol
+    * OLS of price change on signed size through the exact-moment Trend
+    * operator — the market-impact coefficient, bit-identical doubles
+    * from sub-2^53 integer moments.
+    */
+  def q177KyleLambda(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(s, dir).select(
+      col("user_id").as("sym"), col("ts"),
+      round(col("value") * 100).cast("long").as("px"),
+      (col("event_id") % 13 + 1).as("sz"))
+    graft.ticks.Microstructure.kyleLambda(t, "sym", Seq("ts"), "px", "sz")
+      .select(col("sym"), col("n"),
+        round(col("slope"), 9).as("lambda_r"),
+        round(col("intercept"), 9).as("intercept_r"),
+        round(col("corr"), 9).as("corr_r"))
+  }
+
+  val q177Sql: String =
+    s"""WITH $signSql,
+      |f AS (SELECT sym, side * sz AS x, delta AS y FROM sgn
+      |  WHERE side IS NOT NULL AND delta IS NOT NULL),
+      |m AS (SELECT sym, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      |  FROM f GROUP BY 1)
+      |SELECT sym, n,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 9)
+      |    AS lambda_r,
+      |  round((CAST(sy AS DOUBLE) -
+      |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept_r,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9) AS corr_r
+      |FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_flow_imbalance" -> (q176FlowImbalance _),
+    "q177_kyle_lambda" -> (q177KyleLambda _),
     "q174_split_adjust" -> (q174SplitAdjust _),
     "q175_nbbo" -> (q175Nbbo _),
     "q169_var_historical" -> (q169HistoricalVar _),
@@ -388,6 +463,8 @@ object SeriesQueries {
     "q162_rsi" -> (q162Rsi _))
 
   val oracleSql: Map[String, String] = Map(
+    "q176_flow_imbalance" -> q176Sql,
+    "q177_kyle_lambda" -> q177Sql,
     "q174_split_adjust" -> q174Sql,
     "q175_nbbo" -> q175Sql,
     "q169_var_historical" -> q169Sql,

@@ -760,4 +760,40 @@ class ApiDocSpec extends SparkTestBase {
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(t(1) === ((2L, 101L, 104L, false)))
   }
+
+  test("Microstructure / DataQuality example") {
+    val trades = graft.queries.Tables.events(spark, dir).select(
+      col("user_id").as("sym"), col("ts"),
+      round(col("value") * 100).cast("long").as("px"),
+      (col("event_id") % 13 + 1).as("sz"))
+    val orders = graft.queries.Tables.orders(spark, dir)
+    val sup = graft.queries.Tables.supplier(spark, dir)
+      .join(graft.queries.Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.queries.Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+
+    // --- docs/API.md: Microstructure — trade signing, flow, impact ---
+    import graft.ticks.Microstructure
+
+    val signed = Microstructure.tickSign(trades, "sym", Seq("ts"), "px")
+    val flow = Microstructure.flowImbalance(trades, "sym", Seq("ts"),
+      "px", "sz", bucket = date_format(col("ts"), "yyyy-MM-dd"))
+    val impact = Microstructure.kyleLambda(trades, "sym", Seq("ts"), "px", "sz")
+    // (sym, n, slope, intercept, corr) — slope is the lambda
+    // --- end ---
+    assert(signed.columns.contains("side") && flow.columns.contains("imbalance"))
+    assert(impact.columns.toSeq === Seq("sym", "n", "slope", "intercept", "corr"))
+
+    // --- docs/API.md: DataQuality — distribution audits ---
+    import graft.operators.DataQuality
+
+    val audit = DataQuality.benford(orders, round(col("o_totalprice") * 100))
+    // 9 rows: (digit, obs, n, exp_micro, dev_micro)
+    val conc = DataQuality.hhi(sup, Seq("r_name"),
+      abs(round(col("s_acctbal") * 100))) // + (n, total, hhi_micro)
+    // --- end ---
+    assert(audit.count() === 9)
+    assert(conc.columns.toSeq === Seq("r_name", "n", "total", "hhi_micro"))
+  }
 }
