@@ -200,4 +200,49 @@ class AnalyticsPlanSpec extends SparkTestBase {
         s"$name contains a single-partition window")
     }
   }
+
+  // -- round-8 fourth-through-tenth-leg plan gates --
+
+  test("indicator/risk/backtest windows are all key-partitioned, no joins") {
+    for ((name, df) <- Seq(
+      "q159" -> graft.queries.SeriesQueries.q159Drawdown(spark, sf),
+      "q161" -> graft.queries.SeriesQueries.q161Bollinger(spark, sf),
+      "q169" -> graft.queries.SeriesQueries.q169HistoricalVar(spark, sf),
+      "q170" -> graft.queries.SeriesQueries.q170Momentum(spark, sf),
+      "q176" -> graft.queries.SeriesQueries.q176FlowImbalance(spark, sf))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("windowspecdefinition(ORDER"),
+        s"$name contains a single-partition window")
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
+  test("q172 join IVM: every join is equi; deltas broadcast at fixture size") {
+    val df = graft.queries.LakeQueries.q172JoinIvm(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("Join"), plan) // the maintained view joins exist
+  }
+
+  test("q174 split adjustment: action fold joins the facts ONCE, no window") {
+    val df = graft.queries.SeriesQueries.q174SplitAdjust(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // exactly one join of facts to the folded per-security action arrays
+    // (plus the rank join building the planted fixture actions)
+    assert(!df.queryExecution.optimizedPlan.toString
+      .contains("windowspecdefinition(ORDER"),
+      "q174 contains a single-partition window")
+  }
+
+  test("q167 perceptual-hash pairs: banded equi-join only (global gate backs this)") {
+    val df = graft.queries.MultimodalQueries.q167ImageDhash(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"hamming join lost its (band, bv) keys:\n$plan")
+  }
 }
