@@ -33,9 +33,11 @@ object MultimodalQueries {
     val seed = col("doc_id") % 83 + (col("doc_id") / 100000000L).cast("long") * 83
     val w = (lit(8) + seed % 9).cast("int")
     val h = (lit(8) + seed % 7).cast("int")
-    val media = Tables.documents(s, dir).select(
-      col("doc_id").as("media_id"),
-      graft.multimodal.Multimodal.syntheticBmpScramble(seed, w, h).as("payload"))
+    // spread BEFORE the Column-byte-math synthesis: a single-file fixture
+    // plans one input split and would serialize the encode onto one core
+    val media = graft.operators.Parallelism.spread(Tables.documents(s, dir))
+      .select(col("doc_id").as("media_id"),
+        graft.multimodal.Multimodal.syntheticBmpScramble(seed, w, h).as("payload"))
     graft.multimodal.ImageHash.nearDuplicates(media, maxDist = 2)
       .select("id_a", "id_b", "h_a", "h_b", "dist")
   }
@@ -75,10 +77,10 @@ object MultimodalQueries {
   def q168AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     // copy-distinct seeds — same rationale as q167
     val seed = col("doc_id") % 89 + (col("doc_id") / 100000000L).cast("long") * 89
-    val media = Tables.documents(s, dir).select(
-      col("doc_id").as("media_id"),
-      graft.multimodal.Multimodal.syntheticWavScramble(seed, lit(1024))
-        .as("payload"))
+    val media = graft.operators.Parallelism.spread(Tables.documents(s, dir))
+      .select(col("doc_id").as("media_id"),
+        graft.multimodal.Multimodal.syntheticWavScramble(seed, lit(1024))
+          .as("payload"))
     graft.multimodal.AudioHash.nearDuplicates(media, maxDist = 2)
       .select("id_a", "id_b", "h_a", "h_b", "dist")
   }

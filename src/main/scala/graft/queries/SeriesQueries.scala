@@ -448,7 +448,83 @@ object SeriesQueries {
       |      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9) AS corr_r
       |FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin
 
+  /** Pairs-trading spread monitor — pure operator COMPOSITION: daily
+    * closes of user pairs (2u, 2u+1) join on day, the spread (may be
+    * negative) runs through the integer-exact [[graft.ticks.Indicators
+    * .bollingerBreach]] band test (n=10, k=1) — entry/exit signals with
+    * zero float drift. Only days BOTH legs traded enter the spread.
+    */
+  def q180PairSpread(s: SparkSession, dir: String): DataFrame = {
+    val px = dailyClose(s, dir)
+    val a = px.filter(col("user_id") % 2 === 0).select(
+      (col("user_id") / 2).cast("long").as("pair"), col("day"),
+      col("cents").as("a_cents"))
+    val b = px.filter(col("user_id") % 2 === 1).select(
+      (col("user_id") / 2).cast("long").as("pair"), col("day"),
+      col("cents").as("b_cents"))
+    val spread = a.join(b, Seq("pair", "day"))
+      .withColumn("spread", col("a_cents") - col("b_cents"))
+    graft.ticks.Indicators.bollingerBreach(
+        spread, "pair", "day", "spread", window = 10, k = 1)
+      .filter(col("breach_up").isNotNull)
+      .select(col("pair"), col("day"), col("spread"),
+        col("breach_up"), col("breach_dn"))
+  }
+
+  val q180Sql: String =
+    s"""WITH px AS ($dailyCloseSql),
+      |a AS (SELECT user_id // 2 AS pair, day, cents AS a_cents FROM px
+      |  WHERE user_id % 2 = 0),
+      |b AS (SELECT user_id // 2 AS pair, day, cents AS b_cents FROM px
+      |  WHERE user_id % 2 = 1),
+      |sp AS (SELECT a.pair, a.day, a_cents - b_cents AS s
+      |  FROM a JOIN b ON a.pair = b.pair AND a.day = b.day),
+      |w AS (SELECT pair, day, s,
+      |    count(*) OVER tw AS n, sum(s) OVER tw AS su,
+      |    sum(s * s) OVER tw AS q
+      |  FROM sp WINDOW tw AS (PARTITION BY pair ORDER BY day
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |SELECT pair, day, CAST(s AS BIGINT) AS spread,
+      |  (n*s - su) > 0 AND (n*s - su)*(n*s - su) > 1*(n*q - su*su)
+      |    AS breach_up,
+      |  (n*s - su) < 0 AND (n*s - su)*(n*s - su) > 1*(n*q - su*su)
+      |    AS breach_dn
+      |FROM w WHERE n = 10""".stripMargin
+
+  /** Weekday-seasonality study: daily P&L deltas pooled by day-of-week —
+    * exact integer moments (n, Σ, Σ²) per weekday plus the one-division
+    * rounded mean; the calendar-effect analysis a returns lake serves.
+    */
+  def q181WeekdayEffect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("user_id")).orderBy(col("day"))
+    val d = dailyClose(s, dir)
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("dow", dayofweek(to_date(col("day"))).cast("int"))
+    d.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("delta")).as("sum_cents"),
+        sum(col("delta") * col("delta")).as("sumsq"))
+      .withColumn("mean_r",
+        round(col("sum_cents").cast("double") / col("n"), 9))
+  }
+
+  val q181Sql: String =
+    s"""WITH px AS ($dailyCloseSql),
+      |d AS (SELECT user_id, day,
+      |    cents - lag(cents) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS delta FROM px),
+      |f AS (SELECT CAST(dayofweek(CAST(day AS DATE)) + 1 AS INT) AS dow,
+      |    delta FROM d WHERE delta IS NOT NULL)
+      |SELECT dow, count(*) AS n,
+      |  CAST(sum(delta) AS BIGINT) AS sum_cents,
+      |  CAST(sum(delta * delta) AS BIGINT) AS sumsq,
+      |  round(CAST(sum(delta) AS DOUBLE) / count(*), 9) AS mean_r
+      |FROM f GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q180_pair_spread" -> (q180PairSpread _),
+    "q181_weekday_effect" -> (q181WeekdayEffect _),
     "q176_flow_imbalance" -> (q176FlowImbalance _),
     "q177_kyle_lambda" -> (q177KyleLambda _),
     "q174_split_adjust" -> (q174SplitAdjust _),
@@ -463,6 +539,8 @@ object SeriesQueries {
     "q162_rsi" -> (q162Rsi _))
 
   val oracleSql: Map[String, String] = Map(
+    "q180_pair_spread" -> q180Sql,
+    "q181_weekday_effect" -> q181Sql,
     "q176_flow_imbalance" -> q176Sql,
     "q177_kyle_lambda" -> q177Sql,
     "q174_split_adjust" -> q174Sql,
