@@ -5,7 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Split-adjusted price history — THE canonical equity-lake transform
   * (every raw price before a 2-for-1 split must be shown halved so the
-  * series is continuous). Adjustment factors are kept as EXACT RATIONALS:
+  * series is continuous). The reference serves exactly this:
+  * CRSP's cumulative price adjustment factor divides every price
+  * (`collection/crsp_ticks.py:137-155`, `openprc / cfacpr`), and the
+  * Alpaca path requests `adjustment: "split"`
+  * (`collection/alpaca_ticks.py:116`). The reference CONSUMES a
+  * precomputed cumulative factor; this operator also DERIVES it from a
+  * raw corporate-actions feed. Adjustment factors are kept as EXACT RATIONALS:
   * for price day d, factor = Π_{actions a: a.day > d} den_a / num_a,
   * with numerator and denominator products carried as separate BIGINTs
   * (split ratios are tiny integers; a century of splits stays far inside

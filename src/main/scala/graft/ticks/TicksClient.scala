@@ -49,6 +49,23 @@ class TicksClient(spark: SparkSession, root: String, master: DataFrame) {
       .orderBy(col("date"))
   }
 
+  /** Split-adjusted daily read — reference parity for
+    * `get_daily(..., adjusted=True)` (crsp_ticks.py:139-155, where
+    * CRSP's cumulative factor divides each price; alpaca_ticks.py:116's
+    * `adjustment: "split"`). Here the cumulative factor is DERIVED from
+    * a raw actions feed `(security_id, date, num, den)` as exact
+    * rationals via [[CorporateActions.adjust]]. Adds
+    * (close_cents, fnum, fden, adj_milli, adj_close).
+    */
+  def getDailyTicksAdjusted(symbol: String, start: String, end: String,
+      actions: DataFrame): DataFrame = {
+    val raw = getDailyTicks(symbol, start, end)
+      .withColumn("close_cents", round(col("close") * 100).cast("long"))
+    CorporateActions
+      .adjust(raw, actions, "security_id", "date", "close_cents")
+      .withColumn("adj_close", col("adj_milli") / 100000.0)
+  }
+
   /** Full-history read (reference get_daily_ticks_history,
     * ticks.py:81-130): all years with optional date bounds. The reference
     * resolves the symbol once, by the end year; routing each day through

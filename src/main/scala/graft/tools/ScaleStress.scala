@@ -118,7 +118,11 @@ object ScaleStress {
     "q169_var_historical", "q170_momentum_backtest",
     "q172_join_ivm", "q173_cdf_join_ivm",
     // ninth leg: split adjustment + NBBO (events consumers)
-    "q174_split_adjust", "q175_nbbo")
+    "q174_split_adjust", "q175_nbbo",
+    // tenth/eleventh legs: microstructure (events), Benford (orders),
+    // HHI (supplier dim — rides verbatim), pair spread + weekday (events)
+    "q176_flow_imbalance", "q177_kyle_lambda", "q178_benford",
+    "q179_hhi", "q180_pair_spread", "q181_weekday_effect")
 
   /** Graph-wave queries need BOTH lineitem keys offset per copy
     * (l_orderkey AND l_partkey) so each copy's co-purchase graph is

@@ -31,6 +31,7 @@ class ApiDocSpec extends SparkTestBase {
   }
 
   test("TicksClient example: getDailyTicks + getMinuteTicks") {
+    val sess = spark; import sess.implicits._
     import graft.ticks.TicksClient
     val root = tmp("ticks")
     // fixture lake: daily bars for sid 7000/7001 across 2024, minute bars
@@ -55,10 +56,25 @@ class ApiDocSpec extends SparkTestBase {
     val dailyBars = client.getDailyTicks("SYM0", "2024-01-02", "2024-03-28")
     // one ET trading day of minute bars (DST-correct; day routed via master)
     val minutes = client.getMinuteTicks("SYM0", "2024-03-10")
+    // split-adjusted reads: factors derived from a raw actions feed
+    val actions = Seq((7000L, "2024-02-01", 2L, 1L))
+      .toDF("security_id", "d", "num", "den")
+      .select(col("security_id"), col("d").cast("date").as("date"),
+        col("num"), col("den"))
+    val adjusted = client.getDailyTicksAdjusted(
+      "SYM0", "2024-01-02", "2024-03-28", actions)
     // --- end ---
 
     assert(dailyBars.count() > 0 && minutes.count() === 60)
     assert(dailyBars.columns.contains("symbol"))
+    val adj = adjusted.select("date", "close_cents", "fden", "adj_milli")
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+    val pre = adj.filter(_._1.toString < "2024-02-01")
+    val post = adj.filter(_._1.toString >= "2024-02-01")
+    assert(pre.nonEmpty && pre.forall(r => r._3 === 2L &&
+      r._4 === math.round(r._2 * 1000.0 / 2)), "pre-split prices halve")
+    assert(post.nonEmpty && post.forall(r => r._3 === 1L &&
+      r._4 === r._2 * 1000), "post-split prices pass through")
   }
 
   test("Lake example: overwrite, read, compact, list") {
