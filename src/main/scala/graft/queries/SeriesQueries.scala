@@ -522,7 +522,78 @@ object SeriesQueries {
       |  round(CAST(sum(delta) AS DOUBLE) / count(*), 9) AS mean_r
       |FROM f GROUP BY 1""".stripMargin
 
+  /** Realized variance + bipower variation ([[graft.ticks.Indicators
+    * .realizedVol]]): per (symbol, day) over intra-day tick deltas —
+    * RV = Σr² (loads on jumps), BV = Σ|rᵢ||rᵢ₋₁| (jump-robust), the
+    * BV/RV micro ratio flags jump days. Exact integer sums, one rounded
+    * division.
+    */
+  def q182RealizedVol(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Indicators.realizedVol(
+      priceSeries(s, dir), "user_id", "ts", "cents",
+      bucket = date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .withColumnRenamed("bucket", "day")
+
+  val q182Sql: String =
+    """WITH px AS (SELECT user_id, ts,
+      |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r0 AS (SELECT user_id, day, ts,
+      |    cents - lag(cents) OVER (PARTITION BY user_id, day ORDER BY ts)
+      |      AS r FROM px),
+      |r AS (SELECT user_id, day, r,
+      |    lag(abs(r)) OVER (PARTITION BY user_id, day ORDER BY ts) AS rp
+      |  FROM r0)
+      |SELECT user_id, day, count(*) AS n_ret,
+      |  CAST(sum(r * r) AS BIGINT) AS rv,
+      |  CAST(sum(CASE WHEN rp IS NOT NULL THEN abs(r) * rp ELSE 0 END)
+      |    AS BIGINT) AS bv,
+      |  CASE WHEN sum(r * r) > 0 THEN CAST(round(
+      |    CAST(sum(CASE WHEN rp IS NOT NULL THEN abs(r) * rp ELSE 0 END)
+      |      AS DOUBLE) / CAST(sum(r * r) AS DOUBLE) * 1e6) AS BIGINT)
+      |  END AS bv_ratio_micro
+      |FROM r WHERE r IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Long–short momentum backtest ([[graft.ticks.Backtest
+    * .longShortTopK]]): top-10 long / bottom-10 short by trailing
+    * 5-day delta per day, next-period spread P&L and the cumulative
+    * curve via the distributed prefix sum (GlobalOrder — never a
+    * single-partition window, even on a day-level relation).
+    */
+  def q183LongShort(s: SparkSession, dir: String): DataFrame =
+    graft.ticks.Backtest.longShortTopK(
+      dailyClose(s, dir), "user_id", "day", "cents", lookback = 5, k = 10)
+      .select(col("day"), col("n_long"), col("n_short"),
+        col("spread_cents"), col("cum_spread_cents"))
+
+  val q183Sql: String =
+    s"""WITH px AS ($dailyCloseSql),
+      |e AS (SELECT user_id, day, cents,
+      |    cents - lag(cents, 5) OVER w AS mom,
+      |    lead(cents, 1) OVER w - cents AS fwd
+      |  FROM px WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |f AS (SELECT * FROM e WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY day ORDER BY mom DESC, user_id)
+      |      AS rt,
+      |    row_number() OVER (PARTITION BY day ORDER BY mom ASC, user_id DESC)
+      |      AS rb
+      |  FROM f),
+      |d AS (SELECT day,
+      |    CAST(sum(CASE WHEN rt <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+      |    CAST(sum(CASE WHEN rb <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |    CAST(sum(CASE WHEN rt <= 10 THEN fwd ELSE 0 END)
+      |      + sum(CASE WHEN rb <= 10 THEN -fwd ELSE 0 END) AS BIGINT)
+      |      AS spread_cents
+      |  FROM r WHERE rt <= 10 OR rb <= 10 GROUP BY 1)
+      |SELECT day, n_long, n_short, spread_cents,
+      |  CAST(sum(spread_cents) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spread_cents
+      |FROM d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q182_realized_vol" -> (q182RealizedVol _),
+    "q183_long_short" -> (q183LongShort _),
     "q180_pair_spread" -> (q180PairSpread _),
     "q181_weekday_effect" -> (q181WeekdayEffect _),
     "q176_flow_imbalance" -> (q176FlowImbalance _),
@@ -539,6 +610,8 @@ object SeriesQueries {
     "q162_rsi" -> (q162Rsi _))
 
   val oracleSql: Map[String, String] = Map(
+    "q182_realized_vol" -> q182Sql,
+    "q183_long_short" -> q183Sql,
     "q180_pair_spread" -> q180Sql,
     "q181_weekday_effect" -> q181Sql,
     "q176_flow_imbalance" -> q176Sql,

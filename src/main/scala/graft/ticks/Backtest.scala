@@ -19,6 +19,40 @@ object Backtest {
     *         a forward period exist. Selection: top `k` by trailing
     *         `lookback`-row delta (ties → lower group id wins).
     */
+  /** Long–short decile-style backtest: long the top `k`, short the
+    * bottom `k` by trailing momentum each day, next-period spread P&L
+    * plus the CUMULATIVE curve — the cumulative prefix sum runs through
+    * [[graft.operators.GlobalOrder.runningSum]] (day-level relation,
+    * but the no-single-partition-window rule is absolute).
+    * Output: (dayCol, n_long, n_short, spread_cents, cum_spread_cents).
+    */
+  def longShortTopK(close: DataFrame, groupCol: String, dayCol: String,
+      centsCol: String, lookback: Int = 5, k: Int = 10): DataFrame = {
+    val wSid = W.partitionBy(col(groupCol)).orderBy(col(dayCol))
+    val enriched = close
+      .withColumn("__mom", col(centsCol) - lag(col(centsCol), lookback).over(wSid))
+      .withColumn("__fwd", lead(col(centsCol), 1).over(wSid) - col(centsCol))
+      .filter(col("__mom").isNotNull && col("__fwd").isNotNull)
+    val wTop = W.partitionBy(col(dayCol))
+      .orderBy(col("__mom").desc, col(groupCol).asc)
+    val wBot = W.partitionBy(col(dayCol))
+      .orderBy(col("__mom").asc, col(groupCol).desc)
+    val daily = enriched
+      .withColumn("__rt", row_number().over(wTop))
+      .withColumn("__rb", row_number().over(wBot))
+      .filter(col("__rt") <= k || col("__rb") <= k)
+      .groupBy(col(dayCol))
+      .agg(
+        sum(when(col("__rt") <= k, 1L).otherwise(0L)).as("n_long"),
+        sum(when(col("__rb") <= k, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("__rt") <= k, col("__fwd")).otherwise(0L)).as("__pl"),
+        sum(when(col("__rb") <= k, -col("__fwd")).otherwise(0L)).as("__ps"))
+      .withColumn("spread_cents", col("__pl") + col("__ps"))
+    graft.operators.GlobalOrder
+      .runningSum(daily, Seq(dayCol), col("spread_cents"), "cum_spread_cents")
+      .drop("__pl", "__ps")
+  }
+
   def momentumTopK(close: DataFrame, groupCol: String, dayCol: String,
       centsCol: String, lookback: Int = 5, k: Int = 10): DataFrame = {
     val wSid = W.partitionBy(col(groupCol)).orderBy(col(dayCol))

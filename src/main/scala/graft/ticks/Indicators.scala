@@ -104,6 +104,32 @@ object Indicators {
       .drop("__dev", "__var")
   }
 
+  /** Realized variance + bipower variation per (group, bucket) — the
+    * jump-detection pair from high-frequency econometrics
+    * (Barndorff-Nielsen & Shephard 2004): RV = Σr² loads on BOTH
+    * diffusion and jumps, BV = Σ|rᵢ||rᵢ₋₁| is jump-robust, so a low
+    * BV/RV ratio flags jump days. Returns are consecutive in-bucket
+    * deltas; all sums exact integers, the ratio is one rounded division.
+    * Output: (groupCol, bucket, n_ret, rv, bv, bv_ratio_micro).
+    */
+  def realizedVol(df: DataFrame, groupCol: String, orderCol: String,
+      centsCol: String, bucket: Column): DataFrame = {
+    val wOrd = W.partitionBy(col(groupCol), bucket).orderBy(col(orderCol))
+    val r = df
+      .withColumn("__r", col(centsCol) - lag(col(centsCol), 1).over(wOrd))
+      .withColumn("__rp", lag(abs(col("__r")), 1).over(wOrd))
+    r.filter(col("__r").isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n_ret"),
+        sum(col("__r") * col("__r")).as("rv"),
+        sum(when(col("__rp").isNotNull, abs(col("__r")) * col("__rp"))
+          .otherwise(0L)).as("bv"))
+      .withColumn("bv_ratio_micro",
+        when(col("rv") > 0,
+          round(col("bv").cast("double") / col("rv") * 1e6).cast("long")))
+  }
+
   /** Cutler's RSI over the trailing `window` price deltas: 100·G/(G+L)
     * with G/L the trailing sums of up/down moves in cents. Null until
     * `window` deltas exist; 100.0 when L = 0 (all gains); one division. */

@@ -708,13 +708,28 @@ class ApiDocSpec extends SparkTestBase {
     val curve = Backtest.momentumTopK(px2, "sid", "day", "cents",
       lookback = 5, k = 10)
     // (day, n_selected, pnl_cents, best_cents, worst_cents)
+    val ls = Backtest.longShortTopK(px2, "sid", "day", "cents",
+      lookback = 5, k = 10)
+    // + (n_long, n_short, spread_cents, cum_spread_cents)
+    // --- end ---
+    val px = graft.queries.Tables.events(spark, dir).select(
+      col("user_id").as("sid"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // --- docs/API.md (cont.) ---
+    import graft.ticks.Indicators
+    val jump = Indicators.realizedVol(px, "sid", "ts", "cents",
+      bucket = date_format(col("ts"), "yyyy-MM-dd"))
+    // + (n_ret, rv, bv, bv_ratio_micro) — low BV/RV flags jump days
     // --- end ---
 
     assert(var95.columns.toSeq ===
       Seq("sid", "n_deltas", "var_cents", "es_sum_cents", "es_n"))
     assert(curve.columns.toSeq ===
       Seq("day", "n_selected", "pnl_cents", "best_cents", "worst_cents"))
-    assert(var95.count() > 0 && curve.count() > 0)
+    assert(ls.columns.contains("cum_spread_cents"))
+    assert(jump.columns.toSeq ===
+      Seq("sid", "bucket", "n_ret", "rv", "bv", "bv_ratio_micro"))
+    assert(var95.count() > 0 && curve.count() > 0 && ls.count() > 0)
   }
 
   test("TextRank example: keywords") {

@@ -52,4 +52,41 @@ class RiskBacktestSpec extends SparkTestBase {
     // top-1 momentum is always security 1 (+50 over 5 days); fwd = +10
     assert(got.forall { case (_, n, pnl) => n === 1L && pnl === 10L })
   }
+
+  test("realizedVol: RV/BV hand math, bucket isolation, ratio null on flat") {
+    val rows = Seq( // one sym, two days; day d1 returns: +3, -1, +2
+      ("a", "d1", 1L, 100L), ("a", "d1", 2L, 103L),
+      ("a", "d1", 3L, 102L), ("a", "d1", 4L, 104L),
+      ("a", "d2", 5L, 104L), ("a", "d2", 6L, 104L)) // flat day: r=0
+      .toDF("sym", "day", "t", "cents")
+    val got = Indicators.realizedVol(rows, "sym", "t", "cents",
+        bucket = col("day"))
+      .select("bucket", "n_ret", "rv", "bv", "bv_ratio_micro")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // d1: rv = 9+1+4 = 14; bv = |−1|·|3| + |2|·|−1| = 3+2 = 5
+    assert(got("d1") === (("d1", 3L, 14L, 5L,
+      Some(math.round(5.0 / 14 * 1e6)))))
+    assert(got("d2") === (("d2", 1L, 0L, 0L, None)), "flat day: RV=0 → null")
+  }
+
+  test("longShortTopK: spread attribution and cumulative curve") {
+    // 4 securities, deterministic trends; k=1 → long best, short worst
+    val rows = for {
+      sid <- Seq(1L, 2L, 3L, 4L); d <- 0 until 8
+    } yield (sid, f"d$d", 100L + (sid match {
+      case 1 => d * 10L   // strongest up
+      case 2 => d * 2L
+      case 3 => -d * 2L
+      case 4 => -d * 10L  // strongest down
+    }))
+    val got = Backtest.longShortTopK(rows.toDF("sid", "day", "cents"),
+        "sid", "day", "cents", lookback = 5, k = 1)
+      .select("day", "n_long", "n_short", "spread_cents", "cum_spread_cents")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // long sid1 (+10 fwd), short sid4 (−(−10) = +10) → +20 per day
+    assert(got.map(_._1).toSeq === Seq("d5", "d6"))
+    assert(got.forall(r => r._2 === 1L && r._3 === 1L && r._4 === 20L))
+    assert(got.map(_._5).toSeq === Seq(20L, 40L), "cumulative prefix sum")
+  }
 }
