@@ -122,7 +122,9 @@ object ScaleStress {
     // tenth/eleventh legs: microstructure (events), Benford (orders),
     // HHI (supplier dim — rides verbatim), pair spread + weekday (events)
     "q176_flow_imbalance", "q177_kyle_lambda", "q178_benford",
-    "q179_hhi", "q180_pair_spread", "q181_weekday_effect")
+    "q179_hhi", "q180_pair_spread", "q181_weekday_effect",
+    // twelfth leg: realized vol + long-short (events consumers)
+    "q182_realized_vol", "q183_long_short")
 
   /** Graph-wave queries need BOTH lineitem keys offset per copy
     * (l_orderkey AND l_partkey) so each copy's co-purchase graph is
