@@ -56,8 +56,16 @@ object DeleteVectors {
       val tmp = s"${dataDir(root, table)}__rewrite"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(dataDir(root, table)), true)
-      fs.rename(new Path(tmp), new Path(dataDir(root, table)))
+      // Crash-safe swap: park the old base aside BEFORE linking the
+      // rewrite in, so at no instant is the table absent without a
+      // recoverable copy — a crash leaves either data (old or new)
+      // plus at most a stale __old/_deletes pair to sweep.
+      val data = new Path(dataDir(root, table))
+      val old = new Path(s"${dataDir(root, table)}__old")
+      fs.delete(old, true) // stale leftover from an earlier crash
+      fs.rename(data, old)
+      fs.rename(new Path(tmp), data)
+      fs.delete(old, true)
       fs.delete(new Path(delDir(root, table)), true)
     }
   }

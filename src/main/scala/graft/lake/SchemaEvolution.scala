@@ -60,6 +60,13 @@ object SchemaEvolution {
     require(batches.nonEmpty, s"no batches under $dir")
     val dfs = batches.map(b =>
       b -> spark.read.parquet(batchDir(root, table, b)))
+    // `_batch` is the provenance column readAll appends — a data column
+    // by that name would silently become ambiguous downstream.
+    dfs.find(_._2.columns.contains("_batch")).foreach { case (b, _) =>
+      throw new IllegalArgumentException(
+        s"batch $b already contains a `_batch` column — rename it; " +
+          "readAll reserves `_batch` for batch provenance")
+    }
     // fold the union schema through the widening lattice
     val target = scala.collection.mutable.LinkedHashMap[String, DataType]()
     dfs.foreach { case (_, df) =>

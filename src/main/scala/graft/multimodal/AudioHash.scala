@@ -19,7 +19,7 @@ object AudioHash {
   val MaxFrames = 64
   val Bits: Int = MaxFrames - 1 // 63 comparison bits, sign-safe
 
-  /** 31-bit energy-contour fingerprint; mono/first-channel samples. */
+  /** 63-bit energy-contour fingerprint; mono/first-channel samples. */
   private[multimodal] def fingerprintOf(clip: WavDecode.Clip): Option[Long] = {
     val n = math.min(clip.nFrames, FrameSize * MaxFrames)
     val frames = n / FrameSize

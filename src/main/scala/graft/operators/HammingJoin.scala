@@ -24,6 +24,12 @@ object HammingJoin {
       s"pigeonhole needs maxDist ($maxDist) < bands ($bands)")
     require(bits > 0 && bits <= 63, "hash must fit a non-negative BIGINT")
     val w = (bits + bands - 1) / bands
+    // Every band must carry ≥1 real bit: a zero-width band (bands over-
+    // partitioning bits, e.g. bits=8 bands=6 → w=2, band 5 empty) has
+    // slice value 0 for EVERY row, silently degenerating that band's
+    // equi-join into an all-pairs product.
+    require((bands - 1) * w < bits,
+      s"bands ($bands) over-partition bits ($bits): band ${bands - 1} would be empty")
     val slices: Seq[Column] = (0 until bands).map { b =>
       val lo = b * w
       val width = math.max(0, math.min(w, bits - lo))

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     one `explode` (no self-join, no shuffle of row pairs): with
   *     partial aggregation the shuffle carries only d² rows per
   *     partition, so the cost is the unavoidable n·d² multiply work,
-  *     perfectly data-parallel. All sums are exact BIGINTs (< 2^53 up
-  *     to ~10⁸ rows at d=64; beyond that swap the sums to
-  *     decimal(38,0) — same plan shape).
+  *     perfectly data-parallel. Sums accumulate as exact BIGINTs (< 2^53
+  *     up to ~10⁸ rows at d=64); the final n·Σxy − Σx·Σy products are
+  *     computed in decimal(38,0) — they grow ~n²·10⁶ and would wrap
+  *     int64 near n≈3e6 rows if multiplied in BIGINT.
   *  2. The d×d matrix is dimension-sized, so power iteration runs on
   *     the driver in exact Long arithmetic: the matrix is first
   *     normalized to ≤10⁶ (one correctly-rounded IEEE division per
@@ -49,11 +50,19 @@ object Pca {
           struct(i.as("i"), j.as("j"), (x * y).as("xy"),
             x.as("xi"), y.as("xj")))))).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xy"), col("p.xi"), col("p.xj"))
+    // The SUMS stay < 2^53 up to ~10⁸ rows, but the PRODUCTS n·Σxy and
+    // Σx·Σy grow ~n²·10⁶ and would silently wrap int64 near n≈3e6 rows —
+    // so the final numerator is computed in decimal(38,0) and only the
+    // (cancellation-shrunk) difference is cast back to BIGINT. The
+    // covariance numerator itself is ~n²·var(x)·10⁶, which stays well
+    // inside int64 for any corpus this quantization is meaningful on.
+    val dec = "decimal(38,0)"
     pairs.groupBy("i", "j")
       .agg(sum("xy").as("sxy"), sum("xi").as("sxi"), sum("xj").as("sxj"),
         count(lit(1)).as("cnt"))
       .select(col("i"), col("j"),
-        (col("cnt") * col("sxy") - col("sxi") * col("sxj")).as("m"))
+        (col("cnt").cast(dec) * col("sxy").cast(dec) -
+          col("sxi").cast(dec) * col("sxj").cast(dec)).cast("long").as("m"))
   }
 
   /** Fixed-round power iteration on the (dimension-sized) exact

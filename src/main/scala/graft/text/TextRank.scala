@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * into the fixed-round micro-quantized [[graft.operators.PageRank]].
   * No new iterative machinery — the graph construction is per-document
   * lead() windows (no self-join), the vocabulary id assignment is the
-  * dimension-sized sorted-distinct idiom, and the ranking rounds are the
-  * already-gated PageRank rounds, so the whole extraction replays as SQL
-  * CTEs.
+  * distributed [[graft.operators.GlobalOrder]] dense rank (the vocabulary
+  * GROWS with corpus diversity, so no single-row array agg and no
+  * mandatory broadcast may sit on that path), and the ranking rounds are
+  * the already-gated PageRank rounds, so the whole extraction replays as
+  * SQL CTEs.
   */
 object TextRank {
 
@@ -23,11 +25,15 @@ object TextRank {
     val toks = docs
       .select(col(idCol).as("doc"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
-    // vocabulary ids: sorted-distinct (dimension-sized; no global window)
-    val vocab = toks.select(col("tok")).distinct()
-      .agg(array_sort(collect_list(col("tok"))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("tid", "tok")))
-      .select((col("tid") + 1).cast("long").as("tid"), col("tok"))
+    // vocabulary ids: distributed dense rank over the distinct tokens —
+    // the two-phase prefix sum, NOT the single-row sorted-array idiom:
+    // vocabulary cardinality grows with corpus diversity, and a
+    // web-scale vocab in one array row is a driver/executor OOM. Values
+    // are identical to the sorted-distinct assignment (1-based rank in
+    // ascending token order).
+    val vocab = graft.operators.GlobalOrder
+      .runningRowNumber(toks.select(col("tok")).distinct(), Seq("tok"), "tid")
+      .select(col("tid"), col("tok"))
     val wDoc = W.partitionBy(col("doc")).orderBy(col("pos"))
     // undirected co-occurrence edges via lead() — no positional self-join
     val pairs = (1 to window).map { o =>
@@ -37,12 +43,15 @@ object TextRank {
     }.reduce(_.unionByName(_))
     val edgesTok = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b")))
+    // no broadcast HINT on the vocab joins: the vocab grows with the
+    // corpus, so the join must be free to shuffle; AQE still broadcasts
+    // it at runtime whenever it is actually small.
     val edges = edgesTok
-      .join(broadcast(vocab.select(col("tok").as("a"), col("tid").as("src"))), "a")
-      .join(broadcast(vocab.select(col("tok").as("b"), col("tid").as("dst"))), "b")
+      .join(vocab.select(col("tok").as("a"), col("tid").as("src")), "a")
+      .join(vocab.select(col("tok").as("b"), col("tid").as("dst")), "b")
       .select("src", "dst")
     graft.operators.PageRank.run(edges, "src", "dst", iters)
-      .join(broadcast(vocab.select(col("tid").as("node"), col("tok"))), "node")
+      .join(vocab.select(col("tid").as("node"), col("tok")), "node")
       .select(col("tok").as("token"), col("rank_micro"))
       .orderBy(col("rank_micro").desc, col("token").asc)
       .limit(topK)

@@ -31,6 +31,24 @@ class TextRankSpec extends SparkTestBase {
     assert(got("a") === got("b"), "symmetric pair, symmetric rank")
   }
 
+  test("vocabulary ids come from the distributed dense rank: no " +
+      "single-row array agg, no unpartitioned window in the plan") {
+    val docs = Seq((1L, "p q r p"), (2L, "q r s t")).toDF("doc_id", "text")
+    val df = TextRank.keywords(docs, "text", "doc_id", topK = 5)
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("collect_list"),
+      "vocab assignment must not funnel the token universe into one array row")
+    val optimized = df.queryExecution.optimizedPlan
+    val badWindows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty, s"unpartitioned window(s): $badWindows")
+    // parity with the sorted-distinct assignment the rank replaced
+    val got = df.as[(String, Long)].collect().map(_._1).toSet
+    assert(got === Set("p", "q", "r", "s", "t"))
+  }
+
   test("determinism: two runs produce identical rows") {
     val docs = Seq((1L, "x y z x y"), (2L, "z z y x w v")).toDF("doc_id", "text")
     val a = TextRank.keywords(docs, "text", "doc_id").as[(String, Long)].collect().toSeq
