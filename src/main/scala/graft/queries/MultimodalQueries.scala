@@ -29,15 +29,9 @@ object MultimodalQueries {
     // repeat the SAME 83 images in every blown-up copy and make the pair
     // relation quadratic in copies (corpus densification, not operator
     // cost); folding the copy index in keeps per-copy structure identical
-    // and cross-copy images disjoint
-    val seed = col("doc_id") % 83 + (col("doc_id") / 100000000L).cast("long") * 83
-    val w = (lit(8) + seed % 9).cast("int")
-    val h = (lit(8) + seed % 7).cast("int")
-    // spread BEFORE the Column-byte-math synthesis: a single-file fixture
-    // plans one input split and would serialize the encode onto one core
-    val media = graft.operators.Parallelism.spread(Tables.documents(s, dir))
-      .select(col("doc_id").as("media_id"),
-        graft.multimodal.Multimodal.syntheticBmpScramble(seed, w, h).as("payload"))
+    // and cross-copy images disjoint. Payload synthesis is cached once
+    // per fixture (MediaFixtures) so the gate times decode+hash+join.
+    val media = MediaFixtures.bmpScramble83(s, dir)
     graft.multimodal.ImageHash.nearDuplicates(media, maxDist = 2)
       .select("id_a", "id_b", "h_a", "h_b", "dist")
   }
@@ -75,12 +69,8 @@ object MultimodalQueries {
     * clips (64 frames of 16), Hamming ≤ 2; 63-bit hash.
     */
   def q168AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
-    // copy-distinct seeds — same rationale as q167
-    val seed = col("doc_id") % 89 + (col("doc_id") / 100000000L).cast("long") * 89
-    val media = graft.operators.Parallelism.spread(Tables.documents(s, dir))
-      .select(col("doc_id").as("media_id"),
-        graft.multimodal.Multimodal.syntheticWavScramble(seed, lit(1024))
-          .as("payload"))
+    // copy-distinct seeds — same rationale as q167; synthesis cached once
+    val media = MediaFixtures.wavScramble89(s, dir)
     graft.multimodal.AudioHash.nearDuplicates(media, maxDist = 2)
       .select("id_a", "id_b", "h_a", "h_b", "dist")
   }
@@ -110,11 +100,74 @@ object MultimodalQueries {
       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin
 
+  /** Video temporal near-dup ([[graft.multimodal.VideoHash]]): %97-seeded
+    * AVI clips (4-5 frames of quadratic-scramble content), where same-seed
+    * clips render the SAME content sequence at different temporal phases
+    * — shifted clones the alignment must recover with the right offset.
+    * Candidates via banded pigeonhole on per-frame dHashes; verification
+    * counts aligned positions within Hamming ≤ 2 at offsets ±2 and keeps
+    * pairs with ≥ 2 matches at the best offset. The oracle is the
+    * brute-force all-pairs × all-offsets ground truth (the q167
+    * discipline), so candidate completeness is proven, not plausible.
+    */
+  def q184VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    // copy-distinct seeds (q167 rationale); phase from the WITHIN-copy id
+    // so each copy carries the same shifted-clone structure; synthesis
+    // cached once per fixture (MediaFixtures)
+    val media = MediaFixtures.aviScramble97(s, dir)
+    graft.multimodal.VideoHash.nearDuplicates(media,
+        maxDist = 2, maxOffset = 2, minMatch = 2)
+      .select("id_a", "id_b", "offset", "matched")
+  }
+
+  val q184Sql: String =
+    """WITH g0 AS (SELECT doc_id,
+      |    doc_id % 97 + (doc_id // 100000000) * 97 AS seed,
+      |    ((doc_id % 100000000) // 97) % 3 AS phase FROM documents),
+      |g AS (SELECT doc_id, seed, phase,
+      |    CAST(8 + seed % 9 AS BIGINT) AS w,
+      |    CAST(8 + seed % 7 AS BIGINT) AS h,
+      |    4 + seed % 2 AS nf FROM g0),
+      |fr AS (SELECT doc_id, seed, phase, w, h,
+      |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f FROM g),
+      |px AS (SELECT doc_id, f, rr.r AS r, cc.c AS c,
+      |    (seed*31 + (f+phase)*(f+phase)*17
+      |      + ((rr.r*h)//8)*((rr.r*h)//8)*7
+      |      + ((cc.c*w)//8)*((cc.c*w)//8)*5
+      |      + ((rr.r*h)//8)*((cc.c*w)//8)*3 + 11) % 256 AS gray
+      |  FROM fr,
+      |    (SELECT unnest(generate_series(0, 7)) AS r) rr,
+      |    (SELECT unnest(generate_series(0, 7)) AS c) cc),
+      |bits AS (SELECT a.doc_id, a.f, a.r, a.c,
+      |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c <= 6),
+      |hs AS (SELECT doc_id, f,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(r*7 + c AS INT)))
+      |      AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2),
+      |al AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, oo.o AS o,
+      |    count(*) AS matched
+      |  FROM hs a
+      |  CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS o) oo
+      |  JOIN hs b ON b.doc_id > a.doc_id AND b.f = a.f + oo.o
+      |    AND bit_count(xor(a.h, b.h)) <= 2
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) >= 2)
+      |SELECT id_a, id_b, CAST(o AS INT) AS offset, matched
+      |FROM (SELECT id_a, id_b, o, matched, row_number() OVER (
+      |    PARTITION BY id_a, id_b ORDER BY matched DESC, o ASC) AS rn
+      |  FROM al)
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q167_image_dhash" -> (q167ImageDhash _),
-    "q168_audio_fingerprint" -> (q168AudioFingerprint _))
+    "q168_audio_fingerprint" -> (q168AudioFingerprint _),
+    "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "q167_image_dhash" -> q167Sql,
-    "q168_audio_fingerprint" -> q168Sql)
+    "q168_audio_fingerprint" -> q168Sql,
+    "q184_video_neardup" -> q184Sql)
 }
