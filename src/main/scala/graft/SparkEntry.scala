@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.SeriesQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.LifecycleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.SeriesQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.LifecycleQueries.oracleSql
 }

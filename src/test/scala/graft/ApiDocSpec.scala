@@ -691,6 +691,22 @@ class ApiDocSpec extends SparkTestBase {
     assert(sndPairs.filter(col("dist") === 0).count() > 0)
     assert(pairs.columns.toSeq ===
       Seq("id_a", "id_b", "h_a", "h_b", "dist"))
+
+    val videos = docs.limit(40).select(col("doc_id").as("media_id"),
+      graft.multimodal.Multimodal.syntheticAviScramble(
+        col("doc_id") % 7, lit(10), lit(9), lit(4),
+        col("doc_id") % 2).as("payload"))
+    // --- docs/API.md: VideoHash temporal near-dup ---
+    import graft.multimodal.VideoHash
+
+    val frames = VideoHash.frameHashes(videos)       // (media_id, f, dhash)
+    val vids = VideoHash.nearDuplicates(videos,
+      maxDist = 2, maxOffset = 2, minMatch = 2)      // (id_a, id_b, offset, matched)
+    // --- end ---
+    assert(frames.columns.toSeq === Seq("media_id", "f", "dhash"))
+    assert(vids.columns.toSeq === Seq("id_a", "id_b", "offset", "matched"))
+    // %7 seed folding plants clones (phase 0 vs 1) → aligned pairs exist
+    assert(vids.count() > 0)
   }
 
   test("Risk / Backtest example: historicalVar + momentumTopK") {
