@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Train-vs-eval decontamination at PROBE cost — the deployment shape of
+  * benchmark hygiene: the eval suite is indexed ONCE (it changes rarely
+  * and is tiny next to the training corpus), and every training batch
+  * probes the stored index. Two channels, the standard pair:
+  *
+  *  - **n-gram**: the eval side's distinct hashed k-shingles
+  *    ([[Dedup.hashedShinglePairs]]); a batch document is flagged on any
+  *    shared shingle (GPT-3/PaLM-style exact-overlap decontamination).
+  *  - **semantic**: the eval side's embeddings, cell-assigned against a
+  *    centroid table ([[Similarity.assignCells]]); a batch vector is
+  *    flagged when a SAME-CELL eval vector reaches cosine `tau`
+  *    (SemDeDup-style, [[SemDedup]]) — catches paraphrases that share no
+  *    n-gram.
+  *
+  * Cost ∝ probe side BY CONSTRUCTION: [[probe]] never receives the eval
+  * corpus — only the persisted index (distinct shingle hashes +
+  * cell-bucketed eval vectors, both eval-suite-sized). Each batch is
+  * shingled/assigned once and equi-joined against the index; the eval
+  * documents are never re-read, re-shingled, or re-embedded. The shingle
+  * set broadcasts (eval suites are MBs); the vector join shuffles on the
+  * cell id with per-cell candidate verification only.
+  */
+object Decontamination {
+
+  private def shinglesDir(root: String) = s"$root/shingles"
+  private def vectorsDir(root: String) = s"$root/vectors"
+  private def centroidsDir(root: String) = s"$root/centroids"
+
+  /** Index the eval suite once: distinct hashed k-shingles, cell-assigned
+    * eval vectors, and the centroid table (persisted so probes replay the
+    * same assignment geometry).
+    */
+  def buildIndex(evalDocs: DataFrame, textCol: String, idCol: String, k: Int,
+      evalEmb: DataFrame, centroids: DataFrame, root: String,
+      embIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Dedup.hashedShinglePairs(evalDocs, textCol, idCol, k)
+      .select(col("sh")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(shinglesDir(root))
+    Similarity.assignCells(evalEmb, centroids, embIdCol, vecCol)
+      .select(col("cell"), col(embIdCol).as("eval_id"),
+        col(vecCol).as("eval_vec"))
+      .write.mode(SaveMode.Overwrite).parquet(vectorsDir(root))
+    centroids.write.mode(SaveMode.Overwrite).parquet(centroidsDir(root))
+  }
+
+  /** Probe one training batch against the stored index. `batchDocs`
+    * carries (idCol, textCol); `batchEmb` carries (embIdCol = same id
+    * space, vecCol). Returns one row per batch document:
+    * (id, n_overlap, ngram_hit, n_sem, sem_hit, contaminated).
+    */
+  def probe(spark: SparkSession, batchDocs: DataFrame, textCol: String,
+      idCol: String, k: Int, batchEmb: DataFrame, root: String,
+      tau: Double, embIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // n-gram channel: batch shingles vs the broadcast eval shingle set
+    val evalShingles = spark.read.parquet(shinglesDir(root))
+    val ngram = Dedup.hashedShinglePairs(batchDocs, textCol, idCol, k)
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+
+    // semantic channel: assign the batch with the STORED centroids, then
+    // same-cell cosine vs the stored eval vectors
+    val cents = spark.read.parquet(centroidsDir(root))
+    val evalVecs = spark.read.parquet(vectorsDir(root))
+    val assigned = Similarity.assignCells(batchEmb, cents, embIdCol, vecCol)
+    val sem = assigned
+      .join(evalVecs, Seq("cell"))
+      .filter(graft.expressions.CosineSimilarity(
+        col(vecCol), col("eval_vec")) >= tau)
+      .groupBy(col(embIdCol).as("id")).agg(count(lit(1)).as("n_sem"))
+
+    batchDocs.select(col(idCol).as("id"))
+      .join(ngram, Seq("id"), "left")
+      .join(sem, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("ngram_hit"),
+        coalesce(col("n_sem"), lit(0L)).as("n_sem"),
+        (coalesce(col("n_sem"), lit(0L)) > 0).cast("int").as("sem_hit"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0 ||
+          coalesce(col("n_sem"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+}

@@ -591,7 +591,134 @@ object CurationQueries {
       |  CAST(sum(cm) AS BIGINT) AS clipped_milli_sum
       |FROM cl GROUP BY 1""".stripMargin
 
+  /** Train-vs-eval decontamination at probe cost
+    * ([[graft.operators.Decontamination]]): the eval suite (every 50th
+    * document + its embedding) is indexed ONCE — distinct 8-shingle
+    * hashes, cell-assigned vectors, centroids — then TWO training batches
+    * probe the stored index; the eval corpus is never re-read. Training
+    * ids ≡ 25 (mod 50) carry a 1.5-scaled clone of eval vector (id−25) —
+    * a "paraphrase" sharing no n-gram, catchable only on the semantic
+    * channel — and ids ≡ 10 (mod 50) append eval doc (id−10)'s text — a
+    * verbatim leak catchable only on the n-gram channel. The plants land
+    * in DIFFERENT probe batches (odd vs even), so each batch exercises a
+    * live channel, and the oracle's ground truth proves neither channel
+    * over- nor under-flags.
+    */
+  def q186ProbeDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q186_idx_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val evalEmb = emb.filter(col("vec_id") % 50 === 0)
+    // q135's deterministic seed rule for the cell geometry
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    graft.operators.Decontamination.buildIndex(
+      evalDocs, "text", "doc_id", k = 8, evalEmb, cents, root)
+
+    // plant n-gram contamination: ids ≡ 10 (mod 50) append the verbatim
+    // eval text (documents are too diverse for natural 8-gram overlap)
+    val evalTexts = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10).as("doc_id"), col("text").as("eval_text"))
+    val trainDocs = docs.filter(col("doc_id") % 50 =!= 0)
+      .join(evalTexts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("eval_text").isNotNull,
+            concat(col("text"), lit(" "), col("eval_text")))
+          .otherwise(col("text")).as("text"))
+    // plant semantic-only contamination: ids ≡ 25 (mod 50) swap in the
+    // scaled eval clone (float-rounded identically by both engines)
+    val clones = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 25).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 1.5).cast("float"))
+          .as("clone_vec"))
+    val trainEmb = emb.filter(col("vec_id") % 50 =!= 0)
+      .join(clones, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("clone_vec"), col("embedding")).as("embedding"))
+
+    // two batches, one index build: probes read ONLY the stored index
+    def batch(parity: Int): DataFrame =
+      graft.operators.Decontamination.probe(s,
+          trainDocs.filter(col("doc_id") % 2 === parity), "text", "doc_id",
+          k = 8, trainEmb.filter(col("vec_id") % 2 === parity), root,
+          tau = 0.9)
+        .withColumn("batch", lit(if (parity == 1) 1 else 2))
+    batch(1).unionByName(batch(0))
+  }
+
+  val q186Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      |clone AS (SELECT vec_id + 25 AS vec_id,
+      |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS cv
+      |  FROM emb WHERE vec_id % 50 = 0),
+      |train_emb AS (
+      |  SELECT e.vec_id, CAST(coalesce(c.cv, e.embedding) AS DOUBLE[]) AS v
+      |  FROM emb e LEFT JOIN clone c USING (vec_id)
+      |  WHERE e.vec_id % 50 <> 0),
+      |eval_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM emb WHERE vec_id % 50 = 0),
+      |cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM emb WHERE vec_id % 100 = 50),
+      |assign_eval AS (SELECT vec_id, v, cell FROM (
+      |    SELECT a.vec_id, a.v, c.cell,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_dot_product(a.v, c.cv) /
+      |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM eval_emb a, cents c) WHERE rn = 1),
+      |assign_train AS (SELECT vec_id, v, cell FROM (
+      |    SELECT a.vec_id, a.v, c.cell,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_dot_product(a.v, c.cv) /
+      |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell ASC) AS rn
+      |    FROM train_emb a, cents c) WHERE rn = 1),
+      |sem AS (SELECT t.vec_id, count(*) AS n_sem
+      |  FROM assign_train t JOIN assign_eval e ON t.cell = e.cell
+      |  WHERE list_dot_product(t.v, e.v) /
+      |      (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(e.v, e.v))) >= 0.9
+      |  GROUP BY 1),
+      |train_docs AS (
+      |  SELECT d.doc_id, CASE WHEN e.etext IS NOT NULL
+      |      THEN d.text || ' ' || e.etext ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN (SELECT doc_id + 10 AS doc_id, text AS etext
+      |      FROM documents WHERE doc_id % 50 = 0) e USING (doc_id)
+      |  WHERE d.doc_id % 50 <> 0),
+      |toks_e AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |toks_t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM train_docs),
+      |sh_e AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+      |    THEN list_distinct(list_transform(generate_series(1, len(t)-7),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+      |    ELSE [array_to_string(t, ' ')] END) AS sgl
+      |  FROM toks_e),
+      |sh_t AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+      |    THEN list_distinct(list_transform(generate_series(1, len(t)-7),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+      |    ELSE [array_to_string(t, ' ')] END) AS sgl
+      |  FROM toks_t),
+      |bench AS (SELECT DISTINCT sgl FROM sh_e),
+      |ng AS (SELECT doc_id, count(*) AS n_overlap
+      |  FROM sh_t JOIN bench USING (sgl) GROUP BY 1)
+      |SELECT d.doc_id AS id,
+      |  coalesce(ng.n_overlap, 0) AS n_overlap,
+      |  CAST(coalesce(ng.n_overlap, 0) > 0 AS INT) AS ngram_hit,
+      |  coalesce(sem.n_sem, 0) AS n_sem,
+      |  CAST(coalesce(sem.n_sem, 0) > 0 AS INT) AS sem_hit,
+      |  CAST(coalesce(ng.n_overlap, 0) > 0 OR coalesce(sem.n_sem, 0) > 0
+      |    AS INT) AS contaminated,
+      |  CAST(CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS batch
+      |FROM documents d
+      |LEFT JOIN ng ON ng.doc_id = d.doc_id
+      |LEFT JOIN sem ON sem.vec_id = d.doc_id
+      |WHERE d.doc_id % 50 <> 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q186_probe_decontamination" -> (q186ProbeDecontamination _),
     "q148_winsorize" -> (q148Winsorize _),
     "q147_weighted_sample" -> (q147WeightedSample _),
     "q146_group_holdout" -> (q146GroupHoldout _),
@@ -608,6 +735,7 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q186_probe_decontamination" -> q186Sql,
     "q148_winsorize" -> q148Sql,
     "q147_weighted_sample" -> q147Sql,
     "q146_group_holdout" -> q146Sql,

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Synthesis seconds are recorded per build and surfaced by
   * [[timingsFor]] so Bench can report them SEPARATELY from query cost.
+  *
+  * The fingerprint covers the SOURCE ids, not the synthesis formula: if
+  * a builder's payload formula changes, BUMP ITS NAME (e.g. append _v2)
+  * or the cache will serve stale payloads and the oracle will mismatch
+  * confusingly.
   */
 object MediaFixtures {
 

@@ -268,6 +268,56 @@ class ApiDocSpec extends SparkTestBase {
     assert(contam.count() > 0)
   }
 
+  test("Decontamination example: buildIndex once, probe batches") {
+    val root = "/tmp/graft_apidoc_decontam"
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+    val evalEmb = emb
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") % 50 === 0)
+    val centroids = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val batchDocs = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") < 100)
+      .select(col("doc_id").as("id"), col("text"))
+    val batchEmb = emb
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 100)
+
+    // --- docs/API.md: Decontamination — train-vs-eval at probe cost ---
+    import graft.operators.Decontamination
+
+    Decontamination.buildIndex(evalDocs, "text", "id", k = 8,
+      evalEmb, centroids, root)                       // once, persisted
+    val verdicts = Decontamination.probe(spark, batchDocs, "text", "id",
+      k = 8, batchEmb, root, tau = 0.9)
+    // (id, n_overlap, ngram_hit, n_sem, sem_hit, contaminated)
+    // --- end ---
+
+    assert(verdicts.columns.toSeq === Seq("id", "n_overlap", "ngram_hit",
+      "n_sem", "sem_hit", "contaminated"))
+    assert(verdicts.count() === batchDocs.count())
+  }
+
+  test("ImportanceResampling example: weights, score, select") {
+    val targetDocs = docs.filter(col("source") === "src0")
+      .select(col("doc_id").as("id"), col("text"))
+    val rawDocs = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("id"), col("text"))
+
+    // --- docs/API.md: Importance resampling — DSIR data selection ---
+    import graft.operators.ImportanceResampling
+
+    val w = ImportanceResampling.weights(targetDocs, rawDocs, "text")
+    val scored = ImportanceResampling.score(rawDocs, "text", "id", w)
+    val kept = ImportanceResampling.select(scored, fraction = 0.2)
+    // (id, n_tokens, score_micro)
+    // --- end ---
+
+    assert(kept.columns.toSeq === Seq("id", "n_tokens", "score_micro"))
+    val n = scored.count()
+    assert(kept.count() === math.ceil(n * 0.2).toLong)
+  }
+
   test("Multimodal example: features, pixel stats, audio, resize") {
     import graft.multimodal.Multimodal
     val media = docs.limit(30).select(
