@@ -717,7 +717,78 @@ object CurationQueries {
       |LEFT JOIN sem ON sem.vec_id = d.doc_id
       |WHERE d.doc_id % 50 <> 0""".stripMargin
 
+  /** STREAMING decontamination — the q186 probe shape as a Structured
+    * Streaming job (foreachBatch): training documents arrive as a file
+    * stream; every micro-batch probes the SAME stored eval index (built
+    * once, before the stream starts) and appends its verdicts to a
+    * parquet sink. Per-document verdicts are batch-independent, so the
+    * sink's content is deterministic whatever the micro-batch boundaries
+    * — the oracle is q186's ground truth minus the batch column. Proves
+    * the index-probe posture composes with the streaming runtime
+    * (checkpointed AvailableNow, I1/I4 machinery).
+    */
+  def q188StreamingDecontam(s: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode)
+    val idxRoot = s"/tmp/graft_q188_idx_$h"
+    val sink = s"/tmp/graft_q188_sink_$h"
+    val ckpt = s"/tmp/graft_q188_ckpt_$h"
+    rm(s, idxRoot, sink, ckpt)
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // eval index: identical parameterization to q186
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    graft.operators.Decontamination.buildIndex(
+      docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", k = 8,
+      emb.filter(col("vec_id") % 50 === 0), cents, idxRoot)
+    // train side with q186's plants (text leak at ≡10, vector clone at ≡25)
+    val evalTexts = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10).as("doc_id"), col("text").as("eval_text"))
+    val trainDocs = docs.filter(col("doc_id") % 50 =!= 0)
+      .join(evalTexts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("eval_text").isNotNull,
+            concat(col("text"), lit(" "), col("eval_text")))
+          .otherwise(col("text")).as("text"))
+    val clones = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 25).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 1.5).cast("float"))
+          .as("clone_vec"))
+    val trainEmb = emb.filter(col("vec_id") % 50 =!= 0)
+      .join(clones, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("clone_vec"), col("embedding")).as("embedding"))
+    val src = stageOnce(trainDocs, "q188train", dir)
+    val stream = graft.streaming.Incremental.fileStream(s, src,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    graft.streaming.Incremental.runForeachBatchToParquet(stream, sink, ckpt,
+      (batch, _) => graft.operators.Decontamination.probe(
+        batch.sparkSession, batch, "text", "doc_id", k = 8,
+        trainEmb.join(batch.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        idxRoot, tau = 0.9))
+    s.read.parquet(sink)
+  }
+
+  /** q186's oracle without the batch column (the stream's union of
+    * per-batch verdicts is batch-boundary-independent). */
+  val q188Sql: String = {
+    val base = q186Sql
+    base.replace(
+      """|  CAST(coalesce(ng.n_overlap, 0) > 0 OR coalesce(sem.n_sem, 0) > 0
+      |    AS INT) AS contaminated,
+      |  CAST(CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS batch""".stripMargin,
+      """|  CAST(coalesce(ng.n_overlap, 0) > 0 OR coalesce(sem.n_sem, 0) > 0
+      |    AS INT) AS contaminated""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_streaming_decontam" -> (q188StreamingDecontam _),
     "q186_probe_decontamination" -> (q186ProbeDecontamination _),
     "q148_winsorize" -> (q148Winsorize _),
     "q147_weighted_sample" -> (q147WeightedSample _),
@@ -735,6 +806,7 @@ object CurationQueries {
     "q139_pagerank" -> (q139PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q188_streaming_decontam" -> q188Sql,
     "q186_probe_decontamination" -> q186Sql,
     "q148_winsorize" -> q148Sql,
     "q147_weighted_sample" -> q147Sql,

@@ -187,6 +187,28 @@ object Incremental {
     q
   }
 
+  /** foreachBatch runner (AvailableNow): every micro-batch is transformed
+    * by `fn` (an arbitrary batch-DataFrame computation — index probes,
+    * enrichment joins, MERGE-style writes) and appended to a parquet
+    * sink. This is the streaming shape of the index-probe operators: the
+    * stored index is read per batch, the stream side only ever carries
+    * the new files. With a persistent checkpoint each invocation
+    * processes only files that arrived since the last run.
+    */
+  def runForeachBatchToParquet(stream: DataFrame, sinkPath: String,
+      checkpointPath: String,
+      fn: (DataFrame, Long) => DataFrame): StreamingQuery = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fn(batch.toDF(), id).write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** [[runAvailableNow]] with a scoped state-store width.
     *
     * `statePartitions` = number of state-store partitions for the query's

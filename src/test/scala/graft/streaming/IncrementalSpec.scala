@@ -231,4 +231,28 @@ class IncrementalSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 3.0)))
   }
+
+  test("runForeachBatchToParquet: fn applied per batch, sink is the union; " +
+      "checkpointed re-run processes only new files") {
+    import org.apache.spark.sql.types._
+    val d = "/tmp/graft_inc_feb_src"
+    val sink = "/tmp/graft_inc_feb_sink"
+    val ckpt = "/tmp/graft_inc_feb_ckpt"
+    Seq(d, sink, ckpt).foreach(p =>
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def stream = Incremental.fileStream(spark, d, schema)
+    Seq(1L, 2L).toDF("id").write.mode("overwrite").parquet(d)
+    Incremental.runForeachBatchToParquet(stream, sink, ckpt,
+      (b, _) => b.withColumn("doubled", $"id" * 2))
+    assert(spark.read.parquet(sink).as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (2L, 4L)))
+    // second run with the SAME checkpoint: only the new file is processed
+    Seq(3L).toDF("id").write.mode("append").parquet(d)
+    Incremental.runForeachBatchToParquet(stream, sink, ckpt,
+      (b, _) => b.withColumn("doubled", $"id" * 2))
+    assert(spark.read.parquet(sink).count() === 3,
+      "re-run must append only the new file's rows (no reprocessing)")
+  }
 }
