@@ -236,17 +236,21 @@ object Multimodal {
   }
 
   /** [[syntheticBmpPattern]]'s high-entropy sibling for perceptual-hash
-    * gates: pixel `(id*31 + r²·7 + c²·5 + r·c·3 + ch·11) % 256`. The
-    * linear pattern produces monotone gradients whose dHash is
-    * near-constant across ids (a degenerate near-dup corpus); the
-    * quadratic terms spread the comparison bits ~Bernoulli(½) so only
-    * planted clones are close. Same container, same oracle discipline.
+    * gates: pixel channel `ch` of (id, r, c) is hex byte `ch` of
+    * `md5(id_r_c)` — cryptographic mixing, replayed verbatim by the
+    * oracle (`('0x' || substr(md5(...), 2ch+1, 2))::INT`). The earlier
+    * quadratic polynomial left the dHash comparison bits correlated
+    * across ids (the additive id term mostly cancels between adjacent
+    * columns), concentrating 56-bit hashes onto a few hundred values —
+    * under a corpus blowup DIFFERENT content then collided at Hamming
+    * ≤ 2 and the pair relation densified quadratically in copies
+    * (measured ×20 at x10). md5 pixels give distinct ids ~random
+    * hashes, so only planted clones are close at any scale. Same
+    * container, same oracle discipline.
     */
   def syntheticBmpScramble(id: Column, width: Column, height: Column): Column = {
-    def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
     def sample(r: Column, c: Column, ch: Int): Column =
-      hexByte(pmod(id * 31 + r * r * 7 + c * c * 5 + r * c * 3 + lit(ch) * 11,
-        lit(256)))
+      substring(md5(concat_ws("_", id, r, c)), 2 * ch + 1, 2)
     val stride = floor((width * 3 + lit(3)) / lit(4)).cast("int") * 4
     val padHex = repeat(lit("00"), (stride - width * 3).cast("int"))
     val rowHex = (r: Column) => concat(
@@ -288,16 +292,22 @@ object Multimodal {
   }
 
   /** [[syntheticWavPattern]]'s high-entropy sibling for fingerprint
-    * gates: `s(i) = ((id*37 + (i+id)²·13 + i·29) % 2048) − 1024`. The
+    * gates: `s(i) = (md5_12bits(id_i) % 2048) − 1024` — the first three
+    * md5 hex digits of `id_i`, replayed verbatim by the oracle. (The
     * linear pattern's per-frame energies are phase shifts of one
-    * sequence, so energy-contour fingerprints cluster across ids; the
-    * id-dependent quadratic phase decorrelates frames and only planted
-    * clones stay Hamming-close.
+    * sequence; a polynomial phase still left cross-id contours
+    * correlated under blowup — see the body comment.)
     */
   def syntheticWavScramble(id: Column, nSamples: Column,
       sampleRate: Int = 8000): Column = {
+    // md5-mixed samples (see syntheticBmpScramble): the earlier
+    // id-dependent quadratic phase still left cross-id energy contours
+    // correlated enough that 63-bit fingerprints collided under a x100
+    // blowup (measured 4.5x pair densification); md5 gives distinct ids
+    // ~iid samples, so only planted clones stay Hamming-close
     val sample = (i: Column) =>
-      pmod(id * 37 + (i + id) * (i + id) * 13 + i * 29, lit(2048)) - lit(1024)
+      pmod(conv(substring(md5(concat_ws("_", id, i)), 1, 3), 16, 10)
+        .cast("long"), lit(2048)) - lit(1024)
     val dataHex = array_join(
       transform(sequence(lit(0), nSamples - 1),
         i => leHex(pmod(sample(i), lit(65536)), 2)), "")
@@ -435,23 +445,20 @@ object Multimodal {
   }
 
   /** [[syntheticAviPattern]]'s high-entropy sibling for perceptual-hash
-    * gates: pixel `(id*31 + (f+phase)²·17 + r²·7 + c²·5 + r·c·3 + ch·11)
-    * % 256`. The quadratic terms spread per-frame dHash bits
-    * ~Bernoulli(½) (the linear pattern's gradients give near-constant
-    * hashes across ids — a degenerate near-dup corpus), and the `phase`
-    * offset shifts WHICH content frame appears at each position, so two
-    * clips sharing `id` at different phases are temporally shifted clones
-    * — the exact shape a video temporal-alignment dedup must recover.
+    * gates: frame `f` renders content frame `ff = f + phase`, and pixel
+    * channel `ch` of (id, ff, r, c) is hex byte `ch` of
+    * `md5(id_ff_r_c)` — cryptographic mixing (see
+    * [[syntheticBmpScramble]] for why polynomial pixels concentrate the
+    * dHash space and densify blowups). The `phase` offset shifts WHICH
+    * content frame appears at each position, so two clips sharing `id`
+    * at different phases are temporally shifted clones — the exact shape
+    * a video temporal-alignment dedup must recover.
     */
   def syntheticAviScramble(id: Column, width: Column, height: Column,
-      nFrames: Column, phase: Column): Column = {
-    def hexByte(v: Column): Column = lpad(hex(v), 2, "0")
+      nFrames: Column, phase: Column): Column =
     aviFromSample(width, height, nFrames) { (f, r, c, ch) =>
-      val ff = f + phase
-      hexByte(pmod(id * 31 + ff * ff * 17 + r * r * 7 + c * c * 5 +
-        r * c * 3 + lit(ch) * 11, lit(256)))
+      substring(md5(concat_ws("_", id, f + phase, r, c)), 2 * ch + 1, 2)
     }
-  }
 
   /** Shared AVI/RIFF container assembly: `sample(f, r, c, ch)` returns the
     * hex-encoded byte for the given frame/row/col/channel. */

@@ -62,23 +62,23 @@ object VideoHash {
     // verify — materialize once so the decode runs once
     val fh = graft.operators.Materialize.once(frameHashes(media))
 
-    // banded candidate generation at frame granularity, deduped to video
-    // pairs (same pigeonhole as HammingJoin, but the pair key is the
-    // VIDEO id, not the frame)
-    val w = (bits + bands - 1) / bands
-    val slices = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("dhash"), b * w)
-          .bitwiseAND(lit((1L << math.min(w, bits - b * w)) - 1)).as("bv"))
-    }
-    val banded = fh
-      .select(col("media_id"), col("dhash"), explode(array(slices: _*)).as("bb"))
-      .select(col("media_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val cand = banded.select(col("media_id").as("id_a"), col("band"), col("bv"))
-      .join(banded.select(col("media_id").as("id_b"), col("band"), col("bv")),
-        Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // candidate generation at DISTINCT-HASH granularity (see HammingJoin's
+    // scaladoc): clone-dense corpora put hundreds of identical frames in
+    // one bucket, and frame-level banding would pay Σ C(bucket, 2)
+    // quadratically in clone density; at value granularity the banded
+    // join touches |distinct frame hashes| rows and the expansion back to
+    // video pairs is output-sized
+    val vp = graft.operators.HammingJoin.valuePairs(
+      fh.select(col("dhash").as("h")), bits, bands, maxDist)
+    val byHash = fh.select(col("dhash"), col("media_id")).distinct()
+    val cand = vp
+      .join(byHash.select(col("dhash").as("h_a"), col("media_id").as("va")),
+        Seq("h_a"))
+      .join(byHash.select(col("dhash").as("h_b"), col("media_id").as("vb")),
+        Seq("h_b"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"))
       .distinct()
 
     // alignment verify on candidates only: constant offset explode, equi

@@ -68,9 +68,9 @@ object MediaFixtures {
     * times the operators, not the scaffolding.
     */
   val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bmp_scramble_83" -> (bmpScramble83 _),
-    "wav_scramble_89" -> (wavScramble89 _),
-    "avi_scramble_97" -> (aviScramble97 _),
+    "bmp_scramble_83_v2" -> (bmpScramble83 _),
+    "wav_scramble_89_v2" -> (wavScramble89 _),
+    "avi_scramble_97_v2" -> (aviScramble97 _),
     "jpeg_pattern_5" -> (jpegPattern5 _))
 
   /** Synthesis seconds recorded for each already-built fixture of `dir`. */
@@ -93,7 +93,7 @@ object MediaFixtures {
   /** q167's %83-seeded scramble BMPs (copy-distinct seeds — see the q167
     * scaladoc for the blowup rationale). */
   def bmpScramble83(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "bmp_scramble_83") {
+    cached(s, dir, "bmp_scramble_83_v2") {
       val seed = col("doc_id") % 83 + (col("doc_id") / 100000000L).cast("long") * 83
       val w = (lit(8) + seed % 9).cast("int")
       val h = (lit(8) + seed % 7).cast("int")
@@ -107,7 +107,7 @@ object MediaFixtures {
 
   /** q168's %89-seeded scramble WAVs (1024 16-bit PCM samples). */
   def wavScramble89(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "wav_scramble_89") {
+    cached(s, dir, "wav_scramble_89_v2") {
       val seed = col("doc_id") % 89 + (col("doc_id") / 100000000L).cast("long") * 89
       graft.operators.Parallelism.spread(Tables.documents(s, dir))
         .select(col("doc_id").as("media_id"),
@@ -118,7 +118,7 @@ object MediaFixtures {
   /** q184's %97-seeded scramble AVIs: same-seed clips render the same
     * content sequence at phases 0-2 — temporally shifted clones. */
   def aviScramble97(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "avi_scramble_97") {
+    cached(s, dir, "avi_scramble_97_v2") {
       val seed = col("doc_id") % 97 + (col("doc_id") / 100000000L).cast("long") * 97
       val phase = ((col("doc_id") % 100000000L) / 97).cast("long") % 3
       val w = (lit(8) + seed % 9).cast("int")

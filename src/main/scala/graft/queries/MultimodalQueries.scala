@@ -44,9 +44,8 @@ object MultimodalQueries {
       |    CAST(8 + seed % 7 AS BIGINT) AS h
       |  FROM g0),
       |px AS (SELECT doc_id, rr.r AS r, cc.c AS c,
-      |    (seed*31 + ((rr.r*h)//8)*((rr.r*h)//8)*7
-      |      + ((cc.c*w)//8)*((cc.c*w)//8)*5
-      |      + ((rr.r*h)//8)*((cc.c*w)//8)*3 + 11) % 256 AS gray
+      |    ('0x' || substr(md5(concat_ws('_', seed,
+      |      (rr.r*h)//8, (cc.c*w)//8)), 3, 2))::INT AS gray
       |  FROM g,
       |    (SELECT unnest(generate_series(0, 7)) AS r) rr,
       |    (SELECT unnest(generate_series(0, 7)) AS c) cc),
@@ -77,7 +76,8 @@ object MultimodalQueries {
 
   val q168Sql: String =
     """WITH sam AS (SELECT seed, i,
-      |    ((seed*37 + (i+seed)*(i+seed)*13 + i*29) % 2048) - 1024 AS s
+      |    (('0x' || substr(md5(concat_ws('_', seed, i)), 1, 3))::INT
+      |      % 2048) - 1024 AS s
       |  FROM (SELECT DISTINCT doc_id % 89 + (doc_id // 100000000) * 89 AS seed
       |      FROM documents),
       |    (SELECT unnest(generate_series(0, 1023)) AS i) ii),
@@ -101,7 +101,7 @@ object MultimodalQueries {
       |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin
 
   /** Video temporal near-dup ([[graft.multimodal.VideoHash]]): %97-seeded
-    * AVI clips (4-5 frames of quadratic-scramble content), where same-seed
+    * AVI clips (4-5 frames of md5-scramble content), where same-seed
     * clips render the SAME content sequence at different temporal phases
     * — shifted clones the alignment must recover with the right offset.
     * Candidates via banded pigeonhole on per-frame dHashes; verification
@@ -131,10 +131,8 @@ object MultimodalQueries {
       |fr AS (SELECT doc_id, seed, phase, w, h,
       |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f FROM g),
       |px AS (SELECT doc_id, f, rr.r AS r, cc.c AS c,
-      |    (seed*31 + (f+phase)*(f+phase)*17
-      |      + ((rr.r*h)//8)*((rr.r*h)//8)*7
-      |      + ((cc.c*w)//8)*((cc.c*w)//8)*5
-      |      + ((rr.r*h)//8)*((cc.c*w)//8)*3 + 11) % 256 AS gray
+      |    ('0x' || substr(md5(concat_ws('_', seed, f + phase,
+      |      (rr.r*h)//8, (cc.c*w)//8)), 3, 2))::INT AS gray
       |  FROM fr,
       |    (SELECT unnest(generate_series(0, 7)) AS r) rr,
       |    (SELECT unnest(generate_series(0, 7)) AS c) cc),
