@@ -159,12 +159,55 @@ object MultimodalQueries {
       |  FROM al)
       |WHERE rn = 1""".stripMargin
 
+  /** The media-dedup DECISION step: q184's temporally aligned near-dup
+    * pairs become an undirected graph; every clip maps to the min id
+    * reachable through near-dup links ([[graft.operators.Dedup.clusters]]
+    * min-label propagation), and exactly one representative per cluster
+    * is kept. Same-seed clips at all three phases collapse into ONE
+    * cluster (phase 0↔1 and 1↔2 overlap even where 0↔2 does not — the
+    * transitive closure is doing real work). The oracle replays the
+    * full chain: frame hashes → alignment pairs → recursive-CTE closure
+    * → min label → keep verdict.
+    */
+  def q189VideoClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q184VideoNearDup(s, dir).select("id_a", "id_b")
+    val labs = graft.operators.Dedup.clusters(pairs)
+    labs.select(col("id").as("media_id"), col("cluster"),
+        count(lit(1)).over(Window.partitionBy(col("cluster")))
+          .as("cluster_size"),
+        (col("id") === col("cluster")).cast("int").as("kept"))
+  }
+
+  /** q184's pair derivation + recursive transitive closure + keep rule. */
+  val q189Sql: String = {
+    val base = q184Sql
+      .replace("WITH g0 AS", "WITH RECURSIVE g0 AS")
+    val cut = base.indexOf("SELECT id_a, id_b, CAST(o AS INT) AS offset")
+    require(cut > 0, "q184Sql shape changed; update q189Sql surgery")
+    base.substring(0, cut) +
+      """, p AS (SELECT DISTINCT id_a, id_b FROM al),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT id AS media_id, cluster,
+        |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+        |  CAST(id = cluster AS INT) AS kept
+        |FROM lab""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q189_video_clusters" -> (q189VideoClusters _),
     "q167_image_dhash" -> (q167ImageDhash _),
     "q168_audio_fingerprint" -> (q168AudioFingerprint _),
     "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q189_video_clusters" -> q189Sql,
     "q167_image_dhash" -> q167Sql,
     "q168_audio_fingerprint" -> q168Sql,
     "q184_video_neardup" -> q184Sql)

@@ -124,7 +124,11 @@ object ScaleStress {
     "q176_flow_imbalance", "q177_kyle_lambda", "q178_benford",
     "q179_hhi", "q180_pair_spread", "q181_weekday_effect",
     // twelfth leg: realized vol + long-short (events consumers)
-    "q182_realized_vol", "q183_long_short")
+    "q182_realized_vol", "q183_long_short",
+    // round 9: composed lifecycle (orders/customer; supplier rides
+    // verbatim). Lake partitions (sid, year) FATTEN with the corpus —
+    // the honest scale shape for a partition-overwrite pipeline.
+    "q185_daily_lifecycle")
 
   /** Graph-wave queries need BOTH lineitem keys offset per copy
     * (l_orderkey AND l_partkey) so each copy's co-purchase graph is
