@@ -245,4 +245,38 @@ class AnalyticsPlanSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoop"),
       s"hamming join lost its (band, bv) keys:\n$plan")
   }
+
+  // -- round-9 additions --
+
+  test("q184 video near-dup: all equi joins, no nested loop, no fact window") {
+    val df = graft.queries.MultimodalQueries.q184VideoNearDup(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"candidate/alignment joins lost their keys:\n$plan")
+    // the best-offset pick is a groupBy max(struct), never a window
+    assert(!plan.contains("Window ["), s"best-offset fell back to a window:\n$plan")
+  }
+
+  test("q186 probe: eval shingle set joins as a BROADCAST; no nested loop") {
+    val df = graft.queries.CurationQueries.q186ProbeDecontamination(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast (it is eval-suite-sized):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop allowed is assignCells' broadcast-DIM centroid
+    // crossJoin (the audited pattern); anything non-broadcast is a bug
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildLeft") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+  }
+
+  test("q187 DSIR: token joins are equi; selection is a bounded TakeOrdered, not a sort") {
+    val df = graft.queries.TrainingQueries.queries("q187_dsir_select")(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the broadcast one-row totals crossJoin
+    // (broadcast-scalar — the audited pattern)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-fraction cut must run on the bounded heap:\n$plan")
+  }
 }
