@@ -200,13 +200,78 @@ object MultimodalQueries {
         |FROM lab""".stripMargin
   }
 
+  /** The END-TO-END media curation pipeline in one DAG — the q109 shape
+    * for images: real pixel decode → channel-quality gate (green mean ≥
+    * 127.5, an exact-integer-sum division both engines compute
+    * identically) → perceptual near-dup clustering (q167 pairs →
+    * min-label closure) → keep = passes quality AND is its cluster's
+    * canonical. Every stage is an already-gated operator; the
+    * COMPOSITION is what this gate pins, with both verdict bits live by
+    * construction (md5 pixels put the mean astride 127.5; %83 clones
+    * guarantee non-trivial clusters).
+    */
+  def q190MediaCuration(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaFixtures.bmpScramble83(s, dir)
+    val stats = graft.multimodal.Multimodal.pixelStats(media)
+      .select(col("media_id"), col("width"), col("height"), col("g_mean"))
+    val pairs = graft.multimodal.ImageHash.nearDuplicates(media, maxDist = 2)
+      .select("id_a", "id_b")
+    val labs = graft.operators.Dedup.clusters(pairs)
+      .select(col("id"), col("cluster"))
+    val qPass = col("g_mean") >= 127.5
+    stats.join(labs, stats("media_id") === labs("id"), "left")
+      .select(col("media_id"), col("width"), col("height"), col("g_mean"),
+        coalesce(col("cluster"), col("media_id")).as("canonical"),
+        qPass.cast("int").as("q_pass"),
+        (qPass && coalesce(col("cluster"), col("media_id")) === col("media_id"))
+          .cast("int").as("kept"))
+  }
+
+  /** q167's hash CTEs → pairs → recursive closure, plus a full-resolution
+    * green-channel mean replay, composed into the keep verdict. */
+  val q190Sql: String = {
+    val base = q167Sql.replace("WITH g0 AS", "WITH RECURSIVE g0 AS")
+    val cut = base.indexOf("SELECT a.doc_id AS id_a")
+    require(cut > 0, "q167Sql shape changed; update q190Sql surgery")
+    base.substring(0, cut) +
+      """, p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |fpx AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS r FROM g),
+        |fpx2 AS (SELECT doc_id, w, h, r,
+        |    unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS c FROM fpx),
+        |gg AS (SELECT f2.doc_id, f2.w, f2.h,
+        |    ('0x' || substr(md5(concat_ws('_', g0.seed, f2.r, f2.c)), 3, 2))::INT
+        |      AS gv
+        |  FROM fpx2 f2 JOIN g0 ON f2.doc_id = g0.doc_id),
+        |means AS (SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |    CAST(sum(gv) AS BIGINT) * 1.0 / (w * h) AS g_mean
+        |  FROM gg GROUP BY doc_id, w, h)
+        |SELECT m.doc_id AS media_id, m.width, m.height, m.g_mean,
+        |  coalesce(l.cluster, m.doc_id) AS canonical,
+        |  CAST(m.g_mean >= 127.5 AS INT) AS q_pass,
+        |  CAST(m.g_mean >= 127.5
+        |    AND coalesce(l.cluster, m.doc_id) = m.doc_id AS INT) AS kept
+        |FROM means m LEFT JOIN lab l ON l.id = m.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_media_curation" -> (q190MediaCuration _),
     "q189_video_clusters" -> (q189VideoClusters _),
     "q167_image_dhash" -> (q167ImageDhash _),
     "q168_audio_fingerprint" -> (q168AudioFingerprint _),
     "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q190_media_curation" -> q190Sql,
     "q189_video_clusters" -> q189Sql,
     "q167_image_dhash" -> q167Sql,
     "q168_audio_fingerprint" -> q168Sql,
