@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Perceptual image hashing (dHash) for image-level dedup — the
@@ -65,4 +65,39 @@ object ImageHash {
   def nearDuplicates(media: DataFrame, maxDist: Int = 2): DataFrame =
     graft.operators.HammingJoin.selfPairs(
       dhash(media), "media_id", "dhash", bits = Bits, bands = 4, maxDist = maxDist)
+
+  /** Incremental near-dup: probe a NEW batch against a STORED hash index
+    * (the [[dhash]] output persisted by the caller — the q93
+    * bandIndex/probeIndex posture for media). Only the batch is decoded
+    * and hashed; the index side contributes its (media_id, dhash) rows
+    * — value-sized, never the raw media. Candidates come from the
+    * distinct-hash banding over the UNION hash set (index-internal pairs
+    * are excluded), so probe cost is ∝ batch plus the true
+    * batch-touching pair relation.
+    *
+    * @return (id_a, id_b, h_a, h_b, dist) with id_a < id_b and at least
+    *         one side in the new batch — exactly [[nearDuplicates]] over
+    *         the union corpus minus index-internal pairs.
+    */
+  def probeNearDuplicates(newMedia: DataFrame, index: DataFrame,
+      maxDist: Int = 2): DataFrame = {
+    val bh = dhash(newMedia).withColumn("__new", lit(1))
+    val all = bh.unionByName(
+      index.select(col("media_id"), col("dhash")).withColumn("__new", lit(0)))
+    val vp = graft.operators.HammingJoin.valuePairs(
+      all.select(col("dhash").as("h")), bits = Bits, bands = 4, maxDist)
+    val a = all.select(col("media_id").as("__ia"), col("dhash").as("h_a"),
+      col("__new").as("__na"))
+    val b = all.select(col("media_id").as("__ib"), col("dhash").as("h_b"),
+      col("__new").as("__nb"))
+    vp.join(a, Seq("h_a")).join(b, Seq("h_b"))
+      .filter(col("__na") + col("__nb") >= 1)
+      .filter((col("h_a") < col("h_b") && col("__ia") =!= col("__ib")) ||
+        (col("h_a") === col("h_b") && col("__ia") < col("__ib")))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(col("__ia") < col("__ib"), col("h_a")).otherwise(col("h_b")).as("h_a"),
+        when(col("__ia") < col("__ib"), col("h_b")).otherwise(col("h_a")).as("h_b"),
+        col("dist"))
+  }
 }

@@ -263,7 +263,39 @@ object MultimodalQueries {
         |FROM means m LEFT JOIN lab l ON l.id = m.doc_id""".stripMargin
   }
 
+  /** Incremental media dedup at probe cost (the q93 index/probe posture
+    * for images): 80% of the corpus is hashed ONCE into a persisted
+    * (media_id, dhash) index; the daily batch (doc_id ≡ 0 mod 5) is then
+    * the only side decoded — probe candidates come from distinct-hash
+    * banding over the union hash set, index-internal pairs excluded. The
+    * oracle is the brute-force ground truth restricted to batch-touching
+    * pairs, so probe completeness is proven.
+    */
+  def q191MediaIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = s"/tmp/graft_q191_idx_${math.abs(dir.hashCode)}"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+    val media = MediaFixtures.bmpScramble83(s, dir)
+    // index build: one decode+hash pass over the corpus side, persisted
+    graft.multimodal.ImageHash.dhash(media.filter(col("media_id") % 5 =!= 0))
+      .write.parquet(idxPath)
+    // probe: only the batch is decoded; the index is read back value-sized
+    graft.multimodal.ImageHash.probeNearDuplicates(
+        media.filter(col("media_id") % 5 === 0),
+        s.read.parquet(idxPath), maxDist = 2)
+      .select("id_a", "id_b", "h_a", "h_b", "dist")
+  }
+
+  /** q167's ground truth restricted to pairs touching the probe batch. */
+  val q191Sql: String =
+    q167Sql.replace(
+      "WHERE bit_count(xor(a.h, b.h)) <= 2",
+      "WHERE bit_count(xor(a.h, b.h)) <= 2\n" +
+        "  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)")
+
   val queries: Map[String, Q] = Map(
+    "q191_media_index_probe" -> (q191MediaIndexProbe _),
     "q190_media_curation" -> (q190MediaCuration _),
     "q189_video_clusters" -> (q189VideoClusters _),
     "q167_image_dhash" -> (q167ImageDhash _),
@@ -271,6 +303,7 @@ object MultimodalQueries {
     "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q191_media_index_probe" -> q191Sql,
     "q190_media_curation" -> q190Sql,
     "q189_video_clusters" -> q189Sql,
     "q167_image_dhash" -> q167Sql,

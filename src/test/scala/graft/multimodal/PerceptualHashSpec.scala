@@ -85,4 +85,20 @@ class PerceptualHashSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("probeNearDuplicates == nearDuplicates restricted to batch-touching pairs") {
+    val corpus = bmpMedia((1L to 60L).map(i => (i, i % 9)))
+    val batchIds = (1L to 60L).filter(_ % 3 == 0).toSet
+    val index = ImageHash.dhash(corpus.filter(!col("media_id").isin(batchIds.toSeq: _*)))
+    val got = ImageHash.probeNearDuplicates(
+        corpus.filter(col("media_id").isin(batchIds.toSeq: _*)), index)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val want = ImageHash.nearDuplicates(corpus)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .filter(r => batchIds(r._1) || batchIds(r._2)).toSet
+    assert(got === want, s"probe must equal the restricted full relation")
+    assert(got.nonEmpty, "fixture must plant batch-touching clones")
+    // index-internal pairs never surface
+    assert(got.forall(r => batchIds(r._1) || batchIds(r._2)))
+  }
 }
