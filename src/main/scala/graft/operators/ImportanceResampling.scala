@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * Scale posture: token counting is explode + groupBy (shuffle on the
   * token key); the weight table is vocabulary-sized and joins the scoring
   * pass on the token key (AQE broadcasts it while it is small); selection
-  * is a bounded-heap global top-k. Nothing driver-sized except the two
-  * corpus totals (one-row aggregates).
+  * is threshold-based — the exact k-th-largest score is found on the
+  * map-side-combined score HISTOGRAM (distinct-score-sized, never the
+  * corpus) and the corpus is then FILTERED, so no single task ever
+  * materializes a corpus-proportional top-k heap. Nothing driver-sized
+  * except the corpus total and the two threshold scalars (one-row
+  * aggregates).
   */
 object ImportanceResampling {
 
@@ -69,13 +73,44 @@ object ImportanceResampling {
   }
 
   /** Deterministic top-fraction selection: keep the ⌈fraction·N⌉ highest
-    * scores (ties → smallest id). The bounded-heap global top-k — the
-    * deterministic counterpart of the paper's Gumbel resample.
+    * scores (ties → smallest id) — the deterministic counterpart of the
+    * paper's Gumbel resample.
+    *
+    * NOT `orderBy().limit(k)`: with k ∝ corpus that plans
+    * TakeOrderedAndProject — per-partition heaps of size k merged in ONE
+    * final task, i.e. `fraction` of the whole corpus materialized on a
+    * single executor (SparkEntrySpec now bans the pattern globally).
+    * Instead the exact k-th-largest score is read off the score HISTOGRAM
+    * — `groupBy(score)` map-side-combines, so only distinct scores cross
+    * the shuffle, and a [[GlobalOrder]] two-phase prefix sum over the
+    * descending histogram yields cumulative counts without a global
+    * window. Selection is then a full-scan FILTER (`score > t`) plus a
+    * boundary top-up resolved by the (score, id) tie rule — the boundary
+    * itself via a distributed row number, so even an all-ties corpus
+    * never funnels through one task.
     */
   def select(scored: DataFrame, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction in (0, 1]")
-    val n = scored.count() // one scalar — the only driver value
-    val k = math.ceil(n * fraction).toInt
-    scored.orderBy(col("score_micro").desc, col("id").asc).limit(k)
+    val n = scored.count() // one scalar — the corpus total
+    if (n == 0) return scored
+    val k = math.ceil(n * fraction).toLong
+    val hist = scored.groupBy(col("score_micro")).agg(count(lit(1)).as("__c"))
+    val cum = GlobalOrder.runningSum(
+      hist.withColumn("__negs", -col("score_micro")),
+      Seq("__negs"), col("__c"), "__cum")
+    // the k-th largest score = first score (descending) whose cumulative
+    // count reaches k; `above` = rows strictly better than it. One
+    // two-scalar driver row — dimension-sized by construction.
+    val thr = cum.filter(col("__cum") >= k)
+      .agg(min_by(struct(col("score_micro").as("t"),
+        (col("__cum") - col("__c")).as("above")), col("__cum")).as("b"))
+      .select(col("b.t"), col("b.above")).first()
+    val t = thr.getLong(0)
+    val m = k - thr.getLong(1) // boundary rows to keep, ties → smallest id
+    val kept = scored.filter(col("score_micro") > t)
+    val boundary = GlobalOrder.runningRowNumber(
+        scored.filter(col("score_micro") === t), Seq("id"), "__rn")
+      .filter(col("__rn") <= m).drop("__rn")
+    kept.unionByName(boundary)
   }
 }

@@ -28,6 +28,23 @@ class SparkEntrySpec extends SparkTestBase {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
+      // GLOBAL scale invariant #2: TakeOrderedAndProject merges its
+      // per-partition size-k heaps in ONE final task, so a
+      // corpus-proportional k (a fraction-style `orderBy().limit(k)`
+      // selection) funnels that fraction of the corpus through a single
+      // executor. Legit top-k limits in the registry are small constants
+      // (topK ≤ 50, k=100 fixed-size samples, nlist-sized seeds); anything
+      // bigger at smoke scale is a corpus-derived k and must use a
+      // threshold/filter shape instead (see ImportanceResampling.select).
+      val bigK = TopKLimit.findAllMatchIn(plan).map(_.group(1).toInt)
+        .filter(_ > MaxTopKLimit).toSeq
+      assert(bigK.isEmpty,
+        s"$name plans TakeOrderedAndProject with limit(s) ${bigK.mkString(",")} " +
+          s"> $MaxTopKLimit — corpus-proportional top-k; use a quantile " +
+          s"threshold + filter instead:\n$plan")
     }
   }
+
+  private val TopKLimit = """TakeOrderedAndProject\(limit=(\d+)""".r
+  private val MaxTopKLimit = 128
 }

@@ -43,4 +43,23 @@ class ImportanceResamplingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().map(_._1).toSet
     assert(sel === Set(10L, 12L), s"the two target-like docs win: $sel")
   }
+
+  test("select resolves boundary ties by id and never plans a global top-k heap") {
+    // 100 rows, scores {0,100,200} — the k-th rank lands mid-tie, so the
+    // boundary rule (ties → smallest id) does real work
+    val scored = spark.range(0, 100).toDF("id")
+      .select(col("id"), lit(5L).as("n_tokens"),
+        (col("id") % 3 * 100).as("score_micro"))
+    val sel = ImportanceResampling.select(scored, fraction = 0.4)
+    // k = 40: all 33 rows at score 200, plus the 7 smallest ids at score 100
+    val ids = sel.as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(ids.size === 40)
+    val expectBoundary = (0L until 100L).filter(_ % 3 == 1).sorted.take(7).toSet
+    assert(ids === (0L until 100L).filter(_ % 3 == 2).toSet ++ expectBoundary)
+    // the scale contract: selection is histogram-threshold + filter — a
+    // corpus-proportional k must NOT reach a single-task top-k merge
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"select() must not plan a global top-k:\n$plan")
+  }
 }
