@@ -270,13 +270,17 @@ class AnalyticsPlanSpec extends SparkTestBase {
       plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
   }
 
-  test("q187 DSIR: token joins are equi; selection is a bounded TakeOrdered, not a sort") {
+  test("q187 DSIR: token joins are equi; selection is a threshold filter, no top-k funnel") {
     val df = graft.queries.TrainingQueries.queries("q187_dsir_select")(spark, sf)
     val plan = finalPlan(df)
     assert(!plan.contains("CartesianProduct"), plan)
-    // the only nested-loop is the broadcast one-row totals crossJoin
-    // (broadcast-scalar — the audited pattern)
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"top-fraction cut must run on the bounded heap:\n$plan")
+    // selection is quantile-threshold + filter: a corpus-proportional
+    // TakeOrderedAndProject (per-partition heaps of size fraction·N
+    // merged in ONE task) must never reappear here
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"selection must be threshold-filter, not a global top-k heap:\n$plan")
+    // no fact-sized global sort either — the histogram prefix sum and the
+    // boundary row number are the only ordered passes, both distributed
+    assert(!plan.contains("GlobalLimit"), plan)
   }
 }
