@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two `array<float>` columns.
+/** Native codegen'd cosine similarity over two `array<float>` /
+  * `array<double>` columns (each side independently either type).
   *
   * Why a custom Expression (SURVEY §7.4 preference order (b)): the
   * DataFrame-composable form — `aggregate(zip_with(a, b, _*_), 0d, _+_)` —
@@ -15,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * element, which is the inner loop of every similarity-search operator. This
   * kernel generates a single fused Java loop (no allocation, no virtual
   * calls) inside whole-stage codegen, with an interpreted `nullSafeEval`
-  * fallback kept semantically identical.
+  * fallback kept semantically identical. Double support exists for the
+  * centroid side of cell assignment (k-means means are `array<double>`):
+  * a float element is widened to double BEFORE any arithmetic, exactly as
+  * the fold form's `cast("double")`, so results stay bit-identical.
   *
   * Semantics: dot(a,b) / (||a||·||b||) accumulated in double, sequential
   * array order (deterministic IEEE — matches the fold form bit-for-bit);
@@ -24,15 +28,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def isFloatArray(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+    if (isVec(left.dataType) && isVec(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> inputs, got " +
+      s"cosine_sim expects array<float>/array<double> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -45,6 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val xd = isDoubleArr(left)
+    val yd = isDoubleArr(right)
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -54,8 +66,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // aggregate fold form — ArrayData.getFloat would read it as 0.0f
       // and silently rank corrupt vectors)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       nx += xi * xi
       ny += yi * yi
@@ -74,6 +86,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX =
+        if (isDoubleArr(left)) s"$x.getDouble($i)"
+        else s"(double) $x.getFloat($i)"
+      val getY =
+        if (isDoubleArr(right)) s"$y.getDouble($i)"
+        else s"(double) $y.getFloat($i)"
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -84,8 +102,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      final double $xi = (double) $x.getFloat($i);
-         |      final double $yi = (double) $y.getFloat($i);
+         |      final double $xi = $getX;
+         |      final double $yi = $getY;
          |      $dot += $xi * $yi;
          |      $nx += $xi * $xi;
          |      $ny += $yi * $yi;

@@ -24,8 +24,36 @@ import org.apache.spark.sql.functions._
   * documents are never re-read, re-shingled, or re-embedded. The shingle
   * set broadcasts (eval suites are MBs); the vector join shuffles on the
   * cell id with per-cell candidate verification only.
+  *
+  * Cell assignment itself scales past broadcast-sized geometries: up to
+  * [[RouteThreshold]] centroids the flat max-cosine pass
+  * ([[Similarity.assignCells]], n·nlist kernel work) is exact and cheap;
+  * beyond it the two-level router ([[Similarity.assignCellsRouted]],
+  * ~2n·√nlist) takes over — with nlist ∝ n that is n^1.5 instead of n².
+  * Both sides of the index (eval vectors at build, batch vectors at
+  * probe) go through the SAME dial against the SAME stored centroids, so
+  * a near-identical train/eval pair routes to the same cell.
   */
 object Decontamination {
+
+  /** Centroid-table size beyond which cell assignment routes through the
+    * two-level [[Similarity.assignCellsRouted]] (probes = 2) instead of
+    * the flat broadcast pass. 1024 centroids × 64 double dims ≈ 0.5 MB —
+    * comfortably broadcast-sized below the bound; above it the flat
+    * n·nlist kernel cost is what turns a centroids-∝-corpus fixture
+    * quadratic (the round-9 q186-verbatim 540 s x100 row: that fixture's
+    * geometry reaches nlist = 2000 at x100, so the dial must sit BELOW
+    * it — the first routed bound of 2048 missed by 48 and the leg stayed
+    * flat-quadratic).
+    */
+  val RouteThreshold: Int = 1024
+
+  private def assign(vecs: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, routeThreshold: Int): DataFrame = {
+    val nlist = cents.count() // dimension-sized scalar: centroid count
+    if (nlist <= routeThreshold) Similarity.assignCells(vecs, cents, idCol, vecCol)
+    else Similarity.assignCellsRouted(vecs, cents, idCol, vecCol, probes = 2)
+  }
 
   private def shinglesDir(root: String) = s"$root/shingles"
   private def vectorsDir(root: String) = s"$root/vectors"
@@ -37,11 +65,12 @@ object Decontamination {
     */
   def buildIndex(evalDocs: DataFrame, textCol: String, idCol: String, k: Int,
       evalEmb: DataFrame, centroids: DataFrame, root: String,
-      embIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      embIdCol: String = "vec_id", vecCol: String = "embedding",
+      routeThreshold: Int = RouteThreshold): Unit = {
     Dedup.hashedShinglePairs(evalDocs, textCol, idCol, k)
       .select(col("sh")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(shinglesDir(root))
-    Similarity.assignCells(evalEmb, centroids, embIdCol, vecCol)
+    assign(evalEmb, centroids, embIdCol, vecCol, routeThreshold)
       .select(col("cell"), col(embIdCol).as("eval_id"),
         col(vecCol).as("eval_vec"))
       .write.mode(SaveMode.Overwrite).parquet(vectorsDir(root))
@@ -56,7 +85,8 @@ object Decontamination {
   def probe(spark: SparkSession, batchDocs: DataFrame, textCol: String,
       idCol: String, k: Int, batchEmb: DataFrame, root: String,
       tau: Double, embIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      routeThreshold: Int = RouteThreshold): DataFrame = {
     // n-gram channel: batch shingles vs the broadcast eval shingle set
     val evalShingles = spark.read.parquet(shinglesDir(root))
     val ngram = Dedup.hashedShinglePairs(batchDocs, textCol, idCol, k)
@@ -67,7 +97,7 @@ object Decontamination {
     // same-cell cosine vs the stored eval vectors
     val cents = spark.read.parquet(centroidsDir(root))
     val evalVecs = spark.read.parquet(vectorsDir(root))
-    val assigned = Similarity.assignCells(batchEmb, cents, embIdCol, vecCol)
+    val assigned = assign(batchEmb, cents, embIdCol, vecCol, routeThreshold)
     val sem = assigned
       .join(evalVecs, Seq("cell"))
       .filter(graft.expressions.CosineSimilarity(

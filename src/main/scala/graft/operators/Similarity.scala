@@ -21,13 +21,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Elementwise-fold cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(d(a), d(b)) / (sqrt(dot(d(a), d(a))) * sqrt(dot(d(b), d(b))))
-  }
+  /** Cosine similarity of two float/double-array columns — the native
+    * fused-loop kernel ([[graft.expressions.CosineSimilarity]], one
+    * codegen'd pass, no per-element lambda dispatch). Numerically
+    * identical to the fold form it replaced (`aggregate(zip_with(cast
+    * double)…)`): same sequential accumulate order, all math in double.
+    * The one semantic delta is deliberate: a zero-norm side yields NULL
+    * (→ `coalesce(…, -2.0)` ranks it last at every call site) where the
+    * fold form produced NaN — which Spark's ordering ranks ABOVE every
+    * number, silently assigning corrupt vectors to the best cell.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimilarity(a, b)
 
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (broadcast); `corpus` is the big side and is only mapped, never

@@ -76,4 +76,32 @@ class DecontaminationSpec extends SparkTestBase {
       .as[(Long, Long, Int, Long, Int, Int)].collect()
     assert(got.length === 1 && got(0)._3 === 1, s"overlap must flag: ${got.toSeq}")
   }
+
+  test("beyond routeThreshold centroids, assignment routes and still flags the clone") {
+    // well-separated geometry (SemDedupSpec discipline): the two LIVE
+    // cells are axis-aligned; thousands of decoy centroids cluster near a
+    // distant axis so super-level routing cannot confuse them. Exceeding
+    // the threshold flips BOTH build and probe onto assignCellsRouted —
+    // verdicts must be unchanged from the flat path.
+    val rootR = "/tmp/graft_decontam_spec_routed"
+    val decoys = (0 until 40).map { i =>
+      (100L + i, Array(0.001 * (i % 7), 0.002 * (i % 5), 4.0 + 0.01 * i, 9.0))
+    }
+    val centsBig = (Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0))) ++ decoys).toDF("cell", "centroid")
+    Decontamination.buildIndex(evalDocs, "text", "id", k = 8,
+      evalEmb, centsBig, rootR, routeThreshold = 8)
+    val batch = Seq(
+      (2L, "completely unrelated sentence about distributed query engines and lakes"),
+      (3L, "another harmless training document with no overlap at all here")).toDF("id", "text")
+    val emb = Seq(
+      (2L, Array(0f, 2f, 0f, 0f)), // cosine 1.0 with eval 101
+      (3L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val got = Decontamination.probe(spark, batch, "text", "id", k = 8,
+        emb, rootR, tau = 0.9, routeThreshold = 8)
+      .as[(Long, Long, Int, Long, Int, Int)].collect().sortBy(_._1)
+    assert(got(0)._5 === 1 && got(0)._6 === 1, s"routed semantic plant: ${got(0)}")
+    assert(got(1)._6 === 0, s"routed clean doc: ${got(1)}")
+  }
 }
