@@ -63,8 +63,13 @@ object ImageHash {
 
   /** Near-duplicate image pairs within Hamming `maxDist` (< 4). */
   def nearDuplicates(media: DataFrame, maxDist: Int = 2): DataFrame =
+    nearDuplicatesFromHashes(dhash(media), maxDist)
+
+  /** [[nearDuplicates]] over an ALREADY-HASHED (media_id, dhash) table —
+    * a persisted per-fixture hash cache or stored index; skips decode. */
+  def nearDuplicatesFromHashes(hashes: DataFrame, maxDist: Int = 2): DataFrame =
     graft.operators.HammingJoin.selfPairs(
-      dhash(media), "media_id", "dhash", bits = Bits, bands = 4, maxDist = maxDist)
+      hashes, "media_id", "dhash", bits = Bits, bands = 4, maxDist = maxDist)
 
   /** Incremental near-dup: probe a NEW batch against a STORED hash index
     * (the [[dhash]] output persisted by the caller — the q93

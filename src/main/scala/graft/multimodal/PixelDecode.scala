@@ -7,14 +7,15 @@ package graft.multimodal
   *  - BMP: uncompressed 24-bit (BI_RGB), bottom-up or top-down, 4-byte row
   *    stride, BGR byte order — pure arithmetic over the pixel array.
   *  - PNG (RFC 2083): 8-bit-depth gray / truecolor / gray+alpha / RGBA,
-  *    non-interlaced — IDAT chunks concatenated, inflated with
+  *    plus palette (color type 3) at bit depths 1/2/4/8 with PLTE lookup
+  *    to RGB, non-interlaced — IDAT chunks concatenated, inflated with
   *    `java.util.zip.Inflater` (in the JDK, no new dependency), and each
   *    scanline de-filtered (None/Sub/Up/Average/Paeth).
   *  - JPEG: baseline sequential via [[JpegDecode]] — Huffman entropy
   *    decode, dequantize, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB,
   *    all from the T.81 spec.
   *
-  * Anything else (palette PNGs, interlace, 16-bit depth, RLE BMPs,
+  * Anything else (interlaced PNG, 16-bit depth, RLE BMPs,
   * progressive/arithmetic JPEG) returns None: at corpus scale a decode
   * stage quarantines what it cannot parse, it never crashes the scan.
   */
@@ -111,9 +112,14 @@ object PixelDecode {
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
     if (u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return None // compression/filter/interlace
-    if (bitDepth != 8) return None
+    val isPalette = colorType == 3
+    if (isPalette) {
+      // palette indices pack at sub-byte depths (1/2/4) or one per byte (8)
+      if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
+        return None
+    } else if (bitDepth != 8) return None
     val channels = colorType match {
-      case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
+      case 0 | 3 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
     }
     if (w <= 0 || h <= 0) return None
     // Decode-bomb guard: header-declared geometry drives the allocations
@@ -122,9 +128,11 @@ object PixelDecode {
     // claiming 65535×65535 must return None, not kill the executor.
     if (w.toLong * h > MaxPixels) return None
 
-    // concatenate IDAT chunk payloads (chunk walk, CRCs not re-verified —
-    // the inflater + expected-length check catch corruption)
+    // concatenate IDAT chunk payloads and capture PLTE (chunk walk, CRCs
+    // not re-verified — the inflater + expected-length check catch
+    // corruption)
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var i = 33
     var sawEnd = false
     while (i + 8 <= b.length && !sawEnd) {
@@ -132,13 +140,19 @@ object PixelDecode {
       val typ = be32(b, i + 4)
       if (len < 0 || i + 12 + len > b.length) return None
       if (typ == 0x49444154) idat.write(b, i + 8, len)        // IDAT
+      else if (typ == 0x504c5445) {                           // PLTE
+        if (len % 3 != 0 || len > 768) return None
+        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+      }
       else if (typ == 0x49454e44) sawEnd = true               // IEND
       i += 12 + len
     }
     if (idat.size() == 0) return None
+    if (isPalette && plte == null) return None
 
-    // inflate to exactly (1 filter byte + w*channels) per scanline
-    val bpr = w * channels
+    // inflate to exactly (1 filter byte + ceil(w·bits/8)) per scanline —
+    // filtering operates on BYTES whatever the bit depth (RFC 2083 §6)
+    val bpr = (w * channels * bitDepth + 7) / 8
     val expected = h.toLong * (bpr + 1)
     if (expected > Int.MaxValue) return None
     val raw = new Array[Byte](expected.toInt)
@@ -159,7 +173,7 @@ object PixelDecode {
 
     // de-filter (RFC 2083 §6): prior = reconstructed byte bpp to the left,
     // above = reconstructed byte in the row above
-    val bpp = channels // bytes per pixel at bit depth 8
+    val bpp = math.max(1, channels * bitDepth / 8) // filter stride in BYTES
     val recon = new Array[Int](h * bpr)
     var r = 0
     while (r < h) {
@@ -186,7 +200,30 @@ object PixelDecode {
       }
       r += 1
     }
-    Some(Image("png", w, h, channels, recon))
+    if (!isPalette) return Some(Image("png", w, h, channels, recon))
+
+    // palette expansion: unpack the MSB-first index stream, look each
+    // index up in PLTE → interleaved RGB (an out-of-range index is a
+    // malformed stream → quarantine)
+    val mask = (1 << bitDepth) - 1
+    val out = new Array[Int](w * h * 3)
+    var pr = 0
+    while (pr < h) {
+      var c = 0
+      while (c < w) {
+        val bitPos = c * bitDepth
+        val v = (recon(pr * bpr + (bitPos >> 3)) >>
+          (8 - bitDepth - (bitPos & 7))) & mask
+        if (v * 3 + 2 >= plte.length) return None
+        val o = (pr * w + c) * 3
+        out(o) = plte(v * 3) & 0xff
+        out(o + 1) = plte(v * 3 + 1) & 0xff
+        out(o + 2) = plte(v * 3 + 2) & 0xff
+        c += 1
+      }
+      pr += 1
+    }
+    Some(Image("png", w, h, 3, out))
   }
 
   /** Per-channel (sum, min, max) over an image's samples in one pass. */

@@ -54,13 +54,24 @@ object VideoHash {
     *         `matched` that count; only pairs with matched ≥ `minMatch`.
     */
   def nearDuplicates(media: DataFrame, maxDist: Int = 2, maxOffset: Int = 2,
-      minMatch: Int = 2): DataFrame = {
+      minMatch: Int = 2): DataFrame =
+    // frame hashes feed BOTH the candidate generator and the alignment
+    // verify — materialize once so the decode runs once
+    nearDuplicatesFromHashes(
+      graft.operators.Materialize.once(frameHashes(media)),
+      maxDist, maxOffset, minMatch)
+
+  /** [[nearDuplicates]] over an ALREADY-HASHED frame table (media_id, f,
+    * dhash) — e.g. a persisted per-fixture hash cache or a stored index;
+    * the decode pass is skipped entirely. The input is scanned several
+    * times (candidates + both alignment sides): pass a materialized or
+    * file-backed frame, not an expensive lazy plan.
+    */
+  def nearDuplicatesFromHashes(fh: DataFrame, maxDist: Int = 2,
+      maxOffset: Int = 2, minMatch: Int = 2): DataFrame = {
     val bits = ImageHash.Bits
     val bands = 4
     require(maxDist < bands, s"pigeonhole needs maxDist ($maxDist) < bands ($bands)")
-    // frame hashes feed BOTH the candidate generator and the alignment
-    // verify — materialize once so the decode runs once
-    val fh = graft.operators.Materialize.once(frameHashes(media))
 
     // candidate generation at DISTINCT-HASH granularity (see HammingJoin's
     // scaladoc): clone-dense corpora put hundreds of identical frames in

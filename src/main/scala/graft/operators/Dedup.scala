@@ -338,7 +338,13 @@ object Dedup {
         .withColumn("cluster", col("id")))
     var i = 0
     var converged = false
-    while (i < maxIter && !converged) {
+    // propagation moves a label one hop per round, so rounds = component
+    // diameter; near-dup clusters (copies of a common source) converge in
+    // 2-3. A graph still moving after `SwitchRounds` is chain-shaped —
+    // hand it to the diameter-halving star contraction instead of paying
+    // O(diameter) more joins (or silently splitting components at maxIter)
+    val switchAt = math.min(maxIter, SwitchRounds)
+    while (i < switchAt && !converged) {
       val prev = labels
       val next = Materialize.once(
         edges.join(labels, edges("dst") === labels("id"))
@@ -351,12 +357,85 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"clusters(): still propagating after $switchAt rounds — " +
+          "long-chain component; switching to star contraction")
+      return clustersByContraction(pairs)
+    }
+    labels
+  }
+
+  /** Propagation rounds before [[clusters]] hands a long-diameter graph
+    * to [[clustersByContraction]]. */
+  val SwitchRounds: Int = 8
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log diameter) counterpart of min-label
+    * propagation's O(diameter): each round every node rewires its
+    * neighborhood onto its neighborhood minimum (large-star re-parents
+    * the strictly-larger neighbors, small-star the smaller ones), which
+    * at least halves component diameter per alternation while provably
+    * preserving connectivity. A path of length 10⁶ — the crawl-snapshot
+    * chain shape min-label propagation cannot finish — converges in
+    * ~log₂ rounds. Same contract as [[clusters]]: (id, cluster) with
+    * cluster = min id of the component, every endpoint of `pairs` labeled.
+    */
+  def clustersByContraction(pairs: DataFrame, maxRounds: Int = 40): DataFrame =
+    contractionLabels(pairs, maxRounds)._1
+
+  /** [[clustersByContraction]] plus the round count (scale telemetry). */
+  private[graft] def contractionLabels(pairs: DataFrame,
+      maxRounds: Int = 40): (DataFrame, Int) = {
+    // canonical undirected edge set (lo < hi), self-loops dropped; each
+    // round is a plan leaf (same Materialize discipline as clusters())
+    var edges = Materialize.once(pairs
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (rounds < maxRounds && !converged) {
+      // large-star: m(u) = min(u, min neighbor); every neighbor v > u
+      // re-parents to m(u). One symmetric groupBy + one equi-join.
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
+        .filter(col("lo") =!= col("hi")).distinct()
+      // small-star on the result: each node (as `hi`) re-parents its
+      // smaller neighbors — and itself — onto their minimum.
+      val byHi = ls.groupBy(col("hi")).agg(min(col("lo")).as("__mn"))
+      val joined = ls.join(byHi, Seq("hi"))
+      val next = Materialize.once(
+        joined.select(col("__mn").as("lo"), col("lo").as("hi"))
+          .unionByName(joined.select(col("__mn").as("lo"), col("hi")))
+          .filter(col("lo") =!= col("hi")).distinct())
+      // fixed point = identical canonical edge sets (both are distinct)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"clusters(): min-label propagation did NOT converge in $maxIter " +
-          "rounds; a component with diameter > maxIter is split into " +
-          "multiple clusters. Raise maxIter for chain-shaped duplicate sets.")
-    labels
+        s"clustersByContraction(): no fixed point in $maxRounds rounds — " +
+          "labels may split a component; raise maxRounds")
+    // converged state is a union of stars rooted at each component min:
+    // label = min(self, neighbors)
+    val symF = edges.select(col("lo").as("id"), col("hi").as("v"))
+      .unionByName(edges.select(col("hi").as("id"), col("lo").as("v")))
+    // materialized like clusters(): callers get a plan LEAF, not a
+    // lineage over the whole contraction history
+    val labels = Materialize.once(symF.groupBy(col("id"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("cluster")))
+    (labels, rounds)
   }
 
   /** Keep-one-per-cluster exact-Jaccard dedup: pairs at `threshold` →

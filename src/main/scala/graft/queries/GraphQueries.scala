@@ -288,7 +288,42 @@ object GraphQueries {
       |    AS jaccard_micro
       |FROM inter WHERE shared * 1000000 >= 800000 * (n_a + n_b - shared)""".stripMargin
 
+  /** Chain-shaped connected components — the adversarial fixture for
+    * min-label propagation: consecutive doc_ids link into paths of
+    * length 120 (diameter 119 ≫ [[graft.operators.Dedup.SwitchRounds]]
+    * AND ≫ the old maxIter=50 ceiling, the exact case propagation
+    * cannot finish), so [[graft.operators.Dedup.clusters]] must hand off
+    * to the large-star/small-star contraction and still produce the
+    * min-id label of every node. The oracle recomputes the closure with
+    * a recursive CTE, so a contraction bug that splits or merges any
+    * chain breaks the hash. The %-rule uses the WITHIN-COPY id
+    * (doc_id % 1e8), the CLAUDE.md blowup invariant — chains never span
+    * blowup copies and per-copy structure is identical.
+    */
+  def q192ChainClusters(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = ids
+      .filter((col("doc_id") % 100000000L) % 120 =!= 119)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    graft.operators.Dedup.clusters(pairs)
+      .select(col("id"), col("cluster"))
+  }
+
+  val q192Sql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE (a.doc_id % 100000000) % 120 <> 119),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q192_chain_clusters" -> (q192ChainClusters _),
     "q158_prefix_jaccard" -> (q158PrefixJaccard _),
     "q149_triangles" -> (q149Triangles _),
     "q150_chi2_tokens" -> (q150Chi2Tokens _),
@@ -297,6 +332,7 @@ object GraphQueries {
     "q154_kcore" -> (q154KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q192_chain_clusters" -> q192Sql,
     "q158_prefix_jaccard" -> q158Sql,
     "q149_triangles" -> q149Sql,
     "q150_chi2_tokens" -> q150Sql,

@@ -71,7 +71,10 @@ object MediaFixtures {
     "bmp_scramble_83_v2" -> (bmpScramble83 _),
     "wav_scramble_89_v2" -> (wavScramble89 _),
     "avi_scramble_97_v2" -> (aviScramble97 _),
-    "jpeg_pattern_5" -> (jpegPattern5 _))
+    "jpeg_pattern_5" -> (jpegPattern5 _),
+    "png_palette_7" -> (pngPalette7 _),
+    "bmp_scramble_83_v2_dhash" -> (bmpDhash83 _),
+    "avi_scramble_97_v2_framehash" -> (aviFrameHashes97 _))
 
   /** Synthesis seconds recorded for each already-built fixture of `dir`. */
   def timingsFor(s: SparkSession, dir: String): Map[String, Double] = {
@@ -182,6 +185,129 @@ object MediaFixtures {
           org.apache.spark.sql.Row(id, w, h, bos.toByteArray)
         }
       }(enc)
+    }
+
+  /** q194's palette PNGs — REAL indexed-color containers (color type 3,
+    * PLTE + zlib IDAT + correct CRCs, so the JDK's own PNG reader accepts
+    * them) over md5-mixed formulas both engines can replay: the image at
+    * seed = doc_id (every 7th document) has bit depth 2^(doc_id % 4) ∈
+    * {1,2,4,8}, palette entry (k, ch) = md5("id_k_ch")[3..4] as hex, and
+    * pixel index (r, c) = md5("id_r_c")[1..2] % ncolors. Scanline filters
+    * cycle None/Sub/Up by row so the de-filter path is live on packed
+    * sub-byte streams. Returns (media_id, payload).
+    */
+  def pngPalette7(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "png_palette_7") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(8) + col("doc_id") % 5).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 3).cast("int").as("h"),
+          (col("doc_id") % 4).cast("int").as("dsel"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(v: String): String =
+          md.digest(v.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+            data: Array[Byte]): Unit = {
+          def be(v: Int): Array[Byte] = Array(
+            (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+          out.write(be(data.length))
+          val t = typ.getBytes("US-ASCII")
+          out.write(t); out.write(data)
+          val crc = new java.util.zip.CRC32()
+          crc.update(t); crc.update(data)
+          out.write(be(crc.getValue.toInt))
+        }
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val depth = 1 << r.getInt(3) // 1/2/4/8 bits per index
+          val nc = 1 << depth
+          val plte = new Array[Byte](nc * 3)
+          for (k <- 0 until nc; ch <- 0 until 3)
+            plte(k * 3 + ch) = Integer.parseInt(
+              md5hex(s"${id}_${k}_${ch}").substring(2, 4), 16).toByte
+          // MSB-first packed index scanlines
+          val bpr = (w * depth + 7) / 8
+          val rawRows = Array.tabulate(h) { rr =>
+            val row = new Array[Byte](bpr)
+            var c = 0
+            while (c < w) {
+              val v = Integer.parseInt(
+                md5hex(s"${id}_${rr}_${c}").substring(0, 2), 16) % nc
+              val bitPos = c * depth
+              row(bitPos >> 3) = (row(bitPos >> 3) |
+                (v << (8 - depth - (bitPos & 7)))).toByte
+              c += 1
+            }
+            row
+          }
+          // filters cycle None/Sub/Up by row (bpp = 1 byte at depth ≤ 8)
+          val filtered = new java.io.ByteArrayOutputStream()
+          for (rr <- 0 until h) {
+            val f = rr % 3
+            filtered.write(f)
+            val cur = rawRows(rr)
+            for (x <- 0 until bpr) {
+              val v = cur(x) & 0xff
+              val out = f match {
+                case 0 => v
+                case 1 => v - (if (x >= 1) cur(x - 1) & 0xff else 0)
+                case _ => v - (if (rr > 0) rawRows(rr - 1)(x) & 0xff else 0)
+              }
+              filtered.write(out & 0xff)
+            }
+          }
+          val deflated = {
+            val d = new java.util.zip.Deflater()
+            d.setInput(filtered.toByteArray); d.finish()
+            val buf = new Array[Byte](filtered.size() + 64)
+            val bos = new java.io.ByteArrayOutputStream()
+            while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+            d.end(); bos.toByteArray
+          }
+          val png = new java.io.ByteArrayOutputStream()
+          png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+            .map(_.toByte))
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(w).putInt(h)
+            .put(depth.toByte).put(3.toByte) // color type 3 = palette
+            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+          chunk(png, "IHDR", ihdr)
+          chunk(png, "PLTE", plte)
+          chunk(png, "IDAT", deflated)
+          chunk(png, "IEND", Array.empty[Byte])
+          org.apache.spark.sql.Row(id, png.toByteArray)
+        }
+      }(enc)
+    }
+
+  /** Per-fixture cached dHash table of [[bmpScramble83]] (media_id,
+    * dhash) — same discipline as the payload caches, one level up: gates
+    * that need only the HASHES (q190's pair mining) read this instead of
+    * re-decoding the same payloads a bench sweep already decoded for
+    * q167. Byte-identical to `ImageHash.dhash(bmpScramble83(...))` by
+    * construction. The cache name embeds the SOURCE builder's versioned
+    * name — bump them together (a dHash formula change also needs a
+    * bump here).
+    */
+  def bmpDhash83(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "bmp_scramble_83_v2_dhash") {
+      graft.multimodal.ImageHash.dhash(bmpScramble83(s, dir))
+    }
+
+  /** Per-fixture cached frame-hash table of [[aviScramble97]] (media_id,
+    * f, dhash) — lets q189's clustering start from hashes instead of
+    * re-running q184's decode. Same bump-together rule as [[bmpDhash83]].
+    */
+  def aviFrameHashes97(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "avi_scramble_97_v2_framehash") {
+      graft.multimodal.VideoHash.frameHashes(aviScramble97(s, dir))
     }
 
   /** Build every media fixture for `dir` (idempotent), for Bench warmup. */

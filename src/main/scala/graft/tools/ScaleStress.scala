@@ -319,12 +319,12 @@ object ScaleStress {
     // (corpus×centroid assignment is the KNOWN quadratic term of the
     // fixture, not the operator) — both cap at the q111Max scale; their
     // deployment-shaped counterpart is the ann_* sqrtN pair below
-    val pinnedNlist = Set("q111_ivf_pq", "q135_semdedup",
-      // q186's fixture pins centroids AND the eval suite ∝ n (%100/%50
-      // seed rules) — corpus×centroid assignment is the fixture's known
-      // quadratic term; the deployment shape is the fixed-index
-      // decontam_probe leg (SPARK_GRAFT_DECONTAM=1)
-      "q186_probe_decontamination")
+    // q186 left the pinned set in round 10: its centroids-∝-n fixture now
+    // crosses Decontamination.RouteThreshold at x100 and assignment goes
+    // through the two-level router (n^1.5, not n²) — the verbatim leg is
+    // measurable again; the deployment shape remains the fixed-index
+    // decontam_probe leg (SPARK_GRAFT_DECONTAM=1)
+    val pinnedNlist = Set("q111_ivf_pq", "q135_semdedup")
     for (f <- scales; name <- verbatim) {
       if (!pinnedNlist.contains(name) || f <= q111Max) {
         val (sec, rows, loads) = timeDf(() => registry(name)(spark, dirFor(name, f)))
@@ -446,6 +446,32 @@ object ScaleStress {
         val (sec, rows, loads) = timeDf(() => registry(name)(spark, dir))
         record(s"${name}_skewed", f, sec, rows, loads)
       }
+    }
+
+    // Chain-shaped connected components (round 10): ONE path of length
+    // 10⁴·f — the diameter-proportional case min-label propagation cannot
+    // finish — must contract in rounds ∝ log(diameter). The recorded
+    // `rows` value is the ROUND COUNT (the claim under measurement), not
+    // an output size.
+    val runChain = sys.env.getOrElse("SPARK_GRAFT_CHAIN", "0") != "0"
+    for (f <- scales if runChain) {
+      val n = 10000L * f
+      var best = Double.MaxValue
+      var rounds = 0
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to trials) {
+        loads += loadavg()
+        val t0 = System.nanoTime()
+        val (labels, r) = graft.operators.Dedup.contractionLabels(
+          spark.range(0, n - 1)
+            .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")))
+        labels.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+        rounds = r
+        reset()
+      }
+      record("chain_contraction_roundsAsRows", f, best, rounds, loads.toSeq)
     }
 
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)

@@ -132,11 +132,16 @@ class ApiDocSpec extends SparkTestBase {
       threshold = 0.2, numHashes = 32, bands = 8)
     val sim   = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDistance = 3)
     val clust = Dedup.clusters(pairs)                        // connected components
+    val stars = Dedup.clustersByContraction(pairs)           // O(log diameter) variant
     // --- end ---
 
     assert(uniq.count() > 0 && uniq.count() <= docs.count())
     assert(pairs.columns.contains("id_a") && pairs.columns.contains("id_b"))
     sim.count(); clust.count() // execute the full chain
+    // both clustering shapes agree wherever propagation converges
+    val s = spark; import s.implicits._
+    assert(stars.as[(Long, Long)].collect().toMap ===
+      clust.as[(Long, Long)].collect().toMap)
   }
 
   test("Similarity/AnnIndex example: brute force + persisted index probe") {

@@ -235,4 +235,81 @@ class PixelDecodeSpec extends SparkTestBase {
     val r = Multimodal.pixelStats(media).collect().head
     assert(r.getLong(0) === 1L && r.isNullAt(1) && r.isNullAt(5))
   }
+
+  // ---- palette PNG (color type 3, bit depths 1/2/4/8) ----
+
+  /** Hand-built palette PNG: packed MSB-first indices, filter 0 rows. */
+  private def palettePng(w: Int, h: Int, depth: Int, plte: Array[Byte],
+      idx: (Int, Int) => Int, includePlte: Boolean = true): Array[Byte] = {
+    val bpr = (w * depth + 7) / 8
+    val raw = new Array[Byte](h * (bpr + 1))
+    for (r <- 0 until h; c <- 0 until w) {
+      val bitPos = c * depth
+      val off = r * (bpr + 1) + 1 + (bitPos >> 3)
+      raw(off) = (raw(off) | (idx(r, c) << (8 - depth - (bitPos & 7)))).toByte
+    }
+    val deflated = {
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(out)
+      d.write(raw); d.close(); out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      (if (includePlte) chunk("PLTE", plte) else Array.empty[Byte]) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  test("palette PNG: fixture payloads match the JDK ImageIO reader pixel-for-pixel") {
+    // the q194 fixture covers all four depths (doc_id % 4) and the
+    // None/Sub/Up filter cycle; ImageIO also validates our chunk CRCs.
+    // dimension-sized collect: 12 tiny test images
+    val payloads = graft.queries.MediaFixtures
+      .pngPalette7(spark, "/root/testdata/sf0.001")
+      .orderBy(col("media_id")).limit(12).collect()
+    assert(payloads.length === 12)
+    payloads.foreach { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      val ours = PixelDecode.decode(bytes)
+        .getOrElse(fail(s"quarantined media_id=${row.getLong(0)}"))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK rejected media_id=${row.getLong(0)}")
+      assert(ours.width === jdk.getWidth && ours.height === jdk.getHeight)
+      assert(ours.channels === 3)
+      for (r <- 0 until ours.height; c <- 0 until ours.width) {
+        val argb = jdk.getRGB(c, r)
+        assert(ours.at(r, c, 0) === ((argb >> 16) & 0xff) &&
+          ours.at(r, c, 1) === ((argb >> 8) & 0xff) &&
+          ours.at(r, c, 2) === (argb & 0xff),
+          s"pixel ($r,$c) of media_id=${row.getLong(0)}")
+      }
+    }
+  }
+
+  test("palette PNG: sub-byte depths unpack MSB-first") {
+    // depth 2, 4 colors; idx(r,c) = c % 4 over a 5-wide row → packed
+    // bytes 0b00011011, 0b00......
+    val plte = Array.tabulate[Byte](12)(i => (10 * i).toByte)
+    val img = PixelDecode.decode(
+      palettePng(5, 2, 2, plte, (_, c) => c % 4)).get
+    assert(img.channels === 3)
+    for (c <- 0 until 5; ch <- 0 until 3)
+      assert(img.at(1, c, ch) === ((10 * ((c % 4) * 3 + ch)) & 0xff))
+  }
+
+  test("palette PNG quarantines: missing PLTE, out-of-range index, bad depth") {
+    val plte2 = Array[Byte](1, 2, 3, 4, 5, 6) // 2 entries
+    assert(PixelDecode.decode(
+      palettePng(4, 4, 8, plte2, (_, _) => 0, includePlte = false)).isEmpty,
+      "palette image without PLTE must quarantine")
+    assert(PixelDecode.decode(
+      palettePng(4, 4, 8, plte2, (_, _) => 5)).isEmpty,
+      "index past the palette must quarantine")
+    assert(PixelDecode.decode(
+      palettePng(4, 4, 3, plte2, (_, _) => 0)).isEmpty,
+      "bit depth 3 is not a PNG depth")
+  }
 }

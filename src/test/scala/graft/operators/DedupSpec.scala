@@ -67,6 +67,38 @@ class DedupSpec extends SparkTestBase {
     assert(labels.size === 13 && labels.values.forall(_ === 0L))
   }
 
+  test("clustersByContraction: a 1000-node path converges in O(log diameter) rounds") {
+    // the exact case min-label propagation cannot finish (999 rounds);
+    // alternating large-star/small-star must halve the diameter per round
+    val chain = (0 until 999).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.contractionLabels(chain)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size === 1000 && m.values.forall(_ === 0L), "one component, min label 0")
+    assert(rounds <= 15, s"999-hop path must contract in ~log2 rounds, took $rounds")
+  }
+
+  test("clustersByContraction: mixed components get their min-id labels") {
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), // path
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (30L, 31L),                         // pair
+      (41L, 40L)                          // reversed pair
+    ).toDF("id_a", "id_b")
+    val m = Dedup.clustersByContraction(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(m === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L,
+      40L -> 40L, 41L -> 40L))
+  }
+
+  test("clusters() hands long chains to contraction and matches propagation labels") {
+    // 60-hop path: over SwitchRounds (8) and under the old 50-round warn —
+    // the auto-switch must return the same labels propagation would
+    val chain = (100 until 160).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val m = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(m.size === 61 && m.values.forall(_ === 100L))
+  }
+
   test("minhash-LSH near-duplicates finds exact and near pairs, skips unrelated") {
     val nd = Dedup.nearDuplicates(docs, "text", "doc_id",
       threshold = 0.5, numHashes = 32, bands = 16)
