@@ -222,7 +222,7 @@ object SecurityMaster {
       .withColumn("security_id", col("m") + col("__rn"))
       .select(
         col("security_id"),
-        lit(null).cast("int").as("permno"),
+        lit(null).cast("long").as("permno"),
         col("symbol"), col("company"), col("cik"),
         lit(null).cast("string").as("cusip"),
         lit(asOf).as("start_date"), lit(asOf).as("end_date"))

@@ -55,10 +55,16 @@ object Schemas {
     StructField("metric", StringType, nullable = false),
     StructField("value", DoubleType)))
 
-  /** SCD-2 master (reference master/security_master.py:524-537,626-638). */
+  /** SCD-2 master (reference master/security_master.py:524-537,626-638).
+    * permno is declared wide (long): the reference's CRSP permnos fit an
+    * int32, but the derived synthetic master keys off c_custkey, and
+    * KEY-domain columns must survive the scale harness's id offsets
+    * (blowup keys exceed 2^31 — the q166 CAST_OVERFLOW lesson, re-learned
+    * by q185's x100 leg in round 10).
+    */
   val securityMaster: StructType = StructType(Seq(
     StructField("security_id", LongType, nullable = false),
-    StructField("permno", IntegerType),
+    StructField("permno", LongType),
     StructField("symbol", StringType, nullable = false),
     StructField("company", StringType),
     StructField("cik", StringType), // 10-digit zero-padded

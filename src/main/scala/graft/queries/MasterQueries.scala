@@ -24,7 +24,7 @@ object MasterQueries {
     val c = Tables.customer(s, dir)
     val split = date_add(lit("1997-01-01").cast("date"), (col("c_custkey") % 400).cast("int"))
     val eraA = c.select(
-      col("c_custkey").cast("int").as("permno"),
+      col("c_custkey").cast("long").as("permno"),
       col("c_name").as("symbol"),
       col("c_name").as("company"),
       lpad(col("c_custkey").cast("string"), 10, "0").as("cik"),
@@ -32,7 +32,7 @@ object MasterQueries {
       lit("1994-01-01").cast("date").as("start_date"),
       date_sub(split, 1).as("end_date"))
     val eraB = c.select(
-      col("c_custkey").cast("int").as("permno"),
+      col("c_custkey").cast("long").as("permno"),
       concat(col("c_name"), lit(".N")).as("symbol"),
       col("c_name").as("company"),
       lpad(col("c_custkey").cast("string"), 10, "0").as("cik"),

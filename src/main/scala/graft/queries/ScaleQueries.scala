@@ -714,7 +714,7 @@ object ScaleQueries {
   val q77Sql: String =
     """WITH master AS (
       |  SELECT 1000 + dense_rank() OVER (ORDER BY c_custkey) AS security_id,
-      |    CAST(c_custkey AS INT) AS permno, c_name AS symbol,
+      |    CAST(c_custkey AS BIGINT) AS permno, c_name AS symbol,
       |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cik,
       |    DATE '1994-01-01' AS start_date,
       |    DATE '1997-01-01' + CAST(c_custkey % 400 AS INT) * INTERVAL 1 DAY
@@ -722,7 +722,7 @@ object ScaleQueries {
       |  FROM customer
       |  UNION ALL
       |  SELECT 1000 + dense_rank() OVER (ORDER BY c_custkey),
-      |    CAST(c_custkey AS INT), c_name || '.N',
+      |    CAST(c_custkey AS BIGINT), c_name || '.N',
       |    lpad(CAST(c_custkey AS VARCHAR), 10, '0'),
       |    DATE '1997-01-01' + CAST(c_custkey % 400 AS INT) * INTERVAL 1 DAY,
       |    DATE '2002-12-31'
@@ -744,7 +744,7 @@ object ScaleQueries {
       |added AS (
       |  SELECT (SELECT max(security_id) FROM master)
       |      + row_number() OVER (ORDER BY symbol, cik) AS security_id,
-      |    CAST(NULL AS INT) AS permno, symbol, cik,
+      |    CAST(NULL AS BIGINT) AS permno, symbol, cik,
       |    DATE '2003-06-30' AS start_date, DATE '2003-06-30' AS end_date
       |  FROM snap s
       |  WHERE NOT EXISTS (SELECT 1 FROM master m
