@@ -8,16 +8,18 @@ package graft.multimodal
   *    stride, BGR byte order — pure arithmetic over the pixel array.
   *  - PNG (RFC 2083): 8-bit-depth gray / truecolor / gray+alpha / RGBA,
   *    plus palette (color type 3) at bit depths 1/2/4/8 with PLTE lookup
-  *    to RGB, non-interlaced — IDAT chunks concatenated, inflated with
+  *    to RGB — IDAT chunks concatenated, inflated with
   *    `java.util.zip.Inflater` (in the JDK, no new dependency), and each
-  *    scanline de-filtered (None/Sub/Up/Average/Paeth).
+  *    scanline de-filtered (None/Sub/Up/Average/Paeth). Both interlace
+  *    layouts: sequential and Adam7 (seven independently-filtered
+  *    sub-images scattered onto the frame grid).
   *  - JPEG: baseline sequential via [[JpegDecode]] — Huffman entropy
   *    decode, dequantize, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB,
   *    all from the T.81 spec.
   *
-  * Anything else (interlaced PNG, 16-bit depth, RLE BMPs,
-  * progressive/arithmetic JPEG) returns None: at corpus scale a decode
-  * stage quarantines what it cannot parse, it never crashes the scan.
+  * Anything else (16-bit depth, RLE BMPs, progressive/arithmetic JPEG)
+  * returns None: at corpus scale a decode stage quarantines what it
+  * cannot parse, it never crashes the scan.
   */
 object PixelDecode {
 
@@ -111,7 +113,9 @@ object PixelDecode {
     val h = be32(b, 20)
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
-    if (u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return None // compression/filter/interlace
+    if (u8(b, 26) != 0 || u8(b, 27) != 0) return None // compression/filter
+    val interlace = u8(b, 28) // 0 = sequential, 1 = Adam7
+    if (interlace != 0 && interlace != 1) return None
     val isPalette = colorType == 3
     if (isPalette) {
       // palette indices pack at sub-byte depths (1/2/4) or one per byte (8)
@@ -150,10 +154,26 @@ object PixelDecode {
     if (idat.size() == 0) return None
     if (isPalette && plte == null) return None
 
-    // inflate to exactly (1 filter byte + ceil(w·bits/8)) per scanline —
+    // Pass geometry: sequential = one full-frame pass; Adam7 (RFC 2083
+    // §2.6) = seven sub-images at the spec's (rowStart, colStart,
+    // rowStride, colStride), each stored as an INDEPENDENT image —
+    // per-pass scanline width, per-pass filtering (the "above" row is the
+    // previous row of the SAME pass), empty passes contribute zero bytes.
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+        (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+    def passW(cs: Int, cStride: Int): Int =
+      if (w > cs) (w - cs + cStride - 1) / cStride else 0
+    def passH(rs: Int, rStride: Int): Int =
+      if (h > rs) (h - rs + rStride - 1) / rStride else 0
+    // inflate to exactly Σ_pass ph·(1 filter byte + ceil(pw·bits/8)) —
     // filtering operates on BYTES whatever the bit depth (RFC 2083 §6)
-    val bpr = (w * channels * bitDepth + 7) / 8
-    val expected = h.toLong * (bpr + 1)
+    val expected = passes.map { case (rs, cs, rStr, cStr) =>
+      val pw = passW(cs, cStr); val ph = passH(rs, rStr)
+      if (pw == 0 || ph == 0) 0L
+      else ph.toLong * (((pw.toLong * channels * bitDepth + 7) / 8) + 1)
+    }.sum
     if (expected > Int.MaxValue) return None
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
@@ -171,59 +191,77 @@ object PixelDecode {
     inf.end()
     if (got != raw.length) return None
 
-    // de-filter (RFC 2083 §6): prior = reconstructed byte bpp to the left,
-    // above = reconstructed byte in the row above
+    // per-pass de-filter + scatter into the full-frame sample grid.
+    // Sequential images are the degenerate single pass (strides 1), so
+    // one code path serves both layouts; palette indices expand through
+    // PLTE at scatter time (an out-of-range index is a malformed stream
+    // → quarantine).
     val bpp = math.max(1, channels * bitDepth / 8) // filter stride in BYTES
-    val recon = new Array[Int](h * bpr)
-    var r = 0
-    while (r < h) {
-      val filter = raw(r * (bpr + 1)) & 0xff
-      var x = 0
-      while (x < bpr) {
-        val v = raw(r * (bpr + 1) + 1 + x) & 0xff
-        val a = if (x >= bpp) recon(r * bpr + x - bpp) else 0
-        val up = if (r > 0) recon((r - 1) * bpr + x) else 0
-        val c = if (r > 0 && x >= bpp) recon((r - 1) * bpr + x - bpp) else 0
-        val rec = filter match {
-          case 0 => v
-          case 1 => v + a
-          case 2 => v + up
-          case 3 => v + (a + up) / 2
-          case 4 => // Paeth predictor
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-          case _ => return None
-        }
-        recon(r * bpr + x) = rec & 0xff
-        x += 1
-      }
-      r += 1
-    }
-    if (!isPalette) return Some(Image("png", w, h, channels, recon))
-
-    // palette expansion: unpack the MSB-first index stream, look each
-    // index up in PLTE → interleaved RGB (an out-of-range index is a
-    // malformed stream → quarantine)
+    val outCh = if (isPalette) 3 else channels
     val mask = (1 << bitDepth) - 1
-    val out = new Array[Int](w * h * 3)
-    var pr = 0
-    while (pr < h) {
-      var c = 0
-      while (c < w) {
-        val bitPos = c * bitDepth
-        val v = (recon(pr * bpr + (bitPos >> 3)) >>
-          (8 - bitDepth - (bitPos & 7))) & mask
-        if (v * 3 + 2 >= plte.length) return None
-        val o = (pr * w + c) * 3
-        out(o) = plte(v * 3) & 0xff
-        out(o + 1) = plte(v * 3 + 1) & 0xff
-        out(o + 2) = plte(v * 3 + 2) & 0xff
-        c += 1
+    val out = new Array[Int](w * h * outCh)
+    var off = 0 // read cursor into the inflated stream
+    var pi = 0
+    while (pi < passes.length) {
+      val (rs, cs, rStr, cStr) = passes(pi)
+      val pw = passW(cs, cStr)
+      val ph = passH(rs, rStr)
+      if (pw > 0 && ph > 0) {
+        val bpr = (pw * channels * bitDepth + 7) / 8
+        val recon = new Array[Int](ph * bpr)
+        var r = 0
+        while (r < ph) {
+          val filter = raw(off + r * (bpr + 1)) & 0xff
+          var x = 0
+          while (x < bpr) {
+            val v = raw(off + r * (bpr + 1) + 1 + x) & 0xff
+            val a = if (x >= bpp) recon(r * bpr + x - bpp) else 0
+            val up = if (r > 0) recon((r - 1) * bpr + x) else 0
+            val c = if (r > 0 && x >= bpp) recon((r - 1) * bpr + x - bpp) else 0
+            val rec = filter match {
+              case 0 => v
+              case 1 => v + a
+              case 2 => v + up
+              case 3 => v + (a + up) / 2
+              case 4 => // Paeth predictor
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+                v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+              case _ => return None
+            }
+            recon(r * bpr + x) = rec & 0xff
+            x += 1
+          }
+          // scatter this pass row to frame row rs + r·rStr
+          val fr = rs + r * rStr
+          var pc2 = 0
+          while (pc2 < pw) {
+            val fc = cs + pc2 * cStr
+            val o = (fr * w + fc) * outCh
+            if (isPalette) {
+              val bitPos = pc2 * bitDepth
+              val v = (recon(r * bpr + (bitPos >> 3)) >>
+                (8 - bitDepth - (bitPos & 7))) & mask
+              if (v * 3 + 2 >= plte.length) return None
+              out(o) = plte(v * 3) & 0xff
+              out(o + 1) = plte(v * 3 + 1) & 0xff
+              out(o + 2) = plte(v * 3 + 2) & 0xff
+            } else {
+              var ch = 0
+              while (ch < channels) {
+                out(o + ch) = recon(r * bpr + pc2 * channels + ch)
+                ch += 1
+              }
+            }
+            pc2 += 1
+          }
+          r += 1
+        }
+        off += ph * (bpr + 1)
       }
-      pr += 1
+      pi += 1
     }
-    Some(Image("png", w, h, 3, out))
+    Some(Image("png", w, h, outCh, out))
   }
 
   /** Per-channel (sum, min, max) over an image's samples in one pass. */

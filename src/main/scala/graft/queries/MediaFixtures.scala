@@ -73,6 +73,7 @@ object MediaFixtures {
     "avi_scramble_97_v2" -> (aviScramble97 _),
     "jpeg_pattern_5" -> (jpegPattern5 _),
     "png_palette_7" -> (pngPalette7 _),
+    "png_adam7_11" -> (pngAdam7_11 _),
     "bmp_scramble_83_v2_dhash" -> (bmpDhash83 _),
     "avi_scramble_97_v2_framehash" -> (aviFrameHashes97 _))
 
@@ -197,10 +198,25 @@ object MediaFixtures {
     * sub-byte streams. Returns (media_id, payload).
     */
   def pngPalette7(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "png_palette_7") {
+    palettePngs(s, dir, "png_palette_7", mod = 7, interlaced = false)
+
+  /** q195's Adam7-INTERLACED palette PNGs — identical palette/pixel/
+    * geometry formulas to [[pngPalette7]] (seed = doc_id, every 11th
+    * document) but packed as the seven Adam7 sub-images (IHDR interlace
+    * = 1), each pass independently filtered on the None/Sub/Up cycle by
+    * PASS row. Same pixels, different container layout: the q195 oracle
+    * is q194's formula replay verbatim, so any pass-geometry, scatter,
+    * or per-pass filter bug breaks the hash while q194 stays green.
+    */
+  def pngAdam7_11(s: SparkSession, dir: String): DataFrame =
+    palettePngs(s, dir, "png_adam7_11", mod = 11, interlaced = true)
+
+  private def palettePngs(s: SparkSession, dir: String, cacheName: String,
+      mod: Int, interlaced: Boolean): DataFrame =
+    cached(s, dir, cacheName) {
       import org.apache.spark.sql.types._
       val geom = Tables.documents(s, dir)
-        .filter(col("doc_id") % 7 === 0)
+        .filter(col("doc_id") % mod === 0)
         .select(col("doc_id").cast("long").as("media_id"),
           (lit(8) + col("doc_id") % 5).cast("int").as("w"),
           (lit(8) + col("doc_id") % 3).cast("int").as("h"),
@@ -232,36 +248,51 @@ object MediaFixtures {
           for (k <- 0 until nc; ch <- 0 until 3)
             plte(k * 3 + ch) = Integer.parseInt(
               md5hex(s"${id}_${k}_${ch}").substring(2, 4), 16).toByte
-          // MSB-first packed index scanlines
-          val bpr = (w * depth + 7) / 8
-          val rawRows = Array.tabulate(h) { rr =>
-            val row = new Array[Byte](bpr)
+          // full-frame palette-index grid from the md5 formula
+          val idxGrid = Array.tabulate(h, w) { (rr, cc) =>
+            Integer.parseInt(md5hex(s"${id}_${rr}_${cc}").substring(0, 2), 16) % nc
+          }
+          // pack one scanline of indices MSB-first at `depth` bits each
+          def pack(indices: Array[Int]): Array[Byte] = {
+            val row = new Array[Byte]((indices.length * depth + 7) / 8)
             var c = 0
-            while (c < w) {
-              val v = Integer.parseInt(
-                md5hex(s"${id}_${rr}_${c}").substring(0, 2), 16) % nc
+            while (c < indices.length) {
               val bitPos = c * depth
               row(bitPos >> 3) = (row(bitPos >> 3) |
-                (v << (8 - depth - (bitPos & 7)))).toByte
+                (indices(c) << (8 - depth - (bitPos & 7)))).toByte
               c += 1
             }
             row
           }
-          // filters cycle None/Sub/Up by row (bpp = 1 byte at depth ≤ 8)
+          // emit one pass (an independent sub-image): filters cycle
+          // None/Sub/Up by PASS row (bpp = 1 byte at depth ≤ 8); Up on
+          // the first pass row sees no prior row → plain values
           val filtered = new java.io.ByteArrayOutputStream()
-          for (rr <- 0 until h) {
-            val f = rr % 3
-            filtered.write(f)
-            val cur = rawRows(rr)
-            for (x <- 0 until bpr) {
-              val v = cur(x) & 0xff
-              val out = f match {
-                case 0 => v
-                case 1 => v - (if (x >= 1) cur(x - 1) & 0xff else 0)
-                case _ => v - (if (rr > 0) rawRows(rr - 1)(x) & 0xff else 0)
+          def emitPass(passRows: Array[Array[Int]]): Unit = {
+            val packed = passRows.map(pack)
+            for (rr <- packed.indices) {
+              val f = rr % 3
+              filtered.write(f)
+              val cur = packed(rr)
+              for (x <- cur.indices) {
+                val v = cur(x) & 0xff
+                val out = f match {
+                  case 0 => v
+                  case 1 => v - (if (x >= 1) cur(x - 1) & 0xff else 0)
+                  case _ => v - (if (rr > 0) packed(rr - 1)(x) & 0xff else 0)
+                }
+                filtered.write(out & 0xff)
               }
-              filtered.write(out & 0xff)
             }
+          }
+          if (!interlaced) emitPass(idxGrid)
+          else for ((rs, cs, rStr, cStr) <- Seq((0, 0, 8, 8), (0, 4, 8, 8),
+              (4, 0, 8, 4), (0, 2, 4, 4), (2, 0, 4, 2), (0, 1, 2, 2),
+              (1, 0, 2, 1))) {
+            val passRows = (rs until h by rStr).map { fr =>
+              (cs until w by cStr).map(fc => idxGrid(fr)(fc)).toArray
+            }.filter(_.nonEmpty).toArray
+            if (passRows.nonEmpty) emitPass(passRows)
           }
           val deflated = {
             val d = new java.util.zip.Deflater()
@@ -277,7 +308,8 @@ object MediaFixtures {
           val ihdr = java.nio.ByteBuffer.allocate(13)
             .putInt(w).putInt(h)
             .put(depth.toByte).put(3.toByte) // color type 3 = palette
-            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+            .put(0.toByte).put(0.toByte)
+            .put((if (interlaced) 1 else 0).toByte).array()
           chunk(png, "IHDR", ihdr)
           chunk(png, "PLTE", plte)
           chunk(png, "IDAT", deflated)

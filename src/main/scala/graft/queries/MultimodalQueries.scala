@@ -408,7 +408,32 @@ object MultimodalQueries {
       |    AS bottom_right_b
       |FROM pal GROUP BY doc_id, w, h""".stripMargin
 
+  /** Adam7-interlaced PNG decode (the OTHER PNG layout, lifted in the
+    * same round as palette support): identical palette/pixel formulas to
+    * q194 — the oracle replay is q194's verbatim, on every 11th document
+    * — but the payloads pack the seven Adam7 sub-images, each pass
+    * independently filtered. The engine must reconstruct the exact same
+    * full-frame pixels through pass-geometry math + per-pass de-filter +
+    * scatter; a transposed stride, mis-ordered pass, or cross-pass filter
+    * reference breaks the hash while q194 (sequential layout, same
+    * formulas) stays green — isolating interlace bugs from palette bugs.
+    * (PngSpec cross-checks the same payloads pixel-for-pixel against the
+    * JDK ImageIO reader.)
+    */
+  def q195InterlacedPng(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaFixtures.pngAdam7_11(s, dir)
+    graft.multimodal.Multimodal.pixelStats(media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("r_mean"), col("g_mean"), col("b_mean"),
+        col("top_left_r"), col("bottom_right_b"))
+  }
+
+  val q195Sql: String =
+    q194Sql.replace("FROM documents WHERE doc_id % 7 = 0",
+      "FROM documents WHERE doc_id % 11 = 0")
+
   val queries: Map[String, Q] = Map(
+    "q195_interlaced_png" -> (q195InterlacedPng _),
     "q194_palette_png" -> (q194PalettePng _),
     "q193_streaming_media_dedup" -> (q193StreamingMediaDedup _),
     "q191_media_index_probe" -> (q191MediaIndexProbe _),
@@ -419,6 +444,7 @@ object MultimodalQueries {
     "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q195_interlaced_png" -> q195Sql,
     "q194_palette_png" -> q194Sql,
     "q193_streaming_media_dedup" -> q191Sql, // boundary-independent: q191's ground truth
     "q191_media_index_probe" -> q191Sql,

@@ -300,6 +300,85 @@ class PixelDecodeSpec extends SparkTestBase {
       assert(img.at(1, c, ch) === ((10 * ((c % 4) * 3 + ch)) & 0xff))
   }
 
+  // ---- Adam7 interlace ----
+
+  /** Hand-built Adam7 grayscale PNG (color type 0, depth 8, filter 0):
+    * the seven passes' rows emitted in spec order, each an independent
+    * sub-image. Exercises the non-palette scatter path.
+    */
+  private def adam7GrayPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val passes = Seq((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+      (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((rs, cs, rStr, cStr) <- passes; if rs < h && cs < w)
+      for (fr <- rs until h by rStr) {
+        raw.write(0) // filter None
+        for (fc <- cs until w by cStr) raw.write(px(fr, fc) & 0xff)
+      }
+    val deflated = {
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(out)
+      d.write(raw.toByteArray); d.close(); out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(1.toByte).array()
+    Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  test("Adam7 gray: every pixel lands at its frame position") {
+    // 9×10 (odd dims force ragged pass geometry: ceil divisions live)
+    val img = PixelDecode.decode(adam7GrayPng(9, 10, (r, c) => r * 16 + c)).get
+    assert(img.width === 9 && img.height === 10 && img.channels === 1)
+    for (r <- 0 until 10; c <- 0 until 9)
+      assert(img.at(r, c, 0) === r * 16 + c, s"pixel ($r,$c)")
+  }
+
+  test("Adam7 palette fixture payloads match the JDK ImageIO reader pixel-for-pixel") {
+    // same formulas as the q194 fixture, Adam7-packed sub-byte scanlines —
+    // ImageIO independently de-interlaces. dimension-sized collect: 8 tiny
+    // test images
+    val payloads = graft.queries.MediaFixtures
+      .pngAdam7_11(spark, "/root/testdata/sf0.001")
+      .orderBy(col("media_id")).limit(8).collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      val ours = PixelDecode.decode(bytes)
+        .getOrElse(fail(s"quarantined media_id=${row.getLong(0)}"))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK rejected media_id=${row.getLong(0)}")
+      assert(ours.width === jdk.getWidth && ours.height === jdk.getHeight)
+      for (r <- 0 until ours.height; c <- 0 until ours.width) {
+        val argb = jdk.getRGB(c, r)
+        assert(ours.at(r, c, 0) === ((argb >> 16) & 0xff) &&
+          ours.at(r, c, 1) === ((argb >> 8) & 0xff) &&
+          ours.at(r, c, 2) === (argb & 0xff),
+          s"pixel ($r,$c) of media_id=${row.getLong(0)}")
+      }
+    }
+  }
+
+  test("Adam7 truncated stream quarantines") {
+    val ok = adam7GrayPng(9, 10, (r, c) => r + c)
+    // rebuild with the IDAT payload cut short: inflated size misses the
+    // per-pass expected total -> None
+    val sig = ok.take(8)
+    val ihdrChunk = ok.slice(8, 8 + 12 + 13)
+    val idatLen = java.nio.ByteBuffer.wrap(ok, 33, 4).getInt
+    val idatData = ok.slice(41, 41 + idatLen)
+    // cut half the deflated stream — dropping only the last 4 bytes would
+    // remove just the zlib Adler-32 trailer, which the decoder (correctly)
+    // does not require once every expected pass byte has been produced
+    val short = idatData.take(idatData.length / 2)
+    val bad = sig ++ ihdrChunk ++ chunk("IDAT", short) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(PixelDecode.decode(bad).isEmpty)
+  }
+
   test("palette PNG quarantines: missing PLTE, out-of-range index, bad depth") {
     val plte2 = Array[Byte](1, 2, 3, 4, 5, 6) // 2 entries
     assert(PixelDecode.decode(
