@@ -798,6 +798,50 @@ object PipelineQueries {
     * seeds, and integer-nano distance chain as the two parents, so the
     * oracle is their SQL composed.
     */
+  /** STREAMING ANN probe — the last index family to get a streaming
+    * shape (text shingles have q188, media hashes q193): the IVF index
+    * is built ONCE (persisted cell-partitioned parquet, q110's layout),
+    * then query vectors ARRIVE as a file stream and every micro-batch
+    * probes the stored index via [[graft.operators.AnnIndex.probe]],
+    * appending its top-k verdicts to the sink. Verdicts are PER-QUERY
+    * against a static index, so the sink is batch-boundary-independent
+    * and the oracle is exactly q110's SQL replay. Checkpointed
+    * AvailableNow, ≥ 2 micro-batches via maxFilesPerTrigger.
+    */
+  def q196StreamingAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode)
+    val root = s"/tmp/graft_q196_idx_$h"
+    val src = s"/tmp/graft_q196_src_$h"
+    val sink = s"/tmp/graft_q196_sink_$h"
+    val ckpt = s"/tmp/graft_q196_ckpt_$h"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    Seq(root, src, sink, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val emb = Tables.embeddings(s, dir)
+    // q110's fixture geometry: %100==50 seed centroids, corpus excludes
+    // the query slice, queries are %100==0
+    val cents = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").cast("long").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    graft.operators.AnnIndex.build(
+      emb.filter(col("vec_id") % 100 =!= 0), cents, root)
+    // the query batch lands as 4 files → 2 micro-batches of 2
+    emb.filter(col("vec_id") % 100 === 0).select("vec_id", "embedding")
+      .repartition(4).write.parquet(src)
+    import org.apache.spark.sql.types._
+    val stream = graft.streaming.Incremental.fileStream(s, src,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      maxFilesPerTrigger = Some(2))
+    graft.streaming.Incremental.runForeachBatchToParquet(stream, sink, ckpt,
+      (batch, _) => graft.operators.AnnIndex
+        .probe(batch.sparkSession, root, batch, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 9).as("cos_sim_r"), col("rank")))
+    s.read.parquet(sink)
+  }
+
   def q111IvfPq(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ProductQuantization._
     val emb = Tables.embeddings(s, dir)
@@ -907,6 +951,7 @@ object PipelineQueries {
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q109_curation_pipeline" -> (q109CurationPipeline _),
     "q110_ann_index_probe" -> (q110AnnIndexProbe _),
+    "q196_streaming_ann_probe" -> (q196StreamingAnnProbe _),
     "q102_source_caps" -> (q102SourceCaps _),
     "q103_event_transitions" -> (q103EventTransitions _),
     "q104_top_paths" -> (q104TopPaths _),
@@ -928,6 +973,7 @@ object PipelineQueries {
     "q106_rfm_segments" -> q106Sql,
     "q109_curation_pipeline" -> q109Sql,
     "q110_ann_index_probe" -> q110Sql,
+    "q196_streaming_ann_probe" -> q110Sql, // batch-boundary-independent: q110's replay
     "q111_ivf_pq" -> q111Sql,
     "q112_temperature_mix" -> q112Sql,
     "q103_event_transitions" -> q103Sql,
