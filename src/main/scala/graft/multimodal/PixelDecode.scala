@@ -5,7 +5,9 @@ package graft.multimodal
   * first-principles byte work plus the JDK's zlib):
   *
   *  - BMP: uncompressed 24-bit (BI_RGB), bottom-up or top-down, 4-byte row
-  *    stride, BGR byte order — pure arithmetic over the pixel array.
+  *    stride, BGR byte order — pure arithmetic over the pixel array; plus
+  *    8-bit palette RLE (BI_RLE8: encoded runs, absolute segments, EOL /
+  *    EOF / delta escapes, bottom-up) expanded through the color table.
   *  - PNG (RFC 2083): 8-bit-depth gray / truecolor / gray+alpha / RGBA,
   *    plus palette (color type 3) at bit depths 1/2/4/8 with PLTE lookup
   *    to RGB — IDAT chunks concatenated, inflated with
@@ -17,7 +19,7 @@ package graft.multimodal
   *    decode, dequantize, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB,
   *    all from the T.81 spec.
   *
-  * Anything else (16-bit depth, RLE BMPs, progressive/arithmetic JPEG)
+  * Anything else (16-bit depth, BI_RLE4, progressive/arithmetic JPEG)
   * returns None: at corpus scale a decode stage quarantines what it
   * cannot parse, it never crashes the scan.
   */
@@ -67,8 +69,14 @@ object PixelDecode {
 
   private def decodeBmp(b: Array[Byte]): Option[Image] = {
     if (le32(b, 14) < 40) return None          // need BITMAPINFOHEADER+
-    if (le16(b, 28) != 24) return None         // 24-bit only
-    if (le32(b, 30) != 0) return None          // BI_RGB (uncompressed) only
+    (le16(b, 28), le32(b, 30)) match {
+      case (24, 0) => decodeBmp24(b)           // BI_RGB truecolor
+      case (8, 1) => decodeBmpRle8(b)          // BI_RLE8 palette
+      case _ => None                           // RLE4/16-bit/… quarantine
+    }
+  }
+
+  private def decodeBmp24(b: Array[Byte]): Option[Image] = {
     val off = le32(b, 10)
     val w = le32(b, 18)
     val hRaw = le32(b, 22)
@@ -85,6 +93,75 @@ object PixelDecode {
       var c = 0
       while (c < w) {
         val p = base + c * 3                   // stored B,G,R → emit R,G,B
+        val o = (r * w + c) * 3
+        out(o) = u8(b, p + 2)
+        out(o + 1) = u8(b, p + 1)
+        out(o + 2) = u8(b, p)
+        c += 1
+      }
+      r += 1
+    }
+    Some(Image("bmp", w, h, 3, out))
+  }
+
+  /** BI_RLE8 (MS BMP spec): 8-bit palette indices, run-length encoded.
+    * Encoded mode `(n>0, idx)` repeats idx n times; escape `(0, 0)` ends
+    * the scanline, `(0, 1)` ends the bitmap, `(0, 2, dx, dy)` skips
+    * pixels (skipped cells stay at index 0 — the ImageIO convention),
+    * `(0, n≥3)` runs n literal indices padded to a word boundary. RLE
+    * bitmaps are bottom-up by definition (negative height → malformed).
+    * Unlike BI_RGB, output size is NOT bounded by input size (a 10-byte
+    * stream can claim a huge frame filled by runs), so the PNG-side
+    * MaxPixels decode-bomb guard applies here too.
+    */
+  private def decodeBmpRle8(b: Array[Byte]): Option[Image] = {
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    if (w <= 0 || h <= 0) return None          // RLE is bottom-up only
+    if (w.toLong * h > MaxPixels) return None
+    val nColors = { val cu = le32(b, 46); if (cu == 0) 256 else cu }
+    if (nColors < 1 || nColors > 256) return None
+    val palOff = 14 + le32(b, 14)              // palette follows the info header
+    if (palOff + 4 * nColors > b.length || off > b.length) return None
+    val idx = new Array[Int](w * h)            // file-order rows, bottom-up
+    var pos = off
+    var x = 0
+    var y = 0                                  // scanline index from the BOTTOM
+    var done = false
+    while (!done) {
+      if (pos + 2 > b.length) return None      // truncated stream
+      val n1 = u8(b, pos); val n2 = u8(b, pos + 1); pos += 2
+      if (n1 > 0) {                            // encoded run
+        if (y >= h || x + n1 > w) return None
+        var i = 0
+        while (i < n1) { idx(y * w + x) = n2; x += 1; i += 1 }
+      } else n2 match {
+        case 0 => x = 0; y += 1                // end of line
+        case 1 => done = true                  // end of bitmap
+        case 2 =>                              // delta: skip right/up
+          if (pos + 2 > b.length) return None
+          x += u8(b, pos); y += u8(b, pos + 1); pos += 2
+          if (x > w || y > h) return None
+        case n =>                              // absolute: n literal indices
+          if (y >= h || x + n > w) return None
+          if (pos + n > b.length) return None
+          var i = 0
+          while (i < n) { idx(y * w + x) = u8(b, pos + i); x += 1; i += 1 }
+          pos += n + (n & 1)                   // pad to word boundary
+      }
+      if (y > h) return None
+    }
+    // palette lookup (stored B,G,R,reserved) with the bottom-up flip
+    val out = new Array[Int](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val fy = h - 1 - r
+      var c = 0
+      while (c < w) {
+        val v = idx(fy * w + c)
+        if (v >= nColors) return None          // index past the palette
+        val p = palOff + v * 4
         val o = (r * w + c) * 3
         out(o) = u8(b, p + 2)
         out(o + 1) = u8(b, p + 1)

@@ -74,6 +74,7 @@ object MediaFixtures {
     "jpeg_pattern_5" -> (jpegPattern5 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
+    "bmp_rle8_13" -> (bmpRle8_13 _),
     "bmp_scramble_83_v2_dhash" -> (bmpDhash83 _),
     "avi_scramble_97_v2_framehash" -> (aviFrameHashes97 _))
 
@@ -315,6 +316,89 @@ object MediaFixtures {
           chunk(png, "IDAT", deflated)
           chunk(png, "IEND", Array.empty[Byte])
           org.apache.spark.sql.Row(id, png.toByteArray)
+        }
+      }(enc)
+    }
+
+  /** q197's RLE8 BMPs — REAL BI_RLE8 containers (8-bit palette indices,
+    * run-length encoded, bottom-up) over md5-mixed formulas both engines
+    * replay: 16 palette entries with channel (k, ch) = md5("id_k_ch")
+    * [3..4] as hex; pixel index (r, c) = md5 of ("id_r_(c/2)") for c < 4
+    * (adjacent pairs equal → ENCODED RUNS live) and of ("id_r_c_s")
+    * beyond (random singletons → ABSOLUTE segments live), both [1..2]
+    * % 16. Every scanline ends with the EOL escape; the stream ends with
+    * EOF; absolute segments pad to the word boundary. Returns
+    * (media_id, payload).
+    */
+  def bmpRle8_13(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "bmp_rle8_13") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(8) + col("doc_id") % 5).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 3).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(v: String): String =
+          md.digest(v.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val nc = 16
+          def pix(rr: Int, cc: Int): Int =
+            if (cc < 4)
+              Integer.parseInt(md5hex(s"${id}_${rr}_${cc / 2}").substring(0, 2), 16) % nc
+            else
+              Integer.parseInt(md5hex(s"${id}_${rr}_${cc}_s").substring(0, 2), 16) % nc
+          val rle = new java.io.ByteArrayOutputStream()
+          // scanlines in FILE order = bottom-up: logical row h-1 first
+          for (fr <- (h - 1) to 0 by -1) {
+            val row = Array.tabulate(w)(pix(fr, _))
+            var c = 0
+            while (c < w) {
+              var run = 1
+              while (c + run < w && row(c + run) == row(c) && run < 255) run += 1
+              if (run >= 2) { rle.write(run); rle.write(row(c)); c += run }
+              else {
+                // singleton stretch: extend while no new run starts
+                var e = c + 1
+                while (e < w && (e + 1 >= w || row(e + 1) != row(e)) &&
+                    e - c < 255) e += 1
+                val len = e - c
+                if (len >= 3) {
+                  rle.write(0); rle.write(len)
+                  for (i <- c until e) rle.write(row(i))
+                  if (len % 2 == 1) rle.write(0) // pad to word boundary
+                } else for (i <- c until e) { rle.write(1); rle.write(row(i)) }
+                c = e
+              }
+            }
+            rle.write(0); rle.write(0) // EOL
+          }
+          rle.write(0); rle.write(1) // EOF
+          val data = rle.toByteArray
+          val offBits = 14 + 40 + 4 * nc
+          val bb = java.nio.ByteBuffer
+            .allocate(offBits + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put('B'.toByte).put('M'.toByte)
+            .putInt(offBits + data.length).putInt(0).putInt(offBits)
+          bb.putInt(40).putInt(w).putInt(h)
+            .putShort(1.toShort).putShort(8.toShort)
+            .putInt(1) // BI_RLE8
+            .putInt(data.length).putInt(0).putInt(0)
+            .putInt(nc).putInt(0)
+          for (k <- 0 until nc) {
+            def ch(i: Int): Byte = Integer.parseInt(
+              md5hex(s"${id}_${k}_${i}").substring(2, 4), 16).toByte
+            bb.put(ch(2)).put(ch(1)).put(ch(0)).put(0.toByte) // B,G,R,0
+          }
+          bb.put(data)
+          org.apache.spark.sql.Row(id, bb.array())
         }
       }(enc)
     }

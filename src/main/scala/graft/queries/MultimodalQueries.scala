@@ -432,7 +432,58 @@ object MultimodalQueries {
     q194Sql.replace("FROM documents WHERE doc_id % 7 = 0",
       "FROM documents WHERE doc_id % 11 = 0")
 
+  /** RLE8 BMP decode (BI_RLE8 — the compressed BMP quarantine, lifted):
+    * real run-length palette bitmaps whose pixel/palette formulas replay
+    * in SQL. The fixture's column split keeps BOTH RLE encodings live —
+    * columns < 4 derive from c/2 (adjacent pairs equal → encoded runs),
+    * the rest from per-cell hashes (singleton stretches → absolute
+    * segments with word padding) — and every scanline exercises the EOL
+    * escape bottom-up. A broken run length, absolute pad, palette
+    * B,G,R order, or row flip breaks the channel means / corner probes.
+    * (PixelDecodeSpec cross-checks the payloads pixel-for-pixel against
+    * the JDK ImageIO BMP reader.)
+    */
+  def q197RleBmp(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaFixtures.bmpRle8_13(s, dir)
+    graft.multimodal.Multimodal.pixelStats(media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("r_mean"), col("g_mean"), col("b_mean"),
+        col("top_left_r"), col("bottom_right_b"))
+  }
+
+  val q197Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    CAST(8 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(8 + doc_id % 3 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |px AS (SELECT doc_id, w, h, rr.r AS r, cc.c AS c FROM g,
+      |    (SELECT unnest(generate_series(0, 9)) AS r) rr,
+      |    (SELECT unnest(generate_series(0, 11)) AS c) cc
+      |  WHERE rr.r < h AND cc.c < w),
+      |idx AS (SELECT doc_id, w, h, r, c,
+      |    CASE WHEN c < 4 THEN
+      |      ('0x' || substr(md5(concat_ws('_', doc_id, r, c // 2)), 1, 2))::INT % 16
+      |    ELSE
+      |      ('0x' || substr(md5(concat_ws('_', doc_id, r, c, 's')), 1, 2))::INT % 16
+      |    END AS k
+      |  FROM px),
+      |pal AS (SELECT i.doc_id, i.w, i.h, i.r, i.c,
+      |    ('0x' || substr(md5(concat_ws('_', i.doc_id, i.k, 0)), 3, 2))::INT AS rv,
+      |    ('0x' || substr(md5(concat_ws('_', i.doc_id, i.k, 1)), 3, 2))::INT AS gv,
+      |    ('0x' || substr(md5(concat_ws('_', i.doc_id, i.k, 2)), 3, 2))::INT AS bv
+      |  FROM idx i)
+      |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height,
+      |  CAST(sum(rv) AS BIGINT) * 1.0 / (w * h) AS r_mean,
+      |  CAST(sum(gv) AS BIGINT) * 1.0 / (w * h) AS g_mean,
+      |  CAST(sum(bv) AS BIGINT) * 1.0 / (w * h) AS b_mean,
+      |  CAST(max(CASE WHEN r = 0 AND c = 0 THEN rv END) AS INT) AS top_left_r,
+      |  CAST(max(CASE WHEN r = h - 1 AND c = w - 1 THEN bv END) AS INT)
+      |    AS bottom_right_b
+      |FROM pal GROUP BY doc_id, w, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q197_rle_bmp" -> (q197RleBmp _),
     "q195_interlaced_png" -> (q195InterlacedPng _),
     "q194_palette_png" -> (q194PalettePng _),
     "q193_streaming_media_dedup" -> (q193StreamingMediaDedup _),
@@ -444,6 +495,7 @@ object MultimodalQueries {
     "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q197_rle_bmp" -> q197Sql,
     "q195_interlaced_png" -> q195Sql,
     "q194_palette_png" -> q194Sql,
     "q193_streaming_media_dedup" -> q191Sql, // boundary-independent: q191's ground truth

@@ -379,6 +379,85 @@ class PixelDecodeSpec extends SparkTestBase {
     assert(PixelDecode.decode(bad).isEmpty)
   }
 
+  // ---- BI_RLE8 BMP ----
+
+  /** Hand-built RLE8 BMP from explicit opcode bytes (palette = 4 gray
+    * levels), so each escape is placed deliberately. */
+  private def rle8Bmp(w: Int, h: Int, ops: Array[Int],
+      nColors: Int = 4): Array[Byte] = {
+    val offBits = 14 + 40 + 4 * nColors
+    val bb = java.nio.ByteBuffer.allocate(offBits + ops.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(offBits + ops.length).putInt(0).putInt(offBits)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(8.toShort)
+      .putInt(1).putInt(ops.length).putInt(0).putInt(0)
+      .putInt(nColors).putInt(0)
+    for (k <- 0 until nColors) // palette: B,G,R = 10k+2, 10k+1, 10k
+      bb.put((10 * k + 2).toByte).put((10 * k + 1).toByte)
+        .put((10 * k).toByte).put(0.toByte)
+    ops.foreach(o => bb.put(o.toByte))
+    bb.array()
+  }
+
+  test("RLE8 BMP: runs, absolute segments, delta skip, EOL/EOF, bottom-up flip") {
+    // 6×2, file rows bottom-up: file row 0 (= logical BOTTOM row 1):
+    // run 3×idx1, absolute [2,3,0] (odd → pad byte), EOL;
+    // file row 1 (= logical TOP row 0): run 2×idx2, delta skip (2,0)
+    // (skipped cells stay idx 0), run 2×idx3, EOL, EOF
+    val img = PixelDecode.decode(rle8Bmp(6, 2, Array(
+      3, 1, 0, 3, 2, 3, 0, 0, 0, 0, // bottom row: 1 1 1 2 3 0
+      2, 2, 0, 2, 2, 0, 2, 3, 0, 0, // top row: 2 2 [0 0] 3 3
+      0, 1))).get
+    assert(img.width === 6 && img.height === 2 && img.channels === 3)
+    val top = Seq(2, 2, 0, 0, 3, 3)
+    val bottom = Seq(1, 1, 1, 2, 3, 0)
+    for (c <- 0 until 6) {
+      // palette k decodes to R,G,B = 10k, 10k+1, 10k+2
+      assert(img.at(0, c, 0) === 10 * top(c) &&
+        img.at(0, c, 2) === 10 * top(c) + 2, s"top col $c")
+      assert(img.at(1, c, 1) === 10 * bottom(c) + 1, s"bottom col $c")
+    }
+  }
+
+  test("RLE8 BMP quarantines: run past row end, index past palette, truncation, top-down") {
+    assert(PixelDecode.decode(rle8Bmp(4, 1,
+      Array(5, 1, 0, 0, 0, 1))).isEmpty, "run of 5 in a 4-wide row")
+    assert(PixelDecode.decode(rle8Bmp(4, 1,
+      Array(2, 9, 0, 0, 0, 1))).isEmpty, "index 9 past a 4-color palette")
+    assert(PixelDecode.decode(rle8Bmp(4, 1,
+      Array(2, 1))).isEmpty, "stream ends without EOF")
+    val neg = rle8Bmp(4, 1, Array(4, 1, 0, 0, 0, 1))
+    val bb = java.nio.ByteBuffer.wrap(neg)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -1) // negative height: RLE is bottom-up only
+    assert(PixelDecode.decode(neg).isEmpty, "top-down RLE is malformed")
+  }
+
+  test("RLE8 BMP fixture payloads match the JDK ImageIO reader pixel-for-pixel") {
+    // dimension-sized collect: 8 tiny test images
+    val payloads = graft.queries.MediaFixtures
+      .bmpRle8_13(spark, "/root/testdata/sf0.001")
+      .orderBy(col("media_id")).limit(8).collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      val ours = PixelDecode.decode(bytes)
+        .getOrElse(fail(s"quarantined media_id=${row.getLong(0)}"))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK rejected media_id=${row.getLong(0)}")
+      assert(ours.width === jdk.getWidth && ours.height === jdk.getHeight)
+      for (r <- 0 until ours.height; c <- 0 until ours.width) {
+        val argb = jdk.getRGB(c, r)
+        assert(ours.at(r, c, 0) === ((argb >> 16) & 0xff) &&
+          ours.at(r, c, 1) === ((argb >> 8) & 0xff) &&
+          ours.at(r, c, 2) === (argb & 0xff),
+          s"pixel ($r,$c) of media_id=${row.getLong(0)}")
+      }
+    }
+  }
+
   test("palette PNG quarantines: missing PLTE, out-of-range index, bad depth") {
     val plte2 = Array[Byte](1, 2, 3, 4, 5, 6) // 2 entries
     assert(PixelDecode.decode(
