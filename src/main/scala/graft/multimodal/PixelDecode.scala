@@ -6,8 +6,9 @@ package graft.multimodal
   *
   *  - BMP: uncompressed 24-bit (BI_RGB), bottom-up or top-down, 4-byte row
   *    stride, BGR byte order — pure arithmetic over the pixel array; plus
-  *    8-bit palette RLE (BI_RLE8: encoded runs, absolute segments, EOL /
-  *    EOF / delta escapes, bottom-up) expanded through the color table.
+  *    palette RLE at both widths (BI_RLE8 and nibble-packed BI_RLE4:
+  *    encoded runs, absolute segments, EOL / EOF / delta escapes,
+  *    bottom-up) expanded through the color table.
   *  - PNG (RFC 2083): 8-bit-depth gray / truecolor / gray+alpha / RGBA,
   *    plus palette (color type 3) at bit depths 1/2/4/8 with PLTE lookup
   *    to RGB — IDAT chunks concatenated, inflated with
@@ -19,9 +20,9 @@ package graft.multimodal
   *    decode, dequantize, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB,
   *    all from the T.81 spec.
   *
-  * Anything else (16-bit depth, BI_RLE4, progressive/arithmetic JPEG)
-  * returns None: at corpus scale a decode stage quarantines what it
-  * cannot parse, it never crashes the scan.
+  * Anything else (16-bit depth, progressive/arithmetic JPEG) returns
+  * None: at corpus scale a decode stage quarantines what it cannot
+  * parse, it never crashes the scan.
   */
 object PixelDecode {
 
@@ -71,8 +72,9 @@ object PixelDecode {
     if (le32(b, 14) < 40) return None          // need BITMAPINFOHEADER+
     (le16(b, 28), le32(b, 30)) match {
       case (24, 0) => decodeBmp24(b)           // BI_RGB truecolor
-      case (8, 1) => decodeBmpRle8(b)          // BI_RLE8 palette
-      case _ => None                           // RLE4/16-bit/… quarantine
+      case (8, 1) => decodeBmpRle(b, bits = 8) // BI_RLE8 palette
+      case (4, 2) => decodeBmpRle(b, bits = 4) // BI_RLE4 palette
+      case _ => None                           // 16-bit/… quarantine
     }
   }
 
@@ -104,24 +106,27 @@ object PixelDecode {
     Some(Image("bmp", w, h, 3, out))
   }
 
-  /** BI_RLE8 (MS BMP spec): 8-bit palette indices, run-length encoded.
-    * Encoded mode `(n>0, idx)` repeats idx n times; escape `(0, 0)` ends
+  /** BI_RLE8 / BI_RLE4 (MS BMP spec): palette indices, run-length
+    * encoded. Encoded mode `(n>0, v)` repeats v n times — at 4 bits, v's
+    * HIGH and LOW nibbles alternate across the run; escape `(0, 0)` ends
     * the scanline, `(0, 1)` ends the bitmap, `(0, 2, dx, dy)` skips
     * pixels (skipped cells stay at index 0 — the ImageIO convention),
-    * `(0, n≥3)` runs n literal indices padded to a word boundary. RLE
-    * bitmaps are bottom-up by definition (negative height → malformed).
-    * Unlike BI_RGB, output size is NOT bounded by input size (a 10-byte
-    * stream can claim a huge frame filled by runs), so the PNG-side
-    * MaxPixels decode-bomb guard applies here too.
+    * `(0, n≥3)` runs n literal indices (nibble-packed MSB-first at 4
+    * bits) padded to a word boundary. RLE bitmaps are bottom-up by
+    * definition (negative height → malformed). Unlike BI_RGB, output
+    * size is NOT bounded by input size (a 10-byte stream can claim a
+    * huge frame filled by runs), so the PNG-side MaxPixels decode-bomb
+    * guard applies here too.
     */
-  private def decodeBmpRle8(b: Array[Byte]): Option[Image] = {
+  private def decodeBmpRle(b: Array[Byte], bits: Int): Option[Image] = {
     val off = le32(b, 10)
     val w = le32(b, 18)
     val h = le32(b, 22)
     if (w <= 0 || h <= 0) return None          // RLE is bottom-up only
     if (w.toLong * h > MaxPixels) return None
-    val nColors = { val cu = le32(b, 46); if (cu == 0) 256 else cu }
-    if (nColors < 1 || nColors > 256) return None
+    val maxColors = 1 << bits
+    val nColors = { val cu = le32(b, 46); if (cu == 0) maxColors else cu }
+    if (nColors < 1 || nColors > maxColors) return None
     val palOff = 14 + le32(b, 14)              // palette follows the info header
     if (palOff + 4 * nColors > b.length || off > b.length) return None
     val idx = new Array[Int](w * h)            // file-order rows, bottom-up
@@ -135,7 +140,13 @@ object PixelDecode {
       if (n1 > 0) {                            // encoded run
         if (y >= h || x + n1 > w) return None
         var i = 0
-        while (i < n1) { idx(y * w + x) = n2; x += 1; i += 1 }
+        while (i < n1) {
+          idx(y * w + x) =
+            if (bits == 8) n2
+            else if ((i & 1) == 0) (n2 >>> 4) & 0xf
+            else n2 & 0xf
+          x += 1; i += 1
+        }
       } else n2 match {
         case 0 => x = 0; y += 1                // end of line
         case 1 => done = true                  // end of bitmap
@@ -145,10 +156,16 @@ object PixelDecode {
           if (x > w || y > h) return None
         case n =>                              // absolute: n literal indices
           if (y >= h || x + n > w) return None
-          if (pos + n > b.length) return None
+          val nb = (n * bits + 7) / 8          // bytes holding the literals
+          if (pos + nb > b.length) return None
           var i = 0
-          while (i < n) { idx(y * w + x) = u8(b, pos + i); x += 1; i += 1 }
-          pos += n + (n & 1)                   // pad to word boundary
+          while (i < n) {
+            idx(y * w + x) =
+              if (bits == 8) u8(b, pos + i)
+              else (u8(b, pos + (i >> 1)) >>> (if ((i & 1) == 0) 4 else 0)) & 0xf
+            x += 1; i += 1
+          }
+          pos += nb + (nb & 1)                 // pad to word boundary
       }
       if (y > h) return None
     }

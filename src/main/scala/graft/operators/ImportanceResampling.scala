@@ -91,10 +91,15 @@ object ImportanceResampling {
     */
   def select(scored: DataFrame, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction in (0, 1]")
-    val n = scored.count() // one scalar — the corpus total
-    if (n == 0) return scored
+    // four consumers below (count, histogram, kept filter, boundary) —
+    // materialize the scoring pipeline ONCE instead of re-running the
+    // tokenize→join→agg chain per consumer (measured 2.8 s → ~1.2 s at
+    // sf0.1; at corpus scale the caller would persist `scored` anyway)
+    val sc = Materialize.once(scored)
+    val n = sc.count() // one scalar — the corpus total
+    if (n == 0) return sc
     val k = math.ceil(n * fraction).toLong
-    val hist = scored.groupBy(col("score_micro")).agg(count(lit(1)).as("__c"))
+    val hist = sc.groupBy(col("score_micro")).agg(count(lit(1)).as("__c"))
     val cum = GlobalOrder.runningSum(
       hist.withColumn("__negs", -col("score_micro")),
       Seq("__negs"), col("__c"), "__cum")
@@ -107,9 +112,9 @@ object ImportanceResampling {
       .select(col("b.t"), col("b.above")).first()
     val t = thr.getLong(0)
     val m = k - thr.getLong(1) // boundary rows to keep, ties → smallest id
-    val kept = scored.filter(col("score_micro") > t)
+    val kept = sc.filter(col("score_micro") > t)
     val boundary = GlobalOrder.runningRowNumber(
-        scored.filter(col("score_micro") === t), Seq("id"), "__rn")
+        sc.filter(col("score_micro") === t), Seq("id"), "__rn")
       .filter(col("__rn") <= m).drop("__rn")
     kept.unionByName(boundary)
   }

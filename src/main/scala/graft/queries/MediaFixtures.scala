@@ -75,6 +75,7 @@ object MediaFixtures {
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
     "bmp_rle8_13" -> (bmpRle8_13 _),
+    "bmp_rle4_17" -> (bmpRle4_17 _),
     "bmp_scramble_83_v2_dhash" -> (bmpDhash83 _),
     "avi_scramble_97_v2_framehash" -> (aviFrameHashes97 _))
 
@@ -331,10 +332,24 @@ object MediaFixtures {
     * (media_id, payload).
     */
   def bmpRle8_13(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "bmp_rle8_13") {
+    rleBmps(s, dir, "bmp_rle8_13", mod = 13, bits = 8)
+
+  /** q198's RLE4 BMPs — identical palette/pixel formulas to
+    * [[bmpRle8_13]] (every 17th document) but BI_RLE4: encoded runs
+    * carry the index in BOTH nibbles, absolute segments pack indices
+    * MSB-first two per byte. Same pixels, different packing — the q198
+    * oracle is q197's formula replay on the %17 slice, so a nibble-order
+    * or padding bug breaks q198 while q197 stays green.
+    */
+  def bmpRle4_17(s: SparkSession, dir: String): DataFrame =
+    rleBmps(s, dir, "bmp_rle4_17", mod = 17, bits = 4)
+
+  private def rleBmps(s: SparkSession, dir: String, cacheName: String,
+      mod: Int, bits: Int): DataFrame =
+    cached(s, dir, cacheName) {
       import org.apache.spark.sql.types._
       val geom = Tables.documents(s, dir)
-        .filter(col("doc_id") % 13 === 0)
+        .filter(col("doc_id") % mod === 0)
         .select(col("doc_id").cast("long").as("media_id"),
           (lit(8) + col("doc_id") % 5).cast("int").as("w"),
           (lit(8) + col("doc_id") % 3).cast("int").as("h"))
@@ -358,11 +373,12 @@ object MediaFixtures {
           // scanlines in FILE order = bottom-up: logical row h-1 first
           for (fr <- (h - 1) to 0 by -1) {
             val row = Array.tabulate(w)(pix(fr, _))
+            def runByte(v: Int): Int = if (bits == 8) v else (v << 4) | v
             var c = 0
             while (c < w) {
               var run = 1
               while (c + run < w && row(c + run) == row(c) && run < 255) run += 1
-              if (run >= 2) { rle.write(run); rle.write(row(c)); c += run }
+              if (run >= 2) { rle.write(run); rle.write(runByte(row(c))); c += run }
               else {
                 // singleton stretch: extend while no new run starts
                 var e = c + 1
@@ -371,9 +387,19 @@ object MediaFixtures {
                 val len = e - c
                 if (len >= 3) {
                   rle.write(0); rle.write(len)
-                  for (i <- c until e) rle.write(row(i))
-                  if (len % 2 == 1) rle.write(0) // pad to word boundary
-                } else for (i <- c until e) { rle.write(1); rle.write(row(i)) }
+                  if (bits == 8) {
+                    for (i <- c until e) rle.write(row(i))
+                    if (len % 2 == 1) rle.write(0) // pad to word boundary
+                  } else {
+                    // nibble-pack MSB-first, then pad bytes to a word
+                    val nb = (len + 1) / 2
+                    val packed = new Array[Int](nb)
+                    for (i <- 0 until len)
+                      packed(i / 2) |= row(c + i) << (if (i % 2 == 0) 4 else 0)
+                    packed.foreach(rle.write)
+                    if (nb % 2 == 1) rle.write(0)
+                  }
+                } else for (i <- c until e) { rle.write(1); rle.write(runByte(row(i))) }
                 c = e
               }
             }
@@ -388,8 +414,8 @@ object MediaFixtures {
           bb.put('B'.toByte).put('M'.toByte)
             .putInt(offBits + data.length).putInt(0).putInt(offBits)
           bb.putInt(40).putInt(w).putInt(h)
-            .putShort(1.toShort).putShort(8.toShort)
-            .putInt(1) // BI_RLE8
+            .putShort(1.toShort).putShort(bits.toShort)
+            .putInt(if (bits == 8) 1 else 2) // BI_RLE8 / BI_RLE4
             .putInt(data.length).putInt(0).putInt(0)
             .putInt(nc).putInt(0)
           for (k <- 0 until nc) {

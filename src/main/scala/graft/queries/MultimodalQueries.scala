@@ -482,7 +482,28 @@ object MultimodalQueries {
       |    AS bottom_right_b
       |FROM pal GROUP BY doc_id, w, h""".stripMargin
 
+  /** RLE4 BMP decode — BI_RLE8's nibble sibling, completing the BMP RLE
+    * family: encoded runs alternate the opcode byte's two nibbles,
+    * absolute segments pack indices two per byte MSB-first with word
+    * padding. The fixture carries q197's exact pixel/palette formulas on
+    * the %17 document slice, so the oracle is q197's replay verbatim — a
+    * nibble-order, alternation, or padding bug breaks q198 while q197
+    * stays green, isolating the 4-bit packing from the RLE walk.
+    */
+  def q198Rle4Bmp(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaFixtures.bmpRle4_17(s, dir)
+    graft.multimodal.Multimodal.pixelStats(media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("r_mean"), col("g_mean"), col("b_mean"),
+        col("top_left_r"), col("bottom_right_b"))
+  }
+
+  val q198Sql: String =
+    q197Sql.replace("FROM documents WHERE doc_id % 13 = 0",
+      "FROM documents WHERE doc_id % 17 = 0")
+
   val queries: Map[String, Q] = Map(
+    "q198_rle4_bmp" -> (q198Rle4Bmp _),
     "q197_rle_bmp" -> (q197RleBmp _),
     "q195_interlaced_png" -> (q195InterlacedPng _),
     "q194_palette_png" -> (q194PalettePng _),
@@ -495,6 +516,7 @@ object MultimodalQueries {
     "q184_video_neardup" -> (q184VideoNearDup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q198_rle4_bmp" -> q198Sql,
     "q197_rle_bmp" -> q197Sql,
     "q195_interlaced_png" -> q195Sql,
     "q194_palette_png" -> q194Sql,

@@ -434,11 +434,56 @@ class PixelDecodeSpec extends SparkTestBase {
     assert(PixelDecode.decode(neg).isEmpty, "top-down RLE is malformed")
   }
 
+  /** [[rle8Bmp]]'s 4-bit sibling: bitCount 4, compression BI_RLE4. */
+  private def rle4Bmp(w: Int, h: Int, ops: Array[Int]): Array[Byte] = {
+    val b = rle8Bmp(w, h, ops)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(28, 4.toShort) // biBitCount
+    bb.putInt(30, 2)           // BI_RLE4
+    b
+  }
+
+  test("RLE4 BMP: runs alternate nibbles; absolute segments nibble-pack MSB-first") {
+    // 6×1: encoded run of 3 with opcode value 0x12 alternates its
+    // nibbles → 1 2 1; absolute segment of 3 nibbles [3,0,2] packs
+    // MSB-first as 0x30 0x20 (2 bytes, even — no pad) → 3 0 2
+    val img = PixelDecode.decode(rle4Bmp(6, 1, Array(
+      3, 0x12, 0, 3, 0x30, 0x20, 0, 0, 0, 1))).get
+    assert(img.width === 6 && img.height === 1)
+    val expect = Seq(1, 2, 1, 3, 0, 2)
+    for (c <- 0 until 6)
+      assert(img.at(0, c, 0) === 10 * expect(c), s"col $c")
+  }
+
   test("RLE8 BMP fixture payloads match the JDK ImageIO reader pixel-for-pixel") {
     // dimension-sized collect: 8 tiny test images
     val payloads = graft.queries.MediaFixtures
       .bmpRle8_13(spark, "/root/testdata/sf0.001")
       .orderBy(col("media_id")).limit(8).collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      val ours = PixelDecode.decode(bytes)
+        .getOrElse(fail(s"quarantined media_id=${row.getLong(0)}"))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK rejected media_id=${row.getLong(0)}")
+      assert(ours.width === jdk.getWidth && ours.height === jdk.getHeight)
+      for (r <- 0 until ours.height; c <- 0 until ours.width) {
+        val argb = jdk.getRGB(c, r)
+        assert(ours.at(r, c, 0) === ((argb >> 16) & 0xff) &&
+          ours.at(r, c, 1) === ((argb >> 8) & 0xff) &&
+          ours.at(r, c, 2) === (argb & 0xff),
+          s"pixel ($r,$c) of media_id=${row.getLong(0)}")
+      }
+    }
+  }
+
+  test("RLE4 BMP fixture payloads match the JDK ImageIO reader pixel-for-pixel") {
+    // dimension-sized collect: 6 tiny test images
+    val payloads = graft.queries.MediaFixtures
+      .bmpRle4_17(spark, "/root/testdata/sf0.001")
+      .orderBy(col("media_id")).limit(6).collect()
     assert(payloads.nonEmpty)
     payloads.foreach { row =>
       val bytes = row.getAs[Array[Byte]]("payload")
