@@ -394,8 +394,9 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("lo"),
         greatest(col("id_a"), col("id_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
+    var edgeCount = edges.count() // cached across rounds (see below)
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (rounds < maxRounds && !converged) {
       // large-star: m(u) = min(u, min neighbor); every neighbor v > u
       // re-parents to m(u). One symmetric groupBy + one equi-join.
@@ -416,9 +417,14 @@ object Dedup {
         joined.select(col("__mn").as("lo"), col("lo").as("hi"))
           .unionByName(joined.select(col("__mn").as("lo"), col("hi")))
           .filter(col("lo") =!= col("hi")).distinct())
-      // fixed point = identical canonical edge sets (both are distinct)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // fixed point = identical canonical edge sets (both are distinct).
+      // The exact set-difference check is the expensive half — pay it
+      // ONLY on rounds where the cardinality is already unchanged (most
+      // contracting rounds change the count, so this is one cheap count
+      // job per round instead of count + anti-join every round)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edgeCount = nextCount
       edges = next
       rounds += 1
     }
