@@ -2,17 +2,20 @@ package graft.multimodal
 
 import scala.collection.mutable
 
-/** Baseline JPEG pixel decode from first principles (ITU-T T.81): marker
-  * parse (DQT/DHT/SOF0/SOS/DRI), canonical Huffman entropy decode with DC
+/** JPEG pixel decode from first principles (ITU-T T.81): marker parse
+  * (DQT/DHT/SOF/SOS/DRI), canonical Huffman entropy decode with DC
   * prediction + restart markers, dequantize + de-zigzag, 8×8 inverse DCT,
   * chroma upsampling for subsampled scans, and JFIF YCbCr→RGB. Closes the
   * one pixel-format gap [[PixelDecode]] had left ("JPEG needs a DCT
   * codec") with pure JVM arithmetic — no codec library.
   *
-  * Scope: baseline sequential (SOF0), 8-bit, 1 or 3 components, any
-  * sampling factors (4:4:4, 4:2:0, 4:2:2, …). Progressive (SOF2),
-  * arithmetic coding, 12-bit, and hierarchical modes return None — the
-  * quarantine contract of the decode stage.
+  * Scope: baseline/extended sequential (SOF0/SOF1) AND progressive
+  * (SOF2, T.81 annex G) — spectral selection, successive approximation
+  * (DC first + refinement, AC first + refinement with EOB runs),
+  * coefficients accumulated across scans and reconstructed once at EOI.
+  * 8-bit, 1 or 3 components, any sampling factors (4:4:4, 4:2:0, 4:2:2,
+  * …). Arithmetic coding, 12-bit, and hierarchical modes return None —
+  * the quarantine contract of the decode stage.
   */
 object JpegDecode {
 
@@ -155,6 +158,8 @@ object JpegDecode {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
+    var prog: ProgState = null // allocated at the first progressive SOS
     var i = 2
     while (i + 4 <= b.length) {
       if (u8(b, i) != 0xff) return None
@@ -162,11 +167,16 @@ object JpegDecode {
       if (marker == 0xff) { i += 1 } // fill byte
       else if (marker == 0xd8 || marker == 0x01 ||
           (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // standalone
-      else if (marker == 0xd9) return None // EOI before SOS
+      else if (marker == 0xd9) { // EOI: progressive reconstructs here
+        return if (prog != null && prog.anyScan)
+          reconstructProgressive(prog, comps, qt, width, height)
+        else None // EOI before any decodable scan
+      }
       else {
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
+        var jumped = -1 // progressive SOS sets this past the entropy data
         marker match {
           case 0xdb => // DQT: one or more tables
             var p = seg
@@ -190,8 +200,9 @@ object JpegDecode {
               if (tc == 0) dcTables(th) = h else acTables(th) = h
               p += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
             if (u8(b, seg) != 8) return None // 8-bit precision only
+            progressive = marker == 0xc2
             height = be16(b, seg + 1); width = be16(b, seg + 3)
             val nc = u8(b, seg + 5)
             if (nc != 1 && nc != 3) return None
@@ -200,9 +211,9 @@ object JpegDecode {
               Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)) return None
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // non-baseline frame types: quarantine
+            return None // lossless/arithmetic/hierarchical: quarantine
           case 0xdd => restartInterval = be16(b, seg)
           case 0xda => // SOS — entropy data follows
             if (comps == null || width <= 0 || height <= 0) return None
@@ -214,23 +225,40 @@ object JpegDecode {
             // PixelDecode's PNG path.
             if (width.toLong * height > PixelDecode.MaxPixels) return None
             val ns = u8(b, seg)
-            if (ns != comps.length) return None
+            if (ns < 1 || ns > comps.length) return None
             var p = seg + 1
-            for (_ <- 0 until ns) {
+            val scanComps = new Array[Component](ns)
+            for (j <- 0 until ns) {
               val cid = u8(b, p)
               val c = comps.find(_.id == cid).getOrElse(return None)
               c.td = u8(b, p + 1) >> 4; c.ta = u8(b, p + 1) & 15
+              scanComps(j) = c
               p += 2
             }
-            p += 3 // Ss/Se/Ah|Al
-            return decodeScan(b, p, width, height, comps, qt, dcTables,
-              acTables, restartInterval)
+            val ss = u8(b, p); val se = u8(b, p + 1)
+            val ah = u8(b, p + 2) >> 4; val al = u8(b, p + 2) & 15
+            p += 3
+            if (!progressive) {
+              if (ns != comps.length) return None // multi-scan sequential: out of scope
+              return decodeScan(b, p, width, height, comps, qt, dcTables,
+                acTables, restartInterval)
+            }
+            // progressive: one scan refines the shared coefficient store,
+            // then the marker walk continues to the next scan
+            if (prog == null) prog = new ProgState(comps, width, height)
+            val next = progressiveScan(b, p, prog, comps, scanComps,
+              ss, se, ah, al, dcTables, acTables, restartInterval)
+            if (next < 0) return None
+            jumped = next
           case _ => // APPn / COM / others: skip
         }
-        i += 2 + len
+        i = if (jumped >= 0) jumped else i + 2 + len
       }
     }
-    None
+    // stream ended without EOI: reconstruct what the scans delivered
+    if (prog != null && prog.anyScan)
+      reconstructProgressive(prog, comps, qt, width, height)
+    else None
   }
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
@@ -308,7 +336,16 @@ object JpegDecode {
       mcu += 1
     }
 
-    // assemble output: upsample subsampled planes by sample replication
+    assemble(width, height, comps, planes, planeW, hMax, vMax)
+  }
+
+  /** Upsample subsampled planes by sample replication and convert JFIF
+    * YCbCr→RGB (or pass grayscale through). Shared by the sequential and
+    * progressive paths — planes carry level-shifted (+128) values.
+    */
+  private def assemble(width: Int, height: Int, comps: Array[Component],
+      planes: Array[Array[Double]], planeW: Array[Int], hMax: Int,
+      vMax: Int): Option[PixelDecode.Image] = {
     val nch = comps.length
     val out = new Array[Int](width * height * nch)
     var y = 0
@@ -334,5 +371,256 @@ object JpegDecode {
       y += 1
     }
     Some(PixelDecode.Image("jpeg", width, height, nch, out))
+  }
+
+  // ---- progressive (T.81 annex G) ----
+
+  /** Cross-scan coefficient store for progressive decode: per component,
+    * one Int per coefficient in NATURAL (de-zigzagged) order, blocks laid
+    * out on the MCU-padded grid so interleaved DC scans and
+    * non-interleaved AC scans index the same storage. Values are
+    * UNQUANTIZED — successive-approximation bits accumulate across scans
+    * and the quant table applies once at reconstruction.
+    */
+  private final class ProgState(comps: Array[Component], width: Int, height: Int) {
+    val hMax: Int = comps.map(_.h).max
+    val vMax: Int = comps.map(_.v).max
+    val mcusX: Int = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY: Int = (height + 8 * vMax - 1) / (8 * vMax)
+    /** storage grid (blocks per row / rows), MCU-padded */
+    val padW: Array[Int] = comps.map(c => mcusX * c.h)
+    val padH: Array[Int] = comps.map(c => mcusY * c.v)
+    /** true component block dims for non-interleaved scans (T.81 A.2.2) */
+    val blocksW: Array[Int] =
+      comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+    val blocksH: Array[Int] =
+      comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+    val coefs: Array[Array[Int]] =
+      comps.indices.map(ci => new Array[Int](padW(ci) * padH(ci) * 64)).toArray
+    var anyScan = false
+  }
+
+  /** Decode one progressive scan into `st`; returns the offset of the
+    * next marker's 0xFF byte, or -1 on malformed data. Interleaved scans
+    * (ns > 1, DC only) walk the MCU grid; single-component scans walk
+    * that component's own block raster (T.81 A.2.2). Restart markers
+    * reset DC predictors and the EOB run.
+    */
+  private def progressiveScan(b: Array[Byte], start: Int, st: ProgState,
+      comps: Array[Component], scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcT: Array[Huff], acT: Array[Huff], restartInterval: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) return -1
+    val r = new BitReader(b, start)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+    try {
+      if (scanComps.length > 1) {
+        // interleaved scan: DC band only (T.81 G.1.1.1)
+        if (ss != 0 || se != 0) return -1
+        val nMcus = st.mcusX * st.mcusY
+        var mcu = 0
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            r.restart(); scanComps.foreach(_.pred = 0)
+          }
+          val mx = mcu % st.mcusX; val my = mcu / st.mcusX
+          var j = 0
+          while (j < scanComps.length) {
+            val c = scanComps(j)
+            val ci = comps.indexWhere(_.id == c.id)
+            val dct = dcT(c.td); if (ah == 0 && dct == null) return -1
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val off = ((my * c.v + by) * st.padW(ci) + mx * c.h + bx) * 64
+                decodeDcProg(r, st.coefs(ci), off, c, dct, ah, al)
+                bx += 1
+              }
+              by += 1
+            }
+            j += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val c = scanComps(0)
+        val ci = comps.indexWhere(_.id == c.id)
+        val coefs = st.coefs(ci)
+        val bw = st.blocksW(ci); val bh = st.blocksH(ci)
+        val dct = dcT(c.td); val act = acT(c.ta)
+        if (ss == 0 && ah == 0 && dct == null) return -1
+        if (ss > 0 && act == null) return -1
+        val nBlk = bw * bh
+        var blk = 0
+        while (blk < nBlk) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            r.restart(); c.pred = 0; eobrun = 0
+          }
+          val off = ((blk / bw) * st.padW(ci) + blk % bw) * 64
+          if (ss == 0) decodeDcProg(r, coefs, off, c, dct, ah, al)
+          else if (ah == 0) eobrun = decodeAcFirst(r, coefs, off, act, ss, se, al, eobrun)
+          else eobrun = decodeAcRefine(r, coefs, off, act, ss, se, al, eobrun)
+          blk += 1
+        }
+      }
+    } catch { case Truncated => return -1 }
+    st.anyScan = true
+    nextMarker(b, r.pos)
+  }
+
+  /** DC band: first pass decodes the predicted difference shifted left by
+    * the approximation bit position; refinement appends one bit. */
+  private def decodeDcProg(r: BitReader, coefs: Array[Int], off: Int,
+      c: Component, dct: Huff, ah: Int, al: Int): Unit = {
+    if (ah == 0) {
+      val s = r.decode(dct)
+      c.pred += extend(r.bits(s), s)
+      coefs(off) = c.pred << al
+    } else if (r.bit() == 1) coefs(off) |= 1 << al
+  }
+
+  /** AC band, first pass (T.81 G.1.2.2): run-length/size symbols within
+    * [ss, se], magnitudes shifted by al, EOBn codes start a run of
+    * all-zero-band blocks. Returns the remaining EOB run.
+    */
+  private def decodeAcFirst(r: BitReader, coefs: Array[Int], off: Int,
+      act: Huff, ss: Int, se: Int, al: Int, eobrun: Int): Int = {
+    if (eobrun > 0) return eobrun - 1
+    var k = ss
+    while (k <= se) {
+      val rs = r.decode(act)
+      val run = rs >> 4; val size = rs & 15
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else {
+          var e = 1 << run
+          if (run > 0) e += r.bits(run)
+          return e - 1 // EOBn: this block is the first of the run
+        }
+      } else {
+        k += run
+        if (k > se) throw Truncated
+        coefs(off + zz(k)) = extend(r.bits(size), size) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** AC band refinement (T.81 G.1.2.3): each previously-nonzero
+    * coefficient passed over consumes a correction bit; zero-history
+    * coefficients are counted by the run and the (±1 << al) value lands
+    * on the run's end. EOB runs refine the rest of the band. Returns the
+    * remaining EOB run.
+    */
+  private def decodeAcRefine(r: BitReader, coefs: Array[Int], off: Int,
+      act: Huff, ss: Int, se: Int, al: Int, eobrun: Int): Int = {
+    val p1 = 1 << al
+    var k = ss
+    var eb = eobrun
+    if (eb == 0) {
+      var ended = false
+      while (k <= se && !ended) {
+        val rs = r.decode(act)
+        var run = rs >> 4; val size = rs & 15
+        var value = 0
+        if (size == 0) {
+          if (run != 15) { // EOBn
+            eb = 1 << run
+            if (run > 0) eb += r.bits(run)
+            ended = true
+          }
+          // run == 15 (ZRL): skip 16 zero-history coefficients, value 0
+        } else {
+          if (size != 1) throw Truncated // refinement magnitudes are ±1
+          value = if (r.bit() == 1) p1 else -p1
+        }
+        if (!ended) {
+          var placed = false
+          while (k <= se && !placed) {
+            val idx = off + zz(k)
+            if (coefs(idx) != 0) {
+              if (r.bit() == 1 && (coefs(idx) & p1) == 0)
+                coefs(idx) += (if (coefs(idx) >= 0) p1 else -p1)
+            } else if (run == 0) {
+              if (value != 0) coefs(idx) = value
+              placed = true
+            } else run -= 1
+            k += 1
+          }
+        }
+      }
+    }
+    if (eb > 0) {
+      while (k <= se) { // correction bits for the rest of the band
+        val idx = off + zz(k)
+        if (coefs(idx) != 0 && r.bit() == 1 && (coefs(idx) & p1) == 0)
+          coefs(idx) += (if (coefs(idx) >= 0) p1 else -p1)
+        k += 1
+      }
+      eb -= 1
+    }
+    eb
+  }
+
+  /** Offset of the next real marker's 0xFF at/after `from` (stuffed FF00,
+    * fill bytes, and stray RST markers are skipped); -1 if none. */
+  private def nextMarker(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m != 0x00 && m != 0xff && !(m >= 0xd0 && m <= 0xd7)) return p
+        p += 2
+      } else p += 1
+    }
+    -1
+  }
+
+  /** Dequantize the accumulated coefficient store, IDCT every block on
+    * the padded grid, and hand the planes to the shared assembler. */
+  private def reconstructProgressive(st: ProgState, comps: Array[Component],
+      qt: Array[Array[Int]], width: Int, height: Int)
+      : Option[PixelDecode.Image] = {
+    val planeW = comps.indices.map(ci => st.padW(ci) * 8).toArray
+    val planes = comps.indices
+      .map(ci => new Array[Double](planeW(ci) * st.padH(ci) * 8)).toArray
+    var ci = 0
+    while (ci < comps.length) {
+      val qtab = qt(comps(ci).tq); if (qtab == null) return None
+      val coefs = st.coefs(ci)
+      val pw = st.padW(ci); val ph = st.padH(ci)
+      var br = 0
+      while (br < ph) {
+        var bc = 0
+        while (bc < pw) {
+          val off = (br * pw + bc) * 64
+          val block = new Array[Double](64)
+          var k = 0
+          while (k < 64) { // qtab is zigzag-ordered; coefs are natural
+            val nat = zz(k)
+            block(nat) = coefs(off + nat).toDouble * qtab(k)
+            k += 1
+          }
+          val px = idct(block)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((br * 8 + yy) * planeW(ci) + bc * 8 + xx) =
+                px(yy * 8 + xx) + 128.0
+              xx += 1
+            }
+            yy += 1
+          }
+          bc += 1
+        }
+        br += 1
+      }
+      ci += 1
+    }
+    assemble(width, height, comps, planes, planeW, st.hMax, st.vMax)
   }
 }

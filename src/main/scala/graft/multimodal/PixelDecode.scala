@@ -9,20 +9,23 @@ package graft.multimodal
   *    palette RLE at both widths (BI_RLE8 and nibble-packed BI_RLE4:
   *    encoded runs, absolute segments, EOL / EOF / delta escapes,
   *    bottom-up) expanded through the color table.
-  *  - PNG (RFC 2083): 8-bit-depth gray / truecolor / gray+alpha / RGBA,
-  *    plus palette (color type 3) at bit depths 1/2/4/8 with PLTE lookup
+  *  - PNG (RFC 2083): 8- and 16-bit-depth gray / truecolor / gray+alpha /
+  *    RGBA (16-bit samples big-endian, kept at full precision in the
+  *    output grid), plus palette (color type 3) at bit depths 1/2/4/8
+  *    with PLTE lookup
   *    to RGB — IDAT chunks concatenated, inflated with
   *    `java.util.zip.Inflater` (in the JDK, no new dependency), and each
   *    scanline de-filtered (None/Sub/Up/Average/Paeth). Both interlace
   *    layouts: sequential and Adam7 (seven independently-filtered
   *    sub-images scattered onto the frame grid).
-  *  - JPEG: baseline sequential via [[JpegDecode]] — Huffman entropy
-  *    decode, dequantize, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB,
-  *    all from the T.81 spec.
+  *  - JPEG: baseline/extended sequential AND progressive via
+  *    [[JpegDecode]] — Huffman entropy decode (annex-G spectral
+  *    selection + successive approximation for SOF2), dequantize, 8×8
+  *    inverse DCT, chroma upsampling, YCbCr→RGB, all from the T.81 spec.
   *
-  * Anything else (16-bit depth, progressive/arithmetic JPEG) returns
-  * None: at corpus scale a decode stage quarantines what it cannot
-  * parse, it never crashes the scan.
+  * Anything else (arithmetic-coded or 12-bit JPEG) returns None: at
+  * corpus scale a decode stage quarantines what it cannot parse, it
+  * never crashes the scan.
   */
 object PixelDecode {
 
@@ -215,7 +218,7 @@ object PixelDecode {
       // palette indices pack at sub-byte depths (1/2/4) or one per byte (8)
       if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
         return None
-    } else if (bitDepth != 8) return None
+    } else if (bitDepth != 8 && bitDepth != 16) return None
     val channels = colorType match {
       case 0 | 3 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
     }
@@ -343,7 +346,11 @@ object PixelDecode {
             } else {
               var ch = 0
               while (ch < channels) {
-                out(o + ch) = recon(r * bpr + pc2 * channels + ch)
+                out(o + ch) =
+                  if (bitDepth == 8) recon(r * bpr + pc2 * channels + ch)
+                  else // 16-bit: big-endian sample pairs (RFC 2083 §7.2)
+                    (recon(r * bpr + (pc2 * channels + ch) * 2) << 8) |
+                      recon(r * bpr + (pc2 * channels + ch) * 2 + 1)
                 ch += 1
               }
             }
@@ -361,7 +368,7 @@ object PixelDecode {
   /** Per-channel (sum, min, max) over an image's samples in one pass. */
   def channelStats(img: Image): Array[(Long, Int, Int)] = {
     val sums = new Array[Long](img.channels)
-    val mins = Array.fill(img.channels)(255)
+    val mins = Array.fill(img.channels)(Int.MaxValue) // 16-bit samples pass 255
     val maxs = Array.fill(img.channels)(0)
     var i = 0
     while (i < img.samples.length) {

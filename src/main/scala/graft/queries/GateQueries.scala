@@ -441,13 +441,31 @@ object GateQueries {
     * matrix, or dimension parse flips a verdict or nulls the geometry and
     * breaks the hash.
     */
-  def q127JpegDecode(s: SparkSession, dir: String): DataFrame = {
+  def q127JpegDecode(s: SparkSession, dir: String): DataFrame =
+    jpegDecodeGate(MediaFixtures.jpegPattern5(s, dir))
+
+  /** q199: PROGRESSIVE-JPEG decode through the identical verdict body —
+    * the payloads are [[MediaFixtures.jpegProgressive19]]'s SOF2 streams
+    * (ImageIO MODE_DEFAULT scan script: spectral selection + successive
+    * approximation), decoded by [[graft.multimodal.JpegDecode]]'s T.81
+    * annex-G path (cross-scan coefficient accumulation, EOB runs,
+    * refinement bits). The oracle replays q127's formula verdicts on the
+    * %19 slice: a quarantined SOF2 (the pre-round-10 behavior) nulls the
+    * geometry and flips both verdicts, so this gate pins the quarantine
+    * as LIFTED.
+    */
+  def q199ProgressiveJpeg(s: SparkSession, dir: String): DataFrame =
+    jpegDecodeGate(MediaFixtures.jpegProgressive19(s, dir))
+
+  /** Shared q127/q199 verdict body: decode with the first-principles
+    * T.81 decoder, cross-check against the JDK's reader (max per-sample
+    * diff ≤ 10) and the generating formula (mean diff ≤ 4). JDK-encoded
+    * payloads come from the once-per-fixture cache so the gates time the
+    * DECODE + cross-check, not the encode scaffolding.
+    */
+  private def jpegDecodeGate(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
-    // JDK-encoded payloads come from the once-per-fixture cache
-    // (MediaFixtures.jpegPattern5) so this gate times the DECODE +
-    // cross-check, not the encode scaffolding
-    val media = MediaFixtures.jpegPattern5(s, dir)
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -503,6 +521,14 @@ object GateQueries {
       |  CAST(3 AS INT) AS channels,
       |  TRUE AS agrees_jdk, TRUE AS near_formula
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  val q199Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  TRUE AS agrees_jdk, TRUE AS near_formula
+      |FROM documents WHERE doc_id % 19 = 0""".stripMargin
 
   /** Unicode normalization, end to end: each doc id appends a deterministic
     * accent-bearing suffix in a mix of PRECOMPOSED and DECOMPOSED forms
@@ -772,6 +798,7 @@ object GateQueries {
     "q129_ann_append" -> (q129AnnAppend _),
     "q128_unicode_norm" -> (q128UnicodeNorm _),
     "q127_jpeg_decode" -> (q127JpegDecode _),
+    "q199_progressive_jpeg" -> (q199ProgressiveJpeg _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q113_footer_meta" -> (q113FooterMeta _),
     "q114_lake_listing" -> (q114LakeListing _),
@@ -791,6 +818,7 @@ object GateQueries {
     "q129_ann_append" -> q129Sql,
     "q128_unicode_norm" -> q128Sql,
     "q127_jpeg_decode" -> q127Sql,
+    "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
     "q113_footer_meta" -> q113Sql,
     "q114_lake_listing" -> q114Sql,

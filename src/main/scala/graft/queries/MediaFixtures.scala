@@ -72,8 +72,10 @@ object MediaFixtures {
     "wav_scramble_89_v2" -> (wavScramble89 _),
     "avi_scramble_97_v2" -> (aviScramble97 _),
     "jpeg_pattern_5" -> (jpegPattern5 _),
+    "jpeg_progressive_19" -> (jpegProgressive19 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
+    "png16_23" -> (png16_23 _),
     "bmp_rle8_13" -> (bmpRle8_13 _),
     "bmp_rle4_17" -> (bmpRle4_17 _),
     "bmp_scramble_83_v2_dhash" -> (bmpDhash83 _),
@@ -142,10 +144,28 @@ object MediaFixtures {
     * .JpegDecode]] and cross-checks against the JDK's own decoder.
     */
   def jpegPattern5(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "jpeg_pattern_5") {
+    jdkJpegs(s, dir, "jpeg_pattern_5", mod = 5, progressive = false)
+
+  /** q199's PROGRESSIVE (SOF2) JDK-encoded JPEGs — identical gradient
+    * formula to [[jpegPattern5]] (every 19th document) but written with
+    * ImageIO's MODE_DEFAULT progression script (spectral selection +
+    * successive approximation, the libjpeg 10-scan schedule). Same pixels,
+    * different entropy layout: the q199 oracle is q127's formula replay on
+    * its own slice, so a scan-script, EOB-run, or refinement bug breaks
+    * q199 while q127 stays green. Widths 16/24/32 at the JDK's default
+    * 4:2:0 give Y-component block grids narrower than the MCU-padded
+    * storage grid (24→3 blocks vs 4), keeping the non-interleaved scan
+    * geometry of T.81 A.2.2 live in the gate.
+    */
+  def jpegProgressive19(s: SparkSession, dir: String): DataFrame =
+    jdkJpegs(s, dir, "jpeg_progressive_19", mod = 19, progressive = true)
+
+  private def jdkJpegs(s: SparkSession, dir: String, cacheName: String,
+      mod: Int, progressive: Boolean): DataFrame =
+    cached(s, dir, cacheName) {
       import org.apache.spark.sql.types._
       val geom = Tables.documents(s, dir)
-        .filter(col("doc_id") % 5 === 0)
+        .filter(col("doc_id") % mod === 0)
         .select(col("doc_id").cast("long").as("media_id"),
           (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
           (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
@@ -181,6 +201,8 @@ object MediaFixtures {
           val params = writer.getDefaultWriteParam
           params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
           params.setCompressionQuality(0.95f)
+          if (progressive)
+            params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           writer.setOutput(ios)
           writer.write(null, new javax.imageio.IIOImage(src, null, null), params)
@@ -314,6 +336,93 @@ object MediaFixtures {
             .put((if (interlaced) 1 else 0).toByte).array()
           chunk(png, "IHDR", ihdr)
           chunk(png, "PLTE", plte)
+          chunk(png, "IDAT", deflated)
+          chunk(png, "IEND", Array.empty[Byte])
+          org.apache.spark.sql.Row(id, png.toByteArray)
+        }
+      }(enc)
+    }
+
+  /** q200's 16-BIT truecolor PNGs (the last PNG depth quarantine,
+    * lifted): color type 2 at bit depth 16 — each sample is a big-endian
+    * byte PAIR, so the filter stride is 6 bytes/pixel and Sub/Up operate
+    * on bytes that straddle sample halves. Sample (r, c, ch) =
+    * md5("id_r_c_ch")[0..3] as hex ∈ [0, 65535] (md5-mixed per the
+    * near-dup invariant; here it also keeps both bytes of every pair
+    * live). Scanline filters cycle None/Sub/Up by row. Every 23rd
+    * document; returns (media_id, payload).
+    */
+  def png16_23(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "png16_23") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(8) + col("doc_id") % 5).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 3).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(v: String): String =
+          md.digest(v.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+        def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+            data: Array[Byte]): Unit = {
+          def be(v: Int): Array[Byte] = Array(
+            (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+          out.write(be(data.length))
+          val t = typ.getBytes("US-ASCII")
+          out.write(t); out.write(data)
+          val crc = new java.util.zip.CRC32()
+          crc.update(t); crc.update(data)
+          out.write(be(crc.getValue.toInt))
+        }
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val bpp = 6 // 3 channels × 2 bytes
+          // raw scanlines: big-endian 16-bit samples, RGB interleaved
+          val raws = Array.tabulate(h) { rr =>
+            val row = new Array[Int](w * bpp)
+            for (cc <- 0 until w; ch <- 0 until 3) {
+              val v = Integer.parseInt(
+                md5hex(s"${id}_${rr}_${cc}_${ch}").substring(0, 4), 16)
+              row((cc * 3 + ch) * 2) = v >>> 8
+              row((cc * 3 + ch) * 2 + 1) = v & 0xff
+            }
+            row
+          }
+          val filtered = new java.io.ByteArrayOutputStream()
+          for (rr <- 0 until h) {
+            val f = rr % 3 // None/Sub/Up cycle
+            filtered.write(f)
+            val cur = raws(rr)
+            for (x <- cur.indices) {
+              val out = f match {
+                case 0 => cur(x)
+                case 1 => cur(x) - (if (x >= bpp) cur(x - bpp) else 0)
+                case _ => cur(x) - (if (rr > 0) raws(rr - 1)(x) else 0)
+              }
+              filtered.write(out & 0xff)
+            }
+          }
+          val deflated = {
+            val d = new java.util.zip.Deflater()
+            d.setInput(filtered.toByteArray); d.finish()
+            val buf = new Array[Byte](filtered.size() + 64)
+            val bos = new java.io.ByteArrayOutputStream()
+            while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+            d.end(); bos.toByteArray
+          }
+          val png = new java.io.ByteArrayOutputStream()
+          png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+            .map(_.toByte))
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(w).putInt(h)
+            .put(16.toByte).put(2.toByte) // depth 16, color type 2 (RGB)
+            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+          chunk(png, "IHDR", ihdr)
           chunk(png, "IDAT", deflated)
           chunk(png, "IEND", Array.empty[Byte])
           org.apache.spark.sql.Row(id, png.toByteArray)

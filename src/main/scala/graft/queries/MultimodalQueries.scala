@@ -432,6 +432,48 @@ object MultimodalQueries {
     q194Sql.replace("FROM documents WHERE doc_id % 7 = 0",
       "FROM documents WHERE doc_id % 11 = 0")
 
+  /** 16-bit-depth PNG decode (the last PNG quarantine, lifted in round
+    * 10): truecolor payloads whose samples are big-endian byte PAIRS —
+    * the filter stride becomes 6 bytes/pixel and Sub/Up references
+    * straddle sample halves, which is exactly what an 8-bit-only
+    * de-filter walk gets wrong. The oracle replays the md5 sample
+    * formulas at full 16-bit range (means up to 65535 prove the decoder
+    * kept precision instead of truncating to the low or high byte).
+    * (PngSpec cross-checks the same payloads sample-for-sample against
+    * the JDK ImageIO reader's 16-bit raster.)
+    */
+  def q200Png16(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaFixtures.png16_23(s, dir)
+    graft.multimodal.Multimodal.pixelStats(media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("r_mean"), col("g_mean"), col("b_mean"),
+        col("top_left_r"), col("bottom_right_b"))
+  }
+
+  val q200Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    CAST(8 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(8 + doc_id % 3 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 23 = 0),
+      |px AS (SELECT doc_id, w, h, rr.r AS r, cc.c AS c FROM g,
+      |    (SELECT unnest(generate_series(0, 9)) AS r) rr,
+      |    (SELECT unnest(generate_series(0, 11)) AS c) cc
+      |  WHERE rr.r < h AND cc.c < w),
+      |sm AS (SELECT doc_id, w, h, r, c,
+      |    ('0x' || substr(md5(concat_ws('_', doc_id, r, c, 0)), 1, 4))::INT AS rv,
+      |    ('0x' || substr(md5(concat_ws('_', doc_id, r, c, 1)), 1, 4))::INT AS gv,
+      |    ('0x' || substr(md5(concat_ws('_', doc_id, r, c, 2)), 1, 4))::INT AS bv
+      |  FROM px)
+      |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height,
+      |  CAST(sum(rv) AS BIGINT) * 1.0 / (w * h) AS r_mean,
+      |  CAST(sum(gv) AS BIGINT) * 1.0 / (w * h) AS g_mean,
+      |  CAST(sum(bv) AS BIGINT) * 1.0 / (w * h) AS b_mean,
+      |  CAST(max(CASE WHEN r = 0 AND c = 0 THEN rv END) AS INT) AS top_left_r,
+      |  CAST(max(CASE WHEN r = h - 1 AND c = w - 1 THEN bv END) AS INT)
+      |    AS bottom_right_b
+      |FROM sm GROUP BY doc_id, w, h""".stripMargin
+
   /** RLE8 BMP decode (BI_RLE8 — the compressed BMP quarantine, lifted):
     * real run-length palette bitmaps whose pixel/palette formulas replay
     * in SQL. The fixture's column split keeps BOTH RLE encodings live —
@@ -506,6 +548,7 @@ object MultimodalQueries {
     "q198_rle4_bmp" -> (q198Rle4Bmp _),
     "q197_rle_bmp" -> (q197RleBmp _),
     "q195_interlaced_png" -> (q195InterlacedPng _),
+    "q200_png16" -> (q200Png16 _),
     "q194_palette_png" -> (q194PalettePng _),
     "q193_streaming_media_dedup" -> (q193StreamingMediaDedup _),
     "q191_media_index_probe" -> (q191MediaIndexProbe _),
@@ -519,6 +562,7 @@ object MultimodalQueries {
     "q198_rle4_bmp" -> q198Sql,
     "q197_rle_bmp" -> q197Sql,
     "q195_interlaced_png" -> q195Sql,
+    "q200_png16" -> q200Sql,
     "q194_palette_png" -> q194Sql,
     "q193_streaming_media_dedup" -> q191Sql, // boundary-independent: q191's ground truth
     "q191_media_index_probe" -> q191Sql,

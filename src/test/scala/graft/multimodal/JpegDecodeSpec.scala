@@ -133,18 +133,125 @@ class JpegDecodeSpec extends SparkTestBase {
     assert(img.at(3, 11, 0) === 144) // prediction reset → dc 16 again
   }
 
-  test("non-baseline and corrupt streams quarantine (None), never throw") {
-    // progressive frame marker SOF2
-    val prog = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
-      seg(0xc2, sof0(8, 8, Seq((1, 1, 1, 0))).drop(4)) ++ sos(Seq((1, 0, 0)))
-    assert(PixelDecode.decode(prog).isEmpty)
+  test("non-supported and corrupt streams quarantine (None), never throw") {
+    // arithmetic-coded frame marker SOF9 (still out of scope)
+    val arith = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      seg(0xc9, sof0(8, 8, Seq((1, 1, 1, 0))).drop(4)) ++ sos(Seq((1, 0, 0)))
+    assert(PixelDecode.decode(arith).isEmpty)
     // truncated entropy data (scan promises one block, delivers none —
     // the decoder hits EOI mid-block)
     val short = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
       sof0(8, 8, Seq((1, 1, 1, 0))) ++ sos(Seq((1, 0, 0))) ++ EOI
     assert(PixelDecode.decode(short).isEmpty)
+    // a progressive stream whose only scan is truncated also quarantines
+    val progShort = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      seg(0xc2, sof0(8, 8, Seq((1, 1, 1, 0))).drop(4)) ++ sos(Seq((1, 0, 0)))
+    assert(PixelDecode.decode(progShort).isEmpty)
     // garbage after SOI
     assert(PixelDecode.decode(SOI ++ Array.fill(16)(0x33.toByte)).isEmpty)
+  }
+
+  // ---- progressive (SOF2) ----
+
+  /** SOS with explicit spectral selection / successive approximation */
+  private def sosP(comps: Seq[(Int, Int, Int)], ss: Int, se: Int,
+      ah: Int, al: Int): Array[Byte] =
+    seg(0xda, Array(comps.length.toByte) ++
+      comps.flatMap { case (id, td, ta) => Seq(id.toByte, ((td << 4) | ta).toByte) } ++
+      Array(ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+
+  private def sof2(w: Int, h: Int, comps: Seq[(Int, Int, Int, Int)]): Array[Byte] =
+    seg(0xc2, sof0(w, h, comps).drop(4))
+
+  test("progressive: DC scan + AC-EOB scan reconstructs the flat baseline block") {
+    // scan 1: DC band, no approximation (+16 → dequant 128 → flat 144);
+    // scan 2: AC band 1..63, immediate EOB
+    val bytes = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      sof2(8, 8, Seq((1, 1, 1, 0))) ++
+      sosP(Seq((1, 0, 0)), 0, 0, 0, 0) ++ entropy("0" + "10000") ++
+      sosP(Seq((1, 0, 0)), 1, 63, 0, 0) ++ entropy("0") ++ EOI
+    val img = PixelDecode.decode(bytes).get
+    assert((img.format, img.width, img.height, img.channels) === (("jpeg", 8, 8, 1)))
+    assert(img.samples.forall(_ === 144), img.samples.take(8).toSeq)
+  }
+
+  test("progressive: successive approximation accumulates DC bits across scans") {
+    // scan 1: DC at Al=1 (+16 << 1 = 32); scan 2: AC EOB; scan 3: DC
+    // refinement (Ah=1, Al=0) appends bit 1 → coefficient 33 → flat 161
+    val bytes = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      sof2(8, 8, Seq((1, 1, 1, 0))) ++
+      sosP(Seq((1, 0, 0)), 0, 0, 0, 1) ++ entropy("0" + "10000") ++
+      sosP(Seq((1, 0, 0)), 1, 63, 0, 0) ++ entropy("0") ++
+      sosP(Seq((1, 0, 0)), 0, 0, 1, 0) ++ entropy("1") ++ EOI
+    val img = PixelDecode.decode(bytes).get
+    assert(img.samples.forall(_ === 161), img.samples.take(8).toSeq)
+  }
+
+  test("progressive: AC spectral band lands the cosine basis coefficient") {
+    // DC zero, then an AC scan placing +16 at zigzag 1 — same expected
+    // surface as the baseline AC test
+    val bytes = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      sof2(8, 8, Seq((1, 1, 1, 0))) ++
+      sosP(Seq((1, 0, 0)), 0, 0, 0, 0) ++ entropy("10") ++
+      sosP(Seq((1, 0, 0)), 1, 63, 0, 0) ++ entropy("10" + "10000" + "0") ++ EOI
+    val img = PixelDecode.decode(bytes).get
+    def expected(x: Int, y: Int): Int = {
+      val v = (0.70710678118654752 * 128.0 *
+        math.cos((2 * x + 1) * 1 * math.Pi / 16)) / 4.0 + 128.0
+      math.max(0, math.min(255, math.round(v).toInt))
+    }
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(img.at(y, x, 0) === expected(x, y), s"($x,$y)")
+  }
+
+  test("cross-codec progressive: ImageIO MODE_DEFAULT script decodes within IDCT rounding") {
+    // 56×40 at the JDK's default 4:2:0 makes the Y component's true block
+    // grid (7×5) SMALLER than the MCU-padded storage grid (8×6), so the
+    // non-interleaved AC scans must walk component-raster geometry — the
+    // distinction T.81 A.2.2 draws and padding-grid walks get wrong
+    val w = 56; val h = 40
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1)
+      val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.95f)
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), params)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // the writer must actually have emitted SOF2, or this test tests nothing
+    assert((2 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "ImageIO did not emit a progressive (SOF2) stream")
+
+    val mine = PixelDecode.decode(bytes).get
+    assert((mine.width, mine.height, mine.channels) === ((w, h, 3)))
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxD = 0; var sum = 0L
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+      val d = math.abs(mine.at(y, x, ch) -
+        ((theirs.getRGB(x, y) >> ((2 - ch) * 8)) & 0xff))
+      maxD = math.max(maxD, d); sum += d
+    }
+    val mean = sum.toDouble / (w * h * 3)
+    assert(maxD <= 8, s"max per-sample diff $maxD vs ImageIO")
+    assert(mean <= 2.0, f"mean per-sample diff $mean%.3f vs ImageIO")
+    // and vs the pre-encode source (quality 0.95 → ~1 count/sample loss)
+    var srcSum = 0L
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3)
+      srcSum += math.abs(mine.at(y, x, ch) -
+        ((src.getRGB(x, y) >> ((2 - ch) * 8)) & 0xff))
+    assert(srcSum.toDouble / (w * h * 3) <= 3.0, "diverged from encoded source")
   }
 
   test("cross-codec: decodes a REAL ImageIO-encoded stream within IDCT rounding of ImageIO's reader") {

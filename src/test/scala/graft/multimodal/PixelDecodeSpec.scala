@@ -300,6 +300,33 @@ class PixelDecodeSpec extends SparkTestBase {
       assert(img.at(1, c, ch) === ((10 * ((c % 4) * 3 + ch)) & 0xff))
   }
 
+  test("16-bit PNG: fixture payloads match the JDK ImageIO reader sample-for-sample") {
+    // q200's truecolor depth-16 payloads: big-endian sample pairs, 6-byte
+    // filter stride, None/Sub/Up cycle. getRGB would truncate to 8 bits —
+    // read the JDK's raster at full precision instead.
+    // dimension-sized collect: 12 tiny test images
+    val payloads = graft.queries.MediaFixtures
+      .png16_23(spark, "/root/testdata/sf0.001")
+      .orderBy(col("media_id")).limit(12).collect()
+    assert(payloads.length === 12)
+    payloads.foreach { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      val ours = PixelDecode.decode(bytes)
+        .getOrElse(fail(s"quarantined media_id=${row.getLong(0)}"))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK rejected media_id=${row.getLong(0)}")
+      assert(ours.width === jdk.getWidth && ours.height === jdk.getHeight)
+      assert(ours.channels === 3)
+      val raster = jdk.getRaster
+      for (r <- 0 until ours.height; c <- 0 until ours.width; ch <- 0 until 3)
+        assert(ours.at(r, c, ch) === raster.getSample(c, r, ch),
+          s"sample ($r,$c,$ch) of media_id=${row.getLong(0)}")
+      // at least one sample must exceed 255 or the depth test is vacuous
+      assert(ours.samples.exists(_ > 255))
+    }
+  }
+
   // ---- Adam7 interlace ----
 
   /** Hand-built Adam7 grayscale PNG (color type 0, depth 8, filter 0):
