@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "runMain graft.tools.ScaleStress"`; env:
   * SPARK_GRAFT_SCALES=1,10,100  SPARK_GRAFT_TRIALS=2
   * SPARK_GRAFT_Q111_MAX=10  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
-  * SPARK_GRAFT_ONLY=q25_…,q27_…  SPARK_GRAFT_ANN=0
+  * SPARK_GRAFT_ONLY=q25_…,q27_…  SPARK_GRAFT_ANN=0  SPARK_GRAFT_STREAM=1
+  * (streaming ANN/media probe legs)
   * SPARK_GRAFT_SCALE_OUT=BENCH_scale_x100.json
   * Writes BENCH_scale_local.json (full detail, one JSON object) unless
   * SPARK_GRAFT_SCALE_OUT overrides the path.
@@ -296,7 +297,8 @@ object ScaleStress {
     val needBlowup = verbatim.nonEmpty || runAnn ||
       sys.env.getOrElse("SPARK_GRAFT_DECONTAM", "0") != "0" ||
       sys.env.getOrElse("SPARK_GRAFT_SKEW", "0") != "0" ||
-      sys.env.getOrElse("SPARK_GRAFT_ROUTED", "0") != "0"
+      sys.env.getOrElse("SPARK_GRAFT_ROUTED", "0") != "0" ||
+      sys.env.getOrElse("SPARK_GRAFT_STREAM", "0") != "0"
     val dirs = scales.map(f =>
       f -> (if (f == 1 || !needBlowup) srcDir
             else ensureBlowup(spark, srcDir, f, withRel, withGraph))).toMap
@@ -497,6 +499,98 @@ object ScaleStress {
       val (pSec, pRows, pLoads) = timeDf(() =>
         graft.operators.AnnIndex.probe(spark, root, queries, k = 10, nprobe = 4))
       record("ann_probe_fixedpanel", f, pSec, pRows, pLoads)
+    }
+
+    // Streaming probes at corpus scale (round 10): q196's (ANN) and
+    // q193's (media dHash) STREAMING postures against a blown-up
+    // persisted index. The stream itself stays FIXED — a daily probe
+    // batch does not grow with the corpus — split into 2 micro-batches
+    // via maxFilesPerTrigger, with the full AvailableNow machinery
+    // (source listing, checkpoint, foreachBatch, sink commits) inside
+    // the timing. Claim under measurement: per-run cost follows the
+    // batch×index candidate relation (ANN: nprobe·N/nlist ∝ √N at
+    // nlist = √N; media: distinct-hash banding over the union), the
+    // streaming overhead is a constant — so these exponents should
+    // match their batch counterparts (ann_probe_fixedpanel,
+    // decontam-style fixed-batch probes), not add to them.
+    val runStream = sys.env.getOrElse("SPARK_GRAFT_STREAM", "0") != "0"
+    if (runStream) {
+      import org.apache.spark.sql.types._
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def path(p: String) = new org.apache.hadoop.fs.Path(p)
+      def timedRun(body: () => Long): (Double, Long, Seq[Double]) = {
+        var best = Double.MaxValue
+        var rows = -1L
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (_ <- 1 to trials) {
+          loads += loadavg()
+          val t0 = System.nanoTime()
+          rows = body()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) best = sec
+          reset()
+        }
+        (best, rows, loads.toSeq)
+      }
+      for (f <- scales) {
+        val dir = dirs(f)
+        // --- q196 posture: fixed query-file stream → AnnIndex.probe
+        val annRoot = s"/tmp/graft_scale_annidx_x$f"
+        val (cents, queries) = annScalePath(spark, dir, f)
+        if (!fs.exists(path(annRoot))) // the runAnn leg may have built it
+          graft.operators.AnnIndex.build(
+            graft.queries.Tables.embeddings(spark, dir), cents, annRoot)
+        val src = s"/tmp/graft_scale_stream_src_ann_x$f"
+        fs.delete(path(src), true)
+        queries.select("vec_id", "embedding")
+          .repartition(4).write.mode("overwrite").parquet(src)
+        val (aSec, aRows, aLoads) = timedRun { () =>
+          val sink = s"/tmp/graft_scale_stream_${java.util.UUID.randomUUID()}"
+          val ckpt = sink + "_ckpt"
+          val stream = graft.streaming.Incremental.fileStream(spark, src,
+            StructType(Seq(StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)))),
+            maxFilesPerTrigger = Some(2))
+          graft.streaming.Incremental.runForeachBatchToParquet(stream, sink,
+            ckpt, (batch, _) => graft.operators.AnnIndex
+              .probe(batch.sparkSession, annRoot, batch, k = 10, nprobe = 4))
+          val n = spark.read.parquet(sink).count()
+          fs.delete(path(sink), true); fs.delete(path(ckpt), true)
+          n
+        }
+        record("ann_stream_probe_fixedpanel", f, aSec, aRows, aLoads)
+        // --- q193 posture: fixed media-file stream → dHash index probe
+        val mediaIdx = s"/tmp/graft_scale_mediaidx_x$f"
+        if (!fs.exists(path(s"$mediaIdx/_DONE"))) {
+          fs.delete(path(mediaIdx), true)
+          graft.queries.MediaFixtures.bmpDhash83(spark, dir)
+            .write.mode("overwrite").parquet(s"$mediaIdx/hashes")
+          fs.create(path(s"$mediaIdx/_DONE"), true).close()
+        }
+        val msrc = s"/tmp/graft_scale_stream_src_media_x$f"
+        fs.delete(path(msrc), true)
+        graft.queries.MediaFixtures.bmpScramble83(spark, srcDir)
+          .filter(col("media_id") % 100 === 7)
+          .repartition(4).write.mode("overwrite").parquet(msrc)
+        val (mSec, mRows, mLoads) = timedRun { () =>
+          val sink = s"/tmp/graft_scale_stream_${java.util.UUID.randomUUID()}"
+          val ckpt = sink + "_ckpt"
+          val stream = graft.streaming.Incremental.fileStream(spark, msrc,
+            StructType(Seq(StructField("media_id", LongType),
+              StructField("payload", BinaryType))),
+            maxFilesPerTrigger = Some(2))
+          graft.streaming.Incremental.runForeachBatchToParquet(stream, sink,
+            ckpt, (batch, _) => graft.multimodal.ImageHash.probeNearDuplicates(
+              batch,
+              batch.sparkSession.read.parquet(s"$mediaIdx/hashes"),
+              maxDist = 2))
+          val n = spark.read.parquet(sink).count()
+          fs.delete(path(sink), true); fs.delete(path(ckpt), true)
+          n
+        }
+        record("media_stream_probe_fixedbatch", f, mSec, mRows, mLoads)
+      }
     }
 
     // least-squares slope of log t vs log scale = observed scaling exponent
