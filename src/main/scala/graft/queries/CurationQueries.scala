@@ -117,6 +117,48 @@ object CurationQueries {
       |WHERE o_orderdate BETWEEN TIMESTAMP '1995-06-01' AND TIMESTAMP '1996-05-31'
       |GROUP BY 1""".stripMargin
 
+  /** Z-order file skipping ([[graft.lake.ZOrder]]): events are written
+    * clustered on the MORTON interleave of (user_id, epoch-day) into 16
+    * files with a per-file two-dimensional min/max box manifest; a
+    * user-cohort × date-window rectangle then opens only the files whose
+    * box intersects (the spec asserts the candidate set shrinks AND that
+    * the same rectangle prunes on BOTH axes — the 2-D win 1-D range
+    * clustering can't give; file counts stay out of the oracle because
+    * range boundaries are sample-dependent). The gate is q136's
+    * result-invariance contract in two dimensions: pruned read ≡ unpruned
+    * filter, so a box-intersection off-by-one or an interleave bug that
+    * mis-places rows past their manifest box breaks the hash. (The Morton
+    * code arithmetic itself is oracle-pinned by q69's mask-cascade
+    * replay; this gate pins the LAYOUT + pruning read built on it.)
+    */
+  def q201ZorderSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q201_lake_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    // u = user id (fits 16 bits at every SF), d = epoch day via integer
+    // ns division (double division would lose ulps at 1e18 ns)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("user_id").as("u"),
+        expr("ts_ns div 86400000000000").as("d"))
+    graft.lake.ZOrder.writeClustered(ev, s"$root/events_z", "u", "d",
+      partitions = 16)
+    graft.lake.ZOrder.readRectangle(s, s"$root/events_z", "u", "d",
+        lit(40L), lit(80L), lit(19730L), lit(19736L)) // Jan 8–14 2024
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents_sum"),
+        min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+  }
+
+  val q201Sql: String =
+    """WITH e AS (SELECT event_type, value, user_id AS u,
+      |    epoch_ns(ts) // 86400000000000 AS d FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+      |  min(u) AS u_min, max(u) AS u_max, min(d) AS d_min, max(d) AS d_max
+      |FROM e WHERE u BETWEEN 40 AND 80 AND d BETWEEN 19730 AND 19736
+      |GROUP BY 1""".stripMargin
+
   /** URL canonicalization ([[graft.text.UrlNormalize]]): three synthetic
     * URL shapes per document (mixed-case scheme/host, default and
     * non-default ports, tracking params, fragments, trailing slashes), and
@@ -801,6 +843,7 @@ object CurationQueries {
     "q140_hll_distinct" -> (q140HllDistinct _),
     "q135_semdedup" -> (q135SemDedup _),
     "q136_file_skipping" -> (q136FileSkipping _),
+    "q201_zorder_skipping" -> (q201ZorderSkipping _),
     "q137_url_canonical" -> (q137UrlCanonical _),
     "q138_profile" -> (q138Profile _),
     "q139_pagerank" -> (q139PageRank _))
@@ -819,6 +862,7 @@ object CurationQueries {
     "q140_hll_distinct" -> q140Sql,
     "q135_semdedup" -> q135Sql,
     "q136_file_skipping" -> q136Sql,
+    "q201_zorder_skipping" -> q201Sql,
     "q137_url_canonical" -> q137Sql,
     "q138_profile" -> q138Sql,
     "q139_pagerank" -> q139Sql)
