@@ -452,6 +452,28 @@ class ApiDocSpec extends SparkTestBase {
     assert(opened.size < FileStats.totalFiles(spark, path))
   }
 
+  test("ZOrder example: clustered write, pruned rectangle read") {
+    val s = spark; import s.implicits._
+    val path = tmp("zorder_api")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val df = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+
+    // --- docs/API.md: ZOrder rectangle read ---
+    import graft.lake.ZOrder
+
+    ZOrder.writeClustered(df, path, "x", "y", partitions = 16)
+    val hits   = ZOrder.readRectangle(spark, path, "x", "y",
+      lit(10L), lit(20L), lit(40L), lit(50L))
+    val opened = ZOrder.candidateFiles(spark, path,
+      lit(10L), lit(20L), lit(40L), lit(50L))
+    // --- end ---
+
+    assert(hits.count() === 11L * 11L)
+    assert(opened.size < ZOrder.totalFiles(spark, path))
+  }
+
   test("Profiling + PageRank examples") {
     val orders = graft.queries.Tables.orders(spark, dir)
     val edges = orders.select(col("o_custkey").as("src"),
