@@ -233,6 +233,107 @@ object LakeQueries {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
       |GROUP BY 1""".stripMargin
 
+  /** Bloom-filter file skipping ([[graft.lake.BloomSkip]]): point lookups
+    * on a high-cardinality key the layout is NOT clustered by. The table
+    * is written hash-spread on o_orderkey (every file's [min,max] spans
+    * the whole key domain — min/max manifests prune nothing), a sparse
+    * per-file bloom manifest is derived from the written files, and a
+    * small deterministic key batch is read back through bloom-candidate
+    * files only, with an exact semi-join removing false positives. The
+    * oracle replays the same lookup on the source table directly —
+    * equality proves pruning never loses a row (no false negatives by
+    * construction). BloomSkipSpec pins the pruning itself (candidates ≪
+    * total files).
+    */
+  def q202BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q202_${math.abs(dir.hashCode)}"
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderstatus"))
+    graft.lake.BloomSkip.writeWithBloom(o, root, "o_orderkey", numFiles = 16)
+    // fixed-size probe batch (the point-lookup shape): 8 deterministic keys
+    val keys = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(8)
+    graft.lake.BloomSkip.readPoints(s, root, "o_orderkey", keys)
+  }
+
+  val q202Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey % 10 = 7 ORDER BY o_orderkey LIMIT 8)""".stripMargin
+
+  /** Left-OUTER watermarked stream-stream interval join — the missing half
+    * of q71: unmatched left rows only surface when the watermark passes
+    * their join window (state eviction), so correctness depends on
+    * watermark ADVANCE, not just on matching. Views pair with the same
+    * user's purchases within 12 h; a view with no such purchase must still
+    * be emitted with nulls.
+    *
+    * Protocol: the staging dir is written in two phases — the real events
+    * first, then one sentinel view+purchase pair (user −1, never matches)
+    * 14 days after the real max ts, in a later-mod-time file. With
+    * maxFilesPerTrigger = 8 the real data is micro-batch 1 (watermark
+    * still at its initial floor — nothing dropped despite unordered
+    * files), the sentinel batch then pushes the watermark past every real
+    * view's window, and the closing no-data batch evicts + emits all
+    * unmatched views. Output is therefore batch-boundary-independent and
+    * equals the batch LEFT JOIN oracle exactly.
+    */
+  def q203StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val src = s"/tmp/graft_stage_ssoj_${math.abs(dir.hashCode)}"
+    if (staged.add(src)) {
+      try {
+        ev.repartition(8).write.mode("overwrite").parquet(src)
+        val gm = ev.agg(max(col("ts")).as("m"))
+        gm.select(lit(-1L).as("event_id"),
+            (col("m") + expr("INTERVAL 14 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("view").as("event_type"),
+            lit(0.0).as("value"))
+          .unionByName(gm.select(lit(-2L).as("event_id"),
+            (col("m") + expr("INTERVAL 14 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value")))
+          .coalesce(1).write.mode("append").parquet(src)
+      } catch { case e: Throwable => staged.remove(src); throw e }
+    }
+    val name = "graft_q203_out"
+    val result = Incremental.runAvailableNowScoped(s, { ss =>
+      val stream = Incremental.fileStream(ss, src, ev.schema,
+        maxFilesPerTrigger = Some(8))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+        .withWatermark("view_ts", "1 hour")
+      val buys = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("buy_ts"),
+          col("user_id").as("b_user"), col("value").as("buy_value"))
+        .withWatermark("buy_ts", "1 hour")
+      views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
+        "left_outer")
+    }, name, outputMode = "append", statePartitions = 8)
+    result.filter(col("user_id") >= 0) // drop the sentinel's own rows
+      .select(col("view_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("lag_us"),
+        round(col("buy_value") * 100).cast("long").as("buy_cents"))
+  }
+
+  val q203Sql: String =
+    """SELECT a.event_id AS view_id, a.user_id, b.event_id AS purchase_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us,
+      |  CAST(round(b.value*100) AS BIGINT) AS buy_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR""".stripMargin
+
   /** ORC sink + source round-trip (the one mainstream columnar format the
     * engine didn't yet exercise): write the part dimension as typed ORC
     * (numerics integerized to cents so the trip is value-preserving by
@@ -634,6 +735,8 @@ object LakeQueries {
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q89_time_travel" -> (q89TimeTravel _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
+    "q202_bloom_skipping" -> (q202BloomSkipping _),
+    "q203_stream_outer_join" -> (q203StreamOuterJoin _),
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
     "q44_streaming_window" -> (q44StreamingWindow _),
     "q55_streaming_sessions" -> (q55StreamingSessions _),
@@ -648,6 +751,8 @@ object LakeQueries {
     "q107_cdc_merge" -> q107Sql,
     "q108_streaming_cdc" -> q108Sql,
     "q71_stream_stream_join" -> q71Sql,
+    "q202_bloom_skipping" -> q202Sql,
+    "q203_stream_outer_join" -> q203Sql,
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,
     "q55_streaming_sessions" -> q55Sql,

@@ -474,6 +474,24 @@ class ApiDocSpec extends SparkTestBase {
     assert(opened.size < ZOrder.totalFiles(spark, path))
   }
 
+  test("BloomSkip example: bloom-pruned point lookup") {
+    val s = spark; import s.implicits._
+    val path = tmp("bloomskip_api")
+    val df = (0 until 2000).map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    val keys = Seq(13L, 977L).toDF("k")
+
+    // --- docs/API.md: BloomSkip point lookup ---
+    import graft.lake.BloomSkip
+
+    BloomSkip.writeWithBloom(df, path, "k", numFiles = 16)
+    val rows   = BloomSkip.readPoints(spark, path, "k", keys)
+    val opened = BloomSkip.candidateFiles(spark, path, keys)
+    // --- end ---
+
+    assert(rows.select("k").as[Long].collect().toSet === Set(13L, 977L))
+    assert(opened.size < BloomSkip.totalFiles(spark, path))
+  }
+
   test("Profiling + PageRank examples") {
     val orders = graft.queries.Tables.orders(spark, dir)
     val edges = orders.select(col("o_custkey").as("src"),
