@@ -1,6 +1,7 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets
 
@@ -20,6 +21,22 @@ import java.nio.charset.StandardCharsets
   * direct scan. Commits never rewrite data ⇒ writers don't block readers,
   * and a reader pinned to version N is immune to concurrent commits
   * (snapshot isolation at file granularity).
+  *
+  * Data skipping lives IN the version manifest (the Delta/Iceberg
+  * design): a commit made with `statsCols` derives per-file min/max
+  * stats for the files it ADDS (from the files actually written, via
+  * `_metadata` — never trusted from the writer's plan), carries forward
+  * the stats of files it keeps, and writes the combined table as a
+  * stats sidecar (`stats_v<N>` parquet, one row per live file) beside
+  * the file-list manifest. [[readVersionPruned]] then prunes on ANY
+  * version — a time-travel read skips, a post-[[compact]] read skips,
+  * and there is no freestanding side-manifest to go stale: the stats a
+  * read consults are exactly the ones committed with that version's
+  * file list. Files without stats for a probed column (older commits,
+  * all-null files) are conservatively read, and the residual row filter
+  * always re-applies, so a pruned read is result-identical to the
+  * unpruned scan by construction. ([[FileStats]]/[[ZOrder]]/[[BloomSkip]]
+  * remain the format-free single-write variants of the same idea.)
   */
 object Snapshots {
 

@@ -319,8 +319,12 @@ object Dedup {
     * The loop runs until the convergence probe reports a fixed point;
     * `maxIter` is a safety valve against pathological long chains (a
     * component of diameter > maxIter). Exiting unconverged would silently
-    * split one component into several clusters — so that exit is loudly
-    * logged rather than absorbed.
+    * split one component into several clusters — so propagation runs at
+    * most `min(maxIter, SwitchRounds)` rounds and a graph still moving
+    * then is handed to [[clustersByContraction]] (O(log diameter)), whose
+    * own round bound applies from there — i.e. a caller-supplied
+    * `maxIter > SwitchRounds` does not buy more propagation rounds, it is
+    * superseded by the contraction handoff.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Each round is MATERIALIZED (eager localCheckpoint): labels round N is
@@ -436,11 +440,21 @@ object Dedup {
     // label = min(self, neighbors)
     val symF = edges.select(col("lo").as("id"), col("hi").as("v"))
       .unionByName(edges.select(col("hi").as("id"), col("lo").as("v")))
-    // materialized like clusters(): callers get a plan LEAF, not a
-    // lineage over the whole contraction history
-    val labels = Materialize.once(symF.groupBy(col("id"))
+    val starLabels = symF.groupBy(col("id"))
       .agg(min(col("v")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("cluster")))
+      .select(col("id"), least(col("id"), col("__mn")).as("cluster"))
+    // contract parity with clusters(): an endpoint appearing ONLY as a
+    // self-pair (x, x) has no edge surviving the lo =!= hi filter above,
+    // so the star labels miss it — re-attach every endpoint of `pairs`
+    // with label = own id as the fallback (same cardinality as the
+    // symmetric edge set; one extra pair-derived join, never the corpus).
+    // Materialized like clusters(): callers get a plan LEAF, not a
+    // lineage over the whole contraction history.
+    val allIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val labels = Materialize.once(
+      allIds.join(starLabels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
     (labels, rounds)
   }
 

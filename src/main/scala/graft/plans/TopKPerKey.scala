@@ -47,7 +47,7 @@ object TopKPerKey {
         s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
     val order = orderBys.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+    org.apache.spark.sql.graft.bridge.ofRows(spark,
       TopKPerKeyNode(k, keyCols.map(attr), order, analyzed))
   }
 

@@ -345,9 +345,14 @@ object MultimodalQueries {
     graft.streaming.Incremental.runForeachBatchToParquet(stream, sink, ckpt,
       (batch, _) => {
         val sp = batch.sparkSession
+        // foreachBatch side effects are at-least-once: a retried
+        // micro-batch re-appends its hashes below, so the index read must
+        // be idempotent — dedup on media_id (dhash is deterministic per
+        // id, so duplicates are exact copies; index-sized, not corpus)
         val verdicts = graft.operators.Materialize.once(
           graft.multimodal.ImageHash.probeNearDuplicates(
-              batch, sp.read.parquet(idx), maxDist = 2)
+              batch, sp.read.parquet(idx).dropDuplicates("media_id"),
+              maxDist = 2)
             .select("id_a", "id_b", "h_a", "h_b", "dist"))
         // grow the index only after the probe is materialized: the next
         // micro-batch sees this one's hashes, this one never self-joins

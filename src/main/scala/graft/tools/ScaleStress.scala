@@ -481,7 +481,7 @@ object ScaleStress {
       val dir = dirs(f)
       val (cents, queries) = annScalePath(spark, dir, f)
       val emb = graft.queries.Tables.embeddings(spark, dir)
-      val root = s"/tmp/graft_scale_annidx_x$f"
+      val root = s"/tmp/graft_scale_annidx_${math.abs(srcDir.hashCode)}_x$f"
       val (bSec, _, bLoads) = {
         var best = Double.MaxValue
         val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -536,7 +536,11 @@ object ScaleStress {
       for (f <- scales) {
         val dir = dirs(f)
         // --- q196 posture: fixed query-file stream → AnnIndex.probe
-        val annRoot = s"/tmp/graft_scale_annidx_x$f"
+        // path keyed by (source fixture, scale) — same key as the runAnn
+        // leg's build below, so skip-on-exists can only ever reuse an
+        // index built from THIS fixture (a leftover from a different
+        // SPARK_GRAFT_SF_DIR keys to a different path)
+        val annRoot = s"/tmp/graft_scale_annidx_${math.abs(srcDir.hashCode)}_x$f"
         val (cents, queries) = annScalePath(spark, dir, f)
         if (!fs.exists(path(annRoot))) // the runAnn leg may have built it
           graft.operators.AnnIndex.build(
@@ -561,7 +565,7 @@ object ScaleStress {
         }
         record("ann_stream_probe_fixedpanel", f, aSec, aRows, aLoads)
         // --- q193 posture: fixed media-file stream → dHash index probe
-        val mediaIdx = s"/tmp/graft_scale_mediaidx_x$f"
+        val mediaIdx = s"/tmp/graft_scale_mediaidx_${math.abs(srcDir.hashCode)}_x$f"
         if (!fs.exists(path(s"$mediaIdx/_DONE"))) {
           fs.delete(path(mediaIdx), true)
           graft.queries.MediaFixtures.bmpDhash83(spark, dir)

@@ -42,9 +42,40 @@ class SparkEntrySpec extends SparkTestBase {
         s"$name plans TakeOrderedAndProject with limit(s) ${bigK.mkString(",")} " +
           s"> $MaxTopKLimit — corpus-proportional top-k; use a quantile " +
           s"threshold + filter instead:\n$plan")
+      // GLOBAL scale invariant #3: a BroadcastNestedLoopJoin is fine when
+      // its BUILD (broadcast) side is dimension-sized — but a build side
+      // that scans a FACT table with no cardinality-collapsing node
+      // (aggregate / distinct / limit) between the scan and the broadcast
+      // ships that table to every executor and nested-loops against it: a
+      // cluster-killer at 100 TB that hides at smoke scale. Legit shapes
+      // (1-row agg frames, distinct key panels) all pass the collapse
+      // check because distinct/agg/limit plan as Aggregate/Limit nodes.
+      physicalNodes(df.queryExecution.sparkPlan).foreach {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _ => b.right
+          }
+          val nodes = physicalNodes(build)
+          val factScan = nodes.filter(n => n.children.isEmpty &&
+            FactTables.exists(t => n.toString.contains(s"$t.parquet")))
+          val collapsed = nodes.exists(n =>
+            n.nodeName.contains("Aggregate") || n.nodeName.contains("Limit") ||
+              n.nodeName.contains("TakeOrdered"))
+          assert(factScan.isEmpty || collapsed,
+            s"$name broadcasts an uncollapsed fact-table scan into a " +
+              s"BroadcastNestedLoopJoin build side:\n${build.toString}")
+        case _ =>
+      }
     }
   }
 
+  private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: p.children.flatMap(physicalNodes)
+
+  private val FactTables =
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
   private val TopKLimit = """TakeOrderedAndProject\(limit=(\d+)""".r
   private val MaxTopKLimit = 128
 }
