@@ -134,10 +134,15 @@ object ProductQuantization {
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, k: Int, m: Int, subDim: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val inverted = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    // materialize the (nlist-row) centroid frame once: it feeds two
+    // consumers (inverted index + query routing), and — critically — its
+    // upstream may be a filtered fact scan, which must never sit
+    // uncollapsed under broadcast() (linear growth ⇒ OOM at scale)
+    val cents = Materialize.once(centroids)
+    val inverted = Similarity.assignCells(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("id"), col("cell"))
     val qCells = queries
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("__cos", Similarity.cosine(col(vecCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cell").asc)))

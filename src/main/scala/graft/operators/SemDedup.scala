@@ -42,8 +42,11 @@ object SemDedup {
     */
   def dedup(emb: DataFrame, centroids: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    verdict(Similarity.assignCells(emb, centroids, idCol, vecCol),
-      tau, idCol, vecCol)
+    // materialize the (nlist-row) centroid frame: its upstream may be a
+    // filtered fact scan, which must never sit uncollapsed under the
+    // assignment's broadcast (linear growth ⇒ OOM at scale)
+    verdict(Similarity.assignCells(emb, Materialize.once(centroids),
+      idCol, vecCol), tau, idCol, vecCol)
 
   /** [[dedup]] with the two-level ROUTED assignment
     * ([[Similarity.assignCellsRouted]]) — the deployment shape when nlist
@@ -56,8 +59,8 @@ object SemDedup {
   def dedupRouted(emb: DataFrame, centroids: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       probes: Int = 2): DataFrame =
-    verdict(Similarity.assignCellsRouted(emb, centroids, idCol, vecCol,
-      probes = probes), tau, idCol, vecCol)
+    verdict(Similarity.assignCellsRouted(emb, Materialize.once(centroids),
+      idCol, vecCol, probes = probes), tau, idCol, vecCol)
 
   private def verdict(assigned: DataFrame, tau: Double,
       idCol: String, vecCol: String): DataFrame = {

@@ -45,7 +45,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.expressions.DotProduct
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // materialize the query batch once: the caller's contract bounds its
+    // size (a query PANEL, never a corpus fraction at deployment scale),
+    // and materializing keeps a fixture-derived panel's fact scan from
+    // sitting uncollapsed under the broadcast
+    val q = Materialize.once(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(DotProduct(col("q_vec"), col("q_vec"))))
     val c = corpus.select(col(idCol), col(vecCol).as("c_vec"))
       .withColumn("c_norm", sqrt(DotProduct(col("c_vec"), col("c_vec"))))

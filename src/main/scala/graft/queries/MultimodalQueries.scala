@@ -347,12 +347,18 @@ object MultimodalQueries {
         val sp = batch.sparkSession
         // foreachBatch side effects are at-least-once: a retried
         // micro-batch re-appends its hashes below, so the index read must
-        // be idempotent — dedup on media_id (dhash is deterministic per
-        // id, so duplicates are exact copies; index-sized, not corpus)
+        // reconstruct the PRE-BATCH index exactly — dedup on media_id
+        // (prior batches' duplicate appends are exact copies; index-sized,
+        // not corpus) AND anti-join away the current batch's own ids (a
+        // retry whose first attempt already appended would otherwise pair
+        // each row against its batch-mates' index copies, duplicating
+        // same-batch verdicts)
+        val preBatchIndex = sp.read.parquet(idx)
+          .dropDuplicates("media_id")
+          .join(batch.select(col("media_id")), Seq("media_id"), "left_anti")
         val verdicts = graft.operators.Materialize.once(
           graft.multimodal.ImageHash.probeNearDuplicates(
-              batch, sp.read.parquet(idx).dropDuplicates("media_id"),
-              maxDist = 2)
+              batch, preBatchIndex, maxDist = 2)
             .select("id_a", "id_b", "h_a", "h_b", "dist"))
         // grow the index only after the probe is materialized: the next
         // micro-batch sees this one's hashes, this one never self-joins

@@ -101,4 +101,32 @@ class PerceptualHashSpec extends SparkTestBase {
     // index-internal pairs never surface
     assert(got.forall(r => batchIds(r._1) || batchIds(r._2)))
   }
+
+  test("retried micro-batch probes the PRE-BATCH index: dedup + self-anti-join (q193 discipline)") {
+    // simulate a foreachBatch retry whose FIRST attempt already appended
+    // the batch's hashes to the index: the raw index now holds the batch's
+    // own ids. Probing it directly duplicates same-batch pairs through the
+    // index side; the q193 read discipline (dropDuplicates on media_id +
+    // left_anti against the batch's ids) must reconstruct the clean run.
+    val corpus = bmpMedia((1L to 60L).map(i => (i, i % 9)))
+    val batchIds = (1L to 60L).filter(_ % 3 == 0).toSet
+    val batch = corpus.filter(col("media_id").isin(batchIds.toSeq: _*))
+    val cleanIndex = ImageHash.dhash(
+      corpus.filter(!col("media_id").isin(batchIds.toSeq: _*)))
+    val clean = ImageHash.probeNearDuplicates(batch, cleanIndex)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(clean.length === clean.toSet.size, "clean run must be duplicate-free")
+
+    // index after the failed attempt: corpus hashes + the batch's own,
+    // plus a double-append of one prior batch (at-least-once both ways)
+    val dirtyIndex = cleanIndex
+      .unionByName(ImageHash.dhash(batch))
+      .unionByName(cleanIndex.limit(5))
+    val preBatch = dirtyIndex.dropDuplicates("media_id")
+      .join(batch.select(col("media_id")), Seq("media_id"), "left_anti")
+    val retried = ImageHash.probeNearDuplicates(batch, preBatch)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(retried.sorted.toSeq === clean.sorted.toSeq,
+      "retried batch must emit exactly the clean run's verdicts")
+  }
 }

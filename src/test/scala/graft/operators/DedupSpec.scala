@@ -91,6 +91,41 @@ class DedupSpec extends SparkTestBase {
       40L -> 40L, 41L -> 40L))
   }
 
+  test("contraction parity: endpoints appearing ONLY as a self-pair keep their own label") {
+    // a self-pair (x, x) survives no lo =!= hi edge filter, so the star
+    // labels alone would drop x from the output — the r11 fallback
+    // re-attaches every pair endpoint with label = own id. Must match
+    // clusters() exactly (isolated node labels itself).
+    val edges = Seq(
+      (5L, 5L),           // self-pair-only endpoint: no real edge
+      (10L, 11L),         // ordinary pair
+      (12L, 12L), (12L, 13L) // self-pair PLUS a real edge: label via edge
+    ).toDF("id_a", "id_b")
+    val viaContraction = Dedup.clustersByContraction(edges)
+      .as[(Long, Long)].collect().toMap
+    val viaPropagation = Dedup.clusters(edges)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(5L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L)
+    assert(viaContraction === expected)
+    assert(viaPropagation === expected)
+
+    // the ONLY-self-pairs degenerate graph: zero real edges, zero rounds,
+    // every endpoint still labeled
+    val selfOnly = Seq((7L, 7L), (9L, 9L)).toDF("id_a", "id_b")
+    assert(Dedup.clustersByContraction(selfOnly)
+      .as[(Long, Long)].collect().toMap === Map(7L -> 7L, 9L -> 9L))
+
+    // maxIter > SwitchRounds supersession: clusters(maxIter=50) on a
+    // chain longer than SwitchRounds hands off to contraction — the
+    // self-pair endpoint must survive the handoff too
+    val chainPlusSelf = ((100 until 120).map(i => (i.toLong, i + 1L)) :+
+      (200L, 200L)).toDF("id_a", "id_b")
+    val m = Dedup.clusters(chainPlusSelf, maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(m(200L) === 200L && m.size === 22 &&
+      (100 to 120).forall(i => m(i.toLong) === 100L))
+  }
+
   test("clusters() hands long chains to contraction and matches propagation labels") {
     // 60-hop path: over SwitchRounds (8) and under the old 50-round warn —
     // the auto-switch must return the same labels propagation would
