@@ -84,12 +84,74 @@ object Snapshots {
       .filterNot(_ == "files")
   }
 
+  private def sidecarPath(root: String, table: String, version: Long) =
+    s"${manifestDir(root, table)}/stats_v$version"
+
+  private def writeManifest(f: FileSystem, root: String, table: String,
+      version: Long, files: Seq[String]): Unit = {
+    val json = files.map(x => s""""$x"""").mkString("""{"files": [""", ", ", "]}")
+    val out = f.create(new Path(s"${manifestDir(root, table)}/v$version.json"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Per-file min/max over `statsCols` for the given (relative-path) data
+    * files, derived from the files ACTUALLY WRITTEN via `_metadata` —
+    * never trusted from the writer's plan. One output row per file.
+    */
+  private def deriveFileStats(spark: SparkSession, dir: String,
+      relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.option("basePath", dir)
+      .parquet(relFiles.map(p => s"$dir/$p"): _*)
+      // relative path = everything after the LAST "/data/": Hive partition
+      // segments are always `c=v`, so no later segment can equal "data"
+      .groupBy(substring_index(col("_metadata.file_path"), "/data/", -1)
+        .as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write the `stats_v<N>` sidecar: one row per LIVE file — fresh stats
+    * for added files (when `statsCols` is non-empty), carried-forward
+    * stats for kept files (from the previous version's sidecar), null
+    * stats for files covered by neither (pruned reads open those
+    * conservatively). Skipped entirely when no stats exist on either side.
+    */
+  private def writeSidecar(spark: SparkSession, root: String, table: String,
+      version: Long, files: Seq[String], added: Seq[String],
+      carried: Seq[String], statsCols: Seq[String],
+      prevVersion: Option[Long]): Unit = {
+    val f = fs(spark, root)
+    val fresh =
+      if (statsCols.isEmpty || added.isEmpty) None
+      else Some(deriveFileStats(spark, dataDir(root, table), added, statsCols))
+    val keptStats = prevVersion
+      .map(v => new Path(sidecarPath(root, table, v)))
+      .filter(f.exists)
+      .map(p => spark.read.parquet(p.toString)
+        .filter(col("file").isin(carried: _*))) // manifest-sized IN-list
+    val stats = (fresh.toSeq ++ keptStats.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    stats.foreach { st =>
+      import spark.implicits._
+      // one row per live file (file list is manifest-sized — driver data)
+      files.toDF("file").join(st, Seq("file"), "left")
+        .coalesce(1) // sidecar is one row per FILE — driver-tiny
+        .write.mode("overwrite").parquet(sidecarPath(root, table, version))
+    }
+  }
+
   /** Commit `df` with dynamic-overwrite semantics: partitions present in
     * `df` are replaced in the NEW version, all other live files carry
     * over; nothing is deleted. Returns the new version number (1-based).
+    *
+    * With `statsCols`, per-file min/max stats are derived for the files
+    * this commit ADDS and merged with the kept files' carried-forward
+    * stats into the version's `stats_v<N>` sidecar (see
+    * [[readVersionPruned]]).
     */
   def commit(df: DataFrame, root: String, table: String,
-      partitionCols: Seq[String]): Long = {
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val dir = dataDir(root, table)
@@ -123,10 +185,85 @@ object Snapshots {
 
     val version = prevVersion.getOrElse(0L) + 1
     val files = (carried ++ added).sorted
-    val json = files.map(x => s""""$x"""").mkString("""{"files": [""", ", ", "]}")
-    val out = f.create(new Path(s"${manifestDir(root, table)}/v$version.json"), true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    writeManifest(f, root, table, version, files)
+    writeSidecar(spark, root, table, version, files, added, carried,
+      statsCols, prevVersion)
     version
+  }
+
+  /** Rewrite the LATEST version's data into `numFiles` files range-
+    * clustered on `clusterCols`, committed as a new version whose file
+    * list is the rewrite alone (a full logical replace — superseded files
+    * stay on disk for older versions until [[vacuum]]). With `statsCols`,
+    * fresh per-file stats are derived from the rewritten files, so a
+    * post-compaction read prunes as well as (usually better than) the
+    * pre-compaction one. `partitionCols` must match the table's layout;
+    * the Hive directory structure is preserved.
+    */
+  def compact(spark: SparkSession, root: String, table: String,
+      partitionCols: Seq[String], numFiles: Int, clusterCols: Seq[String],
+      statsCols: Seq[String] = Nil): Long = {
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to compact"))
+    val f = fs(spark, root)
+    val dir = dataDir(root, table)
+    val before = listDataFiles(f, dir)
+    readVersion(spark, root, table, latest)
+      .repartitionByRange(numFiles, (partitionCols ++ clusterCols).map(col): _*)
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(dir)
+    val added = (listDataFiles(f, dir) -- before).toSeq.sorted
+    val version = latest + 1
+    writeManifest(f, root, table, version, added)
+    writeSidecar(spark, root, table, version, added, added, Seq.empty,
+      statsCols, None)
+    version
+  }
+
+  /** Files of `version` whose `[min_<statsCol>, max_<statsCol>]` range can
+    * intersect `[lo, hi]` — the set a pruned read opens. Conservative by
+    * construction: files with no stats for `statsCol` (no sidecar, older
+    * commits, all-null files) always qualify. Exposed for pruning asserts.
+    */
+  def candidateFiles(spark: SparkSession, root: String, table: String,
+      version: Long, statsCol: String, lo: Column, hi: Column): Seq[String] = {
+    val all = liveFiles(spark, root, table, version).sorted
+    val f = fs(spark, root)
+    val p = new Path(sidecarPath(root, table, version))
+    if (!f.exists(p)) return all
+    val sidecar = spark.read.parquet(p.toString)
+    if (!sidecar.columns.contains(s"min_$statsCol")) return all
+    val cands = sidecar
+      .filter(col(s"min_$statsCol").isNull || col(s"max_$statsCol").isNull ||
+        (col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo))
+      .select("file")
+      .collect() // one row per FILE — sidecar-sized, not data-sized
+      .map(_.getString(0)).toSet
+    // a live file absent from the sidecar (should not happen — the sidecar
+    // carries one row per live file) is read conservatively
+    val inSidecar = sidecar.select("file")
+      .collect().map(_.getString(0)).toSet // sidecar-sized
+    all.filter(fp => cands.contains(fp) || !inSidecar.contains(fp))
+  }
+
+  /** Pruned time-travel read: open only [[candidateFiles]] of `version`,
+    * then re-apply the exact row predicate — result-identical to
+    * `readVersion(...).filter(statsCol between (lo, hi))` by construction,
+    * minus the files whose stats prove they cannot match. Works on ANY
+    * version: the stats consulted are exactly the ones committed with that
+    * version's file list, so neither time travel nor [[compact]] can see
+    * stale skipping metadata.
+    */
+  def readVersionPruned(spark: SparkSession, root: String, table: String,
+      version: Long, statsCol: String, lo: Column, hi: Column): DataFrame = {
+    val dir = dataDir(root, table)
+    val files = candidateFiles(spark, root, table, version, statsCol, lo, hi)
+    val base =
+      if (files.isEmpty)
+        // preserve the schema with an empty relation
+        readVersion(spark, root, table, version).filter(lit(false))
+      else spark.read.option("basePath", dir)
+        .parquet(files.map(p => s"$dir/$p"): _*)
+    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** Time-travel read: the table exactly as of `version`. Partition columns
@@ -169,8 +306,10 @@ object Snapshots {
     val dir = dataDir(root, table)
     val dead = (listDataFiles(f, dir) -- kept).toSeq.sorted
     dead.foreach(p => f.delete(new Path(s"$dir/$p"), false))
-    (1L until keepFrom).foreach(v =>
-      f.delete(new Path(s"${manifestDir(root, table)}/v$v.json"), false))
+    (1L until keepFrom).foreach { v =>
+      f.delete(new Path(s"${manifestDir(root, table)}/v$v.json"), false)
+      f.delete(new Path(sidecarPath(root, table, v)), true)
+    }
     dead
   }
 }

@@ -435,6 +435,67 @@ object LakeQueries {
       |UNION ALL
       |SELECT *, 'delete' AS change_type FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM v2)""".stripMargin
 
+  /** Stats-sidecar data skipping on the versioned lake
+    * ([[graft.lake.Snapshots]] `statsCols`/`readVersionPruned`/`compact`):
+    * commit the even-id half of events range-clustered WITH per-file
+    * event_id stats (v1), append the odd half WITHOUT statsCols — its v1
+    * stats must carry forward while the new files read conservatively
+    * (v2), then [[graft.lake.Snapshots.compact]] the live set into fresh
+    * range-clustered files with fresh stats (v3). A pruned range read of
+    * each version aggregates identically to the oracle's recompute from
+    * the source table — time travel, carry-forward, and post-compaction
+    * all skip on exactly the stats committed WITH that version's file
+    * list, so nothing can go stale. SnapshotsSpec pins the actual
+    * file-count reductions; this gate pins result equivalence.
+    *
+    * Scale: the sidecar is one row per FILE (at 100 TB with 1 GB files,
+    * ~10⁵ rows — broadcast/driver-sized by construction); pruning cost is
+    * a sidecar scan, never a data scan.
+    */
+  def q204SnapshotStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    // dir-keyed /tmp root: concurrent JVMs (sbt tests at sf0.001 vs scale
+    // harness at sf0.1) must not race on a shared path
+    val root = s"/tmp/graft_snapstats_${math.abs(dir.hashCode)}"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    import graft.lake.Snapshots
+    Snapshots.commit(
+      ev.filter(col("event_id") % 2 === 0).repartitionByRange(8, col("event_id")),
+      root, "events", Seq.empty, statsCols = Seq("event_id"))
+    Snapshots.commit(
+      ev.filter(col("event_id") % 2 === 1).repartitionByRange(8, col("event_id")),
+      root, "events", Seq.empty) // no statsCols: exercises carry-forward
+    Snapshots.compact(s, root, "events", Seq.empty, numFiles = 8,
+      clusterCols = Seq("event_id"), statsCols = Seq("event_id"))
+    val (lo, hi) = (lit(100L), lit(2000L))
+    Seq(1L, 2L, 3L).map { v =>
+      Snapshots.readVersionPruned(s, root, "events", v, "event_id", lo, hi)
+        .groupBy().agg(count(lit(1)).as("n_rows"),
+          sum(col("value_cents")).as("value_cents_sum"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .select("version", "n_rows", "value_cents_sum", "min_id", "max_id")
+  }
+
+  val q204Sql: String =
+    """WITH r AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS vc
+      |           FROM events WHERE event_id BETWEEN 100 AND 2000)
+      |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+      |  CAST(sum(vc) AS BIGINT) AS value_cents_sum,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM r WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT),
+      |  min(event_id), max(event_id) FROM r
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT),
+      |  min(event_id), max(event_id) FROM r""".stripMargin
+
   /** CDC apply / MERGE INTO ([[graft.operators.Cdc]]): treat orders as an
     * ordered change log over customer balances — order status 'F'
     * (fulfilled-and-closed in this synthetic mapping) deletes the account,
@@ -734,6 +795,7 @@ object LakeQueries {
     "q108_streaming_cdc" -> (q108StreamingCdc _),
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q89_time_travel" -> (q89TimeTravel _),
+    "q204_snapshot_stats_prune" -> (q204SnapshotStatsPrune _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
     "q203_stream_outer_join" -> (q203StreamOuterJoin _),
@@ -759,5 +821,6 @@ object LakeQueries {
     "q66_stream_enrich" -> q66Sql,
     "q84_orc_roundtrip" -> q84Sql,
     "q89_time_travel" -> q89Sql,
-    "q90_snapshot_diff" -> q90Sql)
+    "q90_snapshot_diff" -> q90Sql,
+    "q204_snapshot_stats_prune" -> q204Sql)
 }

@@ -254,6 +254,18 @@ class ApiDocSpec extends SparkTestBase {
     // --- end ---
 
     assert(Snapshots.readVersion(spark, root, "t", v2).count() === 10)
+
+    // --- docs/API.md: Snapshots stats skipping ---
+    import spark.implicits._
+    val s1 = Snapshots.commit(df.repartitionByRange(8, $"id"), root, "u",
+      Seq.empty, statsCols = Seq("id"))
+    val pruned = Snapshots.readVersionPruned(spark, root, "u", s1, "id",
+      lit(10), lit(20))                                     // opens only files
+                                                            // whose range hits
+    Snapshots.compact(spark, root, "u", Seq.empty, numFiles = 4,
+      clusterCols = Seq("id"), statsCols = Seq("id"))
+    // --- end ---
+    assert(pruned.count() === 0) // ids are 0..9 — every file pruned or filtered
   }
 
   test("Packing/Contamination example") {

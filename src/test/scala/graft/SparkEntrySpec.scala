@@ -12,8 +12,8 @@ class SparkEntrySpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
     assert(qs.forall(_.matches("q[0-9]+[a-z0-9_]*")), qs.filterNot(_.matches("q[0-9]+[a-z0-9_]*")))
-    assert(qs.size === 203)
-    assert(os.size === 203)
+    assert(qs.size === 204)
+    assert(os.size === 204)
   }
 
   test("all queries build a plan at smoke scale without throwing; none is cartesian") {
@@ -56,15 +56,16 @@ class SparkEntrySpec extends SparkTestBase {
             case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
             case _ => b.right
           }
-          val nodes = physicalNodes(build)
-          val factScan = nodes.filter(n => n.children.isEmpty &&
-            FactTables.exists(t => n.toString.contains(s"$t.parquet")))
-          val collapsed = nodes.exists(n =>
-            n.nodeName.contains("Aggregate") || n.nodeName.contains("Limit") ||
-              n.nodeName.contains("TakeOrdered"))
-          assert(factScan.isEmpty || collapsed,
+          // path-sensitive: each fact-scan LEAF must have a collapsing node
+          // on its OWN root→leaf path (an aggregated dimension elsewhere in
+          // the build tree must not excuse an uncollapsed fact scan), and
+          // scans are resolved by the file relation's root paths, not plan
+          // toString (which truncates long locations)
+          val bad = uncollapsedFactScans(build, collapsed = false)
+          assert(bad.isEmpty,
             s"$name broadcasts an uncollapsed fact-table scan into a " +
-              s"BroadcastNestedLoopJoin build side:\n${build.toString}")
+              s"BroadcastNestedLoopJoin build side (leaves: " +
+              s"${bad.map(_.nodeName).mkString(",")}):\n${build.toString}")
         case _ =>
       }
     }
@@ -73,6 +74,24 @@ class SparkEntrySpec extends SparkTestBase {
   private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] =
     p +: p.children.flatMap(physicalNodes)
+
+  /** Fact-table file scans with NO cardinality-collapsing ancestor
+    * (Aggregate / Limit / TakeOrdered) on their path from `p`.
+    */
+  private def uncollapsedFactScans(
+      p: org.apache.spark.sql.execution.SparkPlan, collapsed: Boolean)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val here = collapsed ||
+      p.nodeName.contains("Aggregate") || p.nodeName.contains("Limit") ||
+      p.nodeName.contains("TakeOrdered")
+    p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if !here && f.relation.location.rootPaths.exists(rp =>
+            FactTables.exists(t => rp.toString.contains(s"$t.parquet"))) =>
+        Seq(f)
+      case _ => p.children.flatMap(uncollapsedFactScans(_, here))
+    }
+  }
 
   private val FactTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings")
