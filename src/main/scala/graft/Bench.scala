@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 1-min loadavg BEFORE any work: median_load (sampled at trial starts
+    // mid-run) includes the bench's OWN 32-thread load and floors around
+    // ~3-4 even on an idle host — load_start is the one sample that can
+    // prove the capture began on an idle box
+    val loadStart = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -166,7 +174,7 @@ object Bench {
       if (allLoads.isEmpty) -1.0 else allLoads(allLoads.size / 2)
     // silence any trailing executor/stop chatter so this stays the tail
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"median_load":${r3(medianLoad)},"queries":$top,"full":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"median_load":${r3(medianLoad)},"load_start":${r3(loadStart)},"queries":$top,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
