@@ -422,6 +422,79 @@ object GateQueries {
       |FROM probes p JOIN bars b
       |  ON b.security_id = p.sid AND CAST(b.et_ts AS DATE) = p.day""".stripMargin
 
+  /** SQL catalog surface ([[graft.sql.GraftCatalog]]): the §7.3 flagship
+    * slice — "daily closes for a symbol over a rename boundary" — as PURE
+    * SQL against catalog identifiers, no path-shaped API in sight. A
+    * 3-security master (SYMR carried by sid 9000 until 2023-06-30, by sid
+    * 9002 after — the FB→META shape, reference security_master.py:762-779)
+    * and two years of deterministic daily bars land in the lake layout
+    * (`Lake.overwritePartitions`, partitioned security_id/year); the
+    * catalog is installed and the query joins `graft.daily_ticks` to
+    * `graft.master` on the interval, routing each day to the sid that
+    * carried the symbol then. `t.year = 2023` is a STATIC partition
+    * filter through the V2 ParquetTable (SqlCatalogSpec asserts it prunes
+    * the scan to the year's directories and the sid panel); the oracle
+    * replays master + bar formulas entirely in DuckDB.
+    */
+  def q205SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q205_lake_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val sids = Tables.nation(s, dir).filter(col("n_nationkey") < 3)
+      .select((col("n_nationkey") + 9000L).as("security_id"))
+    val days = s.range(1).select(explode(sequence(
+      lit("2023-01-01").cast("date"), lit("2024-12-31").cast("date"),
+      expr("interval 1 day"))).as("date"))
+    val bars = sids.crossJoin(broadcast(days)) // dim × dim: 3 × 731 rows
+      .filter(year(col("date")) === 2023 || col("security_id") === 9001L)
+      .select(col("security_id"), col("date"),
+        (col("security_id") * 10 +
+          datediff(col("date"), lit("2023-01-01").cast("date")) % 97)
+          .cast("long").as("close_cents"),
+        year(col("date")).as("year"))
+    graft.lake.Lake.overwritePartitions(bars, root, "daily_ticks",
+      Seq("security_id", "year"))
+    val s2 = s; import s2.implicits._
+    val master = Seq(
+      ("SYMR", 9000L, "2023-01-01", "2023-06-30"),
+      ("SYMR", 9002L, "2023-07-01", "2023-12-31"),
+      ("OTHR", 9001L, "2023-01-01", "2024-12-31"))
+      .toDF("symbol", "security_id", "start_s", "end_s")
+      .select(col("symbol"), col("security_id"),
+        col("start_s").cast("date").as("start_date"),
+        col("end_s").cast("date").as("end_date"))
+    graft.lake.Lake.overwritePartitions(master, root, "master", Seq.empty)
+    graft.sql.GraftCatalog.install(s, "graft", root)
+    s.sql("""
+      SELECT m.symbol, date_format(t.date, 'yyyy-MM-dd') AS day,
+             CAST(t.security_id AS BIGINT) AS security_id, t.close_cents
+      FROM graft.daily_ticks t
+      JOIN graft.master m
+        ON t.security_id = m.security_id
+       AND t.date BETWEEN m.start_date AND m.end_date
+      WHERE m.symbol = 'SYMR' AND t.year = 2023""")
+  }
+
+  val q205Sql: String =
+    """WITH sids AS (SELECT CAST(n_nationkey + 9000 AS BIGINT) AS security_id
+      |              FROM nation WHERE n_nationkey < 3),
+      |days AS (SELECT CAST(unnest(generate_series(DATE '2023-01-01',
+      |           DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+      |bars AS (SELECT s.security_id, d.d,
+      |    CAST(s.security_id*10 + (d.d - DATE '2023-01-01') % 97 AS BIGINT)
+      |      AS close_cents
+      |  FROM sids s CROSS JOIN days d
+      |  WHERE year(d.d) = 2023 OR s.security_id = 9001),
+      |master AS (
+      |  SELECT 'SYMR' AS symbol, CAST(9000 AS BIGINT) AS sid,
+      |    DATE '2023-01-01' AS sd, DATE '2023-06-30' AS ed
+      |  UNION ALL SELECT 'SYMR', 9002, DATE '2023-07-01', DATE '2023-12-31'
+      |  UNION ALL SELECT 'OTHR', 9001, DATE '2023-01-01', DATE '2024-12-31')
+      |SELECT m.symbol, strftime(b.d, '%Y-%m-%d') AS day,
+      |  b.security_id, b.close_cents
+      |FROM bars b JOIN master m
+      |  ON b.security_id = m.sid AND b.d BETWEEN m.sd AND m.ed
+      |WHERE m.symbol = 'SYMR' AND year(b.d) = 2023""".stripMargin
+
   /** JPEG pixel decode, end to end (round-6 verdict ask #5): the one
     * decode path q100/q124 don't reach (they gate BMP/PNG). Each doc id
     * renders a smooth RGB gradient — `px(y,x,ch) = 32 + id%16 + 2y + 2x +
@@ -800,6 +873,7 @@ object GateQueries {
     "q127_jpeg_decode" -> (q127JpegDecode _),
     "q199_progressive_jpeg" -> (q199ProgressiveJpeg _),
     "q126_minute_dst" -> (q126MinuteDst _),
+    "q205_sql_catalog" -> (q205SqlCatalog _),
     "q113_footer_meta" -> (q113FooterMeta _),
     "q114_lake_listing" -> (q114LakeListing _),
     "q115_allnull_drop" -> (q115AllnullDrop _),
@@ -820,6 +894,7 @@ object GateQueries {
     "q127_jpeg_decode" -> q127Sql,
     "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
+    "q205_sql_catalog" -> q205Sql,
     "q113_footer_meta" -> q113Sql,
     "q114_lake_listing" -> q114Sql,
     "q115_allnull_drop" -> q115Sql,

@@ -235,6 +235,40 @@ class ApiDocSpec extends SparkTestBase {
     assert(scored.count() === 20)
   }
 
+  test("GraftCatalog example: lake tables as SQL") {
+    val root = tmp("sqlcat")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    import spark.implicits._
+    graft.lake.Lake.overwritePartitions(
+      Seq((9000L, java.sql.Date.valueOf("2023-03-01"), 42L, 2023),
+        (9002L, java.sql.Date.valueOf("2023-09-01"), 43L, 2023))
+        .toDF("security_id", "date", "close_cents", "year"),
+      root, "daily_ticks", Seq("security_id", "year"))
+    graft.lake.Lake.overwritePartitions(
+      Seq(("SYMR", 9000L, java.sql.Date.valueOf("2023-01-01"), java.sql.Date.valueOf("2023-06-30")),
+        ("SYMR", 9002L, java.sql.Date.valueOf("2023-07-01"), java.sql.Date.valueOf("2023-12-31")))
+        .toDF("symbol", "security_id", "start_date", "end_date"),
+      root, "master", Seq.empty)
+
+    // --- docs/API.md: GraftCatalog ---
+    import graft.sql.GraftCatalog
+
+    GraftCatalog.install(spark, "graft", root)
+    val tables = spark.sql("SHOW TABLES IN graft")
+    val closes = spark.sql("""
+      SELECT m.symbol, t.date, t.close_cents
+      FROM graft.daily_ticks t JOIN graft.master m
+        ON t.security_id = m.security_id
+       AND t.date BETWEEN m.start_date AND m.end_date
+      WHERE m.symbol = 'SYMR' AND t.year = 2023""")
+    // --- end ---
+
+    assert(tables.select("tableName").as[String].collect().toSet ===
+      Set("daily_ticks", "master"))
+    assert(closes.select("close_cents").as[Long].collect().toSet === Set(42L, 43L))
+  }
+
   test("Snapshots example: commit, time travel, CDF, vacuum") {
     import graft.lake.Snapshots
     val root = tmp("snap")
