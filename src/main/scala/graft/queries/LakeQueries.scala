@@ -281,10 +281,14 @@ object LakeQueries {
     * unmatched views. Output is therefore batch-boundary-independent and
     * equals the batch LEFT JOIN oracle exactly.
     */
-  def q203StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
+  /** Events staged for the outer stream-stream joins (q203/q206): the real
+    * events as 8 files, then one sentinel view+purchase pair (user −1,
+    * never matching a real row) 14 days after the real max ts in a
+    * later-mod-time file — with maxFilesPerTrigger = 8 the sentinel batch
+    * pushes the watermark past every real window and the closing no-data
+    * batch evicts + emits all unmatched state. Staged once per (JVM, sf).
+    */
+  private def stageEventsWithSentinels(ev: DataFrame, dir: String): String = {
     val src = s"/tmp/graft_stage_ssoj_${math.abs(dir.hashCode)}"
     if (staged.add(src)) {
       try {
@@ -301,8 +305,19 @@ object LakeQueries {
           .coalesce(1).write.mode("append").parquet(src)
       } catch { case e: Throwable => staged.remove(src); throw e }
     }
-    val name = "graft_q203_out"
-    val result = Incremental.runAvailableNowScoped(s, { ss =>
+    src
+  }
+
+  /** views ⋈ buys on (user, 12 h interval) with 1 h watermarks — the shared
+    * core of q203 (left_outer) and q206 (full_outer).
+    */
+  private def streamIntervalJoin(s: SparkSession, dir: String,
+      joinType: String, queryName: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val src = stageEventsWithSentinels(ev, dir)
+    Incremental.runAvailableNowScoped(s, { ss =>
       val stream = Incremental.fileStream(ss, src, ev.schema,
         maxFilesPerTrigger = Some(8))
       val views = stream.filter(col("event_type") === "view")
@@ -317,13 +332,45 @@ object LakeQueries {
         col("user_id") === col("b_user") &&
           col("buy_ts") >= col("view_ts") &&
           col("buy_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
-        "left_outer")
-    }, name, outputMode = "append", statePartitions = 8)
-    result.filter(col("user_id") >= 0) // drop the sentinel's own rows
+        joinType)
+    }, queryName, outputMode = "append", statePartitions = 8)
+  }
+
+  def q203StreamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streamIntervalJoin(s, dir, "left_outer", "graft_q203_out")
+      .filter(col("user_id") >= 0) // drop the sentinel's own rows
       .select(col("view_id"), col("user_id"), col("purchase_id"),
         (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("lag_us"),
         round(col("buy_value") * 100).cast("long").as("buy_cents"))
-  }
+
+  /** FULL-outer watermarked stream-stream interval join — q203's protocol
+    * with eviction emitting BOTH sides' unmatched state: a purchase with
+    * no qualifying view in the 12 h window before it must surface with
+    * null view columns once the watermark passes its window, alongside
+    * q203's unmatched views. The sentinel filter keys on
+    * coalesce(user, b_user): either side's columns may be null now.
+    * Output ≡ the batch FULL JOIN oracle (batch-boundary-independent by
+    * the sentinel protocol).
+    */
+  def q206StreamFullOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streamIntervalJoin(s, dir, "full_outer", "graft_q206_out")
+      .filter(coalesce(col("user_id"), col("b_user")) >= 0)
+      .select(col("view_id"),
+        coalesce(col("user_id"), col("b_user")).as("user_key"),
+        col("purchase_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("lag_us"),
+        round(col("buy_value") * 100).cast("long").as("buy_cents"))
+
+  val q206Sql: String =
+    """SELECT a.event_id AS view_id,
+      |  coalesce(a.user_id, b.user_id) AS user_key,
+      |  b.event_id AS purchase_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us,
+      |  CAST(round(b.value*100) AS BIGINT) AS buy_cents
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR""".stripMargin
 
   val q203Sql: String =
     """SELECT a.event_id AS view_id, a.user_id, b.event_id AS purchase_id,
@@ -434,6 +481,64 @@ object LakeQueries {
       |SELECT *, 'insert' AS change_type FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM s)
       |UNION ALL
       |SELECT *, 'delete' AS change_type FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM v2)""".stripMargin
+
+  /** Streaming dedup with bounded state — `dropDuplicatesWithinWatermark`:
+    * duplicates whose event times differ (retransmits, clock-skewed
+    * producers) collapse as long as they arrive within the watermark
+    * delay of each other, and state is EVICTED past the watermark instead
+    * of growing with the corpus (the classic `dropDuplicates` would pin
+    * every key forever — the 100 TB state-store killer).
+    *
+    * Protocol: micro-batch 1 = every event PLUS a same-batch retransmit
+    * of the %7 keys at ts+5 min (collapses in-batch); micro-batch 2
+    * (later-mod-time file) = retransmits of the freshest keys
+    * (ts > max−1 h) at ts+10 min — their state is still live and they are
+    * not late, so they dedup against batch 1 — plus genuinely new rows
+    * (event_id+10⁹, ts+20 min) proving batch 2 was processed, not
+    * skipped. Event time is deliberately NOT in the output: WHICH copy of
+    * a duplicate wins is scan-order-dependent, but every other column is
+    * identical across copies, so the output is deterministic. Oracle =
+    * each event once + the synthetic new rows once.
+    */
+  def q207DedupWithinWatermark(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val src = s"/tmp/graft_stage_ddww_${math.abs(dir.hashCode)}"
+    if (staged.add(src)) {
+      try {
+        ev.unionByName(ev.filter(col("event_id") % 7 === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES")))
+          .repartition(6).write.mode("overwrite").parquet(src)
+        val gm = ev.agg(max(col("ts")).as("m"))
+        // freshest keys: state still live when batch 2 runs (see scaladoc)
+        val near = ev.join(broadcast(gm),
+          col("ts") > col("m") - expr("INTERVAL 1 HOUR")).drop("m")
+        near.withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+          .unionByName(near.select(
+            (col("event_id") + 1000000000L).as("event_id"),
+            (col("ts") + expr("INTERVAL 20 MINUTES")).as("ts"),
+            col("user_id"), col("event_type"), col("value")))
+          .coalesce(1).write.mode("append").parquet(src)
+      } catch { case e: Throwable => staged.remove(src); throw e }
+    }
+    Incremental.runAvailableNowScoped(s, { ss =>
+      Incremental.fileStream(ss, src, ev.schema, maxFilesPerTrigger = Some(6))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+    }, "graft_q207_out", outputMode = "append", statePartitions = 8)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+  }
+
+  val q207Sql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS value_cents FROM events
+      |UNION ALL
+      |SELECT event_id + 1000000000, user_id, event_type,
+      |  CAST(round(value*100) AS BIGINT)
+      |FROM events
+      |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 1 HOUR""".stripMargin
 
   /** Stats-sidecar data skipping on the versioned lake
     * ([[graft.lake.Snapshots]] `statsCols`/`readVersionPruned`/`compact`):
@@ -799,6 +904,8 @@ object LakeQueries {
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
     "q203_stream_outer_join" -> (q203StreamOuterJoin _),
+    "q206_stream_full_outer_join" -> (q206StreamFullOuterJoin _),
+    "q207_dedup_within_watermark" -> (q207DedupWithinWatermark _),
     "q43_lake_roundtrip" -> (q43LakeRoundtrip _),
     "q44_streaming_window" -> (q44StreamingWindow _),
     "q55_streaming_sessions" -> (q55StreamingSessions _),
@@ -815,6 +922,8 @@ object LakeQueries {
     "q71_stream_stream_join" -> q71Sql,
     "q202_bloom_skipping" -> q202Sql,
     "q203_stream_outer_join" -> q203Sql,
+    "q206_stream_full_outer_join" -> q206Sql,
+    "q207_dedup_within_watermark" -> q207Sql,
     "q43_lake_roundtrip" -> q43Sql,
     "q44_streaming_window" -> q44Sql,
     "q55_streaming_sessions" -> q55Sql,
