@@ -322,7 +322,43 @@ object GraphQueries {
       |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** Hub-shaped connected components — the SKEW fixture for the
+    * large-star/small-star contraction (q192 covers diameter, this covers
+    * degree): every ~100-doc block hangs off ONE hub node (its block
+    * base), so the contraction's symmetric groupBy/join carries a hot key
+    * per block, plus short chains whose `doc_id+1` endpoints may connect
+    * to their block ONLY through the chain edge. Labels must be each
+    * block's base (the component minimum); the oracle recomputes them
+    * from the block rule directly. [[graft.operators.Dedup
+    * .clustersByContraction]] is called explicitly — this pins the
+    * contraction path itself, not the auto-switch. The %-rules use the
+    * WITHIN-COPY id (doc_id % 1e8, the CLAUDE.md blowup invariant) so
+    * blocks never span blowup copies; the ScaleStress
+    * `hub_contraction_roundsAsRows` leg measures the same shape at
+    * 10⁴·f hub degree.
+    */
+  def q208HubClusters(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val inCopy = col("doc_id") % 100000000L
+    val hub = ids.select((col("doc_id") - inCopy % 100).as("id_a"),
+      col("doc_id").as("id_b"))
+    val chain = ids.filter(inCopy % 100 < 5)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    graft.operators.Dedup.clustersByContraction(hub.unionByName(chain))
+      .select(col("id"), col("cluster"))
+  }
+
+  val q208Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    doc_id - (doc_id % 100000000) % 100 AS b FROM documents),
+      |nodes AS (
+      |  SELECT b AS id, b FROM d
+      |  UNION SELECT doc_id, b FROM d
+      |  UNION SELECT doc_id + 1, b FROM d WHERE (doc_id % 100000000) % 100 < 5)
+      |SELECT id, min(b) AS cluster FROM nodes GROUP BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q208_hub_clusters" -> (q208HubClusters _),
     "q192_chain_clusters" -> (q192ChainClusters _),
     "q158_prefix_jaccard" -> (q158PrefixJaccard _),
     "q149_triangles" -> (q149Triangles _),
@@ -332,6 +368,7 @@ object GraphQueries {
     "q154_kcore" -> (q154KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q208_hub_clusters" -> q208Sql,
     "q192_chain_clusters" -> q192Sql,
     "q158_prefix_jaccard" -> q158Sql,
     "q149_triangles" -> q149Sql,

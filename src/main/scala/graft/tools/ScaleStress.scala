@@ -476,6 +476,40 @@ object ScaleStress {
       record("chain_contraction_roundsAsRows", f, best, rounds, loads.toSeq)
     }
 
+    // Contraction under SKEW (round 12): one hub of degree 10⁴·f with a
+    // FIXED 1000-hop chain hanging off it — the shape the large-star step
+    // exists for. Claims under measurement: (a) rounds stay ≤ the fixed
+    // chain's log-diameter bound (the hub star flattens in O(1) rounds
+    // regardless of degree, so rounds must NOT grow with f — recorded as
+    // `rows`); (b) wall-clock grows ~linearly in the hub degree (exponent
+    // ≈ 1), i.e. the hub key's symmetric groupBy/join rows partial-
+    // aggregate and hash-join without single-task quadratic inflation.
+    val runHub = sys.env.getOrElse("SPARK_GRAFT_HUB", "0") != "0"
+    for (f <- scales if runHub) {
+      val h = 10000L * f
+      val star = spark.range(1, h + 1)
+        .select(lit(0L).as("id_a"), col("id").as("id_b"))
+      val chain = spark.range(0, 1000)
+        .select((col("id") + h + 1).as("id_a"), (col("id") + h + 2).as("id_b"))
+        .unionByName(spark.range(1)
+          .select(lit(0L).as("id_a"), lit(h + 1).as("id_b"))) // hub→chain link
+      var best = Double.MaxValue
+      var rounds = 0
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to trials) {
+        loads += loadavg()
+        val t0 = System.nanoTime()
+        val (labels, r) = graft.operators.Dedup.contractionLabels(
+          star.unionByName(chain))
+        labels.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+        rounds = r
+        reset()
+      }
+      record("hub_contraction_roundsAsRows", f, best, rounds, loads.toSeq)
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)

@@ -91,6 +91,23 @@ class DedupSpec extends SparkTestBase {
       40L -> 40L, 41L -> 40L))
   }
 
+  test("clustersByContraction: a 10^4-degree hub converges in O(1) rounds (skew shape)") {
+    // one hub (0) with 10,000 spokes plus a 50-hop chain hanging off it —
+    // the hot-key case the large-star step exists for. Degree must not
+    // buy rounds: the star flattens in a constant number of alternations,
+    // the fixed chain adds its own log-diameter, so the TOTAL stays small
+    // regardless of hub size.
+    val h = 10000L
+    val star = (1L to h).map(i => (0L, i)).toDF("id_a", "id_b")
+    val chain = ((0L until 50L).map(i => (h + 1 + i, h + 2 + i)) :+ (0L, h + 1L))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.contractionLabels(star.unionByName(chain))
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size === (h + 52).toInt && m.values.forall(_ === 0L),
+      "one component rooted at the hub")
+    assert(rounds <= 10, s"hub degree must not inflate rounds, took $rounds")
+  }
+
   test("contraction parity: endpoints appearing ONLY as a self-pair keep their own label") {
     // a self-pair (x, x) survives no lo =!= hi edge filter, so the star
     // labels alone would drop x from the output — the r11 fallback
