@@ -73,7 +73,7 @@ object Snapshots {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def liveFiles(spark: SparkSession, root: String, table: String,
+  private[graft] def liveFiles(spark: SparkSession, root: String, table: String,
       version: Long): Seq[String] = {
     val f = fs(spark, root)
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
@@ -87,10 +87,24 @@ object Snapshots {
   private def sidecarPath(root: String, table: String, version: Long) =
     s"${manifestDir(root, table)}/stats_v$version"
 
-  private def writeManifest(f: FileSystem, root: String, table: String,
+  /** Atomically publish version N's file list. `create(overwrite = false)`
+    * is the optimistic-concurrency point (the Delta/Iceberg commit
+    * protocol's put-if-absent): two writers that both computed version N
+    * race on the SAME manifest path, exactly one create succeeds, and the
+    * loser surfaces a [[java.util.ConcurrentModificationException]] to
+    * retry against the new latest — never a silent lost update.
+    */
+  private[graft] def writeManifest(f: FileSystem, root: String, table: String,
       version: Long, files: Seq[String]): Unit = {
     val json = files.map(x => s""""$x"""").mkString("""{"files": [""", ", ", "]}")
-    val out = f.create(new Path(s"${manifestDir(root, table)}/v$version.json"), true)
+    val p = new Path(s"${manifestDir(root, table)}/v$version.json")
+    val out =
+      try f.create(p, false)
+      catch { case e: java.io.IOException if f.exists(p) =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot v$version of $table was committed concurrently — " +
+            "re-read the latest version and retry")
+      }
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 

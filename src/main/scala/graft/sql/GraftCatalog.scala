@@ -80,15 +80,59 @@ class GraftCatalog extends TableCatalog {
     fs(p).exists(p)
   }
 
+  /** A table committed through [[graft.lake.Snapshots]] (has a manifest
+    * dir) resolves through its manifests — NEVER the raw directory, which
+    * holds every version's files; a plain Lake table resolves as its
+    * directory.
+    */
+  private def isVersioned(name: String): Boolean = {
+    val p = new Path(s"$root/_snapshots/$name")
+    fs(p).exists(p)
+  }
+
+  private def versionedTable(ident: Identifier, version: Long): Table = {
+    val spark = SparkSession.active
+    val dataDir = s"$root/${ident.name}/data"
+    val files = graft.lake.Snapshots
+      .liveFiles(spark, root, ident.name, version) // manifest-sized
+      .map(p => s"$dataDir/$p")
+    // basePath keeps Hive partition-column inference working on the
+    // explicit per-version file list, exactly like Snapshots.readVersion
+    ParquetTable(s"${ident.name}@v$version", spark,
+      new CaseInsensitiveStringMap(
+        java.util.Map.of("path", dataDir, "basePath", dataDir)),
+      files, userSpecifiedSchema = None,
+      fallbackFileFormat = classOf[ParquetFileFormat])
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!fs(p).exists(p))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace :+ ident.name)
+    if (isVersioned(ident.name)) {
+      val latest = graft.lake.Snapshots
+        .latestVersion(SparkSession.active, root, ident.name)
+        .getOrElse(throw new NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace :+ ident.name))
+      return versionedTable(ident, latest)
+    }
     val path = p.toString
     ParquetTable(ident.name, SparkSession.active,
       new CaseInsensitiveStringMap(java.util.Map.of("path", path)),
       Seq(path), userSpecifiedSchema = None,
       fallbackFileFormat = classOf[ParquetFileFormat])
+  }
+
+  /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the
+    * Snapshots manifest of that version ("v2" also accepted).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    requireTopLevel(ident.namespace)
+    if (!isVersioned(ident.name))
+      throw new UnsupportedOperationException(
+        s"${ident.name} is not a Snapshots-versioned table — VERSION AS OF " +
+          "needs a manifest history (graft.lake.Snapshots.commit)")
+    versionedTable(ident, version.stripPrefix("v").toLong)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

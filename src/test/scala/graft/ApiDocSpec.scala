@@ -267,6 +267,19 @@ class ApiDocSpec extends SparkTestBase {
     assert(tables.select("tableName").as[String].collect().toSet ===
       Set("daily_ticks", "master"))
     assert(closes.select("close_cents").as[Long].collect().toSet === Set(42L, 43L))
+
+    // a Snapshots-committed table resolves through its manifests
+    graft.lake.Snapshots.commit(
+      Seq((1L, 2020)).toDF("id", "year"), root, "dim", Seq("year"))
+    graft.lake.Snapshots.commit(
+      Seq((9L, 2020)).toDF("id", "year"), root, "dim", Seq("year"))
+    // --- docs/API.md: GraftCatalog time travel ---
+    spark.sql("SELECT * FROM graft.dim VERSION AS OF 1")
+    // --- end ---
+    assert(spark.sql("SELECT id FROM graft.dim VERSION AS OF 1")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(spark.sql("SELECT id FROM graft.dim")
+      .as[Long].collect().toSeq === Seq(9L))
   }
 
   test("Snapshots example: commit, time travel, CDF, vacuum") {

@@ -67,6 +67,52 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM graftt.daily_ticks").as[Long].head() === 1L)
   }
 
+  test("Snapshots tables resolve through manifests: latest by default, VERSION AS OF for history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_snap").toString
+    import graft.lake.Snapshots
+    Snapshots.commit(Seq((1L, "a", 2020), (2L, "b", 2020)).toDF("id", "v", "year"),
+      root, "dim", Seq("year"))
+    Snapshots.commit(Seq((9L, "z", 2020)).toDF("id", "v", "year"),
+      root, "dim", Seq("year")) // dynamic overwrite of year=2020
+    GraftCatalog.install(spark, "graftt", root)
+    // plain read = LATEST version via its manifest — never the raw dir,
+    // which still holds v1's superseded files
+    assert(spark.sql("SELECT id FROM graftt.dim").as[Long].collect().toSet === Set(9L))
+    // time travel
+    assert(spark.sql("SELECT id FROM graftt.dim VERSION AS OF 1")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    assert(spark.sql("SELECT id FROM graftt.dim VERSION AS OF 2")
+      .as[Long].collect().toSet === Set(9L))
+    // parity with the Scala API
+    assert(spark.sql("SELECT * FROM graftt.dim VERSION AS OF 1").collect().toSet ===
+      Snapshots.readVersion(spark, root, "dim", 1L).collect().toSet)
+    // a plain Lake table has no manifest history
+    graft.lake.Lake.overwritePartitions(Seq((1L, 7L)).toDF("id", "x"),
+      root, "flat", Seq.empty)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graftt.flat VERSION AS OF 1").collect()
+    }
+    assert(ex.getMessage.contains("Snapshots-versioned") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Snapshots-versioned")), ex.toString)
+  }
+
+  test("concurrent commits cannot silently lose an update (manifest put-if-absent)") {
+    // the race: two writers read latest = 1, both publish v2. The commit
+    // protocol's atomic point is writeManifest's create(overwrite=false) —
+    // exactly one create succeeds, the loser gets a retryable CME (a
+    // second overwrite=true create would silently drop the winner's files)
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_occ").toString
+    import graft.lake.Snapshots
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    Snapshots.writeManifest(f, root, "t", 2L, Seq("a.parquet")) // winner
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.writeManifest(f, root, "t", 2L, Seq("b.parquet")) // loser
+    }
+    // a fresh read still sees the winner's list
+    assert(Snapshots.latestVersion(spark, root, "t").contains(2L))
+  }
+
   test("missing tables and DDL fail loudly; catalog is read-only") {
     val root = freshLake()
     GraftCatalog.install(spark, "graftt", root)
