@@ -1,0 +1,139 @@
+package graft.sql
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal, EqualTo => CatalystEqualTo, In => CatalystIn}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{InputPartition, SupportsRuntimeFiltering, VariantExtraction}
+import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[ParquetScan]] + dynamic partition pruning.
+  *
+  * Spark's V2 file scans do NOT implement `SupportsRuntimeFiltering`, so
+  * the optimizer's `PartitionPruning` rule — which handles
+  * `DataSourceV2ScanRelation` only when the scan advertises
+  * `SupportsRuntimeV2Filtering` — silently skips them: a catalog read
+  * joined to a filtered dimension on the partition key scans EVERY
+  * partition, where the identical V1 `spark.read` plan DPPs down to the
+  * matching directories (measured in GraftCatalogSpec). At 100 TB the
+  * symbol→sid join against sid-partitioned ticks is exactly this shape,
+  * so the catalog restores the capability:
+  *
+  *  - `filterAttributes` advertises the partition columns;
+  *  - at execution, `BatchScanExec` pushes the DPP subquery's values via
+  *    `filter(...)`, which this scan translates into extra Catalyst
+  *    partition predicates (name-resolved against the partition schema,
+  *    the same binding `PartitioningAwareFileIndex.listFiles` applies);
+  *  - `planInputPartitions` then re-lists through a fresh copy of the
+  *    underlying scan carrying the combined filters — unknown predicate
+  *    shapes simply don't prune (conservative, never wrong).
+  */
+class DppParquetScan(
+    sparkSession: SparkSession,
+    hadoopConf: Configuration,
+    fileIndex: PartitioningAwareFileIndex,
+    dataSchema: StructType,
+    readDataSchema: StructType,
+    readPartitionSchema: StructType,
+    pushedFilters: Array[sources.Filter],
+    options: CaseInsensitiveStringMap,
+    pushedAggregate: Option[Aggregation],
+    partitionFilters: Seq[Expression],
+    dataFilters: Seq[Expression],
+    pushedVariantExtractions: Array[VariantExtraction])
+  extends ParquetScan(sparkSession, hadoopConf, fileIndex, dataSchema,
+    readDataSchema, readPartitionSchema, pushedFilters, options,
+    pushedAggregate, partitionFilters, dataFilters, pushedVariantExtractions)
+  with SupportsRuntimeFiltering {
+
+  @volatile private var runtimePartitionFilters: Seq[Expression] = Nil
+
+  // only partition columns the scan actually OUTPUTS: the rule resolves
+  // these against the pruned relation output, and an absent column is an
+  // AnalysisException, not a skipped optimization
+  override def filterAttributes(): Array[NamedReference] =
+    readPartitionSchema.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    runtimePartitionFilters = filters.toSeq.flatMap(toPartitionPredicate)
+
+  private def partitionAttr(name: String): Option[AttributeReference] =
+    fileIndex.partitionSchema.fields.find(_.name == name)
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+
+  /** Key-side expression comparable to literals of `valueType`: the DPP
+    * values carry the JOIN key's type (e.g. bigint), which can differ
+    * from the inferred partition-directory type (e.g. int32) — cast the
+    * attribute up rather than the values down (never lossy, and the
+    * listing's bound predicate evaluates casts fine).
+    */
+  private def keyFor(a: AttributeReference,
+      valueType: org.apache.spark.sql.types.DataType): Expression =
+    if (valueType == a.dataType) a
+    else org.apache.spark.sql.catalyst.expressions.Cast(a, valueType)
+
+  private def toPartitionPredicate(f: sources.Filter): Option[Expression] =
+    f match {
+      case sources.In(attr, values) if values.nonEmpty =>
+        partitionAttr(attr).flatMap { a =>
+          val lits = values.toSeq.map(v => Literal.create(v))
+          lits.map(_.dataType).distinct match {
+            case Seq(t) if t != org.apache.spark.sql.types.NullType =>
+              Some(CatalystIn(keyFor(a, t), lits))
+            case _ => None // mixed/null-typed values: don't prune
+          }
+        }
+      case sources.EqualTo(attr, v) if v != null =>
+        partitionAttr(attr).map { a =>
+          val lit = Literal.create(v)
+          CatalystEqualTo(keyFor(a, lit.dataType), lit)
+        }
+      case _ => None // conservative: an untranslatable filter prunes nothing
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimePartitionFilters.isEmpty) super.planInputPartitions()
+    else copy(partitionFilters = partitionFilters ++ runtimePartitionFilters)
+      .planInputPartitions() // fresh plain scan: re-lists under the union
+}
+
+/** [[ParquetScanBuilder]] that re-wraps its product as [[DppParquetScan]]
+  * — all pushdown state (filters, columns, aggregates) is inherited; only
+  * the built scan's runtime-filtering capability changes.
+  */
+class DppParquetScanBuilder(
+    sparkSession: SparkSession,
+    fileIndex: PartitioningAwareFileIndex,
+    schema: StructType,
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
+
+  override def build(): ParquetScan = {
+    val p = super.build()
+    new DppParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
+      p.dataSchema, p.readDataSchema, p.readPartitionSchema, p.pushedFilters,
+      p.options, p.pushedAggregate, p.partitionFilters, p.dataFilters,
+      p.pushedVariantExtractions)
+  }
+}
+
+/** [[ParquetTable]] whose scans support dynamic partition pruning. */
+class DppParquetTable(
+    name: String,
+    sparkSession: SparkSession,
+    options: CaseInsensitiveStringMap,
+    paths: Seq[String],
+    userSpecifiedSchema: Option[StructType])
+  extends ParquetTable(name, sparkSession, options, paths,
+    userSpecifiedSchema, classOf[ParquetFileFormat]) {
+
+  override def newScanBuilder(params: CaseInsensitiveStringMap): ParquetScanBuilder =
+    new DppParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, params)
+}

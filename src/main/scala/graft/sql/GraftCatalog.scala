@@ -4,8 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL catalog over the [[graft.lake.Lake]] layout — the surface a Spark
@@ -98,11 +96,10 @@ class GraftCatalog extends TableCatalog {
       .map(p => s"$dataDir/$p")
     // basePath keeps Hive partition-column inference working on the
     // explicit per-version file list, exactly like Snapshots.readVersion
-    ParquetTable(s"${ident.name}@v$version", spark,
+    new DppParquetTable(s"${ident.name}@v$version", spark,
       new CaseInsensitiveStringMap(
         java.util.Map.of("path", dataDir, "basePath", dataDir)),
-      files, userSpecifiedSchema = None,
-      fallbackFileFormat = classOf[ParquetFileFormat])
+      files, userSpecifiedSchema = None)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -117,10 +114,9 @@ class GraftCatalog extends TableCatalog {
       return versionedTable(ident, latest)
     }
     val path = p.toString
-    ParquetTable(ident.name, SparkSession.active,
+    new DppParquetTable(ident.name, SparkSession.active,
       new CaseInsensitiveStringMap(java.util.Map.of("path", path)),
-      Seq(path), userSpecifiedSchema = None,
-      fallbackFileFormat = classOf[ParquetFileFormat])
+      Seq(path), userSpecifiedSchema = None)
   }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the

@@ -67,6 +67,55 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM graftt.daily_ticks").as[Long].head() === 1L)
   }
 
+  test("dynamic partition pruning fires on catalog joins (stock V2 file scans can't)") {
+    // 40 sid partitions × 100 days; a 1-sid dimension filter must prune
+    // the fact scan at RUNTIME. Stock Spark V2 file scans don't implement
+    // SupportsRuntimeFiltering, so this exact plan on a forced-V2 path
+    // read scans all 40 partitions — DppParquetScan restores the
+    // capability the V1 path has always had.
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_dpp").toString
+    val bars = (0 until 4000).map { i =>
+      (9000L + i % 40, java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
+        .plusDays(i / 40)), i.toLong, 2023)
+    }.toDF("security_id", "date", "close_cents", "year")
+    graft.lake.Lake.overwritePartitions(bars, root, "daily_ticks",
+      Seq("security_id", "year"))
+    graft.lake.Lake.overwritePartitions(
+      Seq(("SYMR", 9003L), ("OTHR", 9004L)).toDF("symbol", "security_id"),
+      root, "master", Seq.empty)
+    GraftCatalog.install(spark, "graftt", root)
+    val df = spark.sql("""
+      SELECT t.close_cents FROM graftt.daily_ticks t
+      JOIN graftt.master m ON t.security_id = m.security_id
+      WHERE m.symbol = 'SYMR'""")
+    // the optimizer inserted the DPP subquery against the V2 scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(df.count() === 100)
+
+    // the runtime half: BatchScanExec pushes the subquery values via
+    // filter(); the re-listed partitions must shrink to the one sid.
+    // Values arrive typed as the JOIN key (bigint) while the partition
+    // directory inferred int32 — the mismatched case the cast handles.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.connector.read.Scan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b.scan)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+      .collectFirst { case s: DppParquetScan => s }.get
+    val all = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("security_id",
+        Array(java.lang.Long.valueOf(9003L)))))
+    val pruned = scan.planInputPartitions().length
+    assert(pruned < all && pruned > 0,
+      s"runtime filter must shrink the listing: $all -> $pruned")
+  }
+
   test("Snapshots tables resolve through manifests: latest by default, VERSION AS OF for history") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_snap").toString
     import graft.lake.Snapshots
