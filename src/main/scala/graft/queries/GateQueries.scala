@@ -27,6 +27,9 @@ object GateQueries {
     paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 
+  // once-per-(JVM, root) fixture staging (same discipline as LakeQueries)
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** S13 — real parquet footer key-value metadata: export nation as a
     * single self-describing file ([[FooterMetadata.exportWithMetadata]]:
     * row groups appended verbatim, footer rewritten with the merged KV),
@@ -438,31 +441,35 @@ object GateQueries {
     */
   def q205SqlCatalog(s: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_q205_lake_${math.abs(dir.hashCode)}"
-    rm(s, root)
-    val sids = Tables.nation(s, dir).filter(col("n_nationkey") < 3)
-      .select((col("n_nationkey") + 9000L).as("security_id"))
-    val days = s.range(1).select(explode(sequence(
-      lit("2023-01-01").cast("date"), lit("2024-12-31").cast("date"),
-      expr("interval 1 day"))).as("date"))
-    val bars = sids.crossJoin(broadcast(days)) // dim × dim: 3 × 731 rows
-      .filter(year(col("date")) === 2023 || col("security_id") === 9001L)
-      .select(col("security_id"), col("date"),
-        (col("security_id") * 10 +
-          datediff(col("date"), lit("2023-01-01").cast("date")) % 97)
-          .cast("long").as("close_cents"),
-        year(col("date")).as("year"))
-    graft.lake.Lake.overwritePartitions(bars, root, "daily_ticks",
-      Seq("security_id", "year"))
-    val s2 = s; import s2.implicits._
-    val master = Seq(
-      ("SYMR", 9000L, "2023-01-01", "2023-06-30"),
-      ("SYMR", 9002L, "2023-07-01", "2023-12-31"),
-      ("OTHR", 9001L, "2023-01-01", "2024-12-31"))
-      .toDF("symbol", "security_id", "start_s", "end_s")
-      .select(col("symbol"), col("security_id"),
-        col("start_s").cast("date").as("start_date"),
-        col("end_s").cast("date").as("end_date"))
-    graft.lake.Lake.overwritePartitions(master, root, "master", Seq.empty)
+    if (staged.add(root)) {
+      try {
+        rm(s, root)
+        val sids = Tables.nation(s, dir).filter(col("n_nationkey") < 3)
+          .select((col("n_nationkey") + 9000L).as("security_id"))
+        val days = s.range(1).select(explode(sequence(
+          lit("2023-01-01").cast("date"), lit("2024-12-31").cast("date"),
+          expr("interval 1 day"))).as("date"))
+        val bars = sids.crossJoin(broadcast(days)) // dim × dim: 3 × 731 rows
+          .filter(year(col("date")) === 2023 || col("security_id") === 9001L)
+          .select(col("security_id"), col("date"),
+            (col("security_id") * 10 +
+              datediff(col("date"), lit("2023-01-01").cast("date")) % 97)
+              .cast("long").as("close_cents"),
+            year(col("date")).as("year"))
+        graft.lake.Lake.overwritePartitions(bars, root, "daily_ticks",
+          Seq("security_id", "year"))
+        val s2 = s; import s2.implicits._
+        val master = Seq(
+          ("SYMR", 9000L, "2023-01-01", "2023-06-30"),
+          ("SYMR", 9002L, "2023-07-01", "2023-12-31"),
+          ("OTHR", 9001L, "2023-01-01", "2024-12-31"))
+          .toDF("symbol", "security_id", "start_s", "end_s")
+          .select(col("symbol"), col("security_id"),
+            col("start_s").cast("date").as("start_date"),
+            col("end_s").cast("date").as("end_date"))
+        graft.lake.Lake.overwritePartitions(master, root, "master", Seq.empty)
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
     graft.sql.GraftCatalog.install(s, "graft", root)
     s.sql("""
       SELECT m.symbol, date_format(t.date, 'yyyy-MM-dd') AS day,

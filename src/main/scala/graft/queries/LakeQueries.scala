@@ -559,23 +559,29 @@ object LakeQueries {
     */
   def q204SnapshotStatsPrune(s: SparkSession, dir: String): DataFrame = {
     // dir-keyed /tmp root: concurrent JVMs (sbt tests at sf0.001 vs scale
-    // harness at sf0.1) must not race on a shared path
+    // harness at sf0.1) must not race on a shared path. Built once per
+    // (JVM, sf): versions 1-3 are deterministic, re-commits would only
+    // grow the history past what the gate reads.
     val root = s"/tmp/graft_snapstats_${math.abs(dir.hashCode)}"
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
-    val ev = Tables.events(s, dir).select(
-      col("event_id"),
-      round(col("value") * 100).cast("long").as("value_cents"))
     import graft.lake.Snapshots
-    Snapshots.commit(
-      ev.filter(col("event_id") % 2 === 0).repartitionByRange(8, col("event_id")),
-      root, "events", Seq.empty, statsCols = Seq("event_id"))
-    Snapshots.commit(
-      ev.filter(col("event_id") % 2 === 1).repartitionByRange(8, col("event_id")),
-      root, "events", Seq.empty) // no statsCols: exercises carry-forward
-    Snapshots.compact(s, root, "events", Seq.empty, numFiles = 8,
-      clusterCols = Seq("event_id"), statsCols = Seq("event_id"))
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        Snapshots.commit(
+          ev.filter(col("event_id") % 2 === 0).repartitionByRange(8, col("event_id")),
+          root, "events", Seq.empty, statsCols = Seq("event_id"))
+        Snapshots.commit(
+          ev.filter(col("event_id") % 2 === 1).repartitionByRange(8, col("event_id")),
+          root, "events", Seq.empty) // no statsCols: exercises carry-forward
+        Snapshots.compact(s, root, "events", Seq.empty, numFiles = 8,
+          clusterCols = Seq("event_id"), statsCols = Seq("event_id"))
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
     val (lo, hi) = (lit(100L), lit(2000L))
     Seq(1L, 2L, 3L).map { v =>
       Snapshots.readVersionPruned(s, root, "events", v, "event_id", lo, hi)

@@ -108,9 +108,12 @@ class SnapshotsSpec extends SparkTestBase {
 
   test("vacuum keeps only the requested versions' files; survivors still read") {
     val root = freshRoot()
-    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
-    Snapshots.commit(Seq((2L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
-    Snapshots.commit(Seq((3L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"),
+      statsCols = Seq("id"))
+    Snapshots.commit(Seq((2L, 2020)).toDF("id", "year"), root, "t", Seq("year"),
+      statsCols = Seq("id"))
+    Snapshots.commit(Seq((3L, 2020)).toDF("id", "year"), root, "t", Seq("year"),
+      statsCols = Seq("id"))
     val deleted = Snapshots.vacuum(spark, root, "t", keepVersions = 1)
     assert(deleted.nonEmpty) // v1+v2's superseded files are gone
     assert(Snapshots.readVersion(spark, root, "t", 3L)
@@ -118,5 +121,11 @@ class SnapshotsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Snapshots.readVersion(spark, root, "t", 1L)
     }
+    // dropped versions' stats sidecars are gone too; the survivor's stays
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v1")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v2")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v3")))
   }
 }
