@@ -63,6 +63,28 @@ object Snapshots {
     out.toSet
   }
 
+  /** Latest version whose manifest was PUBLISHED at or before `tsMillis`
+    * (wall-clock time travel — the catalog's `TIMESTAMP AS OF`). Commit
+    * time is the manifest file's modification time: the atomic
+    * put-if-absent publish in [[writeManifest]] makes it the one
+    * authoritative instant a version became visible.
+    */
+  def versionAsOf(spark: SparkSession, root: String, table: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val d = new Path(manifestDir(root, table))
+    if (!f.exists(d)) return None
+    val vs = f.listStatus(d).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("v") && n.endsWith(".json")
+      }
+      .map(s => (s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong,
+        s.getModificationTime))
+      .collect { case (v, mtime) if mtime <= tsMillis => v }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] = {
     val f = fs(spark, root)
     val d = new Path(manifestDir(root, table))

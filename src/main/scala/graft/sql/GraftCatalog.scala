@@ -131,6 +131,24 @@ class GraftCatalog extends TableCatalog {
     versionedTable(ident, version.stripPrefix("v").toLong)
   }
 
+  /** Wall-clock time travel: `… TIMESTAMP AS OF '<instant>'` — the latest
+    * version PUBLISHED at or before the instant (manifest mtime = the
+    * atomic put-if-absent publish point). `timestamp` arrives in
+    * microseconds since the epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    requireTopLevel(ident.namespace)
+    if (!isVersioned(ident.name))
+      throw new UnsupportedOperationException(
+        s"${ident.name} is not a Snapshots-versioned table — TIMESTAMP AS " +
+          "OF needs a manifest history (graft.lake.Snapshots.commit)")
+    val v = graft.lake.Snapshots
+      .versionAsOf(SparkSession.active, root, ident.name, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace :+ ident.name))
+    versionedTable(ident, v)
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireTopLevel(namespace)
     val base = new Path(root)

@@ -143,6 +143,27 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("Snapshots-versioned") ||
       Option(ex.getCause).exists(_.getMessage.contains("Snapshots-versioned")), ex.toString)
+
+    // wall-clock time travel: an instant between the publishes sees v1
+    // (manifest mtime is ms-granular on the local FS — pad both sides)
+    Thread.sleep(30)
+    val mid = java.time.Instant.now()
+    Thread.sleep(30)
+    Snapshots.commit(Seq((7L, "q", 2020)).toDF("id", "v", "year"),
+      root, "dim", Seq("year")) // v3
+    val midStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(mid)
+    assert(spark.sql(s"SELECT id FROM graftt.dim TIMESTAMP AS OF '$midStr'")
+      .as[Long].collect().toSet === Set(9L)) // v2's content, not v3's
+    assert(spark.sql("SELECT id FROM graftt.dim").as[Long].collect().toSet === Set(7L))
+    // an instant before ANY publish: no version to resolve
+    val early = intercept[Exception] {
+      spark.sql("SELECT id FROM graftt.dim TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(early.getMessage.toLowerCase.contains("table") ||
+      early.getMessage.contains("dim"), early.toString)
   }
 
   test("concurrent commits cannot silently lose an update (manifest put-if-absent)") {
