@@ -119,6 +119,17 @@ class GraftCatalog extends TableCatalog {
       Seq(path), userSpecifiedSchema = None)
   }
 
+  /** DML resolves tables through this overload with the requested write
+    * privileges — refuse them all: a catalog INSERT would append files
+    * Lake's partition clustering never shaped and Snapshots manifests
+    * don't know about (silently invisible to versioned reads). Writes go
+    * through Lake/Snapshots, same as DDL.
+    */
+  override def loadTable(ident: Identifier,
+      writePrivileges: java.util.Set[
+        org.apache.spark.sql.connector.catalog.TableWritePrivilege]): Table =
+    readOnly("INSERT/UPDATE/DELETE/MERGE")
+
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the
     * Snapshots manifest of that version ("v2" also accepted).
     */

@@ -194,5 +194,12 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("read-only") ||
       Option(ex.getCause).exists(_.getMessage.contains("read-only")), ex.toString)
+    // DML too: a catalog INSERT would append files Lake never clustered
+    // and Snapshots manifests don't know about
+    val ins = intercept[Exception] {
+      spark.sql("INSERT INTO graftt.daily_ticks VALUES (1, DATE'2023-01-01', 1, 2023)")
+    }
+    assert(ins.getMessage.contains("read-only") ||
+      Option(ins.getCause).exists(_.getMessage.contains("read-only")), ins.toString)
   }
 }
