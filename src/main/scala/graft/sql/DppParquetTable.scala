@@ -63,6 +63,59 @@ class DppParquetScan(
   override def filter(filters: Array[sources.Filter]): Unit =
     runtimePartitionFilters = filters.toSeq.flatMap(toPartitionPredicate)
 
+  /** The V2 entry point `BatchScanExec` actually calls. The default
+    * V1-Filter bridge DROPS any predicate whose key is not a bare column
+    * — and a type-mismatched join (bigint key vs int32-inferred partition
+    * directory) wraps the key in a cast, so the common rename-boundary
+    * join would silently prune nothing. Handle the V2 shape directly:
+    * unwrap casts down to the column reference (evaluation re-applies the
+    * cast on the ATTRIBUTE side — widening, never lossy) and build
+    * Catalyst literals from the V2 literals' internal values.
+    */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimePartitionFilters = predicates.toSeq.flatMap(toPartitionPredicateV2)
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames().length == 1 =>
+      Some(f.fieldNames()(0))
+    case c: org.apache.spark.sql.connector.expressions.Cast => colOf(c.expression())
+    case _ => None
+  }
+
+  private def toPartitionPredicateV2(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Expression] = {
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Literal] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(Literal(l.value, l.dataType)) // internal-value constructor
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().length >= 2 =>
+        for {
+          name <- colOf(p.children().head)
+          a <- partitionAttr(name)
+          lits <- Some(p.children().tail.toSeq.map(lit))
+            .filter(_.forall(_.isDefined)).map(_.flatten)
+          t <- lits.map(_.dataType).distinct match {
+            case Seq(one) if one != org.apache.spark.sql.types.NullType => Some(one)
+            case _ => None
+          }
+        } yield CatalystIn(keyFor(a, t), lits)
+      case "=" if p.children().length == 2 =>
+        for {
+          name <- colOf(p.children()(0))
+          a <- partitionAttr(name)
+          l <- lit(p.children()(1))
+          if l.dataType != org.apache.spark.sql.types.NullType
+        } yield CatalystEqualTo(keyFor(a, l.dataType), l)
+      case _ => None // conservative: an untranslatable predicate prunes nothing
+    }
+  }
+
   private def partitionAttr(name: String): Option[AttributeReference] =
     fileIndex.partitionSchema.fields.find(_.name == name)
       .map(f => AttributeReference(f.name, f.dataType, f.nullable)())

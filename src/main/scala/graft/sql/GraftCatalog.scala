@@ -88,6 +88,33 @@ class GraftCatalog extends TableCatalog {
     fs(p).exists(p)
   }
 
+  /** Build the table, resolving INTEGER partition-directory values as
+    * BIGINT. Directory names carry no declared width — Spark's inference
+    * guesses the narrowest int — and a narrow partition key under a
+    * bigint join key wraps the key in a cast, which
+    * `PushableColumnAndNestedColumn` (the extractor behind V2 runtime-
+    * filter translation) refuses: dynamic partition pruning silently dies.
+    * Widening is lossless and makes the common long-keyed join cast-free.
+    * Costs one extra schema inference per load (catalog-scale, not
+    * query-scale).
+    */
+  private def widened(name: String, opts: CaseInsensitiveStringMap,
+      paths: Seq[String]): DppParquetTable = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+    val probe = new DppParquetTable(name, SparkSession.active, opts, paths,
+      userSpecifiedSchema = None)
+    val partCols = probe.fileIndex.partitionSchema.fieldNames.toSet
+    val fields = probe.schema.fields.map { f =>
+      if (partCols.contains(f.name) &&
+          (f.dataType == IntegerType || f.dataType == ShortType ||
+            f.dataType == ByteType)) f.copy(dataType = LongType)
+      else f
+    }
+    val schema = StructType(fields)
+    if (schema == probe.schema) probe
+    else new DppParquetTable(name, SparkSession.active, opts, paths, Some(schema))
+  }
+
   private def versionedTable(ident: Identifier, version: Long): Table = {
     val spark = SparkSession.active
     val dataDir = s"$root/${ident.name}/data"
@@ -96,10 +123,10 @@ class GraftCatalog extends TableCatalog {
       .map(p => s"$dataDir/$p")
     // basePath keeps Hive partition-column inference working on the
     // explicit per-version file list, exactly like Snapshots.readVersion
-    new DppParquetTable(s"${ident.name}@v$version", spark,
+    widened(s"${ident.name}@v$version",
       new CaseInsensitiveStringMap(
         java.util.Map.of("path", dataDir, "basePath", dataDir)),
-      files, userSpecifiedSchema = None)
+      files)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -114,9 +141,8 @@ class GraftCatalog extends TableCatalog {
       return versionedTable(ident, latest)
     }
     val path = p.toString
-    new DppParquetTable(ident.name, SparkSession.active,
-      new CaseInsensitiveStringMap(java.util.Map.of("path", path)),
-      Seq(path), userSpecifiedSchema = None)
+    widened(ident.name,
+      new CaseInsensitiveStringMap(java.util.Map.of("path", path)), Seq(path))
   }
 
   /** DML resolves tables through this overload with the requested write

@@ -510,6 +510,47 @@ object ScaleStress {
       record("hub_contraction_roundsAsRows", f, best, rounds, loads.toSeq)
     }
 
+    // Catalog DPP at scale (round 12): a 40-partition fact whose VOLUME
+    // grows with f, joined to a 1-sid-selective dimension through
+    // graft.sql.GraftCatalog. With runtime pruning (DppParquetScan) the
+    // scan reads one sid's 1/40th of the data; with DPP disabled the same
+    // plan reads the whole fact. The gap IS the restored capability,
+    // measured; both legs pay the same (constant) listing cost.
+    val runCatalog = sys.env.getOrElse("SPARK_GRAFT_CATALOG", "0") != "0"
+    for (f <- scales if runCatalog) {
+      val root = s"/tmp/graft_scale_catalog2_${math.abs(srcDir.hashCode)}_x$f"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_READY")
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val nSids = 40L
+        val bars = spark.range(0, 1000000L * f).select(
+          (col("id") % nSids + 9000L).as("security_id"),
+          col("id").as("close_cents"))
+        graft.lake.Lake.overwritePartitions(bars, root, "daily_ticks",
+          Seq("security_id"))
+        val s2 = spark; import s2.implicits._
+        graft.lake.Lake.overwritePartitions(
+          Seq(("SYMR", 9003L), ("OTHR", 9004L)).toDF("symbol", "security_id"),
+          root, "master", Seq.empty)
+        fs.create(marker, true).close()
+      }
+      graft.sql.GraftCatalog.install(spark, "graftscale", root)
+      val sql = """
+        SELECT sum(t.close_cents) AS s FROM graftscale.daily_ticks t
+        JOIN graftscale.master m ON t.security_id = m.security_id
+        WHERE m.symbol = 'SYMR'"""
+      val (dppSec, dppRows, dppLoads) = timeDf(() => spark.sql(sql))
+      record("catalog_join_dpp", f, dppSec, dppRows, dppLoads)
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      try {
+        val (off, offRows, offLoads) = timeDf(() => spark.sql(sql))
+        record("catalog_join_nodpp", f, off, offRows, offLoads)
+      } finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)

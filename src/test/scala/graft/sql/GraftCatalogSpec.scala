@@ -93,6 +93,27 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruning"), plan)
     assert(df.count() === 100)
 
+    // END-TO-END: after execution the fact scan must have READ only the
+    // matching sid's 100 rows, not the 4000-row table — this exercises
+    // the V2 filter(Predicate[]) path including the cast the
+    // bigint-vs-int32 key mismatch wraps around the column
+    df.collect()
+    def execs(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        execs(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => execs(q.plan)
+      case other => other +: other.children.flatMap(execs)
+    }
+    val factScanRows = execs(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[DppParquetScan] &&
+            b.scan.readSchema().fieldNames.contains("close_cents") =>
+        b.metrics("numOutputRows").value
+    }
+    assert(factScanRows.nonEmpty && factScanRows.head === 100L,
+      s"runtime DPP must read only the matching sid's rows, read $factScanRows")
+
     // the runtime half: BatchScanExec pushes the subquery values via
     // filter(); the re-listed partitions must shrink to the one sid.
     // Values arrive typed as the JOIN key (bigint) while the partition
@@ -105,7 +126,10 @@ class GraftCatalogSpec extends SparkTestBase {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b.scan)
       case other => other.children.flatMap(scans)
     }
-    val scan = scans(df.queryExecution.executedPlan)
+    // a FRESH plan's scan (the executed one above is already pruned)
+    val df2 = spark.sql(
+      "SELECT close_cents FROM graftt.daily_ticks WHERE year = 2023")
+    val scan = scans(df2.queryExecution.executedPlan)
       .collectFirst { case s: DppParquetScan => s }.get
     val all = scan.planInputPartitions().length
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
