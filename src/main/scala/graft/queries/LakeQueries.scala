@@ -557,11 +557,14 @@ object LakeQueries {
     * ~10⁵ rows — broadcast/driver-sized by construction); pruning cost is
     * a sidecar scan, never a data scan.
     */
-  def q204SnapshotStatsPrune(s: SparkSession, dir: String): DataFrame = {
-    // dir-keyed /tmp root: concurrent JVMs (sbt tests at sf0.001 vs scale
-    // harness at sf0.1) must not race on a shared path. Built once per
-    // (JVM, sf): versions 1-3 are deterministic, re-commits would only
-    // grow the history past what the gate reads.
+  /** q204/q209's shared snapshot history, staged once per (JVM, sf):
+    * v1 = even-id events range-clustered WITH event_id stats, v2 = odd
+    * half appended WITHOUT statsCols (carry-forward), v3 = compacted with
+    * fresh stats. Versions 1-3 are deterministic; re-commits would only
+    * grow the history past what the gates read. Dir-keyed root:
+    * concurrent JVMs must not race on a shared path.
+    */
+  private def stageSnapshotHistory(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_snapstats_${math.abs(dir.hashCode)}"
     import graft.lake.Snapshots
     if (staged.add(root)) {
@@ -582,6 +585,12 @@ object LakeQueries {
           clusterCols = Seq("event_id"), statsCols = Seq("event_id"))
       } catch { case e: Throwable => staged.remove(root); throw e }
     }
+    root
+  }
+
+  def q204SnapshotStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = stageSnapshotHistory(s, dir)
     val (lo, hi) = (lit(100L), lit(2000L))
     Seq(1L, 2L, 3L).map { v =>
       Snapshots.readVersionPruned(s, root, "events", v, "event_id", lo, hi)
@@ -606,6 +615,40 @@ object LakeQueries {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT),
       |  min(event_id), max(event_id) FROM r""".stripMargin
+
+  /** SQL time travel over the versioned lake ([[graft.sql.GraftCatalog]]
+    * × [[graft.lake.Snapshots]]): the q204 history queried as PURE SQL —
+    * `VERSION AS OF 1` must see only the even half, `VERSION AS OF 2`
+    * everything, and the bare identifier must resolve the LATEST
+    * (post-compaction) manifest, never the raw data directory, whose
+    * superseded v1/v2 files would double-count every row. The oracle
+    * recomputes each version's aggregate from the source table.
+    */
+  def q209SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSnapshotHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftsnap", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+             sum(value_cents) AS value_cents_sum
+      FROM graftsnap.events VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(value_cents)
+      FROM graftsnap.events VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(value_cents)
+      FROM graftsnap.events""")
+  }
+
+  val q209Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS vc
+      |            FROM events)
+      |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+      |  CAST(sum(vc) AS BIGINT) AS value_cents_sum
+      |FROM ev WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM ev
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM ev""".stripMargin
 
   /** CDC apply / MERGE INTO ([[graft.operators.Cdc]]): treat orders as an
     * ordered change log over customer balances — order status 'F'
@@ -907,6 +950,7 @@ object LakeQueries {
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q89_time_travel" -> (q89TimeTravel _),
     "q204_snapshot_stats_prune" -> (q204SnapshotStatsPrune _),
+    "q209_sql_time_travel" -> (q209SqlTimeTravel _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
     "q203_stream_outer_join" -> (q203StreamOuterJoin _),
@@ -937,5 +981,6 @@ object LakeQueries {
     "q84_orc_roundtrip" -> q84Sql,
     "q89_time_travel" -> q89Sql,
     "q90_snapshot_diff" -> q90Sql,
-    "q204_snapshot_stats_prune" -> q204Sql)
+    "q204_snapshot_stats_prune" -> q204Sql,
+    "q209_sql_time_travel" -> q209Sql)
 }
