@@ -56,18 +56,55 @@ object Snapshots {
     val out = scala.collection.mutable.Set.empty[String]
     while (it.hasNext) {
       val s = it.next()
-      val name = s.getPath.getName
-      if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-        out += s.getPath.toString.stripPrefix(qualified).stripPrefix("/")
+      val rel = s.getPath.toString.stripPrefix(qualified).stripPrefix("/")
+      // EVERY path segment must be a plain data segment: a concurrent
+      // writer's in-flight `_temporary/…/part-*.parquet` has a visible
+      // file NAME but lives under a hidden directory — a name-only filter
+      // would capture those transient paths into a manifest
+      if (s.isFile &&
+          rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith(".")))
+        out += rel
     }
     out.toSet
   }
 
+  /** Write `df`'s Hive-layout files through a hidden per-commit staging
+    * directory, then move each file into `data/` and return the moved
+    * relative paths. Added-file attribution is therefore WRITE-DERIVED —
+    * exactly the files this job produced — never a before/after directory
+    * diff, which would capture a concurrent writer's in-flight or
+    * just-committed files into this commit's manifest. File names carry
+    * the write job's UUID, so the moves are collision-free; the moves are
+    * per-file driver metadata ops (manifest-sized), cheap on HDFS/local
+    * where rename is a pointer swap.
+    */
+  private def writeData(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String]): Seq[String] = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val stage = s"$root/$table/.stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    try {
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage)
+      val rel = listDataFiles(f, stage).toSeq.sorted
+      val dir = dataDir(root, table)
+      rel.foreach { p =>
+        val dst = new Path(s"$dir/$p")
+        f.mkdirs(dst.getParent)
+        if (!f.rename(new Path(s"$stage/$p"), dst))
+          throw new java.io.IOException(
+            s"failed to move staged file $p into $dir")
+      }
+      rel
+    } finally f.delete(new Path(stage), true)
+  }
+
   /** Latest version whose manifest was PUBLISHED at or before `tsMillis`
     * (wall-clock time travel — the catalog's `TIMESTAMP AS OF`). Commit
-    * time is the manifest file's modification time: the atomic
-    * put-if-absent publish in [[writeManifest]] makes it the one
-    * authoritative instant a version became visible.
+    * time is the `committedAtMillis` the manifest JSON itself carries
+    * (stamped at the atomic put-if-absent publish), so the history is
+    * PORTABLE: an rsync'd or object-store-migrated lake keeps its
+    * timeline. Manifests written before the field existed fall back to
+    * the manifest file's modification time.
     */
   def versionAsOf(spark: SparkSession, root: String, table: String,
       tsMillis: Long): Option[Long] = {
@@ -79,31 +116,60 @@ object Snapshots {
         val n = s.getPath.getName
         n.startsWith("v") && n.endsWith(".json")
       }
-      .map(s => (s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong,
-        s.getModificationTime))
-      .collect { case (v, mtime) if mtime <= tsMillis => v }
+      .map { s =>
+        val v = s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong
+        (v, commitTimeMillis(f, s.getPath).getOrElse(s.getModificationTime))
+      }
+      .collect { case (v, t) if t <= tsMillis => v }
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] = {
-    val f = fs(spark, root)
+  /** The instant version `v` became visible, as recorded in its manifest
+    * (None for pre-timestamp manifests — callers fall back to mtime).
+    */
+  private def commitTimeMillis(f: FileSystem, p: Path): Option[Long] = {
+    val json = readUtf8(f, p)
+    """"committedAtMillis"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+  }
+
+  private def readUtf8(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** All versions with a live (non-vacuumed) manifest, ascending. */
+  private def listVersions(f: FileSystem, root: String, table: String): Seq[Long] = {
     val d = new Path(manifestDir(root, table))
-    if (!f.exists(d)) return None
-    val vs = f.listStatus(d).map(_.getPath.getName)
+    if (!f.exists(d)) return Seq.empty
+    f.listStatus(d).map(_.getPath.getName).toSeq
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
-    if (vs.isEmpty) None else Some(vs.max)
+      .sorted
   }
+
+  def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] =
+    listVersions(fs(spark, root), root, table).lastOption
 
   private[graft] def liveFiles(spark: SparkSession, root: String, table: String,
       version: Long): Seq[String] = {
     val f = fs(spark, root)
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
-    require(f.exists(p), s"snapshot v$version of $table does not exist")
-    val in = f.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    if (!f.exists(p)) {
+      // distinguish "never existed" from "vacuum retired it" — a reader
+      // must see a clear error here, never a raw FileNotFound mid-scan
+      val vs = listVersions(f, root, table)
+      val msg =
+        if (vs.nonEmpty && version < vs.head)
+          s"snapshot v$version of $table was retired by vacuum " +
+            s"(earliest readable version: v${vs.head})"
+        else s"snapshot v$version of $table does not exist" +
+          (if (vs.nonEmpty) s" (latest: v${vs.last})" else "")
+      throw new IllegalArgumentException(msg)
+    }
+    val json = readUtf8(f, p)
     """"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toSeq
-      .filterNot(_ == "files")
+      .filterNot(k => k == "files" || k == "committedAtMillis")
   }
 
   private def sidecarPath(root: String, table: String, version: Long) =
@@ -114,11 +180,22 @@ object Snapshots {
     * protocol's put-if-absent): two writers that both computed version N
     * race on the SAME manifest path, exactly one create succeeds, and the
     * loser surfaces a [[java.util.ConcurrentModificationException]] to
-    * retry against the new latest — never a silent lost update.
+    * retry against the new latest — at manifest granularity, never a
+    * silent lost update.
+    *
+    * Atomicity caveat: `create(overwrite=false)` is atomic on HDFS and
+    * local filesystems (the deployment contract). S3A implements it as a
+    * non-atomic check-then-create, so on a bare object store two racing
+    * writers can BOTH succeed — front the lake with a coordination layer
+    * (HDFS, a DynamoDB-style conditional put, or single-writer-per-table
+    * scheduling) before pointing `root` at `s3://`. The same caveat is
+    * documented beside the s3 example in docs/API.md.
     */
   private[graft] def writeManifest(f: FileSystem, root: String, table: String,
       version: Long, files: Seq[String]): Unit = {
-    val json = files.map(x => s""""$x"""").mkString("""{"files": [""", ", ", "]}")
+    val json = files.map(x => s""""$x"""").mkString(
+      s"""{"committedAtMillis": ${System.currentTimeMillis()}, "files": [""",
+      ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     val out =
       try f.create(p, false)
@@ -161,19 +238,35 @@ object Snapshots {
     val fresh =
       if (statsCols.isEmpty || added.isEmpty) None
       else Some(deriveFileStats(spark, dataDir(root, table), added, statsCols))
+    import spark.implicits._
     val keptStats = prevVersion
       .map(v => new Path(sidecarPath(root, table, v)))
       .filter(f.exists)
       .map(p => spark.read.parquet(p.toString)
-        .filter(col("file").isin(carried: _*))) // manifest-sized IN-list
+        // semi-join against the carried list, not a literal IN-list: at
+        // the design point (~10⁵ live files) an IN-list is a 10⁵-literal
+        // driver-built expression; the broadcast build side is the same
+        // manifest-sized data without the expression-tree cost
+        .join(broadcast(carried.toDF("file")), Seq("file"), "left_semi"))
     val stats = (fresh.toSeq ++ keptStats.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
     stats.foreach { st =>
-      import spark.implicits._
-      // one row per live file (file list is manifest-sized — driver data)
-      files.toDF("file").join(st, Seq("file"), "left")
-        .coalesce(1) // sidecar is one row per FILE — driver-tiny
-        .write.mode("overwrite").parquet(sidecarPath(root, table, version))
+      // one row per live file (file list is manifest-sized — driver data).
+      // Written to a temp path and RENAMED into place: the sidecar lands
+      // after the manifest publish, and a reader resolving the new version
+      // in that window must see either the complete sidecar or none at
+      // all (absence degrades conservatively) — never a half-written
+      // directory that fails schema inference.
+      val dst = new Path(sidecarPath(root, table, version))
+      val tmp = new Path(
+        s"${dst}.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      try {
+        files.toDF("file").join(st, Seq("file"), "left")
+          .coalesce(1) // sidecar is one row per FILE — driver-tiny
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!f.rename(tmp, dst))
+          throw new java.io.IOException(s"failed to publish sidecar $dst")
+      } finally f.delete(tmp, true)
     }
   }
 
@@ -190,16 +283,13 @@ object Snapshots {
       partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val dir = dataDir(root, table)
-    val before = listDataFiles(f, dir)
     // cluster by partition values: one writer task per partition value
     // instead of (parallelism × partitions) file shards — see
     // Lake.clusterByPartitions for the scale rationale
     val clustered =
       if (partitionCols.isEmpty) df
       else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    clustered.write.mode("append").partitionBy(partitionCols: _*).parquet(dir)
-    val added = (listDataFiles(f, dir) -- before).toSeq.sorted
+    val added = writeData(clustered, root, table, partitionCols)
 
     val prevVersion = latestVersion(spark, root, table)
     val replacedPrefixes: Seq[String] =
@@ -221,11 +311,20 @@ object Snapshots {
 
     val version = prevVersion.getOrElse(0L) + 1
     val files = (carried ++ added).sorted
+    beforePublish()
     writeManifest(f, root, table, version, files)
     writeSidecar(spark, root, table, version, files, added, carried,
       statsCols, prevVersion)
     version
   }
+
+  /** Test seam: invoked between version computation and manifest publish,
+    * so specs can pin the concurrent-commit loss race deterministically
+    * (a competing manifest landing in that window must surface the
+    * [[java.util.ConcurrentModificationException]] retry contract).
+    * No-op in production.
+    */
+  private[graft] var beforePublish: () => Unit = () => ()
 
   /** Rewrite the LATEST version's data into `numFiles` files range-
     * clustered on `clusterCols`, committed as a new version whose file
@@ -242,13 +341,12 @@ object Snapshots {
     val latest = latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to compact"))
     val f = fs(spark, root)
-    val dir = dataDir(root, table)
-    val before = listDataFiles(f, dir)
-    readVersion(spark, root, table, latest)
-      .repartitionByRange(numFiles, (partitionCols ++ clusterCols).map(col): _*)
-      .write.mode("append").partitionBy(partitionCols: _*).parquet(dir)
-    val added = (listDataFiles(f, dir) -- before).toSeq.sorted
+    val added = writeData(
+      readVersion(spark, root, table, latest)
+        .repartitionByRange(numFiles, (partitionCols ++ clusterCols).map(col): _*),
+      root, table, partitionCols)
     val version = latest + 1
+    beforePublish()
     writeManifest(f, root, table, version, added)
     writeSidecar(spark, root, table, version, added, added, Seq.empty,
       statsCols, None)
@@ -266,7 +364,13 @@ object Snapshots {
     val f = fs(spark, root)
     val p = new Path(sidecarPath(root, table, version))
     if (!f.exists(p)) return all
-    val sidecar = spark.read.parquet(p.toString)
+    // an unreadable sidecar (in principle impossible after the tmp+rename
+    // publish, but e.g. a partially-copied lake) degrades conservatively
+    // to the unpruned file list, never to a read failure
+    val sidecar = scala.util.Try(spark.read.parquet(p.toString)) match {
+      case scala.util.Success(s) => s
+      case scala.util.Failure(_) => return all
+    }
     if (!sidecar.columns.contains(s"min_$statsCol")) return all
     val cands = sidecar
       .filter(col(s"min_$statsCol").isNull || col(s"max_$statsCol").isNull ||
@@ -304,13 +408,25 @@ object Snapshots {
 
   /** Time-travel read: the table exactly as of `version`. Partition columns
     * resolve through `basePath`, so partition pruning works as on a direct
-    * scan.
+    * scan. A version with ZERO live files (a commit of an empty frame, or
+    * a dynamic overwrite that replaced every partition with nothing) reads
+    * as an empty frame with the schema of the latest earlier non-empty
+    * version — never an opaque schema-inference failure.
     */
   def readVersion(spark: SparkSession, root: String, table: String,
       version: Long): DataFrame = {
     val dir = dataDir(root, table)
-    val files = liveFiles(spark, root, table, version).map(p => s"$dir/$p")
-    spark.read.option("basePath", dir).parquet(files: _*)
+    val files = liveFiles(spark, root, table, version)
+    if (files.isEmpty) {
+      val f = fs(spark, root)
+      val prior = listVersions(f, root, table).filter(_ < version).reverse
+        .find(v => liveFiles(spark, root, table, v).nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"version $version of $table has no live files and no earlier " +
+            "version provides a schema"))
+      return readVersion(spark, root, table, prior).filter(lit(false))
+    }
+    spark.read.option("basePath", dir).parquet(files.map(p => s"$dir/$p"): _*)
   }
 
   /** Change data feed between two versions: multiset row diff

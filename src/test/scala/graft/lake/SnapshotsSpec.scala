@@ -106,6 +106,93 @@ class SnapshotsSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet === (0L to 5L).toSet)
   }
 
+  test("added-file attribution is write-derived: foreign files can't enter a commit's manifest") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    // plant what a concurrent writer would leave around mid-commit: an
+    // in-flight task file under _temporary AND an already-committed
+    // foreign data file — neither may land in the NEXT commit's manifest
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val tmpFile = new org.apache.hadoop.fs.Path(
+      s"$root/t/data/year=2021/_temporary/0/part-inflight.parquet")
+    f.mkdirs(tmpFile.getParent)
+    f.create(tmpFile, true).close()
+    Seq((7L, 2021)).toDF("id", "year").write
+      .partitionBy("year").mode("append").parquet(s"$root/t/data") // foreign
+    val v2 = Snapshots.commit(Seq((2L, 2022)).toDF("id", "year"),
+      root, "t", Seq("year"))
+    val files = Snapshots.liveFiles(spark, root, "t", v2)
+    assert(files.forall(p => !p.contains("_temporary")), files)
+    assert(files.forall(p => !p.startsWith("year=2021")),
+      s"foreign concurrent file must not be attributed to this commit: $files")
+    assert(Snapshots.readVersion(spark, root, "t", v2)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("TIMESTAMP AS OF resolves from the manifest's own commit time — portable across mtime loss") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshots.commit(Seq((2L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    // simulate an rsync'd/migrated lake: scramble every manifest mtime so
+    // mtime-ordered resolution would pick the WRONG version
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/v1.json"),
+      mid + 900000L, -1)
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/v2.json"),
+      mid - 900000L, -1)
+    assert(Snapshots.versionAsOf(spark, root, "t", mid) === Some(1L))
+    assert(Snapshots.versionAsOf(spark, root, "t",
+      System.currentTimeMillis()) === Some(2L))
+    assert(Snapshots.versionAsOf(spark, root, "t", mid - 86400000L) === None)
+  }
+
+  test("concurrent commit publishing first surfaces the CME retry contract, end to end") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // the competing writer lands its v2 manifest between OUR version
+    // computation and publish — the deterministic replay of the race
+    Snapshots.beforePublish = () =>
+      Snapshots.writeManifest(f, root, "t", 2L, Seq("winner.parquet"))
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.commit(Seq((2L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+      }
+    } finally Snapshots.beforePublish = () => ()
+    // the winner's manifest is intact; a retry lands as v3
+    assert(Snapshots.liveFiles(spark, root, "t", 2L) === Seq("winner.parquet"))
+    assert(Snapshots.commit(Seq((3L, 2021)).toDF("id", "year"),
+      root, "t", Seq("year")) === 3L)
+  }
+
+  test("an all-empty version reads as an empty frame with the prior schema") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "a", 2020)).toDF("id", "v", "year"), root, "t", Seq("year"))
+    // the empty-version states: a delete-shaped rewrite that leaves zero
+    // live files (manifest constructed directly — dynamic overwrite alone
+    // can't shrink to empty), and a FIRST commit of an empty frame
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Snapshots.writeManifest(f, root, "t", 2L, Seq.empty)
+    assert(Snapshots.liveFiles(spark, root, "t", 2L).isEmpty)
+    val read = Snapshots.readVersion(spark, root, "t", 2L)
+    assert(read.columns.toSeq === Seq("id", "v", "year"))
+    assert(read.count() === 0L)
+    // a table whose FIRST version is empty has no schema to synthesize
+    val empty = Seq.empty[(Long, String, Int)].toDF("id", "v", "year")
+    Snapshots.commit(empty, root, "t2", Seq("year"))
+    val ex = intercept[IllegalStateException] {
+      Snapshots.readVersion(spark, root, "t2", 1L).collect()
+    }
+    assert(ex.getMessage.contains("no live files"), ex.getMessage)
+  }
+
   test("vacuum keeps only the requested versions' files; survivors still read") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"),
@@ -118,9 +205,18 @@ class SnapshotsSpec extends SparkTestBase {
     assert(deleted.nonEmpty) // v1+v2's superseded files are gone
     assert(Snapshots.readVersion(spark, root, "t", 3L)
       .select("id").as[Long].collect().toSeq === Seq(3L))
-    intercept[IllegalArgumentException] {
+    // a retired version fails with a CLEAR error naming vacuum and the
+    // earliest readable version — never a raw FileNotFound mid-scan
+    val retired = intercept[IllegalArgumentException] {
       Snapshots.readVersion(spark, root, "t", 1L)
     }
+    assert(retired.getMessage.contains("retired by vacuum") &&
+      retired.getMessage.contains("v3"), retired.getMessage)
+    // a version that never existed says so (and names the latest)
+    val never = intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, root, "t", 9L)
+    }
+    assert(never.getMessage.contains("does not exist"), never.getMessage)
     // dropped versions' stats sidecars are gone too; the survivor's stays
     val f = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
