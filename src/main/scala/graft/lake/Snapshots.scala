@@ -280,7 +280,22 @@ object Snapshots {
     * [[readVersionPruned]]).
     */
   def commit(df: DataFrame, root: String, table: String,
-      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long =
+    commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = true)
+
+  /** Commit `df` as a pure APPEND: every previous live file carries over
+    * unconditionally — nothing is replaced even when `df` touches existing
+    * partitions. The SQL `INSERT INTO` path (see
+    * [[graft.sql.SnapshotInsertTable]]); same clustering, manifest, and
+    * stats-sidecar protocol as [[commit]].
+    */
+  def append(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long =
+    commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = false)
+
+  private def commitImpl(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      overwritePartitions: Boolean): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     // cluster by partition values: one writer task per partition value
@@ -293,7 +308,7 @@ object Snapshots {
 
     val prevVersion = latestVersion(spark, root, table)
     val replacedPrefixes: Seq[String] =
-      if (prevVersion.isEmpty) Seq.empty
+      if (prevVersion.isEmpty || !overwritePartitions) Seq.empty
       else df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect().toSeq
         .map { r =>

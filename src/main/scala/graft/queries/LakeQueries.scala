@@ -650,6 +650,107 @@ object LakeQueries {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM ev""".stripMargin
 
+  /** Stats-sidecar data skipping reachable from PURE SQL
+    * ([[graft.sql.SidecarSkip]] × [[graft.sql.GraftCatalog]]): the q204
+    * history re-queried through the catalog — the same `event_id BETWEEN`
+    * range over `VERSION AS OF 1/2/3` must aggregate identically to the
+    * oracle's recompute, with the scan consulting each version's
+    * `stats_v<N>` sidecar so the SQL read opens the same candidate file
+    * set `readVersionPruned` does (GraftCatalogSpec pins the opened-file
+    * equality; this gate pins result equivalence). Closes the two-read-
+    * APIs gap: before this, only the Scala path skipped files.
+    */
+  def q210SqlStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSnapshotHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftsnap", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+             sum(value_cents) AS value_cents_sum,
+             min(event_id) AS min_id, max(event_id) AS max_id
+      FROM graftsnap.events VERSION AS OF 1
+      WHERE event_id BETWEEN 100 AND 2000
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(value_cents),
+             min(event_id), max(event_id)
+      FROM graftsnap.events VERSION AS OF 2
+      WHERE event_id BETWEEN 100 AND 2000
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(value_cents),
+             min(event_id), max(event_id)
+      FROM graftsnap.events VERSION AS OF 3
+      WHERE event_id BETWEEN 100 AND 2000""")
+  }
+
+  // same recompute as q204: the SQL path must agree with the Scala path
+  val q210Sql: String = q204Sql
+
+  /** q211's versioned history with a PURE-SQL append: v1 = even-id events
+    * committed from Scala WITH event_id stats, v2 = the odd half appended
+    * via `INSERT INTO` through the catalog ([[graft.sql
+    * .SnapshotInsertTable]] → [[graft.lake.Snapshots.append]]). Staged
+    * once per (JVM, sf); both versions are deterministic. Dir-keyed root
+    * per the concurrent-JVM invariant.
+    */
+  private def stageSqlInsertHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlins_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        graft.lake.Snapshots.commit(
+          ev.filter(col("event_id") % 2 === 0).repartitionByRange(8, col("event_id")),
+          root, "events", Seq.empty, statsCols = Seq("event_id"))
+        graft.sql.GraftCatalog.install(s, "graftins", root)
+        ev.filter(col("event_id") % 2 === 1)
+          .createOrReplaceTempView("graft_q211_src")
+        s.sql("""INSERT INTO graftins.events
+                 SELECT event_id, value_cents FROM graft_q211_src""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL write path over the versioned lake: an `INSERT INTO` through the
+    * catalog must land as a first-class snapshot commit — version 2's
+    * reads (bare and `VERSION AS OF`) see base + inserted rows exactly
+    * once, version 1 stays intact, and the appended files carry event_id
+    * stats (the previous sidecar's columns), so a post-insert SQL range
+    * read still data-skips (leg 3; GraftCatalogSpec pins the file-count
+    * mechanics, this gate pins result equivalence against the source
+    * recompute).
+    */
+  def q211SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSqlInsertHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftins", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(value_cents) AS value_cents_sum
+      FROM graftins.events VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(value_cents)
+      FROM graftins.events
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(value_cents)
+      FROM graftins.events VERSION AS OF 2
+      WHERE event_id BETWEEN 100 AND 2000""")
+  }
+
+  val q211Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS vc
+      |            FROM events)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(vc) AS BIGINT) AS value_cents_sum
+      |FROM ev WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM ev
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT)
+      |FROM ev WHERE event_id BETWEEN 100 AND 2000""".stripMargin
+
   /** CDC apply / MERGE INTO ([[graft.operators.Cdc]]): treat orders as an
     * ordered change log over customer balances — order status 'F'
     * (fulfilled-and-closed in this synthetic mapping) deletes the account,
@@ -902,22 +1003,37 @@ object LakeQueries {
     * composition a daily pipeline runs: no reprocessing of v1 data, only
     * CDF rows move.
     */
-  def q173CdfJoinIvm(s: SparkSession, dir: String): DataFrame = {
+  /** q173's versioned li/ord history (two commits each), staged once per
+    * (JVM, sf) like its q204/q209 siblings: the 4-commit replay is fixture
+    * I/O, not query cost, and re-staging it on every invocation overstated
+    * the IVM's bench time ~4s. Dir-keyed root per the concurrent-JVM
+    * invariant; versions 1-2 of each table are deterministic.
+    */
+  private def stageCdfIvmHistory(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_cdfivm_${math.abs(dir.hashCode)}"
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
-    val li = Tables.lineitem(s, dir).select(
-      col("l_orderkey").as("okey"),
-      round(col("l_extendedprice") * 100).cast("long").as("cents"),
-      (col("l_orderkey") % 4).as("pb"))
-    val o = Tables.orders(s, dir).select(
-      col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
-      (col("o_orderkey") % 4).as("pc"))
-    graft.lake.Snapshots.commit(li.filter(col("okey") % 3 =!= 0), root, "li", Seq("pb"))
-    graft.lake.Snapshots.commit(li, root, "li", Seq("pb"))
-    graft.lake.Snapshots.commit(o.filter(col("okey") % 7 =!= 0), root, "ord", Seq("pc"))
-    graft.lake.Snapshots.commit(o, root, "ord", Seq("pc"))
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("okey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          (col("l_orderkey") % 4).as("pb"))
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          (col("o_orderkey") % 4).as("pc"))
+        graft.lake.Snapshots.commit(li.filter(col("okey") % 3 =!= 0), root, "li", Seq("pb"))
+        graft.lake.Snapshots.commit(li, root, "li", Seq("pb"))
+        graft.lake.Snapshots.commit(o.filter(col("okey") % 7 =!= 0), root, "ord", Seq("pc"))
+        graft.lake.Snapshots.commit(o, root, "ord", Seq("pc"))
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  def q173CdfJoinIvm(s: SparkSession, dir: String): DataFrame = {
+    val root = stageCdfIvmHistory(s, dir)
     def v1(t: String, cols: Seq[String]) = graft.lake.Snapshots
       .readVersion(s, root, t, 1L).select(cols.map(col): _*)
     def ins(t: String, cols: Seq[String]) = graft.lake.Snapshots
@@ -951,6 +1067,8 @@ object LakeQueries {
     "q89_time_travel" -> (q89TimeTravel _),
     "q204_snapshot_stats_prune" -> (q204SnapshotStatsPrune _),
     "q209_sql_time_travel" -> (q209SqlTimeTravel _),
+    "q210_sql_stats_prune" -> (q210SqlStatsPrune _),
+    "q211_sql_insert" -> (q211SqlInsert _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
     "q203_stream_outer_join" -> (q203StreamOuterJoin _),
@@ -982,5 +1100,7 @@ object LakeQueries {
     "q89_time_travel" -> q89Sql,
     "q90_snapshot_diff" -> q90Sql,
     "q204_snapshot_stats_prune" -> q204Sql,
-    "q209_sql_time_travel" -> q209Sql)
+    "q209_sql_time_travel" -> q209Sql,
+    "q210_sql_stats_prune" -> q210Sql,
+    "q211_sql_insert" -> q211Sql)
 }

@@ -46,7 +46,8 @@ class DppParquetScan(
     pushedAggregate: Option[Aggregation],
     partitionFilters: Seq[Expression],
     dataFilters: Seq[Expression],
-    pushedVariantExtractions: Array[VariantExtraction])
+    pushedVariantExtractions: Array[VariantExtraction],
+    fileStats: () => Option[SidecarSkip.StatsIndex] = () => None)
   extends ParquetScan(sparkSession, hadoopConf, fileIndex, dataSchema,
     readDataSchema, readPartitionSchema, pushedFilters, options,
     pushedAggregate, partitionFilters, dataFilters, pushedVariantExtractions)
@@ -150,10 +151,21 @@ class DppParquetScan(
       case _ => None // conservative: an untranslatable filter prunes nothing
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (runtimePartitionFilters.isEmpty) super.planInputPartitions()
-    else copy(partitionFilters = partitionFilters ++ runtimePartitionFilters)
-      .planInputPartitions() // fresh plain scan: re-lists under the union
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base =
+      if (runtimePartitionFilters.isEmpty) super.planInputPartitions()
+      else copy(partitionFilters = partitionFilters ++ runtimePartitionFilters)
+        .planInputPartitions() // fresh plain scan: re-lists under the union
+    // stats-sidecar file skipping (Snapshots-versioned tables only): the
+    // pushed data filters run against each file's committed min/max — the
+    // SQL read opens the same candidate set Snapshots.readVersionPruned
+    // does. No stats / no pushed filters → pass through unchanged.
+    if (pushedFilters.isEmpty) base
+    else fileStats() match {
+      case Some(stats) => SidecarSkip.prune(base, stats, pushedFilters)
+      case None => base
+    }
+  }
 }
 
 /** [[ParquetScanBuilder]] that re-wraps its product as [[DppParquetScan]]
@@ -165,7 +177,8 @@ class DppParquetScanBuilder(
     fileIndex: PartitioningAwareFileIndex,
     schema: StructType,
     dataSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    fileStats: () => Option[SidecarSkip.StatsIndex] = () => None)
   extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
 
   override def build(): ParquetScan = {
@@ -173,20 +186,95 @@ class DppParquetScanBuilder(
     new DppParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema, p.pushedFilters,
       p.options, p.pushedAggregate, p.partitionFilters, p.dataFilters,
-      p.pushedVariantExtractions)
+      p.pushedVariantExtractions, fileStats)
   }
 }
 
-/** [[ParquetTable]] whose scans support dynamic partition pruning. */
+/** The one SQL write the catalog admits: `INSERT INTO` a
+  * Snapshots-versioned table, routed through
+  * [[graft.lake.Snapshots.append]] (the commit protocol's pure-append
+  * mode — INSERT must never replace overlapping partitions) so a SQL
+  * append is indistinguishable from a Scala one — partition clustering,
+  * write-derived file
+  * attribution, put-if-absent manifest publish (a concurrent commit
+  * surfaces the retryable `ConcurrentModificationException`), and stats
+  * sidecar continuity (`statsCols` carried from the previous version's
+  * sidecar) all apply. Implemented as a DSV2 `V1Write` fallback: the
+  * commit protocol needs the whole input as one DataFrame (cluster →
+  * stage → move → publish), which is exactly the `InsertableRelation`
+  * contract; a per-task V2 `BatchWrite` would scatter files outside the
+  * protocol. Capabilities deliberately EXCLUDE `BATCH_WRITE` and
+  * truncate: `INSERT OVERWRITE` fails at analysis rather than bypassing
+  * dynamic-overwrite semantics.
+  */
+class SnapshotInsertTable(
+    tableName: String,
+    tableSchema: StructType,
+    root: String,
+    table: String,
+    partitionCols: Seq[String],
+    statsCols: Seq[String])
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema // columns() derives from this
+
+  // deliberately NOT a FileTable: the analyzer's FallBackFileSourceV2
+  // rule rewrites INSERTs over any FileTable back to the V1 file-format
+  // write path (single-path, protocol-bypassing); a plain SupportsWrite
+  // table keeps the write on THIS builder. No BATCH_WRITE / truncate:
+  // INSERT OVERWRITE fails at analysis instead of bypassing
+  // dynamic-overwrite semantics.
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "INSERT OVERWRITE bypasses the snapshot commit protocol " +
+                    "— use graft.lake.Snapshots.commit (dynamic overwrite)")
+                graft.lake.Snapshots.append(data, root, table,
+                  partitionCols, statsCols)
+              }
+            }
+        }
+    }
+}
+
+/** [[ParquetTable]] whose scans support dynamic partition pruning and —
+  * when `statsDir` points at a Snapshots `stats_v<N>` sidecar — file-level
+  * data skipping on pushed filters ([[SidecarSkip]]). The sidecar loads
+  * lazily on the first scan that can use it and is memoized for the
+  * table's lifetime; a version's sidecar is immutable (committed with the
+  * manifest), so the catalog's per-version table cache makes this a
+  * once-per-version cost.
+  */
 class DppParquetTable(
     name: String,
     sparkSession: SparkSession,
     options: CaseInsensitiveStringMap,
     paths: Seq[String],
-    userSpecifiedSchema: Option[StructType])
+    userSpecifiedSchema: Option[StructType],
+    statsDir: Option[String] = None)
   extends ParquetTable(name, sparkSession, options, paths,
     userSpecifiedSchema, classOf[ParquetFileFormat]) {
 
+  private lazy val statsIndex: Option[SidecarSkip.StatsIndex] =
+    statsDir.flatMap(d => SidecarSkip.load(sparkSession, d))
+
   override def newScanBuilder(params: CaseInsensitiveStringMap): ParquetScanBuilder =
-    new DppParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, params)
+    new DppParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema,
+      params, () => statsIndex)
 }

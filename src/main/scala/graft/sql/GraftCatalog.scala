@@ -98,11 +98,13 @@ class GraftCatalog extends TableCatalog {
     * Costs one extra schema inference per load (catalog-scale, not
     * query-scale).
     */
-  private def widened(name: String, opts: CaseInsensitiveStringMap,
-      paths: Seq[String]): DppParquetTable = {
+  /** The BIGINT-widened schema for `probe`, or None when nothing widens
+    * (see [[widened]] for why integer partition-directory values must
+    * resolve as BIGINT).
+    */
+  private def widenedSchema(probe: DppParquetTable)
+      : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
-    val probe = new DppParquetTable(name, SparkSession.active, opts, paths,
-      userSpecifiedSchema = None)
     val partCols = probe.fileIndex.partitionSchema.fieldNames.toSet
     val fields = probe.schema.fields.map { f =>
       if (partCols.contains(f.name) &&
@@ -111,22 +113,56 @@ class GraftCatalog extends TableCatalog {
       else f
     }
     val schema = StructType(fields)
-    if (schema == probe.schema) probe
-    else new DppParquetTable(name, SparkSession.active, opts, paths, Some(schema))
+    if (schema == probe.schema) None else Some(schema)
   }
 
+  private def widened(name: String, opts: CaseInsensitiveStringMap,
+      paths: Seq[String], statsDir: Option[String] = None): DppParquetTable = {
+    val probe = new DppParquetTable(name, SparkSession.active, opts, paths,
+      userSpecifiedSchema = None, statsDir)
+    widenedSchema(probe) match {
+      case None => probe
+      case Some(schema) => new DppParquetTable(name, SparkSession.active,
+        opts, paths, Some(schema), statsDir)
+    }
+  }
+
+  /** Versioned tables are CACHED per (session, root, table, version): a
+    * version's manifest and sidecar are immutable once published (the
+    * put-if-absent commit), so the key fully determines the table —
+    * repeated SQL over the same version plans without re-running schema
+    * inference or re-loading skipping stats. The latest-version lookup
+    * stays live (one manifest-dir listing per query), so a new commit is
+    * visible immediately; only the per-version artifacts are cached.
+    */
   private def versionedTable(ident: Identifier, version: Long): Table = {
     val spark = SparkSession.active
+    val key = (System.identityHashCode(spark), root, ident.name, version)
+    val cached = GraftCatalog.tableCache.get(key)
+    if (cached != null) return cached
     val dataDir = s"$root/${ident.name}/data"
     val files = graft.lake.Snapshots
       .liveFiles(spark, root, ident.name, version) // manifest-sized
       .map(p => s"$dataDir/$p")
+    if (files.isEmpty)
+      // an all-empty version would otherwise surface as an opaque
+      // schema-inference failure; the Scala API (Snapshots.readVersion)
+      // synthesizes a schema-preserving empty frame for this state
+      throw new IllegalStateException(
+        s"version $version of ${ident.name} has no live files — read it " +
+          "via graft.lake.Snapshots.readVersion for a schema-preserving " +
+          "empty relation")
+    GraftCatalog.versionedBuilds.incrementAndGet()
     // basePath keeps Hive partition-column inference working on the
     // explicit per-version file list, exactly like Snapshots.readVersion
-    widened(s"${ident.name}@v$version",
+    val t = widened(s"${ident.name}@v$version",
       new CaseInsensitiveStringMap(
         java.util.Map.of("path", dataDir, "basePath", dataDir)),
-      files)
+      files,
+      statsDir = Some(s"$root/_snapshots/${ident.name}/stats_v$version"))
+    if (GraftCatalog.tableCache.size > 256) GraftCatalog.tableCache.clear()
+    GraftCatalog.tableCache.putIfAbsent(key, t)
+    t
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -146,15 +182,66 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** DML resolves tables through this overload with the requested write
-    * privileges — refuse them all: a catalog INSERT would append files
-    * Lake's partition clustering never shaped and Snapshots manifests
-    * don't know about (silently invisible to versioned reads). Writes go
-    * through Lake/Snapshots, same as DDL.
+    * privileges. ONE write is admitted: `INSERT INTO` a
+    * Snapshots-VERSIONED table, which routes through
+    * [[graft.lake.Snapshots.commit]] (see [[SnapshotInsertTable]]) — the
+    * appended files get partition clustering, a put-if-absent manifest,
+    * and stats-sidecar continuity, so they are fully visible to versioned
+    * reads. Everything else stays refused: an INSERT into a PLAIN lake
+    * table would append files Lake's partition clustering never shaped,
+    * and UPDATE/DELETE/MERGE have no commit-protocol path.
     */
   override def loadTable(ident: Identifier,
       writePrivileges: java.util.Set[
-        org.apache.spark.sql.connector.catalog.TableWritePrivilege]): Table =
-    readOnly("INSERT/UPDATE/DELETE/MERGE")
+        org.apache.spark.sql.connector.catalog.TableWritePrivilege]): Table = {
+    import org.apache.spark.sql.connector.catalog.TableWritePrivilege
+    val insertOnly = !writePrivileges.isEmpty &&
+      writePrivileges.stream().allMatch(_ == TableWritePrivilege.INSERT)
+    if (!insertOnly) readOnly(
+      s"$writePrivileges — only INSERT INTO a Snapshots-versioned table " +
+        "is admitted; INSERT OVERWRITE/UPDATE/DELETE/MERGE bypass the " +
+        "snapshot commit protocol")
+    else if (!isVersioned(ident.name)) readOnly(
+      "INSERT into a non-versioned table (commit it via graft.lake.Snapshots first)")
+    else insertTable(ident)
+  }
+
+  /** Writable (append-only) view of a versioned table's LATEST version:
+    * reads resolve through the manifest like any versioned read; the
+    * write half routes through `Snapshots.commit` with the table's
+    * partition layout and the previous sidecar's stats columns, so stats
+    * skipping keeps working across SQL appends.
+    */
+  private def insertTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val latest = graft.lake.Snapshots
+      .latestVersion(spark, root, ident.name)
+      .getOrElse(throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace :+ ident.name))
+    val dataDir = s"$root/${ident.name}/data"
+    val files = graft.lake.Snapshots
+      .liveFiles(spark, root, ident.name, latest) // manifest-sized
+      .map(p => s"$dataDir/$p")
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"version $latest of ${ident.name} has no live files to infer an " +
+          "insert schema from — commit the first rows via graft.lake.Snapshots")
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dataDir, "basePath", dataDir))
+    val probe = new DppParquetTable(s"${ident.name}@v$latest",
+      spark, opts, files, userSpecifiedSchema = None)
+    val partitionCols = probe.fileIndex.partitionSchema.fieldNames.toSeq
+    // stats continuity: keep deriving min/max for the columns the
+    // previous version's sidecar tracks (sidecar-footer read, driver-tiny)
+    val statsCols = scala.util.Try(
+        spark.read.parquet(s"$root/_snapshots/${ident.name}/stats_v$latest")
+          .schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    new SnapshotInsertTable(s"${ident.name}@v$latest",
+      widenedSchema(probe).getOrElse(probe.schema), root, ident.name,
+      partitionCols, statsCols)
+  }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the
     * Snapshots manifest of that version ("v2" also accepted).
@@ -210,6 +297,20 @@ class GraftCatalog extends TableCatalog {
 }
 
 object GraftCatalog {
+
+  /** Per-version table cache (see [[GraftCatalog.versionedTable]]) —
+    * shared across catalog instances; entries are keyed by session
+    * identity so a restarted session never resurrects stale plans.
+    * Vacuuming a version does not evict it (reads of a retired version
+    * fail at scan time); versions are immutable otherwise.
+    */
+  private[sql] val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Long), Table]()
+
+  /** Cache-miss counter (test observability: a repeated query over the
+    * same version must not trigger a second inference/listing).
+    */
+  private[sql] val versionedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Register the catalog on a live session under `name`, rooted at
     * `root` (idempotent; re-pointing the root takes effect immediately —

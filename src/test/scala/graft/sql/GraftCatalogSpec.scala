@@ -190,6 +190,96 @@ class GraftCatalogSpec extends SparkTestBase {
       early.getMessage.contains("dim"), early.toString)
   }
 
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[DppParquetScan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      b.scan match { case s: DppParquetScan => Seq(s); case _ => Seq.empty }
+    case other => other.children.flatMap(scansOf)
+  }
+
+  private def openedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+    scansOf(df.queryExecution.executedPlan).head.planInputPartitions()
+      .collect { case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toPath.toString).toSeq }
+      .flatten.toSet
+
+  test("SQL range reads over a versioned table skip files on the stats sidecar") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_skip").toString
+    import graft.lake.Snapshots
+    // v1: 8 range-clustered files WITH id stats; v2: append 8 more without
+    // statsCols (carry-forward + conservative); v3: compact to fresh stats
+    Snapshots.commit((0L until 800L).map(i => (i, i % 7)).toDF("id", "grp")
+      .repartitionByRange(8, $"id"), root, "t", Seq.empty, statsCols = Seq("id"))
+    Snapshots.commit((10000L until 10800L).map(i => (i, i % 7)).toDF("id", "grp")
+      .repartitionByRange(8, $"id"), root, "t", Seq.empty)
+    Snapshots.compact(spark, root, "t", Seq.empty, numFiles = 8,
+      clusterCols = Seq("id"), statsCols = Seq("id"))
+    GraftCatalog.install(spark, "graftt", root)
+
+    for (v <- Seq(1L, 2L, 3L)) {
+      val df = spark.sql(
+        s"SELECT id, grp FROM graftt.t VERSION AS OF $v WHERE id BETWEEN 100 AND 250")
+      df.collect()
+      val opened = openedFiles(df)
+      // the SQL scan must open EXACTLY the candidate set the Scala API's
+      // pruned read computes from the same sidecar
+      val cand = Snapshots.candidateFiles(spark, root, "t", v, "id",
+        lit(100L), lit(250L)).map(p => s"$root/t/data/$p").toSet
+      assert(opened.map(_.stripPrefix("file:")) ===
+        cand.map(_.stripPrefix("file:")),
+        s"v$v: opened ${opened.size}, candidates ${cand.size}")
+      assert(opened.size < Snapshots.liveFiles(spark, root, "t", v).size,
+        s"v$v: the range predicate must actually skip files")
+      // result identical to the full filtered read
+      assert(df.collect().map(_.getLong(0)).toSet ===
+        Snapshots.readVersion(spark, root, "t", v)
+          .filter($"id".between(100L, 250L)).collect().map(_.getLong(0)).toSet)
+    }
+
+    // conservative fallback 1: a predicate on a NON-stats column opens all
+    val noStats = spark.sql(
+      "SELECT id FROM graftt.t VERSION AS OF 3 WHERE grp = 3")
+    noStats.collect()
+    assert(openedFiles(noStats).size ===
+      Snapshots.liveFiles(spark, root, "t", 3L).size,
+      "grp carries no stats — nothing may be skipped")
+    assert(noStats.count() ===
+      Snapshots.readVersion(spark, root, "t", 3L).filter($"grp" === 3).count())
+  }
+
+  test("versioned tables without a sidecar read every live file (conservative)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_noskip").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 400L).toDF("id").repartitionByRange(4, $"id"),
+      root, "t", Seq.empty) // no statsCols → no sidecar at all
+    GraftCatalog.install(spark, "graftt", root)
+    val df = spark.sql("SELECT id FROM graftt.t WHERE id BETWEEN 10 AND 20")
+    df.collect()
+    assert(openedFiles(df).size === 4, "no sidecar → no skipping")
+    assert(df.as[Long].collect().toSet === (10L to 20L).toSet)
+  }
+
+  test("repeated SQL over the same version plans from the table cache (no re-inference)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_cache").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 100L).toDF("id").repartitionByRange(4, $"id"),
+      root, "t", Seq.empty, statsCols = Seq("id"))
+    GraftCatalog.install(spark, "graftt", root)
+    val q = "SELECT sum(id) AS s FROM graftt.t WHERE id < 50"
+    val first = spark.sql(q).as[Long].head()
+    val builds = GraftCatalog.versionedBuilds.get()
+    val second = spark.sql(q).as[Long].head()
+    assert(GraftCatalog.versionedBuilds.get() === builds,
+      "the second identical query must hit the per-version table cache")
+    assert(first === second && first === (0L until 50L).sum)
+    // a NEW commit is visible immediately (latest lookup stays live)
+    Snapshots.commit((100L until 110L).toDF("id"), root, "t", Seq.empty)
+    assert(spark.sql("SELECT count(*) AS n FROM graftt.t").as[Long].head() === 110L)
+  }
+
   test("concurrent commits cannot silently lose an update (manifest put-if-absent)") {
     // the race: two writers read latest = 1, both publish v2. The commit
     // protocol's atomic point is writeManifest's create(overwrite=false) —
@@ -205,6 +295,52 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     // a fresh read still sees the winner's list
     assert(Snapshots.latestVersion(spark, root, "t").contains(2L))
+  }
+
+  test("INSERT INTO a versioned table routes through the snapshot commit protocol") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_ins").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 100L).map(i => (i, i % 4)).toDF("id", "pb")
+      .repartitionByRange(4, $"id"), root, "t", Seq("pb"), statsCols = Seq("id"))
+    GraftCatalog.install(spark, "graftt", root)
+
+    spark.sql("INSERT INTO graftt.t SELECT id, id % 4 AS pb FROM range(1000, 1100)")
+
+    // the INSERT became version 2 with a put-if-absent manifest; v1 is intact
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(2L))
+    assert(spark.sql("SELECT count(*) AS n FROM graftt.t VERSION AS OF 1")
+      .as[Long].head() === 100L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftt.t").as[Long].head() === 200L)
+    assert(spark.sql("SELECT sum(id) AS s FROM graftt.t").as[Long].head() ===
+      (0L until 100L).sum + (1000L until 1100L).sum)
+    // partition clustering applied: the new files live under pb=<v> dirs
+    val v2files = Snapshots.liveFiles(spark, root, "t", 2L)
+    assert(v2files.forall(_.matches("pb=\\d+/.*\\.parquet")), v2files)
+    // stats continuity: the previous sidecar tracked id, so the SQL append
+    // derived fresh id stats and a range read still skips files on v2
+    val cand = Snapshots.candidateFiles(spark, root, "t", 2L, "id",
+      lit(1000L), lit(1040L))
+    assert(cand.size < v2files.size,
+      s"v2 must keep skipping after a SQL insert: $cand of ${v2files.size}")
+    // the inserted rows themselves are found by a pruned read
+    assert(Snapshots.readVersionPruned(spark, root, "t", 2L, "id",
+      lit(1000L), lit(1040L)).count() === 41L)
+
+    // INSERT OVERWRITE must not bypass dynamic-overwrite semantics
+    val ow = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graftt.t SELECT id, id % 4 AS pb FROM range(5)")
+    }
+    assert(ow.toString.toLowerCase.contains("overwrite") ||
+      Option(ow.getCause).exists(_.toString.toLowerCase.contains("overwrite")),
+      ow.toString)
+    // a plain (non-versioned) table still refuses INSERT
+    graft.lake.Lake.overwritePartitions(Seq((1L, 7L)).toDF("id", "x"),
+      root, "flat", Seq.empty)
+    val ins = intercept[Exception] {
+      spark.sql("INSERT INTO graftt.flat VALUES (2, 8)")
+    }
+    assert(ins.getMessage.contains("read-only") ||
+      Option(ins.getCause).exists(_.getMessage.contains("read-only")), ins.toString)
   }
 
   test("missing tables and DDL fail loudly; catalog is read-only") {
