@@ -9,13 +9,15 @@ import scala.collection.mutable
   * one pixel-format gap [[PixelDecode]] had left ("JPEG needs a DCT
   * codec") with pure JVM arithmetic — no codec library.
   *
-  * Scope: baseline/extended sequential (SOF0/SOF1) AND progressive
-  * (SOF2, T.81 annex G) — spectral selection, successive approximation
-  * (DC first + refinement, AC first + refinement with EOB runs),
-  * coefficients accumulated across scans and reconstructed once at EOI.
-  * 8-bit, 1 or 3 components, any sampling factors (4:4:4, 4:2:0, 4:2:2,
-  * …). Arithmetic coding, 12-bit, and hierarchical modes return None —
-  * the quarantine contract of the decode stage.
+  * Scope: baseline/extended sequential (SOF0/SOF1), progressive (SOF2,
+  * T.81 annex G — spectral selection, successive approximation with EOB
+  * runs, coefficients accumulated across scans and reconstructed once at
+  * EOI), AND arithmetic-coded sequential (SOF9, annexes D/F: the
+  * [[QmCoder]] QM coder under the F.2.4 DC/AC statistical models, with
+  * DAC conditioning and restart resets). 8-bit, 1 or 3 components, any
+  * sampling factors (4:4:4, 4:2:0, 4:2:2, …). Arithmetic progressive
+  * (SOF10), 12-bit, and hierarchical modes return None — the quarantine
+  * contract of the decode stage.
   */
 object JpegDecode {
 
@@ -159,6 +161,12 @@ object JpegDecode {
     var width = 0; var height = 0
     var restartInterval = 0
     var progressive = false
+    var arithmetic = false
+    // DAC conditioning (T.81 B.2.4.3), per table destination; defaults
+    // per F.1.4.4.1.2 / F.1.4.4.2
+    val dcCondL = Array.fill(4)(0)
+    val dcCondU = Array.fill(4)(1)
+    val acKx = Array.fill(4)(5)
     var prog: ProgState = null // allocated at the first progressive SOS
     var i = 2
     while (i + 4 <= b.length) {
@@ -200,9 +208,11 @@ object JpegDecode {
               if (tc == 0) dcTables(th) = h else acTables(th) = h
               p += 17 + n
             }
-          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // sequential / progressive /
+            // arithmetic sequential
             if (u8(b, seg) != 8) return None // 8-bit precision only
             progressive = marker == 0xc2
+            arithmetic = marker == 0xc9
             height = be16(b, seg + 1); width = be16(b, seg + 3)
             val nc = u8(b, seg + 5)
             if (nc != 1 && nc != 3) return None
@@ -211,9 +221,25 @@ object JpegDecode {
               Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)) return None
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // lossless/arithmetic/hierarchical: quarantine
+            return None // lossless/arith-progressive/hierarchical: quarantine
+          case 0xcc => // DAC: arithmetic conditioning (B.2.4.3)
+            var p = seg
+            while (p + 1 < i + 2 + len) {
+              val tc = u8(b, p) >> 4; val tb = u8(b, p) & 15
+              val cs = u8(b, p + 1)
+              if (tb > 3) return None
+              if (tc == 0) {
+                val l = cs & 15; val u = cs >> 4
+                if (l > u) return None
+                dcCondL(tb) = l; dcCondU(tb) = u
+              } else if (tc == 1) {
+                if (cs < 1 || cs > 63) return None
+                acKx(tb) = cs
+              } else return None
+              p += 2
+            }
           case 0xdd => restartInterval = be16(b, seg)
           case 0xda => // SOS — entropy data follows
             if (comps == null || width <= 0 || height <= 0) return None
@@ -240,6 +266,9 @@ object JpegDecode {
             p += 3
             if (!progressive) {
               if (ns != comps.length) return None // multi-scan sequential: out of scope
+              if (arithmetic)
+                return decodeScanArith(b, p, width, height, comps, qt,
+                  dcCondL, dcCondU, acKx, restartInterval)
               return decodeScan(b, p, width, height, comps, qt, dcTables,
                 acTables, restartInterval)
             }
@@ -336,6 +365,190 @@ object JpegDecode {
       mcu += 1
     }
 
+    assemble(width, height, comps, planes, planeW, hMax, vMax)
+  }
+
+  // ---- arithmetic sequential (T.81 annexes D/F, SOF9) ----
+
+  /** DC difference per F.2.4.1: conditioning class in `dcCtx(ci)` (0 =
+    * zero history, 4/8 = small ±, 12/16 = large ± per the table's L/U),
+    * magnitude category on the bin-20 staircase, magnitude bits in one
+    * bin at staircase+14. Exact mirror of
+    * [[JpegArithEncode.encodeDc]]'s decision sequence.
+    */
+  private def decodeDcArith(dec: QmCoder.Dec, st: Array[Byte],
+      dcCtx: Array[Int], ci: Int, condL: Int, condU: Int): Int = {
+    val base = dcCtx(ci)
+    if (dec.decode(st, base) == 0) { dcCtx(ci) = 0; return 0 }
+    val sign = dec.decode(st, base + 1)
+    var m = 0
+    var v = 0
+    if (dec.decode(st, base + 2 + sign) != 0) {
+      m = 1
+      var bin = 20
+      while (dec.decode(st, bin) != 0) {
+        m <<= 1
+        if (m == 0x8000) throw Truncated
+        bin += 1
+      }
+      v = m
+      var mm = m >> 1
+      val bits = bin + 14
+      while (mm != 0) { if (dec.decode(st, bits) != 0) v |= mm; mm >>= 1 }
+    }
+    // conditioning class for the NEXT block (F.1.4.4.1.2)
+    dcCtx(ci) =
+      if (m < ((1 << condL) >> 1)) 0
+      else if (m > ((1 << condU) >> 1)) 12 + sign * 4
+      else 4 + sign * 4
+    val mag = v + 1
+    if (sign == 1) -mag else mag
+  }
+
+  /** AC coefficients per F.2.4.2: 3 bins per index k (EOB, run,
+    * magnitude-1 — the third decides both mag>1 and mag>2), the two
+    * magnitude staircases at 189 (k ≤ Kx) / 217, sign in the fixed
+    * equiprobable bin. Mirror of [[JpegArithEncode.encodeAc]].
+    */
+  private def decodeAcArith(dec: QmCoder.Dec, st: Array[Byte],
+      fixed: Array[Byte], coef: Array[Int], kx: Int): Unit = {
+    var k = 1
+    while (k <= 63) {
+      var base = 3 * (k - 1)
+      if (dec.decode(st, base) != 0) return // end-of-block
+      while (dec.decode(st, base + 1) == 0) {
+        base += 3
+        k += 1
+        if (k > 63) throw Truncated
+      }
+      val sign = dec.decode(fixed, 0)
+      var m = 0
+      var bits = base + 2 + 14
+      if (dec.decode(st, base + 2) != 0) {
+        m = 1
+        if (dec.decode(st, base + 2) != 0) {
+          m = 2
+          var bin = if (k <= kx) 189 else 217
+          while (dec.decode(st, bin) != 0) {
+            m <<= 1
+            if (m == 0x8000) throw Truncated
+            bin += 1
+          }
+          bits = bin + 14
+        }
+      }
+      var v = m
+      var mm = m >> 1
+      while (mm != 0) { if (dec.decode(st, bits) != 0) v |= mm; mm >>= 1 }
+      val mag = v + 1
+      coef(zz(k)) = if (sign == 1) -mag else mag
+      k += 1
+    }
+  }
+
+  /** Next marker's 0xFF at/after `from`, INCLUDING restart markers (the
+    * restart resync point needs them; contrast [[nextMarker]], which
+    * skips them for the progressive marker walk).
+    */
+  private def nextMarkerWithRst(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m != 0x00 && m != 0xff) return p
+        p += 2
+      } else p += 1
+    }
+    -1
+  }
+
+  /** Sequential scan under arithmetic entropy coding: the MCU walk and
+    * block placement of [[decodeScan]], with the QM coder + F.2.4 models
+    * replacing the Huffman reader. A restart boundary resyncs to the RSTn
+    * marker, then restarts the coder AND all statistics/conditioning
+    * state (F.2.1.3.1).
+    */
+  private def decodeScanArith(b: Array[Byte], start: Int, width: Int,
+      height: Int, comps: Array[Component], qt: Array[Array[Int]],
+      dcCondL: Array[Int], dcCondU: Array[Int], acKx: Array[Int],
+      restartInterval: Int): Option[PixelDecode.Image] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(ci => new Array[Double](planeW(ci) * planeH(ci))).toArray
+
+    var dec = new QmCoder.Dec(b, start)
+    var dcStats: Array[Array[Byte]] = null
+    var acStats: Array[Array[Byte]] = null
+    var fixed: Array[Byte] = null
+    val dcCtx = new Array[Int](comps.length)
+    def reset(): Unit = {
+      dcStats = Array.fill(4)(new Array[Byte](64))
+      acStats = Array.fill(4)(new Array[Byte](256))
+      fixed = Array[Byte](QmCoder.FixedState.toByte)
+      java.util.Arrays.fill(dcCtx, 0)
+      comps.foreach(_.pred = 0)
+    }
+    reset()
+
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // resync: the segment may have unconsumed trailing bytes; within
+        // entropy data every 0xFF is stuffed, so the next bare marker IS
+        // the restart
+        val mp = nextMarkerWithRst(b, dec.pos)
+        if (mp < 0) return None
+        val mk = u8(b, mp + 1)
+        if (mk < 0xd0 || mk > 0xd7) return None
+        dec = new QmCoder.Dec(b, mp + 2)
+        reset()
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qtab = qt(c.tq); if (qtab == null) return None
+        val dst = dcStats(c.td); val ast = acStats(c.ta)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            c.pred += decodeDcArith(dec, dst, dcCtx, ci,
+              dcCondL(c.td), dcCondU(c.td))
+            coef(0) = c.pred
+            decodeAcArith(dec, ast, fixed, coef, acKx(c.ta))
+            // dequantize (qtab is zigzag-ordered, coef natural) + IDCT
+            val block = new Array[Double](64)
+            var k = 0
+            while (k < 64) { block(zz(k)) = coef(zz(k)).toDouble * qtab(k); k += 1 }
+            val px = idct(block)
+            val baseX = (mx * c.h + bx) * 8
+            val baseY = (my * c.v + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) =
+                  px(yy * 8 + xx) + 128.0
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
     assemble(width, height, comps, planes, planeW, hMax, vMax)
   }
 

@@ -594,6 +594,70 @@ object GateQueries {
     }(enc)
   }
 
+  /** q212: ARITHMETIC-coded (SOF9) JPEG decode — the last sequential-mode
+    * entropy coder the decode stage had quarantined. Payloads are
+    * [[MediaFixtures.jpegArith13]]'s in-repo-encoded streams (ImageIO
+    * cannot write SOF9, so no JDK cross-decode exists — JpegArithSpec
+    * carries the byte-exact QM round-trip and restart evidence instead);
+    * the gate decodes with [[graft.multimodal.JpegDecode]]'s annex-D/F
+    * path (QM coder, DC/AC conditioning contexts, DAC parse, RST resets)
+    * and verdicts against the generating formula: mean |diff| ≤ 4 and max
+    * |diff| ≤ 10 (measured ≤ 4 at flat quant 2 incl. restart streams). A
+    * quarantined SOF9 (the pre-round-13 behavior) nulls the geometry and
+    * flips both verdicts.
+    */
+  def q212ArithJpeg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("near_formula_mean", BooleanType),
+      StructField("near_formula_max", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    MediaFixtures.jpegArith13(s, dir)
+      .select("media_id", "w", "h", "payload").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val bytes = r.getAs[Array[Byte]](3)
+          def px(y: Int, x: Int, ch: Int): Int =
+            math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
+          graft.multimodal.JpegDecode.decode(bytes) match {
+            case Some(img) =>
+              var maxD = 0; var sumD = 0L
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) {
+                  var ch = 0
+                  while (ch < 3) {
+                    val d = math.abs(img.at(yy, xx, ch) - px(yy, xx, ch))
+                    if (d > maxD) maxD = d
+                    sumD += d
+                    ch += 1
+                  }
+                  xx += 1
+                }
+                yy += 1
+              }
+              val mean = sumD.toDouble / (w.toLong * h * 3)
+              Row(id, img.width, img.height, img.channels,
+                mean <= 4.0, maxD <= 10)
+            case None => Row(id, null, null, null, false, false)
+          }
+        }
+      }(enc)
+  }
+
+  val q212Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  TRUE AS near_formula_mean, TRUE AS near_formula_max
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   val q127Sql: String =
     """SELECT CAST(doc_id AS BIGINT) AS media_id,
       |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
@@ -879,6 +943,7 @@ object GateQueries {
     "q128_unicode_norm" -> (q128UnicodeNorm _),
     "q127_jpeg_decode" -> (q127JpegDecode _),
     "q199_progressive_jpeg" -> (q199ProgressiveJpeg _),
+    "q212_arith_jpeg" -> (q212ArithJpeg _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q205_sql_catalog" -> (q205SqlCatalog _),
     "q113_footer_meta" -> (q113FooterMeta _),
@@ -899,6 +964,7 @@ object GateQueries {
     "q129_ann_append" -> q129Sql,
     "q128_unicode_norm" -> q128Sql,
     "q127_jpeg_decode" -> q127Sql,
+    "q212_arith_jpeg" -> q212Sql,
     "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
     "q205_sql_catalog" -> q205Sql,

@@ -73,6 +73,7 @@ object MediaFixtures {
     "avi_scramble_97_v2" -> (aviScramble97 _),
     "jpeg_pattern_5" -> (jpegPattern5 _),
     "jpeg_progressive_19" -> (jpegProgressive19 _),
+    "jpeg_arith_13_v1" -> (jpegArith13 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
     "png16_23" -> (png16_23 _),
@@ -159,6 +160,40 @@ object MediaFixtures {
     */
   def jpegProgressive19(s: SparkSession, dir: String): DataFrame =
     jdkJpegs(s, dir, "jpeg_progressive_19", mod = 19, progressive = true)
+
+  /** q212's ARITHMETIC-coded (SOF9) JPEGs — the q127 gradient formula on
+    * every 13th document, encoded by the in-repo
+    * [[graft.multimodal.JpegArithEncode]] (ImageIO cannot write
+    * arithmetic streams) at flat quant 2; even ids add a 2-MCU restart
+    * interval so RST resync + statistics reset stay live in the gate.
+    * Geometry matches q127 (16/24/32 × 16/24).
+    */
+  def jpegArith13(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "jpeg_arith_13_v1") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
+          (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("w", IntegerType, nullable = false),
+        StructField("h", IntegerType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          def px(y: Int, x: Int, ch: Int): Int =
+            math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
+          val bytes = graft.multimodal.JpegArithEncode.encode(
+            w, h, 3, px, quant = 2,
+            restartInterval = if (id % 2 == 0) 2 else 0)
+          org.apache.spark.sql.Row(id, w, h, bytes)
+        }
+      }(enc)
+    }
 
   private def jdkJpegs(s: SparkSession, dir: String, cacheName: String,
       mod: Int, progressive: Boolean): DataFrame =

@@ -551,6 +551,40 @@ object ScaleStress {
         "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     }
 
+    // SQL stats-sidecar skipping at scale (round 13): a versioned table
+    // whose FILE COUNT grows with f (32·f range-clustered files), read
+    // through the catalog with a fixed-width id range. With the sidecar
+    // (statsCols commit) the scan opens the O(1) files whose ranges hit
+    // the window; the control table (same data, committed WITHOUT
+    // statsCols) has no sidecar, so every file must be opened and only
+    // parquet row-group stats limit the damage. Claim: the skip leg stays
+    // ~flat across two decades of file count, the no-sidecar leg grows.
+    val runSqlSkip = sys.env.getOrElse("SPARK_GRAFT_SQLSKIP", "0") != "0"
+    for (f <- scales if runSqlSkip) {
+      val root = s"/tmp/graft_scale_sqlskip_${math.abs(srcDir.hashCode)}_x$f"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_READY")
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        def data = spark.range(0, 1000000L * f).select(
+          col("id"), (col("id") % 1000L).as("v"))
+          .repartitionByRange(32 * f, col("id"))
+        graft.lake.Snapshots.commit(data, root, "t_stats", Seq.empty,
+          statsCols = Seq("id"))
+        graft.lake.Snapshots.commit(data, root, "t_plain", Seq.empty)
+        fs.create(marker, true).close()
+      }
+      graft.sql.GraftCatalog.install(spark, "graftskip", root)
+      def q(t: String) = s"""
+        SELECT count(*) AS n, sum(v) AS s FROM graftskip.$t
+        WHERE id BETWEEN 500000 AND 550000"""
+      val (skipSec, skipRows, skipLoads) = timeDf(() => spark.sql(q("t_stats")))
+      record("sql_range_sidecar_skip", f, skipSec, skipRows, skipLoads)
+      val (noSec, noRows, noLoads) = timeDf(() => spark.sql(q("t_plain")))
+      record("sql_range_nosidecar", f, noSec, noRows, noLoads)
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)

@@ -289,18 +289,23 @@ class ApiDocSpec extends SparkTestBase {
       .delete(new org.apache.hadoop.fs.Path(root), true)
     val df = spark.range(0, 10).select(col("id"), lit(1995).as("year"))
     val df2 = spark.range(5, 15).select(col("id"), lit(1995).as("year"))
+    val df3 = spark.range(20, 25).select(col("id"), lit(1995).as("year"))
 
     // --- docs/API.md: Snapshots ---
     val v1 = Snapshots.commit(df, root, "t", Seq("year"))   // returns version
     val v2 = Snapshots.commit(df2, root, "t", Seq("year"))
+    val v3 = Snapshots.append(df3, root, "t", Seq("year"))  // pure append:
+                                                            // replaces nothing
     val asOf = Snapshots.readVersion(spark, root, "t", v1)  // time travel
     val cdf  = Snapshots.diff(spark, root, "t", v1, v2)     // insert/delete rows
     assert(asOf.count() === 10)   // (materialize before vacuum drops v1)
     assert(cdf.filter(col("change_type").isin("insert", "delete")).count() > 0)
+    // append carried v2 forward even though df3 touches year=1995
+    assert(Snapshots.readVersion(spark, root, "t", v3).count() === 15)
     Snapshots.vacuum(spark, root, "t", keepVersions = 1)
     // --- end ---
 
-    assert(Snapshots.readVersion(spark, root, "t", v2).count() === 10)
+    assert(Snapshots.readVersion(spark, root, "t", v3).count() === 15)
 
     // --- docs/API.md: Snapshots stats skipping ---
     import spark.implicits._

@@ -134,10 +134,11 @@ class JpegDecodeSpec extends SparkTestBase {
   }
 
   test("non-supported and corrupt streams quarantine (None), never throw") {
-    // arithmetic-coded frame marker SOF9 (still out of scope)
-    val arith = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
-      seg(0xc9, sof0(8, 8, Seq((1, 1, 1, 0))).drop(4)) ++ sos(Seq((1, 0, 0)))
-    assert(PixelDecode.decode(arith).isEmpty)
+    // arithmetic-coded PROGRESSIVE frame marker SOF10 (out of scope —
+    // sequential SOF9 is decoded since round 13, see JpegArithSpec)
+    val arithProg = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      seg(0xca, sof0(8, 8, Seq((1, 1, 1, 0))).drop(4)) ++ sos(Seq((1, 0, 0)))
+    assert(PixelDecode.decode(arithProg).isEmpty)
     // truncated entropy data (scan promises one block, delivers none —
     // the decoder hits EOI mid-block)
     val short = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
