@@ -151,8 +151,8 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] =
     listVersions(fs(spark, root), root, table).lastOption
 
-  private[graft] def liveFiles(spark: SparkSession, root: String, table: String,
-      version: Long): Seq[String] = {
+  private def manifestJson(spark: SparkSession, root: String, table: String,
+      version: Long): String = {
     val f = fs(spark, root)
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     if (!f.exists(p)) {
@@ -167,9 +167,57 @@ object Snapshots {
           (if (vs.nonEmpty) s" (latest: v${vs.last})" else "")
       throw new IllegalArgumentException(msg)
     }
-    val json = readUtf8(f, p)
-    """"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toSeq
-      .filterNot(k => k == "files" || k == "committedAtMillis")
+    readUtf8(f, p)
+  }
+
+  private[graft] def liveFiles(spark: SparkSession, root: String, table: String,
+      version: Long): Seq[String] = {
+    val json = manifestJson(spark, root, table, version)
+    // the files array is written LAST; parse only past its key so the
+    // (escaped) schema string can never contribute phantom entries
+    val tail = json.substring(json.lastIndexOf("\"files\""))
+    """"([^"]+)"""".r.findAllMatchIn(tail).map(_.group(1)).toSeq
+      .filterNot(_ == "files")
+  }
+
+  /** The schema version N was committed WITH (None for manifests that
+    * predate schema tracking — readers fall back to parquet inference).
+    * Schema evolution is ADDITIVE: each commit merges its frame's fields
+    * into the previous version's schema, so time travel reads every
+    * version with exactly the columns it had, and files that predate a
+    * column read it as null.
+    */
+  def versionSchema(spark: SparkSession, root: String, table: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val json = manifestJson(spark, root, table, version)
+    """"schema"\s*:\s*"""".r.findFirstMatchIn(json).map { m =>
+      val sb = new StringBuilder
+      var i = m.end
+      while (json.charAt(i) != '"') {
+        if (json.charAt(i) == '\\') {
+          json.charAt(i + 1) match {
+            case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
+            case 'u' =>
+              sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
+              i += 4
+            case c => sb += c
+          }
+          i += 2
+        } else { sb += json.charAt(i); i += 1 }
+      }
+      org.apache.spark.sql.types.DataType.fromJson(sb.toString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   private def sidecarPath(root: String, table: String, version: Long) =
@@ -192,9 +240,13 @@ object Snapshots {
     * documented beside the s3 example in docs/API.md.
     */
   private[graft] def writeManifest(f: FileSystem, root: String, table: String,
-      version: Long, files: Seq[String]): Unit = {
+      version: Long, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val schemaPart =
+      schema.map(s => s""""schema": "${jsonEscape(s.json)}", """).getOrElse("")
     val json = files.map(x => s""""$x"""").mkString(
-      s"""{"committedAtMillis": ${System.currentTimeMillis()}, "files": [""",
+      s"""{"committedAtMillis": ${System.currentTimeMillis()}, """ +
+        schemaPart + """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     val out =
@@ -326,11 +378,46 @@ object Snapshots {
 
     val version = prevVersion.getOrElse(0L) + 1
     val files = (carried ++ added).sorted
+    // partition columns go LAST in the stored schema — that is the order
+    // every file-source read produces, so the manifest schema IS the read
+    // schema, byte for byte
+    val merged = mergedSchema(spark, root, table, prevVersion, df.schema)
+    val schema = org.apache.spark.sql.types.StructType(
+      merged.fields.filterNot(x => partitionCols.contains(x.name)) ++
+        partitionCols.flatMap(c => merged.fields.find(_.name == c)))
     beforePublish()
-    writeManifest(f, root, table, version, files)
+    writeManifest(f, root, table, version, files, Some(schema))
     writeSidecar(spark, root, table, version, files, added, carried,
       statsCols, prevVersion)
     version
+  }
+
+  /** Additive schema evolution (the Delta/Iceberg contract, narrow form):
+    * every previous field is kept with its type — a same-name field in
+    * the incoming frame must TYPE-match (changing a column's type would
+    * silently corrupt old versions' reads) — and fields new to this
+    * commit append at the end. A frame may also OMIT previous columns
+    * (partial-column appends): its files simply read null there.
+    */
+  private def mergedSchema(spark: SparkSession, root: String, table: String,
+      prevVersion: Option[Long],
+      incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    prevVersion.flatMap(v => versionSchema(spark, root, table, v)) match {
+      case None => incoming
+      case Some(prev) =>
+        incoming.fields.foreach { fl =>
+          prev.fields.find(_.name == fl.name).foreach { pf =>
+            require(pf.dataType == fl.dataType,
+              s"schema evolution is additive-only: column ${fl.name} of " +
+                s"$table is ${pf.dataType.simpleString}, commit brings " +
+                s"${fl.dataType.simpleString}")
+          }
+        }
+        val prevNames = prev.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          prev.fields ++ incoming.fields.filterNot(f => prevNames(f.name)))
+    }
   }
 
   /** Test seam: invoked between version computation and manifest publish,
@@ -356,13 +443,15 @@ object Snapshots {
     val latest = latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to compact"))
     val f = fs(spark, root)
+    val full = readVersion(spark, root, table, latest)
     val added = writeData(
-      readVersion(spark, root, table, latest)
-        .repartitionByRange(numFiles, (partitionCols ++ clusterCols).map(col): _*),
+      full.repartitionByRange(numFiles, (partitionCols ++ clusterCols).map(col): _*),
       root, table, partitionCols)
     val version = latest + 1
     beforePublish()
-    writeManifest(f, root, table, version, added)
+    // the rewrite materializes the merged schema into every file; the new
+    // manifest carries it forward
+    writeManifest(f, root, table, version, added, Some(full.schema))
     writeSidecar(spark, root, table, version, added, added, Seq.empty,
       statsCols, None)
     version
@@ -416,9 +505,22 @@ object Snapshots {
       if (files.isEmpty)
         // preserve the schema with an empty relation
         readVersion(spark, root, table, version).filter(lit(false))
-      else spark.read.option("basePath", dir)
-        .parquet(files.map(p => s"$dir/$p"): _*)
+      else readFiles(spark, root, table, version, dir, files)
     base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** Open an explicit (relative) file list under the version's schema
+    * contract: with a manifest schema, files that predate a column read
+    * it as null and partition values parse as the committed types; a
+    * pre-schema-tracking manifest falls back to parquet inference.
+    */
+  private def readFiles(spark: SparkSession, root: String, table: String,
+      version: Long, dir: String, files: Seq[String]): DataFrame = {
+    val reader = spark.read.option("basePath", dir)
+    versionSchema(spark, root, table, version) match {
+      case Some(sch) => reader.schema(sch).parquet(files.map(p => s"$dir/$p"): _*)
+      case None => reader.parquet(files.map(p => s"$dir/$p"): _*)
+    }
   }
 
   /** Time-travel read: the table exactly as of `version`. Partition columns
@@ -433,6 +535,12 @@ object Snapshots {
     val dir = dataDir(root, table)
     val files = liveFiles(spark, root, table, version)
     if (files.isEmpty) {
+      // schema-preserving empty frame: the version's own committed schema
+      // when it has one, else the latest earlier non-empty version's
+      versionSchema(spark, root, table, version).foreach { sch =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      }
       val f = fs(spark, root)
       val prior = listVersions(f, root, table).filter(_ < version).reverse
         .find(v => liveFiles(spark, root, table, v).nonEmpty)
@@ -441,7 +549,7 @@ object Snapshots {
             "version provides a schema"))
       return readVersion(spark, root, table, prior).filter(lit(false))
     }
-    spark.read.option("basePath", dir).parquet(files.map(p => s"$dir/$p"): _*)
+    readFiles(spark, root, table, version, dir, files)
   }
 
   /** Change data feed between two versions: multiset row diff
@@ -454,8 +562,18 @@ object Snapshots {
   def diff(spark: SparkSession, root: String, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val a = readVersion(spark, root, table, fromVersion)
-    val b = readVersion(spark, root, table, toVersion)
+    val a0 = readVersion(spark, root, table, fromVersion)
+    val b0 = readVersion(spark, root, table, toVersion)
+    // align across schema evolution: a column absent from one version
+    // reads as null there, so an added column surfaces as delete+insert
+    // pairs exactly like a value change (exceptAll needs equal schemas)
+    val cols = (b0.schema.fields ++
+      a0.schema.fields.filterNot(f => b0.columns.contains(f.name))).toSeq
+    def align(d: DataFrame) = d.select(cols.map(f =>
+      (if (d.columns.contains(f.name)) col(f.name)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val a = align(a0)
+    val b = align(b0)
     b.exceptAll(a).withColumn("change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("change_type", lit("delete")))
   }

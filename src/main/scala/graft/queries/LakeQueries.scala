@@ -751,6 +751,87 @@ object LakeQueries {
       |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT)
       |FROM ev WHERE event_id BETWEEN 100 AND 2000""".stripMargin
 
+  /** q213's evolving snapshot history, staged once per (JVM, sf): v1 =
+    * even-id events (event_id, value_cents) with event_id stats; v2 = the
+    * odd half APPENDED with a new `bucket` column (additive schema
+    * evolution — `Snapshots.append`, since an unpartitioned commit would
+    * dynamically overwrite everything). Dir-keyed root per the
+    * concurrent-JVM invariant.
+    */
+  private def stageEvoHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_snapevo_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        graft.lake.Snapshots.commit(
+          ev.filter(col("event_id") % 2 === 0).repartitionByRange(4, col("event_id")),
+          root, "events", Seq.empty, statsCols = Seq("event_id"))
+        graft.lake.Snapshots.append(
+          ev.filter(col("event_id") % 2 === 1)
+            .withColumn("bucket", col("event_id") % 10)
+            .repartitionByRange(4, col("event_id")),
+          root, "events", Seq.empty)
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** Snapshot schema evolution, end to end: the manifest carries each
+    * version's schema, so v1 reads WITHOUT the later `bucket` column (the
+    * -1 sentinels pin its absence — a leaked column would count 0, not
+    * -1), v2 reads the merged schema with pre-`bucket` files as null, and
+    * the catalog SQL read (leg 3) resolves the same merged schema.
+    * SnapshotsSpec pins column sets, type-change refusal, partial-column
+    * appends, diff alignment, and compaction carry-forward; this gate
+    * pins VALUE correctness against the source recompute.
+    */
+  def q213SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = stageEvoHistory(s, dir)
+    import graft.lake.Snapshots
+    def agg(df: DataFrame, leg: Long): DataFrame = {
+      val (nb, bs) =
+        if (df.columns.contains("bucket"))
+          (count(col("bucket")), sum(col("bucket")))
+        else (lit(-1L), lit(-1L)) // pins that the column does NOT exist
+      df.groupBy().agg(count(lit(1)).as("n_rows"),
+          sum(col("value_cents")).as("value_cents_sum"),
+          nb.cast("long").as("n_bucket"), bs.cast("long").as("bucket_sum"))
+        .withColumn("leg", lit(leg))
+    }
+    val leg1 = agg(Snapshots.readVersion(s, root, "events", 1L), 1L)
+    val leg2 = agg(Snapshots.readVersion(s, root, "events", 2L), 2L)
+    graft.sql.GraftCatalog.install(s, "graftevo", root)
+    val leg3 = s.sql("""
+      SELECT count(*) AS n_rows, sum(value_cents) AS value_cents_sum,
+             count(bucket) AS n_bucket, sum(bucket) AS bucket_sum
+      FROM graftevo.events""").withColumn("leg", lit(3L))
+    leg1.unionByName(leg2).unionByName(leg3)
+      .select("leg", "n_rows", "value_cents_sum", "n_bucket", "bucket_sum")
+  }
+
+  val q213Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS vc
+      |            FROM events)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(vc) AS BIGINT) AS value_cents_sum,
+      |  CAST(-1 AS BIGINT) AS n_bucket, CAST(-1 AS BIGINT) AS bucket_sum
+      |FROM ev WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT),
+      |  count(*) FILTER (WHERE event_id % 2 = 1),
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 10 END) AS BIGINT)
+      |FROM ev
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT),
+      |  count(*) FILTER (WHERE event_id % 2 = 1),
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 10 END) AS BIGINT)
+      |FROM ev""".stripMargin
+
   /** CDC apply / MERGE INTO ([[graft.operators.Cdc]]): treat orders as an
     * ordered change log over customer balances — order status 'F'
     * (fulfilled-and-closed in this synthetic mapping) deletes the account,
@@ -1069,6 +1150,7 @@ object LakeQueries {
     "q209_sql_time_travel" -> (q209SqlTimeTravel _),
     "q210_sql_stats_prune" -> (q210SqlStatsPrune _),
     "q211_sql_insert" -> (q211SqlInsert _),
+    "q213_schema_evolution" -> (q213SchemaEvolution _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
     "q203_stream_outer_join" -> (q203StreamOuterJoin _),
@@ -1102,5 +1184,6 @@ object LakeQueries {
     "q204_snapshot_stats_prune" -> q204Sql,
     "q209_sql_time_travel" -> q209Sql,
     "q210_sql_stats_prune" -> q210Sql,
-    "q211_sql_insert" -> q211Sql)
+    "q211_sql_insert" -> q211Sql,
+    "q213_schema_evolution" -> q213Sql)
 }

@@ -102,17 +102,21 @@ class GraftCatalog extends TableCatalog {
     * (see [[widened]] for why integer partition-directory values must
     * resolve as BIGINT).
     */
-  private def widenedSchema(probe: DppParquetTable)
-      : Option[org.apache.spark.sql.types.StructType] = {
+  private def widenPartitionInts(schema: org.apache.spark.sql.types.StructType,
+      partCols: Set[String]): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
-    val partCols = probe.fileIndex.partitionSchema.fieldNames.toSet
-    val fields = probe.schema.fields.map { f =>
+    StructType(schema.fields.map { f =>
       if (partCols.contains(f.name) &&
           (f.dataType == IntegerType || f.dataType == ShortType ||
             f.dataType == ByteType)) f.copy(dataType = LongType)
       else f
-    }
-    val schema = StructType(fields)
+    })
+  }
+
+  private def widenedSchema(probe: DppParquetTable)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val schema = widenPartitionInts(probe.schema,
+      probe.fileIndex.partitionSchema.fieldNames.toSet)
     if (schema == probe.schema) None else Some(schema)
   }
 
@@ -155,11 +159,26 @@ class GraftCatalog extends TableCatalog {
     GraftCatalog.versionedBuilds.incrementAndGet()
     // basePath keeps Hive partition-column inference working on the
     // explicit per-version file list, exactly like Snapshots.readVersion
-    val t = widened(s"${ident.name}@v$version",
-      new CaseInsensitiveStringMap(
-        java.util.Map.of("path", dataDir, "basePath", dataDir)),
-      files,
-      statsDir = Some(s"$root/_snapshots/${ident.name}/stats_v$version"))
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dataDir, "basePath", dataDir))
+    val statsDir = Some(s"$root/_snapshots/${ident.name}/stats_v$version")
+    // manifest-carried schema (versions with schema tracking): the SQL
+    // read then matches Snapshots.readVersion exactly — time travel sees
+    // each version's own columns, pre-column files read null — and no
+    // inference pass runs at all; only the BIGINT partition widening
+    // applies on top (partition columns recovered from the relative
+    // paths' `c=v` segments, no listing needed)
+    val t = graft.lake.Snapshots
+      .versionSchema(spark, root, ident.name, version) match {
+      case Some(sch) =>
+        val partCols = graft.lake.Snapshots
+          .liveFiles(spark, root, ident.name, version).headOption.toSeq
+          .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
+          .toSet
+        new DppParquetTable(s"${ident.name}@v$version", spark, opts, files,
+          Some(widenPartitionInts(sch, partCols)), statsDir)
+      case None => widened(s"${ident.name}@v$version", opts, files, statsDir)
+    }
     if (GraftCatalog.tableCache.size > 256) GraftCatalog.tableCache.clear()
     GraftCatalog.tableCache.putIfAbsent(key, t)
     t
@@ -228,9 +247,21 @@ class GraftCatalog extends TableCatalog {
           "insert schema from — commit the first rows via graft.lake.Snapshots")
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("path", dataDir, "basePath", dataDir))
-    val probe = new DppParquetTable(s"${ident.name}@v$latest",
-      spark, opts, files, userSpecifiedSchema = None)
-    val partitionCols = probe.fileIndex.partitionSchema.fieldNames.toSeq
+    // the insert schema is the COMMITTED one, unwidened: the append's
+    // additive-evolution check type-matches incoming columns against the
+    // manifest schema, so the table must ask for exactly those types
+    val (schema, partitionCols) = graft.lake.Snapshots
+      .versionSchema(spark, root, ident.name, latest) match {
+      case Some(sch) =>
+        val parts = graft.lake.Snapshots
+          .liveFiles(spark, root, ident.name, latest).headOption.toSeq
+          .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
+        (sch, parts)
+      case None =>
+        val probe = new DppParquetTable(s"${ident.name}@v$latest",
+          spark, opts, files, userSpecifiedSchema = None)
+        (probe.schema, probe.fileIndex.partitionSchema.fieldNames.toSeq)
+    }
     // stats continuity: keep deriving min/max for the columns the
     // previous version's sidecar tracks (sidecar-footer read, driver-tiny)
     val statsCols = scala.util.Try(
@@ -239,8 +270,7 @@ class GraftCatalog extends TableCatalog {
       .getOrElse(Seq.empty)
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     new SnapshotInsertTable(s"${ident.name}@v$latest",
-      widenedSchema(probe).getOrElse(probe.schema), root, ident.name,
-      partitionCols, statsCols)
+      schema, root, ident.name, partitionCols, statsCols)
   }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the

@@ -184,13 +184,53 @@ class SnapshotsSpec extends SparkTestBase {
     val read = Snapshots.readVersion(spark, root, "t", 2L)
     assert(read.columns.toSeq === Seq("id", "v", "year"))
     assert(read.count() === 0L)
-    // a table whose FIRST version is empty has no schema to synthesize
+    // a FIRST commit of an empty frame stamps its schema into the
+    // manifest, so even an all-empty v1 reads as a typed empty frame
     val empty = Seq.empty[(Long, String, Int)].toDF("id", "v", "year")
     Snapshots.commit(empty, root, "t2", Seq("year"))
-    val ex = intercept[IllegalStateException] {
-      Snapshots.readVersion(spark, root, "t2", 1L).collect()
+    val e1 = Snapshots.readVersion(spark, root, "t2", 1L)
+    assert(e1.columns.toSeq === Seq("id", "v", "year") && e1.count() === 0L)
+  }
+
+  test("schema evolution is additive and time-travel-correct") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year"),
+      root, "t", Seq("year"))
+    // append a NEW column (and touch only year=2022: nothing replaced)
+    Snapshots.commit(Seq((3L, "c", 9L, 2022)).toDF("id", "v", "extra", "year"),
+      root, "t", Seq("year"))
+    // v1 reads with ITS OWN schema — evolution never rewrites history
+    assert(Snapshots.readVersion(spark, root, "t", 1L).columns.toSeq ===
+      Seq("id", "v", "year"))
+    // v2 reads the merged schema (partition column stays last, matching
+    // every file-source read's output order); pre-`extra` files read null
+    val v2 = Snapshots.readVersion(spark, root, "t", 2L)
+    assert(v2.columns.toSeq === Seq("id", "v", "extra", "year"))
+    assert(v2.select("id", "extra").as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, None), (2L, None), (3L, Some(9L))))
+    // a PARTIAL-column append: the omitted column reads null in new files
+    Snapshots.commit(Seq((4L, 2023)).toDF("id", "year"), root, "t", Seq("year"))
+    val v3 = Snapshots.readVersion(spark, root, "t", 3L)
+    assert(v3.columns.toSeq === Seq("id", "v", "extra", "year"))
+    assert(v3.filter($"id" === 4L).select("v").collect().head.isNullAt(0))
+    // type changes are refused loudly — they would corrupt old versions
+    // (id arrives as INT where the table committed LONG)
+    val ex2 = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((5, 2024)).toDF("id", "year"), root, "t", Seq("year"))
     }
-    assert(ex.getMessage.contains("no live files"), ex.getMessage)
+    assert(ex2.getMessage.contains("additive-only"), ex2.getMessage)
+    // diff across the evolution boundary aligns schemas (added column
+    // surfaces as null on the old side)
+    val d = Snapshots.diff(spark, root, "t", 1L, 2L)
+    assert(d.columns.contains("extra"))
+    assert(d.filter($"change_type" === "insert").select("id").as[Long]
+      .collect().toSet === Set(3L))
+    // compact materializes the merged schema and carries it forward
+    val v4 = Snapshots.compact(spark, root, "t", Seq("year"), numFiles = 2,
+      clusterCols = Seq("id"))
+    assert(Snapshots.readVersion(spark, root, "t", v4).columns.toSeq ===
+      Seq("id", "v", "extra", "year"))
+    assert(Snapshots.readVersion(spark, root, "t", v4).count() === 4L)
   }
 
   test("vacuum keeps only the requested versions' files; survivors still read") {

@@ -280,6 +280,35 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM graftt.t").as[Long].head() === 110L)
   }
 
+  test("SQL reads follow the version's committed schema across evolution") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_evo").toString
+    import graft.lake.Snapshots
+    Snapshots.commit(Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year"),
+      root, "t", Seq("year"))
+    Snapshots.commit(Seq((3L, "c", 9L, 2022)).toDF("id", "v", "extra", "year"),
+      root, "t", Seq("year"))
+    GraftCatalog.install(spark, "graftt", root)
+    // latest: merged schema; pre-`extra` rows read null
+    val latest = spark.sql("SELECT id, extra FROM graftt.t")
+    assert(latest.schema("extra").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(latest.as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, None), (2L, None), (3L, Some(9L))))
+    // time travel: v1 exposes ONLY its own columns — `extra` must not
+    // leak backwards into history
+    assert(spark.sql("SELECT * FROM graftt.t VERSION AS OF 1").columns.toSeq ===
+      Seq("id", "v", "year"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT extra FROM graftt.t VERSION AS OF 1").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("extra"), ex.getMessage)
+    // SQL INSERT against the evolved schema keeps the contract: the
+    // column set is the merged one, and a type-matched append lands
+    spark.sql("INSERT INTO graftt.t SELECT 4L AS id, 'd' AS v, " +
+      "11L AS extra, 2023L AS year")
+    assert(spark.sql("SELECT sum(extra) AS s FROM graftt.t").as[Long].head() === 20L)
+  }
+
   test("concurrent commits cannot silently lose an update (manifest put-if-absent)") {
     // the race: two writers read latest = 1, both publish v2. The commit
     // protocol's atomic point is writeManifest's create(overwrite=false) —
