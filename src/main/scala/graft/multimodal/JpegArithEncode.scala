@@ -145,16 +145,21 @@ object JpegArithEncode {
     o.write((v >> 8) & 0xff); o.write(v & 0xff)
   }
 
-  /** Encode `px(y, x, ch)` (8-bit, `channels` ∈ {1, 3}, RGB) as an SOF9
-    * arithmetic sequential JPEG at 4:4:4 with a flat quant table `quant`
-    * (luma, table 0) and `quant` (chroma, table 1). `restartInterval` > 0
-    * emits DRI + RSTn markers with full coder/statistics resets.
+  /** Encode `px(y, x, ch)` (`channels` ∈ {1, 3}, RGB, samples in
+    * [0, 2^precision)) as an SOF9 arithmetic sequential JPEG at 4:4:4
+    * with a flat quant table `quant` (luma, table 0) and `quant` (chroma,
+    * table 1). `precision` ∈ {8, 12} (T.81 table B.2 — the extended
+    * frames carry 12-bit samples; level shift and quantization scale
+    * accordingly). `restartInterval` > 0 emits DRI + RSTn markers with
+    * full coder/statistics resets.
     */
   def encode(width: Int, height: Int, channels: Int,
       px: (Int, Int, Int) => Int, quant: Int,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, precision: Int = 8): Array[Byte] = {
     require(channels == 1 || channels == 3, "1 or 3 channels")
     require(quant >= 1 && quant <= 255, "flat 8-bit quant value")
+    require(precision == 8 || precision == 12, "8- or 12-bit samples")
+    val half = (1 << (precision - 1)).toDouble
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     // DQT: table 0 (and 1 for color), flat
@@ -163,7 +168,7 @@ object JpegArithEncode {
     for (t <- 0 until nq) { out.write(t); (0 until 64).foreach(_ => out.write(quant)) }
     // SOF9: extended sequential, arithmetic coding
     out.write(0xff); out.write(0xc9); put16(out, 8 + 3 * channels)
-    out.write(8); put16(out, height); put16(out, width); out.write(channels)
+    out.write(precision); put16(out, height); put16(out, width); out.write(channels)
     for (c <- 0 until channels) {
       out.write(c + 1) // component id
       out.write(0x11) // 1×1 sampling (4:4:4)
@@ -196,10 +201,10 @@ object JpegArithEncode {
       while (x < bw * 8) {
         val sy = math.min(y, height - 1); val sx = math.min(x, width - 1)
         if (channels == 1)
-          planes(0)(y * bw * 8 + x) = px(sy, sx, 0) - 128.0
+          planes(0)(y * bw * 8 + x) = px(sy, sx, 0) - half
         else {
           val r = px(sy, sx, 0); val g = px(sy, sx, 1); val b = px(sy, sx, 2)
-          planes(0)(y * bw * 8 + x) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          planes(0)(y * bw * 8 + x) = 0.299 * r + 0.587 * g + 0.114 * b - half
           planes(1)(y * bw * 8 + x) = -0.168736 * r - 0.331264 * g + 0.5 * b
           planes(2)(y * bw * 8 + x) = 0.5 * r - 0.418688 * g - 0.081312 * b
         }

@@ -14,10 +14,13 @@ import scala.collection.mutable
   * runs, coefficients accumulated across scans and reconstructed once at
   * EOI), AND arithmetic-coded sequential (SOF9, annexes D/F: the
   * [[QmCoder]] QM coder under the F.2.4 DC/AC statistical models, with
-  * DAC conditioning and restart resets). 8-bit, 1 or 3 components, any
-  * sampling factors (4:4:4, 4:2:0, 4:2:2, …). Arithmetic progressive
-  * (SOF10), 12-bit, and hierarchical modes return None — the quarantine
-  * contract of the decode stage.
+  * DAC conditioning and restart resets). 8-bit everywhere plus 12-bit
+  * for the extended/progressive/arithmetic frames (T.81 table B.2;
+  * output keeps full 0..4095 precision like the 16-bit PNG path, level
+  * shift and clamp scale with the frame precision, DQT accepts 16-bit
+  * entries); 1 or 3 components, any sampling factors (4:4:4, 4:2:0,
+  * 4:2:2, …). Arithmetic progressive (SOF10) and hierarchical modes
+  * return None — the quarantine contract of the decode stage.
   */
 object JpegDecode {
 
@@ -138,7 +141,8 @@ object JpegDecode {
     out
   }
 
-  private def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+  private def clamp(v: Double, max: Int): Int =
+    math.max(0, math.min(max, math.round(v).toInt))
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var td = 0; var ta = 0; var pred = 0
@@ -162,6 +166,7 @@ object JpegDecode {
     var restartInterval = 0
     var progressive = false
     var arithmetic = false
+    var precision = 8
     // DAC conditioning (T.81 B.2.4.3), per table destination; defaults
     // per F.1.4.4.1.2 / F.1.4.4.2
     val dcCondL = Array.fill(4)(0)
@@ -177,7 +182,7 @@ object JpegDecode {
           (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // standalone
       else if (marker == 0xd9) { // EOI: progressive reconstructs here
         return if (prog != null && prog.anyScan)
-          reconstructProgressive(prog, comps, qt, width, height)
+          reconstructProgressive(prog, comps, qt, width, height, precision)
         else None // EOI before any decodable scan
       }
       else {
@@ -186,15 +191,18 @@ object JpegDecode {
         val seg = i + 4
         var jumped = -1 // progressive SOS sets this past the entropy data
         marker match {
-          case 0xdb => // DQT: one or more tables
+          case 0xdb => // DQT: one or more tables, 8- or 16-bit entries
             var p = seg
             while (p < i + 2 + len) {
               val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
-              if (pq != 0 || tq > 3) return None // 8-bit tables only
+              if (pq > 1 || tq > 3) return None
               val t = new Array[Int](64)
               var k = 0
-              while (k < 64) { t(k) = u8(b, p + 1 + k); k += 1 }
-              qt(tq) = t; p += 65
+              while (k < 64) {
+                t(k) = if (pq == 0) u8(b, p + 1 + k) else be16(b, p + 1 + 2 * k)
+                k += 1
+              }
+              qt(tq) = t; p += 1 + (if (pq == 0) 64 else 128)
             }
           case 0xc4 => // DHT: one or more tables
             var p = seg
@@ -210,7 +218,13 @@ object JpegDecode {
             }
           case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // sequential / progressive /
             // arithmetic sequential
-            if (u8(b, seg) != 8) return None // 8-bit precision only
+            precision = u8(b, seg)
+            // baseline (SOF0) is 8-bit by definition; the extended /
+            // progressive / arithmetic frames also carry 12-bit samples
+            // (T.81 table B.2) — output keeps full precision, like the
+            // 16-bit PNG path
+            if (precision != 8 && !(precision == 12 && marker != 0xc0))
+              return None
             progressive = marker == 0xc2
             arithmetic = marker == 0xc9
             height = be16(b, seg + 1); width = be16(b, seg + 3)
@@ -268,9 +282,9 @@ object JpegDecode {
               if (ns != comps.length) return None // multi-scan sequential: out of scope
               if (arithmetic)
                 return decodeScanArith(b, p, width, height, comps, qt,
-                  dcCondL, dcCondU, acKx, restartInterval)
+                  dcCondL, dcCondU, acKx, restartInterval, precision)
               return decodeScan(b, p, width, height, comps, qt, dcTables,
-                acTables, restartInterval)
+                acTables, restartInterval, precision)
             }
             // progressive: one scan refines the shared coefficient store,
             // then the marker walk continues to the next scan
@@ -286,14 +300,15 @@ object JpegDecode {
     }
     // stream ended without EOI: reconstruct what the scans delivered
     if (prog != null && prog.anyScan)
-      reconstructProgressive(prog, comps, qt, width, height)
+      reconstructProgressive(prog, comps, qt, width, height, precision)
     else None
   }
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
       comps: Array[Component], qt: Array[Array[Int]],
-      dcT: Array[Huff], acT: Array[Huff], restartInterval: Int)
-      : Option[PixelDecode.Image] = {
+      dcT: Array[Huff], acT: Array[Huff], restartInterval: Int,
+      precision: Int = 8): Option[PixelDecode.Image] = {
+    val half = (1 << (precision - 1)).toDouble
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcuW = 8 * hMax; val mcuH = 8 * vMax
@@ -351,7 +366,7 @@ object JpegDecode {
             while (yy < 8) {
               var xx = 0
               while (xx < 8) {
-                planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) = px(yy * 8 + xx) + 128.0
+                planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) = px(yy * 8 + xx) + half
                 xx += 1
               }
               yy += 1
@@ -365,7 +380,7 @@ object JpegDecode {
       mcu += 1
     }
 
-    assemble(width, height, comps, planes, planeW, hMax, vMax)
+    assemble(width, height, comps, planes, planeW, hMax, vMax, precision)
   }
 
   // ---- arithmetic sequential (T.81 annexes D/F, SOF9) ----
@@ -471,7 +486,8 @@ object JpegDecode {
   private def decodeScanArith(b: Array[Byte], start: Int, width: Int,
       height: Int, comps: Array[Component], qt: Array[Array[Int]],
       dcCondL: Array[Int], dcCondU: Array[Int], acKx: Array[Int],
-      restartInterval: Int): Option[PixelDecode.Image] = {
+      restartInterval: Int, precision: Int = 8): Option[PixelDecode.Image] = {
+    val half = (1 << (precision - 1)).toDouble
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -536,7 +552,7 @@ object JpegDecode {
               var xx = 0
               while (xx < 8) {
                 planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) =
-                  px(yy * 8 + xx) + 128.0
+                  px(yy * 8 + xx) + half
                 xx += 1
               }
               yy += 1
@@ -549,7 +565,7 @@ object JpegDecode {
       }
       mcu += 1
     }
-    assemble(width, height, comps, planes, planeW, hMax, vMax)
+    assemble(width, height, comps, planes, planeW, hMax, vMax, precision)
   }
 
   /** Upsample subsampled planes by sample replication and convert JFIF
@@ -558,7 +574,9 @@ object JpegDecode {
     */
   private def assemble(width: Int, height: Int, comps: Array[Component],
       planes: Array[Array[Double]], planeW: Array[Int], hMax: Int,
-      vMax: Int): Option[PixelDecode.Image] = {
+      vMax: Int, precision: Int = 8): Option[PixelDecode.Image] = {
+    val maxV = (1 << precision) - 1
+    val half = (1 << (precision - 1)).toDouble
     val nch = comps.length
     val out = new Array[Int](width * height * nch)
     var y = 0
@@ -566,18 +584,18 @@ object JpegDecode {
       var x = 0
       while (x < width) {
         if (nch == 1) {
-          out(y * width + x) = clamp(planes(0)(y * planeW(0) + x))
+          out(y * width + x) = clamp(planes(0)(y * planeW(0) + x), maxV)
         } else {
           def sample(ci: Int): Double = {
             val c = comps(ci)
             val sx = x * c.h / hMax; val sy = y * c.v / vMax
             planes(ci)(sy * planeW(ci) + sx)
           }
-          val yv = sample(0); val cb = sample(1) - 128.0; val cr = sample(2) - 128.0
+          val yv = sample(0); val cb = sample(1) - half; val cr = sample(2) - half
           val o = (y * width + x) * 3
-          out(o) = clamp(yv + 1.402 * cr)
-          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-          out(o + 2) = clamp(yv + 1.772 * cb)
+          out(o) = clamp(yv + 1.402 * cr, maxV)
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr, maxV)
+          out(o + 2) = clamp(yv + 1.772 * cb, maxV)
         }
         x += 1
       }
@@ -795,8 +813,9 @@ object JpegDecode {
   /** Dequantize the accumulated coefficient store, IDCT every block on
     * the padded grid, and hand the planes to the shared assembler. */
   private def reconstructProgressive(st: ProgState, comps: Array[Component],
-      qt: Array[Array[Int]], width: Int, height: Int)
+      qt: Array[Array[Int]], width: Int, height: Int, precision: Int = 8)
       : Option[PixelDecode.Image] = {
+    val half = (1 << (precision - 1)).toDouble
     val planeW = comps.indices.map(ci => st.padW(ci) * 8).toArray
     val planes = comps.indices
       .map(ci => new Array[Double](planeW(ci) * st.padH(ci) * 8)).toArray
@@ -823,7 +842,7 @@ object JpegDecode {
             var xx = 0
             while (xx < 8) {
               planes(ci)((br * 8 + yy) * planeW(ci) + bc * 8 + xx) =
-                px(yy * 8 + xx) + 128.0
+                px(yy * 8 + xx) + half
               xx += 1
             }
             yy += 1
@@ -834,6 +853,6 @@ object JpegDecode {
       }
       ci += 1
     }
-    assemble(width, height, comps, planes, planeW, st.hMax, st.vMax)
+    assemble(width, height, comps, planes, planeW, st.hMax, st.vMax, precision)
   }
 }

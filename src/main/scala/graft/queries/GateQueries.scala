@@ -658,6 +658,67 @@ object GateQueries {
       |  TRUE AS near_formula_mean, TRUE AS near_formula_max
       |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** q214: 12-BIT JPEG decode (T.81 extended precision) — samples live in
+    * [512, 4095], entirely above what an 8-bit pipeline can represent.
+    * Payloads are [[MediaFixtures.jpeg12Bit29]]'s SOF9 streams; the
+    * decoder must scale the level shift (2048), the clamp (4095), and
+    * accept extended precision in the frame header; output keeps full
+    * 12-bit values (the 16-bit-PNG convention). Verdicts: formula
+    * agreement at 12-bit tolerances and `twelve_bit` — at least one
+    * decoded sample above 255, which an 8-bit clamp (or a quarantining
+    * pre-round-13 decoder) makes false.
+    */
+  def q214Jpeg12Bit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("near_formula_mean", BooleanType),
+      StructField("twelve_bit", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    MediaFixtures.jpeg12Bit29(s, dir)
+      .select("media_id", "w", "h", "payload").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val bytes = r.getAs[Array[Byte]](3)
+          def px(y: Int, x: Int, ch: Int): Int =
+            math.min(512 + (id % 16).toInt * 16 + 32 * y + 32 * x + 48 * ch, 4095)
+          graft.multimodal.JpegDecode.decode(bytes) match {
+            case Some(img) =>
+              var sumD = 0L; var big = false
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) {
+                  var ch = 0
+                  while (ch < 3) {
+                    val v = img.at(yy, xx, ch)
+                    sumD += math.abs(v - px(yy, xx, ch))
+                    if (v > 255) big = true
+                    ch += 1
+                  }
+                  xx += 1
+                }
+                yy += 1
+              }
+              val mean = sumD.toDouble / (w.toLong * h * 3)
+              Row(id, img.width, img.height, img.channels, mean <= 6.0, big)
+            case None => Row(id, null, null, null, false, false)
+          }
+        }
+      }(enc)
+  }
+
+  val q214Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  TRUE AS near_formula_mean, TRUE AS twelve_bit
+      |FROM documents WHERE doc_id % 29 = 0""".stripMargin
+
   val q127Sql: String =
     """SELECT CAST(doc_id AS BIGINT) AS media_id,
       |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
@@ -944,6 +1005,7 @@ object GateQueries {
     "q127_jpeg_decode" -> (q127JpegDecode _),
     "q199_progressive_jpeg" -> (q199ProgressiveJpeg _),
     "q212_arith_jpeg" -> (q212ArithJpeg _),
+    "q214_jpeg_12bit" -> (q214Jpeg12Bit _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q205_sql_catalog" -> (q205SqlCatalog _),
     "q113_footer_meta" -> (q113FooterMeta _),
@@ -965,6 +1027,7 @@ object GateQueries {
     "q128_unicode_norm" -> q128Sql,
     "q127_jpeg_decode" -> q127Sql,
     "q212_arith_jpeg" -> q212Sql,
+    "q214_jpeg_12bit" -> q214Sql,
     "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
     "q205_sql_catalog" -> q205Sql,

@@ -74,6 +74,7 @@ object MediaFixtures {
     "jpeg_pattern_5" -> (jpegPattern5 _),
     "jpeg_progressive_19" -> (jpegProgressive19 _),
     "jpeg_arith_13_v1" -> (jpegArith13 _),
+    "jpeg_12bit_29_v1" -> (jpeg12Bit29 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
     "png16_23" -> (png16_23 _),
@@ -160,6 +161,38 @@ object MediaFixtures {
     */
   def jpegProgressive19(s: SparkSession, dir: String): DataFrame =
     jdkJpegs(s, dir, "jpeg_progressive_19", mod = 19, progressive = true)
+
+  /** q214's 12-BIT (precision 12, SOF9) JPEGs — a gradient whose samples
+    * live ABOVE the 8-bit range (512 + 16·(id%16) + 32y + 32x + 48ch,
+    * capped 4095) on every 29th document, encoded by
+    * [[graft.multimodal.JpegArithEncode]] at quant 2. An 8-bit-assuming
+    * decoder clamps the whole image to 255 and flips every verdict.
+    */
+  def jpeg12Bit29(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "jpeg_12bit_29_v1") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
+          (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("w", IntegerType, nullable = false),
+        StructField("h", IntegerType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          def px(y: Int, x: Int, ch: Int): Int =
+            math.min(512 + (id % 16).toInt * 16 + 32 * y + 32 * x + 48 * ch, 4095)
+          val bytes = graft.multimodal.JpegArithEncode.encode(
+            w, h, 3, px, quant = 2, precision = 12)
+          org.apache.spark.sql.Row(id, w, h, bytes)
+        }
+      }(enc)
+    }
 
   /** q212's ARITHMETIC-coded (SOF9) JPEGs — the q127 gradient formula on
     * every 13th document, encoded by the in-repo

@@ -88,6 +88,24 @@ class JpegArithSpec extends AnyFunSuite {
     }
   }
 
+  test("12-bit SOF9 round-trips at full precision (samples beyond 8-bit range)") {
+    val (w, h) = (24, 16)
+    // deliberately exceeds 255 everywhere: an 8-bit clamp would flatten it
+    def px12(y: Int, x: Int, ch: Int): Int =
+      math.min(512 + y * 64 + x * 32 + ch * 128, 4095)
+    val bytes = JpegArithEncode.encode(w, h, 3, px12, quant = 1, precision = 12)
+    val img = JpegDecode.decode(bytes).getOrElse(fail("12-bit decode failed"))
+    assert(img.width === w && img.height === h && img.channels === 3)
+    var maxDiff = 0
+    var sawBig = false
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      maxDiff = math.max(maxDiff, math.abs(img.at(y, x, c) - px12(y, x, c)))
+      if (img.at(y, x, c) > 255) sawBig = true
+    }
+    assert(sawBig, "12-bit output must carry values beyond the 8-bit range")
+    assert(maxDiff <= 3, s"12-bit max |decoded - source| = $maxDiff")
+  }
+
   test("grayscale and coarse quant stay near the source on smooth content") {
     val (w, h) = (32, 24)
     def px(y: Int, x: Int, ch: Int): Int = math.min(40 + y * 3 + x * 2, 255)

@@ -133,6 +133,28 @@ class JpegDecodeSpec extends SparkTestBase {
     assert(img.at(3, 11, 0) === 144) // prediction reset → dc 16 again
   }
 
+  test("12-bit extended sequential (SOF1): level shift, clamp, and 16-bit DQT scale with precision") {
+    def sofExt(marker: Int, prec: Int): Array[Byte] =
+      seg(marker, Array(prec.toByte, 0, 8, 0, 8, 1, 1, 0x11.toByte, 0))
+    // 8-bit DQT, q=8: DC diff 16 → flat 16·8/8 + 2048 = 2064 (12-bit shift)
+    val bytes = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      sofExt(0xc1, 12) ++ sos(Seq((1, 0, 0))) ++ entropy(dcBlock16) ++ EOI
+    val img = PixelDecode.decode(bytes).get
+    assert((img.width, img.height, img.channels) === ((8, 8, 1)))
+    assert(img.samples.forall(_ === 2064), img.samples.take(8).toSeq)
+    // 16-bit DQT entries (pq=1, q=300 — impossible in an 8-bit table):
+    // DC diff 16 → 16·300/8 + 2048 = 2648
+    val dqt16 = seg(0xdb, Array(0x10.toByte) ++
+      Array.fill(64)(300).flatMap(v => Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)))
+    val bytes16 = SOI ++ dqt16 ++ dcT ++ acT ++
+      sofExt(0xc1, 12) ++ sos(Seq((1, 0, 0))) ++ entropy(dcBlock16) ++ EOI
+    assert(PixelDecode.decode(bytes16).get.samples.forall(_ === 2648))
+    // BASELINE (SOF0) is 8-bit by definition: a 12-bit SOF0 quarantines
+    val base12 = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
+      sofExt(0xc0, 12) ++ sos(Seq((1, 0, 0))) ++ entropy(dcBlock16) ++ EOI
+    assert(PixelDecode.decode(base12).isEmpty)
+  }
+
   test("non-supported and corrupt streams quarantine (None), never throw") {
     // arithmetic-coded PROGRESSIVE frame marker SOF10 (out of scope —
     // sequential SOF9 is decoded since round 13, see JpegArithSpec)
