@@ -98,10 +98,10 @@ object JpegArithEncode {
     * category with the k≤Kx / k>Kx staircase split.
     */
   private def encodeAc(enc: QmCoder.Enc, st: Array[Byte], fixed: Array[Byte],
-      coef: Array[Int], kx: Int): Unit = {
-    var kend = 63
-    while (kend >= 1 && coef(zz(kend)) == 0) kend -= 1
-    var k = 1
+      coef: Array[Int], kx: Int, ss: Int = 1, se: Int = 63): Unit = {
+    var kend = se
+    while (kend >= ss && coef(zz(kend)) == 0) kend -= 1
+    var k = ss
     while (k <= kend) {
       var base = 3 * (k - 1)
       enc.encode(st, base, 0) // not end-of-block
@@ -138,11 +138,208 @@ object JpegArithEncode {
       }
       k += 1
     }
-    if (k <= 63) enc.encode(st, 3 * (k - 1), 1) // end-of-block
+    if (k <= se) enc.encode(st, 3 * (k - 1), 1) // end-of-block (band)
+  }
+
+  /** AC refinement scan for one block (mirror of
+    * [[JpegDecode.decodeAcRefineArith]]): `vAl` is the coefficient value
+    * revealed at this level (trunc toward zero), `vPrev` the previous
+    * level's — previously-nonzero positions take a correction bit, a
+    * position whose value first becomes ±1 at this level codes
+    * newly-nonzero + sign, and past the last previously-nonzero index an
+    * end-of-band decision precedes each position.
+    */
+  private def encodeAcRefine(enc: QmCoder.Enc, st: Array[Byte],
+      fixed: Array[Byte], coef: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+    val p1 = 1 << al
+    def vAl(k: Int): Int = coef(zz(k)) / p1 // Int division: toward zero
+    def vPrev(k: Int): Int = coef(zz(k)) / (p1 << 1)
+    var kex = se
+    while (kex > 0 && vPrev(kex) == 0) kex -= 1
+    var kend = se
+    while (kend >= ss && vAl(kend) == 0) kend -= 1
+    var k = ss
+    while (k <= se) {
+      var base = 3 * (k - 1)
+      if (k > kex) {
+        val done = k > kend
+        enc.encode(st, base, if (done) 1 else 0)
+        if (done) return
+      }
+      var placed = false
+      while (!placed) {
+        if (vPrev(k) != 0) {
+          enc.encode(st, base + 2, math.abs(vAl(k)) & 1)
+          placed = true
+        } else if (vAl(k) != 0) {
+          enc.encode(st, base + 1, 1)
+          enc.encode(fixed, 0, if (vAl(k) < 0) 1 else 0)
+          placed = true
+        } else {
+          enc.encode(st, base + 1, 0)
+          base += 3
+          k += 1
+        }
+      }
+      k += 1
+    }
   }
 
   private def put16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
     o.write((v >> 8) & 0xff); o.write(v & 0xff)
+  }
+
+  /** Encode as ARITHMETIC PROGRESSIVE (SOF10): the annex-G scan script —
+    * interleaved DC first at Al=1, DC refinement (fixed-bin bits), then
+    * per component AC first (band 1-63, Al=1) and AC refinement — each
+    * scan with its own coder and statistics, exactly what
+    * [[JpegDecode]]'s `progressiveScanArith` mirrors. 4:4:4 / grayscale,
+    * flat quant, 8- or 12-bit.
+    */
+  def encodeProgressive(width: Int, height: Int, channels: Int,
+      px: (Int, Int, Int) => Int, quant: Int,
+      precision: Int = 8): Array[Byte] = {
+    require(channels == 1 || channels == 3, "1 or 3 channels")
+    require(quant >= 1 && quant <= 255, "flat 8-bit quant value")
+    require(precision == 8 || precision == 12, "8- or 12-bit samples")
+    val half = (1 << (precision - 1)).toDouble
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    val nq = if (channels == 3) 2 else 1
+    out.write(0xff); out.write(0xdb); put16(out, 2 + 65 * nq)
+    for (t <- 0 until nq) { out.write(t); (0 until 64).foreach(_ => out.write(quant)) }
+    out.write(0xff); out.write(0xca); put16(out, 8 + 3 * channels) // SOF10
+    out.write(precision); put16(out, height); put16(out, width); out.write(channels)
+    for (c <- 0 until channels) {
+      out.write(c + 1); out.write(0x11); out.write(if (c == 0) 0 else 1)
+    }
+    val nt = nq
+    out.write(0xff); out.write(0xcc); put16(out, 2 + 2 * 2 * nt) // DAC
+    for (t <- 0 until nt) { out.write(t); out.write(0x10) }
+    for (t <- 0 until nt) { out.write(0x10 | t); out.write(5) }
+
+    // component planes + quantized coefficient blocks (natural order)
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val planes = Array.ofDim[Double](channels, bw * 8 * bh * 8)
+    var y = 0
+    while (y < bh * 8) {
+      var x = 0
+      while (x < bw * 8) {
+        val sy = math.min(y, height - 1); val sx = math.min(x, width - 1)
+        if (channels == 1)
+          planes(0)(y * bw * 8 + x) = px(sy, sx, 0) - half
+        else {
+          val r = px(sy, sx, 0); val g = px(sy, sx, 1); val b = px(sy, sx, 2)
+          planes(0)(y * bw * 8 + x) = 0.299 * r + 0.587 * g + 0.114 * b - half
+          planes(1)(y * bw * 8 + x) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          planes(2)(y * bw * 8 + x) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val nBlk = bw * bh
+    val coefBlocks = Array.ofDim[Int](channels, nBlk, 64)
+    val block = new Array[Double](64)
+    var blk = 0
+    while (blk < nBlk) {
+      val mx = blk % bw; val my = blk / bw
+      var ci = 0
+      while (ci < channels) {
+        var i = 0
+        while (i < 64) {
+          block(i) = planes(ci)((my * 8 + i / 8) * bw * 8 + mx * 8 + i % 8)
+          i += 1
+        }
+        val f = fdct(block)
+        i = 0
+        while (i < 64) {
+          coefBlocks(ci)(blk)(i) = math.round(f(i) / quant).toInt
+          i += 1
+        }
+        ci += 1
+      }
+      blk += 1
+    }
+
+    def sosHeader(scomps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xff); out.write(0xda); put16(out, 6 + 2 * scomps.length)
+      out.write(scomps.length)
+      for (c <- scomps) {
+        out.write(c + 1)
+        val t = if (c == 0) 0 else 1
+        out.write((t << 4) | t)
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // scan 1: interleaved DC first, point-transformed by Al=1
+    sosHeader(0 until channels, 0, 0, 0, 1)
+    locally {
+      val enc = new QmCoder.Enc
+      val dcStats = Array.fill(nt)(new Array[Byte](64))
+      val dcCtx = new Array[Int](channels)
+      val lastDc = new Array[Int](channels)
+      var b2 = 0
+      while (b2 < nBlk) {
+        var ci = 0
+        while (ci < channels) {
+          val t = if (ci == 0) 0 else 1
+          val v = coefBlocks(ci)(b2)(0) >> 1 // arithmetic shift: F.1.? point transform
+          encodeDc(enc, dcStats(t), dcCtx, ci, v - lastDc(ci))
+          lastDc(ci) = v
+          ci += 1
+        }
+        b2 += 1
+      }
+      out.write(enc.flush())
+    }
+    // scan 2: DC refinement — one fixed-bin bit per block
+    sosHeader(0 until channels, 0, 0, 1, 0)
+    locally {
+      val enc = new QmCoder.Enc
+      val fixed = Array[Byte](QmCoder.FixedState.toByte)
+      var b2 = 0
+      while (b2 < nBlk) {
+        var ci = 0
+        while (ci < channels) {
+          enc.encode(fixed, 0, coefBlocks(ci)(b2)(0) & 1)
+          ci += 1
+        }
+        b2 += 1
+      }
+      out.write(enc.flush())
+    }
+    // per component: AC first (band 1-63 at Al=1), then AC refinement
+    for (ci <- 0 until channels) {
+      sosHeader(Seq(ci), 1, 63, 0, 1)
+      val enc = new QmCoder.Enc
+      val acStats = new Array[Byte](256)
+      val fixed = Array[Byte](QmCoder.FixedState.toByte)
+      val tz = new Array[Int](64)
+      var b2 = 0
+      while (b2 < nBlk) {
+        var k = 1
+        while (k <= 63) { tz(zz(k)) = coefBlocks(ci)(b2)(zz(k)) / 2; k += 1 }
+        encodeAc(enc, acStats, fixed, tz, kx = 5)
+        b2 += 1
+      }
+      out.write(enc.flush())
+    }
+    for (ci <- 0 until channels) {
+      sosHeader(Seq(ci), 1, 63, 1, 0)
+      val enc = new QmCoder.Enc
+      val acStats = new Array[Byte](256)
+      val fixed = Array[Byte](QmCoder.FixedState.toByte)
+      var b2 = 0
+      while (b2 < nBlk) {
+        encodeAcRefine(enc, acStats, fixed, coefBlocks(ci)(b2), 1, 63, 0)
+        b2 += 1
+      }
+      out.write(enc.flush())
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Encode `px(y, x, ch)` (`channels` ∈ {1, 3}, RGB, samples in

@@ -216,8 +216,8 @@ object JpegDecode {
               if (tc == 0) dcTables(th) = h else acTables(th) = h
               p += 17 + n
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // sequential / progressive /
-            // arithmetic sequential
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca => // sequential /
+            // progressive / arithmetic sequential / arithmetic progressive
             precision = u8(b, seg)
             // baseline (SOF0) is 8-bit by definition; the extended /
             // progressive / arithmetic frames also carry 12-bit samples
@@ -225,8 +225,8 @@ object JpegDecode {
             // 16-bit PNG path
             if (precision != 8 && !(precision == 12 && marker != 0xc0))
               return None
-            progressive = marker == 0xc2
-            arithmetic = marker == 0xc9
+            progressive = marker == 0xc2 || marker == 0xca
+            arithmetic = marker == 0xc9 || marker == 0xca
             height = be16(b, seg + 1); width = be16(b, seg + 3)
             val nc = u8(b, seg + 5)
             if (nc != 1 && nc != 3) return None
@@ -235,9 +235,9 @@ object JpegDecode {
               Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)) return None
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // lossless/arith-progressive/hierarchical: quarantine
+            return None // lossless/hierarchical: quarantine
           case 0xcc => // DAC: arithmetic conditioning (B.2.4.3)
             var p = seg
             while (p + 1 < i + 2 + len) {
@@ -289,8 +289,12 @@ object JpegDecode {
             // progressive: one scan refines the shared coefficient store,
             // then the marker walk continues to the next scan
             if (prog == null) prog = new ProgState(comps, width, height)
-            val next = progressiveScan(b, p, prog, comps, scanComps,
-              ss, se, ah, al, dcTables, acTables, restartInterval)
+            val next =
+              if (arithmetic)
+                progressiveScanArith(b, p, prog, comps, scanComps,
+                  ss, se, ah, al, dcCondL, dcCondU, acKx, restartInterval)
+              else progressiveScan(b, p, prog, comps, scanComps,
+                ss, se, ah, al, dcTables, acTables, restartInterval)
             if (next < 0) return None
             jumped = next
           case _ => // APPn / COM / others: skip
@@ -423,18 +427,22 @@ object JpegDecode {
   /** AC coefficients per F.2.4.2: 3 bins per index k (EOB, run,
     * magnitude-1 — the third decides both mag>1 and mag>2), the two
     * magnitude staircases at 189 (k ≤ Kx) / 217, sign in the fixed
-    * equiprobable bin. Mirror of [[JpegArithEncode.encodeAc]].
+    * equiprobable bin. Mirror of [[JpegArithEncode.encodeAc]]. Serves the
+    * sequential scan (band 1..63, al 0) AND the progressive first scan of
+    * a spectral band (values land shifted by the successive-approximation
+    * position, G.2.2's arithmetic counterpart of decodeAcFirst).
     */
   private def decodeAcArith(dec: QmCoder.Dec, st: Array[Byte],
-      fixed: Array[Byte], coef: Array[Int], kx: Int): Unit = {
-    var k = 1
-    while (k <= 63) {
+      fixed: Array[Byte], coefs: Array[Int], off: Int, ss: Int, se: Int,
+      al: Int, kx: Int): Unit = {
+    var k = ss
+    while (k <= se) {
       var base = 3 * (k - 1)
-      if (dec.decode(st, base) != 0) return // end-of-block
+      if (dec.decode(st, base) != 0) return // end-of-block (for the band)
       while (dec.decode(st, base + 1) == 0) {
         base += 3
         k += 1
-        if (k > 63) throw Truncated
+        if (k > se) throw Truncated
       }
       val sign = dec.decode(fixed, 0)
       var m = 0
@@ -456,9 +464,153 @@ object JpegDecode {
       var mm = m >> 1
       while (mm != 0) { if (dec.decode(st, bits) != 0) v |= mm; mm >>= 1 }
       val mag = v + 1
-      coef(zz(k)) = if (sign == 1) -mag else mag
+      coefs(off + zz(k)) = (if (sign == 1) -mag else mag) << al
       k += 1
     }
+  }
+
+  /** AC refinement under arithmetic coding (G.2.3, the counterpart of
+    * [[decodeAcRefine]]): previously-nonzero coefficients take one
+    * correction bit from their index's third bin; zero-history positions
+    * take a newly-nonzero decision from the second bin (then a fixed-bin
+    * sign for a ±1·2^al); past `kex` — the last previously-nonzero index
+    * — each index starts with an end-of-band decision. The stored-value
+    * invariant (multiples of 2^al before the scan) makes the two's-
+    * complement `& p1` magnitude-bit test exact for negatives.
+    */
+  private def decodeAcRefineArith(dec: QmCoder.Dec, st: Array[Byte],
+      fixed: Array[Byte], coefs: Array[Int], off: Int, ss: Int, se: Int,
+      al: Int): Unit = {
+    val p1 = 1 << al
+    var kex = se
+    while (kex > 0 && coefs(off + zz(kex)) == 0) kex -= 1
+    var k = ss
+    while (k <= se) {
+      var base = 3 * (k - 1)
+      if (k > kex && dec.decode(st, base) != 0) return // end of band
+      var placed = false
+      while (!placed) {
+        val idx = off + zz(k)
+        if (coefs(idx) != 0) {
+          if (dec.decode(st, base + 2) != 0 && (coefs(idx) & p1) == 0)
+            coefs(idx) += (if (coefs(idx) >= 0) p1 else -p1)
+          placed = true
+        } else if (dec.decode(st, base + 1) != 0) {
+          coefs(idx) = if (dec.decode(fixed, 0) == 1) -p1 else p1
+          placed = true
+        } else {
+          base += 3
+          k += 1
+          if (k > se) throw Truncated
+        }
+      }
+      k += 1
+    }
+  }
+
+  /** One PROGRESSIVE scan under arithmetic coding (SOF10, annex G's
+    * arithmetic procedures): the scan geometry of [[progressiveScan]] —
+    * interleaved DC scans on the MCU grid, single-component AC scans on
+    * the true block raster — with the QM coder + F.2.4/G.2 models
+    * replacing the Huffman reader. DC first scans run the sequential DC
+    * model on the point-transformed values (stored `<< al`); DC
+    * refinements take one fixed-bin bit per block; AC first/refine are
+    * [[decodeAcArith]]/[[decodeAcRefineArith]]. Statistics, conditioning
+    * contexts, and predictors are per-scan (each scan opens its own
+    * coder); restarts resync to the RSTn marker and reset all of them.
+    * Returns the offset of the next marker's 0xFF, or -1 on malformed
+    * data.
+    */
+  private def progressiveScanArith(b: Array[Byte], start: Int, st: ProgState,
+      comps: Array[Component], scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcCondL: Array[Int], dcCondU: Array[Int], acKx: Array[Int],
+      restartInterval: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) return -1
+    var dec = new QmCoder.Dec(b, start)
+    var dcStats: Array[Array[Byte]] = null
+    var acStats: Array[Array[Byte]] = null
+    var fixed: Array[Byte] = null
+    val dcCtx = new Array[Int](comps.length)
+    def reset(): Unit = {
+      dcStats = Array.fill(4)(new Array[Byte](64))
+      acStats = Array.fill(4)(new Array[Byte](256))
+      fixed = Array[Byte](QmCoder.FixedState.toByte)
+      java.util.Arrays.fill(dcCtx, 0)
+      scanComps.foreach(_.pred = 0)
+    }
+    reset()
+    def resync(): Boolean = {
+      val mp = nextMarkerWithRst(b, dec.pos)
+      if (mp < 0) return false
+      val mk = u8(b, mp + 1)
+      if (mk < 0xd0 || mk > 0xd7) return false
+      dec = new QmCoder.Dec(b, mp + 2)
+      reset()
+      true
+    }
+    def dcBlock(c: Component, ci: Int, off: Int): Unit =
+      if (ah == 0) {
+        c.pred += decodeDcArith(dec, dcStats(c.td), dcCtx, ci,
+          dcCondL(c.td), dcCondU(c.td))
+        st.coefs(ci)(off) = c.pred << al
+      } else if (dec.decode(fixed, 0) == 1)
+        st.coefs(ci)(off) |= 1 << al
+    try {
+      if (scanComps.length > 1) {
+        // interleaved scan: DC band only (G.1.1 mirrors T.81 G.1.1.1)
+        if (ss != 0 || se != 0) return -1
+        val nMcus = st.mcusX * st.mcusY
+        var mcu = 0
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0
+              && !resync()) return -1
+          val mx = mcu % st.mcusX; val my = mcu / st.mcusX
+          var j = 0
+          while (j < scanComps.length) {
+            val c = scanComps(j)
+            val ci = comps.indexWhere(_.id == c.id)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                dcBlock(c, ci,
+                  ((my * c.v + by) * st.padW(ci) + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            j += 1
+          }
+          mcu += 1
+        }
+      } else {
+        // single component on its TRUE block raster (A.2.2), DC or AC
+        val c = scanComps(0)
+        val ci = comps.indexWhere(_.id == c.id)
+        val coefs = st.coefs(ci)
+        val bw = st.blocksW(ci); val bh = st.blocksH(ci)
+        val nBlk = bw * bh
+        var blk = 0
+        while (blk < nBlk) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0
+              && !resync()) return -1
+          val off = ((blk / bw) * st.padW(ci) + blk % bw) * 64
+          if (ss == 0) {
+            if (se != 0) return -1
+            dcBlock(c, ci, off)
+          } else if (ah == 0)
+            decodeAcArith(dec, acStats(c.ta), fixed, coefs, off, ss, se,
+              al, acKx(c.ta))
+          else
+            decodeAcRefineArith(dec, acStats(c.ta), fixed, coefs, off, ss,
+              se, al)
+          blk += 1
+        }
+      }
+    } catch { case Truncated => return -1 }
+    st.anyScan = true
+    nextMarker(b, dec.pos)
   }
 
   /** Next marker's 0xFF at/after `from`, INCLUDING restart markers (the
@@ -539,7 +691,7 @@ object JpegDecode {
             c.pred += decodeDcArith(dec, dst, dcCtx, ci,
               dcCondL(c.td), dcCondU(c.td))
             coef(0) = c.pred
-            decodeAcArith(dec, ast, fixed, coef, acKx(c.ta))
+            decodeAcArith(dec, ast, fixed, coef, 0, 1, 63, 0, acKx(c.ta))
             // dequantize (qtab is zigzag-ordered, coef natural) + IDCT
             val block = new Array[Double](64)
             var k = 0

@@ -606,7 +606,27 @@ object GateQueries {
     * quarantined SOF9 (the pre-round-13 behavior) nulls the geometry and
     * flips both verdicts.
     */
-  def q212ArithJpeg(s: SparkSession, dir: String): DataFrame = {
+  def q212ArithJpeg(s: SparkSession, dir: String): DataFrame =
+    arithJpegGate(MediaFixtures.jpegArith13(s, dir))
+
+  /** q215: ARITHMETIC-PROGRESSIVE (SOF10) decode — the one remaining
+    * DCT-based JPEG mode after q212/q214, combining the q199 progressive
+    * machinery (cross-scan coefficient store, band scans, successive
+    * approximation) with the q212 QM coder under the annex-G models
+    * (per-scan statistics, fixed-bin DC refinement, AC refine's kex
+    * end-of-band discipline). Payloads from [[MediaFixtures
+    * .jpegArithProg31]]; same formula verdicts as q212 — a quarantined
+    * SOF10 (the pre-round-13 behavior) nulls geometry and flips both.
+    */
+  def q215ArithProgressive(s: SparkSession, dir: String): DataFrame =
+    arithJpegGate(MediaFixtures.jpegArithProg31(s, dir))
+
+  /** Shared q212/q215 verdict body: decode with the first-principles
+    * decoder, verdicts against the generating formula (no JDK
+    * cross-decode exists for arithmetic streams — JpegArithSpec carries
+    * the byte-exact round-trip evidence instead).
+    */
+  private def arithJpegGate(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val outSchema = StructType(Seq(
@@ -616,39 +636,46 @@ object GateQueries {
       StructField("near_formula_mean", BooleanType),
       StructField("near_formula_max", BooleanType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    MediaFixtures.jpegArith13(s, dir)
-      .select("media_id", "w", "h", "payload").mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
-          val bytes = r.getAs[Array[Byte]](3)
-          def px(y: Int, x: Int, ch: Int): Int =
-            math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
-          graft.multimodal.JpegDecode.decode(bytes) match {
-            case Some(img) =>
-              var maxD = 0; var sumD = 0L
-              var yy = 0
-              while (yy < h) {
-                var xx = 0
-                while (xx < w) {
-                  var ch = 0
-                  while (ch < 3) {
-                    val d = math.abs(img.at(yy, xx, ch) - px(yy, xx, ch))
-                    if (d > maxD) maxD = d
-                    sumD += d
-                    ch += 1
-                  }
-                  xx += 1
+    media.select("media_id", "w", "h", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val bytes = r.getAs[Array[Byte]](3)
+        def px(y: Int, x: Int, ch: Int): Int =
+          math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
+        graft.multimodal.JpegDecode.decode(bytes) match {
+          case Some(img) =>
+            var maxD = 0; var sumD = 0L
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                var ch = 0
+                while (ch < 3) {
+                  val d = math.abs(img.at(yy, xx, ch) - px(yy, xx, ch))
+                  if (d > maxD) maxD = d
+                  sumD += d
+                  ch += 1
                 }
-                yy += 1
+                xx += 1
               }
-              val mean = sumD.toDouble / (w.toLong * h * 3)
-              Row(id, img.width, img.height, img.channels,
-                mean <= 4.0, maxD <= 10)
-            case None => Row(id, null, null, null, false, false)
-          }
+              yy += 1
+            }
+            val mean = sumD.toDouble / (w.toLong * h * 3)
+            Row(id, img.width, img.height, img.channels,
+              mean <= 4.0, maxD <= 10)
+          case None => Row(id, null, null, null, false, false)
         }
-      }(enc)
+      }
+    }(enc)
   }
+
+  val q215Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  TRUE AS near_formula_mean, TRUE AS near_formula_max
+      |FROM documents WHERE doc_id % 31 = 0""".stripMargin
 
   val q212Sql: String =
     """SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -1006,6 +1033,7 @@ object GateQueries {
     "q199_progressive_jpeg" -> (q199ProgressiveJpeg _),
     "q212_arith_jpeg" -> (q212ArithJpeg _),
     "q214_jpeg_12bit" -> (q214Jpeg12Bit _),
+    "q215_arith_progressive" -> (q215ArithProgressive _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q205_sql_catalog" -> (q205SqlCatalog _),
     "q113_footer_meta" -> (q113FooterMeta _),
@@ -1028,6 +1056,7 @@ object GateQueries {
     "q127_jpeg_decode" -> q127Sql,
     "q212_arith_jpeg" -> q212Sql,
     "q214_jpeg_12bit" -> q214Sql,
+    "q215_arith_progressive" -> q215Sql,
     "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
     "q205_sql_catalog" -> q205Sql,

@@ -75,6 +75,7 @@ object MediaFixtures {
     "jpeg_progressive_19" -> (jpegProgressive19 _),
     "jpeg_arith_13_v1" -> (jpegArith13 _),
     "jpeg_12bit_29_v1" -> (jpeg12Bit29 _),
+    "jpeg_arithprog_31_v1" -> (jpegArithProg31 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
     "png16_23" -> (png16_23 _),
@@ -161,6 +162,38 @@ object MediaFixtures {
     */
   def jpegProgressive19(s: SparkSession, dir: String): DataFrame =
     jdkJpegs(s, dir, "jpeg_progressive_19", mod = 19, progressive = true)
+
+  /** q215's ARITHMETIC-PROGRESSIVE (SOF10) JPEGs — the q127 gradient on
+    * every 31st document through [[graft.multimodal.JpegArithEncode
+    * .encodeProgressive]]'s annex-G scan script (interleaved DC first +
+    * DC refinement + per-component AC first/refinement, 8 scans, each
+    * with its own QM coder and statistics).
+    */
+  def jpegArithProg31(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "jpeg_arithprog_31_v1") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
+          (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("w", IntegerType, nullable = false),
+        StructField("h", IntegerType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          def px(y: Int, x: Int, ch: Int): Int =
+            math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
+          val bytes = graft.multimodal.JpegArithEncode
+            .encodeProgressive(w, h, 3, px, quant = 2)
+          org.apache.spark.sql.Row(id, w, h, bytes)
+        }
+      }(enc)
+    }
 
   /** q214's 12-BIT (precision 12, SOF9) JPEGs — a gradient whose samples
     * live ABOVE the 8-bit range (512 + 16·(id%16) + 32y + 32x + 48ch,

@@ -135,15 +135,46 @@ class JpegArithSpec extends AnyFunSuite {
     assert(maxDiff <= 4, s"max |diff| across restart segments = $maxDiff")
   }
 
-  test("arithmetic PROGRESSIVE (SOF10) stays quarantined") {
+  test("arithmetic PROGRESSIVE (SOF10) round-trips through the annex-G scan script") {
+    for ((w, h, id) <- Seq((16, 16, 0L), (24, 16, 7L), (17, 13, 3L))) {
+      val bytes = JpegArithEncode.encodeProgressive(w, h, 3,
+        gradient(w, h, id), quant = 1)
+      // it really is an arithmetic progressive frame with 8 scans
+      assert(bytes.indexOfSlice(Array(0xff.toByte, 0xca.toByte)) >= 0)
+      assert(bytes.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda) === 8)
+      val img = JpegDecode.decode(bytes)
+        .getOrElse(fail(s"SOF10 decode failed at ${w}x$h"))
+      assert(img.width === w && img.height === h && img.channels === 3)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        maxDiff = math.max(maxDiff,
+          math.abs(img.at(y, x, c) - gradient(w, h, id)(y, x, c)))
+      // DC+AC successive approximation must reassemble the exact
+      // coefficients: only DCT/YCbCr float slack remains
+      assert(maxDiff <= 2, s"${w}x$h SOF10: max |decoded - source| = $maxDiff")
+    }
+    // grayscale + 12-bit progressive
+    def px12(y: Int, x: Int, ch: Int): Int = math.min(600 + y * 40 + x * 24, 4095)
+    val g12 = JpegArithEncode.encodeProgressive(24, 16, 1, px12, quant = 1,
+      precision = 12)
+    val img12 = JpegDecode.decode(g12).getOrElse(fail("12-bit SOF10 failed"))
+    var bad = 0
+    for (y <- 0 until 16; x <- 0 until 24)
+      if (math.abs(img12.at(y, x, 0) - px12(y, x, 0)) > 3) bad += 1
+    assert(bad === 0, s"$bad samples off by >3 in 12-bit progressive")
+  }
+
+  test("hierarchical JPEG (SOF14) stays quarantined") {
     val bytes = JpegArithEncode.encode(16, 16, 3, gradient(16, 16, 1L), quant = 1)
-    // patch the frame marker SOF9 → SOF10; everything else unchanged
+    // patch the frame marker SOF9 → SOF14 (differential arithmetic,
+    // hierarchical-only); everything else unchanged
     val idx = bytes.indexOfSlice(Array(0xff.toByte, 0xc9.toByte))
     assert(idx >= 0)
     val patched = bytes.clone()
-    patched(idx + 1) = 0xca.toByte
+    patched(idx + 1) = 0xce.toByte
     assert(JpegDecode.decode(patched).isEmpty,
-      "SOF10 must return None (quarantine), not garbage pixels")
+      "SOF14 must return None (quarantine), not garbage pixels")
   }
 
   test("truncated and corrupted arithmetic streams quarantine, never throw") {

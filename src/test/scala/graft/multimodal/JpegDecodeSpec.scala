@@ -156,8 +156,9 @@ class JpegDecodeSpec extends SparkTestBase {
   }
 
   test("non-supported and corrupt streams quarantine (None), never throw") {
-    // arithmetic-coded PROGRESSIVE frame marker SOF10 (out of scope —
-    // sequential SOF9 is decoded since round 13, see JpegArithSpec)
+    // a MALFORMED arithmetic-progressive scan: SOF10 decodes since round
+    // 13 (JpegArithSpec), but a full-band Ss=0..Se=63 progressive scan is
+    // illegal (DC and AC never share a scan) and must quarantine
     val arithProg = SOI ++ dqt(0, flatQ) ++ dcT ++ acT ++
       seg(0xca, sof0(8, 8, Seq((1, 1, 1, 0))).drop(4)) ++ sos(Seq((1, 0, 0)))
     assert(PixelDecode.decode(arithProg).isEmpty)
