@@ -404,7 +404,6 @@ object Snapshots {
       incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     prevVersion.flatMap(v => versionSchema(spark, root, table, v)) match {
-      case None => incoming
       case Some(prev) =>
         incoming.fields.foreach { fl =>
           prev.fields.find(_.name == fl.name).foreach { pf =>
@@ -417,6 +416,20 @@ object Snapshots {
         val prevNames = prev.fieldNames.toSet
         org.apache.spark.sql.types.StructType(
           prev.fields ++ incoming.fields.filterNot(f => prevNames(f.name)))
+      case None if prevVersion.nonEmpty =>
+        // migration edge: the previous manifest predates schema tracking.
+        // Carry its INFERRED columns forward (they would otherwise vanish
+        // from the new version's schema-driven reads), but best-effort:
+        // incoming field types win over inference — a legacy
+        // int32-inferred partition directory under a long-typed frame
+        // must not hard-fail the first post-upgrade commit.
+        val legacy = scala.util
+          .Try(readVersion(spark, root, table, prevVersion.get).schema)
+          .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+        val names = incoming.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          incoming.fields ++ legacy.fields.filterNot(f => names(f.name)))
+      case None => incoming
     }
   }
 

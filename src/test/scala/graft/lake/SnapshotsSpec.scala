@@ -233,6 +233,27 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readVersion(spark, root, "t", v4).count() === 4L)
   }
 
+  test("a commit onto a pre-schema-tracking manifest carries legacy columns forward") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "legacy", 2020)).toDF("id", "old_col", "year"),
+      root, "t", Seq("year"))
+    // strip the schema from v1's manifest: the state every pre-tracking
+    // lake is in (files list + commit time only)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val files = Snapshots.liveFiles(spark, root, "t", 1L)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/v1.json"), false)
+    Snapshots.writeManifest(f, root, "t", 1L, files) // no schema param
+    assert(Snapshots.versionSchema(spark, root, "t", 1L).isEmpty)
+    // first post-upgrade commit: v2's stamped schema must still carry
+    // old_col, and v1's rows keep their value under the merged read
+    Snapshots.commit(Seq((2L, 2021)).toDF("id", "year"), root, "t", Seq("year"))
+    val v2 = Snapshots.readVersion(spark, root, "t", 2L)
+    assert(v2.columns.contains("old_col"), v2.columns.toSeq)
+    assert(v2.filter($"id" === 1L).select("old_col").as[String].head() === "legacy")
+    assert(v2.filter($"id" === 2L).select("old_col").collect().head.isNullAt(0))
+  }
+
   test("vacuum keeps only the requested versions' files; survivors still read") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"),
