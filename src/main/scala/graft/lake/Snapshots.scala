@@ -433,6 +433,30 @@ object Snapshots {
     }
   }
 
+  /** [[commit]] with the optimistic-concurrency retry loop the CME
+    * contract asks of callers: on a lost manifest race, re-read the new
+    * latest and re-commit (dynamic-overwrite semantics make the retry
+    * idempotent at partition granularity — the data files staged by the
+    * losing attempt stay on disk unreferenced until [[vacuum]], exactly
+    * like any table format's orphan files). Gives up after `maxRetries`
+    * lost races — under that much contention the caller should serialize
+    * writers instead.
+    */
+  def commitRetry(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      try return commit(df, root, table, partitionCols, statsCols)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Test seam: invoked between version computation and manifest publish,
     * so specs can pin the concurrent-commit loss race deterministically
     * (a competing manifest landing in that window must surface the

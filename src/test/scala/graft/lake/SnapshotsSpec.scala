@@ -233,6 +233,30 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readVersion(spark, root, "t", v4).count() === 4L)
   }
 
+  test("commitRetry wins a lost race on the next attempt; neither commit is lost") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // competing writer lands v2 during OUR first attempt only
+    var fired = false
+    Snapshots.beforePublish = () =>
+      if (!fired) {
+        fired = true
+        Snapshots.writeManifest(f, root, "t", 2L,
+          Snapshots.liveFiles(spark, root, "t", 1L)) // winner carries v1
+      }
+    try {
+      val v = Snapshots.commitRetry(Seq((2L, 2021)).toDF("id", "year"),
+        root, "t", Seq("year"))
+      assert(v === 3L, "the retry must land as the NEXT version")
+    } finally Snapshots.beforePublish = () => ()
+    // both writers' content is visible at v3 (nothing lost, nothing doubled)
+    assert(Snapshots.readVersion(spark, root, "t", 3L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(Snapshots.readVersion(spark, root, "t", 3L).count() === 2L)
+  }
+
   test("a commit onto a pre-schema-tracking manifest carries legacy columns forward") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, "legacy", 2020)).toDF("id", "old_col", "year"),
