@@ -189,6 +189,171 @@ object JpegArithEncode {
     o.write((v >> 8) & 0xff); o.write(v & 0xff)
   }
 
+  /** Encode as a HIERARCHICAL pyramid (T.81 annex J, same-resolution
+    * form): DHP frame header, a coarsely-quantized non-differential SOF9
+    * first frame, then one SOF13 differential frame coding the
+    * sample-domain residual (source − first frame's reconstruction) at
+    * quant 1 — no level shift, DC prediction frozen at zero (F.2.1.3.1).
+    * The encoder reconstructs the first frame with the decoder's own
+    * dequant+IDCT+round+clamp arithmetic, so the residual it codes is
+    * exactly the one the decoder will add back. No EXP/upsampling (the
+    * resolution-pyramid form stays quarantined).
+    */
+  def encodeHierarchical(width: Int, height: Int, channels: Int,
+      px: (Int, Int, Int) => Int, quantBase: Int,
+      precision: Int = 8): Array[Byte] = {
+    require(channels == 1 || channels == 3, "1 or 3 channels")
+    require(quantBase >= 1 && quantBase <= 255, "flat 8-bit quant value")
+    require(precision == 8 || precision == 12, "8- or 12-bit samples")
+    val half = 1 << (precision - 1)
+    val maxV = (1 << precision) - 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    // quant tables: 0/1 = coarse base frame, 2/3 = unit residual frame
+    val nq = if (channels == 3) 2 else 1
+    out.write(0xff); out.write(0xdb); put16(out, 2 + 65 * 2 * nq)
+    for (t <- 0 until nq) { out.write(t); (0 until 64).foreach(_ => out.write(quantBase)) }
+    for (t <- 0 until nq) { out.write(2 + t); (0 until 64).foreach(_ => out.write(1)) }
+    // DHP: the full-image frame header (same syntax as SOF, B.3.2)
+    out.write(0xff); out.write(0xde); put16(out, 8 + 3 * channels)
+    out.write(precision); put16(out, height); put16(out, width); out.write(channels)
+    for (c <- 0 until channels) {
+      out.write(c + 1); out.write(0x11); out.write(if (c == 0) 0 else 1)
+    }
+    out.write(0xff); out.write(0xcc); put16(out, 2 + 2 * 2 * nq) // DAC
+    for (t <- 0 until nq) { out.write(t); out.write(0x10) }
+    for (t <- 0 until nq) { out.write(0x10 | t); out.write(5) }
+
+    // integer component samples (the domain hierarchical residuals live in)
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val nBlk = bw * bh
+    val src = Array.ofDim[Int](channels, bw * 8 * bh * 8)
+    var y = 0
+    while (y < bh * 8) {
+      var x = 0
+      while (x < bw * 8) {
+        val sy = math.min(y, height - 1); val sx = math.min(x, width - 1)
+        if (channels == 1) src(0)(y * bw * 8 + x) = px(sy, sx, 0)
+        else {
+          val r = px(sy, sx, 0); val g = px(sy, sx, 1); val b = px(sy, sx, 2)
+          def cl(v: Double) = math.max(0, math.min(maxV, math.round(v).toInt))
+          src(0)(y * bw * 8 + x) = cl(0.299 * r + 0.587 * g + 0.114 * b)
+          src(1)(y * bw * 8 + x) = cl(-0.168736 * r - 0.331264 * g + 0.5 * b + half)
+          src(2)(y * bw * 8 + x) = cl(0.5 * r - 0.418688 * g - 0.081312 * b + half)
+        }
+        x += 1
+      }
+      y += 1
+    }
+
+    // one sequential arithmetic frame over integer sample planes.
+    // differential: no level shift, DC prediction frozen at zero.
+    def frame(marker: Int, tqBase: Int, quant: Int, planes: Array[Array[Int]],
+        differential: Boolean): Array[Array[Int]] = {
+      out.write(0xff); out.write(marker); put16(out, 8 + 3 * channels)
+      out.write(precision); put16(out, height); put16(out, width); out.write(channels)
+      for (c <- 0 until channels) {
+        out.write(c + 1); out.write(0x11)
+        out.write(tqBase + (if (c == 0) 0 else 1))
+      }
+      out.write(0xff); out.write(0xda); put16(out, 6 + 2 * channels) // SOS
+      out.write(channels)
+      for (c <- 0 until channels) {
+        out.write(c + 1)
+        val t = if (c == 0) 0 else 1
+        out.write((t << 4) | t)
+      }
+      out.write(0); out.write(63); out.write(0)
+      val enc = new QmCoder.Enc
+      val nt = if (channels == 3) 2 else 1
+      val dcStats = Array.fill(nt)(new Array[Byte](64))
+      val acStats = Array.fill(nt)(new Array[Byte](256))
+      val fixed = Array[Byte](QmCoder.FixedState.toByte)
+      val dcCtx = new Array[Int](channels)
+      val lastDc = new Array[Int](channels)
+      // decoder-mirrored reconstruction accumulates here
+      val recon = planes.map(p => new Array[Int](p.length))
+      val block = new Array[Double](64)
+      val coef = new Array[Int](64)
+      val shift = if (differential) 0 else half
+      var blk = 0
+      while (blk < nBlk) {
+        val mx = blk % bw; val my = blk / bw
+        var ci = 0
+        while (ci < channels) {
+          val t = if (ci == 0) 0 else 1
+          var i = 0
+          while (i < 64) {
+            block(i) = planes(ci)((my * 8 + i / 8) * bw * 8 + mx * 8 + i % 8)
+              .toDouble - shift
+            i += 1
+          }
+          val f = fdct(block)
+          i = 0
+          while (i < 64) { coef(i) = math.round(f(i) / quant).toInt; i += 1 }
+          val dc = coef(0)
+          encodeDc(enc, dcStats(t), dcCtx, ci, dc - lastDc(ci))
+          if (!differential) lastDc(ci) = dc // differential: pred stays 0
+          encodeAc(enc, acStats(t), fixed, coef, kx = 5)
+          // reconstruct exactly as the decoder will (dequant + IDCT)
+          i = 0
+          while (i < 64) { block(i) = coef(i).toDouble * quant; i += 1 }
+          val rec = JpegArithEncode.idctRef(block)
+          i = 0
+          while (i < 64) {
+            recon(ci)((my * 8 + i / 8) * bw * 8 + mx * 8 + i % 8) =
+              math.round(rec(i) + shift).toInt
+            i += 1
+          }
+          ci += 1
+        }
+        blk += 1
+      }
+      out.write(enc.flush())
+      recon
+    }
+
+    val recon1 = frame(0xc9, 0, quantBase, src, differential = false)
+    val diff = src.indices.map { ci =>
+      Array.tabulate(src(ci).length)(i => src(ci)(i) - recon1(ci)(i))
+    }.toArray
+    frame(0xcd, 2, 1, diff, differential = true)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 8×8 inverse DCT (decoder-identical double arithmetic) — used by the
+    * hierarchical encoder to reconstruct a frame the way the decoder
+    * will, so the residual it codes is the one the decoder adds back.
+    */
+  private[multimodal] def idctRef(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 0.70710678118654752 else 1.0
+            val cv = if (v == 0) 0.70710678118654752 else 1.0
+            sum += cu * cv * block(v * 8 + u) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = sum / 4.0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Encode as ARITHMETIC PROGRESSIVE (SOF10): the annex-G scan script —
     * interleaved DC first at Al=1, DC refinement (fixed-bin bits), then
     * per component AC first (band 1-63, Al=1) and AC refinement — each

@@ -167,6 +167,15 @@ object JpegDecode {
     var progressive = false
     var arithmetic = false
     var precision = 8
+    // hierarchical (annex J, same-resolution form): reference planes
+    // accumulate across frames — a non-differential frame sets them, each
+    // differential frame's IDCT output adds in
+    var hier = false
+    var differential = false
+    var refPlanes: Array[Array[Double]] = null
+    var refPlaneW: Array[Int] = null
+    var refComps: Array[Component] = null
+    var refHMax = 0; var refVMax = 0
     // DAC conditioning (T.81 B.2.4.3), per table destination; defaults
     // per F.1.4.4.1.2 / F.1.4.4.2
     val dcCondL = Array.fill(4)(0)
@@ -180,7 +189,12 @@ object JpegDecode {
       if (marker == 0xff) { i += 1 } // fill byte
       else if (marker == 0xd8 || marker == 0x01 ||
           (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // standalone
-      else if (marker == 0xd9) { // EOI: progressive reconstructs here
+      else if (marker == 0xd9) { // EOI: progressive/hierarchical assemble here
+        if (hier)
+          return if (refPlanes != null)
+            assemble(width, height, refComps, refPlanes, refPlaneW,
+              refHMax, refVMax, precision)
+          else None
         return if (prog != null && prog.anyScan)
           reconstructProgressive(prog, comps, qt, width, height, precision)
         else None // EOI before any decodable scan
@@ -216,8 +230,30 @@ object JpegDecode {
               if (tc == 0) dcTables(th) = h else acTables(th) = h
               p += 17 + n
             }
+          case 0xde => // DHP: hierarchical frame header (same syntax as SOF)
+            precision = u8(b, seg)
+            if (precision != 8 && precision != 12) return None
+            hier = true
+          case 0xdf => // EXP: resolution-pyramid upsampling — quarantine
+            return None
+          case 0xcd => // SOF13: differential sequential, arithmetic coding
+            if (!hier) return None // differential frames are hierarchical-only
+            precision = u8(b, seg)
+            if (precision != 8 && precision != 12) return None
+            progressive = false
+            arithmetic = true
+            differential = true
+            height = be16(b, seg + 1); width = be16(b, seg + 3)
+            val nc = u8(b, seg + 5)
+            if (nc != 1 && nc != 3) return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + c * 3
+              Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)) return None
           case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca => // sequential /
             // progressive / arithmetic sequential / arithmetic progressive
+            differential = false
             precision = u8(b, seg)
             // baseline (SOF0) is 8-bit by definition; the extended /
             // progressive / arithmetic frames also carry 12-bit samples
@@ -235,9 +271,11 @@ object JpegDecode {
               Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)) return None
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
-               0xcd | 0xce | 0xcf =>
-            return None // lossless/hierarchical: quarantine
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb | 0xce | 0xcf =>
+            // lossless and the Huffman/progressive/lossless DIFFERENTIAL
+            // frames: quarantine (SOF13, arith differential sequential,
+            // decodes above)
+            return None
           case 0xcc => // DAC: arithmetic conditioning (B.2.4.3)
             var p = seg
             while (p + 1 < i + 2 + len) {
@@ -280,29 +318,68 @@ object JpegDecode {
             p += 3
             if (!progressive) {
               if (ns != comps.length) return None // multi-scan sequential: out of scope
-              if (arithmetic)
+              if (hier) {
+                // one frame of the pyramid: accumulate, keep walking
+                if (!arithmetic) return None // Huffman hierarchical: quarantine
+                decodeScanArithPlanes(b, p, width, height, comps, qt,
+                  dcCondL, dcCondU, acKx, restartInterval, precision,
+                  differential) match {
+                  case None => return None
+                  case Some((planes, planeW, hMax, vMax, next)) =>
+                    if (next < 0) return None
+                    if (!differential) {
+                      refPlanes = planes; refPlaneW = planeW
+                      refComps = comps; refHMax = hMax; refVMax = vMax
+                    } else {
+                      // same-resolution pyramid only: geometry must match
+                      if (refPlanes == null ||
+                          planes.length != refPlanes.length ||
+                          planes.indices.exists(ci =>
+                            planes(ci).length != refPlanes(ci).length ||
+                              planeW(ci) != refPlaneW(ci))) return None
+                      var ci = 0
+                      while (ci < planes.length) {
+                        var i = 0
+                        while (i < planes(ci).length) {
+                          refPlanes(ci)(i) += planes(ci)(i)
+                          i += 1
+                        }
+                        ci += 1
+                      }
+                    }
+                    jumped = next
+                }
+              } else if (arithmetic)
                 return decodeScanArith(b, p, width, height, comps, qt,
                   dcCondL, dcCondU, acKx, restartInterval, precision)
-              return decodeScan(b, p, width, height, comps, qt, dcTables,
-                acTables, restartInterval, precision)
+              else
+                return decodeScan(b, p, width, height, comps, qt, dcTables,
+                  acTables, restartInterval, precision)
+            } else {
+              // progressive: one scan refines the shared coefficient
+              // store, then the marker walk continues to the next scan
+              if (prog == null) prog = new ProgState(comps, width, height)
+              val next =
+                if (arithmetic)
+                  progressiveScanArith(b, p, prog, comps, scanComps,
+                    ss, se, ah, al, dcCondL, dcCondU, acKx, restartInterval)
+                else progressiveScan(b, p, prog, comps, scanComps,
+                  ss, se, ah, al, dcTables, acTables, restartInterval)
+              if (next < 0) return None
+              jumped = next
             }
-            // progressive: one scan refines the shared coefficient store,
-            // then the marker walk continues to the next scan
-            if (prog == null) prog = new ProgState(comps, width, height)
-            val next =
-              if (arithmetic)
-                progressiveScanArith(b, p, prog, comps, scanComps,
-                  ss, se, ah, al, dcCondL, dcCondU, acKx, restartInterval)
-              else progressiveScan(b, p, prog, comps, scanComps,
-                ss, se, ah, al, dcTables, acTables, restartInterval)
-            if (next < 0) return None
-            jumped = next
           case _ => // APPn / COM / others: skip
         }
         i = if (jumped >= 0) jumped else i + 2 + len
       }
     }
-    // stream ended without EOI: reconstruct what the scans delivered
+    // stream end (a trailing 2-byte EOI never enters the 4-byte-min
+    // marker loop): assemble what the frames/scans delivered
+    if (hier)
+      return if (refPlanes != null)
+        assemble(width, height, refComps, refPlanes, refPlaneW,
+          refHMax, refVMax, precision)
+      else None
     if (prog != null && prog.anyScan)
       reconstructProgressive(prog, comps, qt, width, height, precision)
     else None
@@ -638,8 +715,25 @@ object JpegDecode {
   private def decodeScanArith(b: Array[Byte], start: Int, width: Int,
       height: Int, comps: Array[Component], qt: Array[Array[Int]],
       dcCondL: Array[Int], dcCondU: Array[Int], acKx: Array[Int],
-      restartInterval: Int, precision: Int = 8): Option[PixelDecode.Image] = {
-    val half = (1 << (precision - 1)).toDouble
+      restartInterval: Int, precision: Int = 8): Option[PixelDecode.Image] =
+    decodeScanArithPlanes(b, start, width, height, comps, qt, dcCondL,
+      dcCondU, acKx, restartInterval, precision, differential = false)
+      .flatMap { case (planes, planeW, hMax, vMax, _) =>
+        assemble(width, height, comps, planes, planeW, hMax, vMax, precision)
+      }
+
+  /** The scan body of [[decodeScanArith]], returning raw component planes
+    * plus the next marker offset — the form the hierarchical frame loop
+    * needs (annex J): a DIFFERENTIAL frame (SOF13) decodes with no level
+    * shift and the DC prediction frozen at zero (F.2.1.3.1), and its
+    * planes ADD to the reference instead of being assembled.
+    */
+  private def decodeScanArithPlanes(b: Array[Byte], start: Int, width: Int,
+      height: Int, comps: Array[Component], qt: Array[Array[Int]],
+      dcCondL: Array[Int], dcCondU: Array[Int], acKx: Array[Int],
+      restartInterval: Int, precision: Int, differential: Boolean)
+      : Option[(Array[Array[Double]], Array[Int], Int, Int, Int)] = {
+    val half = if (differential) 0.0 else (1 << (precision - 1)).toDouble
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -688,9 +782,12 @@ object JpegDecode {
           var bx = 0
           while (bx < c.h) {
             java.util.Arrays.fill(coef, 0)
-            c.pred += decodeDcArith(dec, dst, dcCtx, ci,
+            val dcDiff = decodeDcArith(dec, dst, dcCtx, ci,
               dcCondL(c.td), dcCondU(c.td))
-            coef(0) = c.pred
+            // differential frames code the DC coefficient against a
+            // prediction frozen at zero (F.2.1.3.1)
+            if (differential) coef(0) = dcDiff
+            else { c.pred += dcDiff; coef(0) = c.pred }
             decodeAcArith(dec, ast, fixed, coef, 0, 1, 63, 0, acKx(c.ta))
             // dequantize (qtab is zigzag-ordered, coef natural) + IDCT
             val block = new Array[Double](64)
@@ -717,7 +814,7 @@ object JpegDecode {
       }
       mcu += 1
     }
-    assemble(width, height, comps, planes, planeW, hMax, vMax, precision)
+    Some((planes, planeW, hMax, vMax, nextMarker(b, dec.pos)))
   }
 
   /** Upsample subsampled planes by sample replication and convert JFIF

@@ -621,6 +621,26 @@ object GateQueries {
   def q215ArithProgressive(s: SparkSession, dir: String): DataFrame =
     arithJpegGate(MediaFixtures.jpegArithProg31(s, dir))
 
+  /** q216: HIERARCHICAL decode (T.81 annex J, same-resolution form) —
+    * DHP frame header, a coarse non-differential SOF9 base frame, and a
+    * differential SOF13 residual frame (no level shift, DC prediction
+    * frozen at zero) whose IDCT output ADDS to the base's reference
+    * planes. The base alone misses the formula by design (quant 16), so
+    * the verdicts only pass when the differential frame is actually
+    * applied; EXP resolution pyramids and Huffman/progressive
+    * differential frames stay quarantined (JpegArithSpec pins those).
+    */
+  def q216HierJpeg(s: SparkSession, dir: String): DataFrame =
+    arithJpegGate(MediaFixtures.jpegHier37(s, dir))
+
+  val q216Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  TRUE AS near_formula_mean, TRUE AS near_formula_max
+      |FROM documents WHERE doc_id % 37 = 0""".stripMargin
+
   /** Shared q212/q215 verdict body: decode with the first-principles
     * decoder, verdicts against the generating formula (no JDK
     * cross-decode exists for arithmetic streams — JpegArithSpec carries
@@ -1034,6 +1054,7 @@ object GateQueries {
     "q212_arith_jpeg" -> (q212ArithJpeg _),
     "q214_jpeg_12bit" -> (q214Jpeg12Bit _),
     "q215_arith_progressive" -> (q215ArithProgressive _),
+    "q216_hier_jpeg" -> (q216HierJpeg _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q205_sql_catalog" -> (q205SqlCatalog _),
     "q113_footer_meta" -> (q113FooterMeta _),
@@ -1057,6 +1078,7 @@ object GateQueries {
     "q212_arith_jpeg" -> q212Sql,
     "q214_jpeg_12bit" -> q214Sql,
     "q215_arith_progressive" -> q215Sql,
+    "q216_hier_jpeg" -> q216Sql,
     "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
     "q205_sql_catalog" -> q205Sql,

@@ -76,6 +76,7 @@ object MediaFixtures {
     "jpeg_arith_13_v1" -> (jpegArith13 _),
     "jpeg_12bit_29_v1" -> (jpeg12Bit29 _),
     "jpeg_arithprog_31_v1" -> (jpegArithProg31 _),
+    "jpeg_hier_37_v1" -> (jpegHier37 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
     "png16_23" -> (png16_23 _),
@@ -190,6 +191,39 @@ object MediaFixtures {
             math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
           val bytes = graft.multimodal.JpegArithEncode
             .encodeProgressive(w, h, 3, px, quant = 2)
+          org.apache.spark.sql.Row(id, w, h, bytes)
+        }
+      }(enc)
+    }
+
+  /** q216's HIERARCHICAL (annex J, DHP + SOF9 + differential SOF13)
+    * JPEGs — the q127 gradient on every 37th document: a quant-16 base
+    * frame refined by a quant-1 sample-domain residual frame. The base
+    * alone is visibly coarse, so a decoder that ignores the differential
+    * frame (or quarantines DHP, the pre-round-13 behavior) flips the
+    * formula verdicts.
+    */
+  def jpegHier37(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "jpeg_hier_37_v1") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
+          (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("w", IntegerType, nullable = false),
+        StructField("h", IntegerType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          def px(y: Int, x: Int, ch: Int): Int =
+            math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
+          val bytes = graft.multimodal.JpegArithEncode
+            .encodeHierarchical(w, h, 3, px, quantBase = 16)
           org.apache.spark.sql.Row(id, w, h, bytes)
         }
       }(enc)

@@ -165,16 +165,68 @@ class JpegArithSpec extends AnyFunSuite {
     assert(bad === 0, s"$bad samples off by >3 in 12-bit progressive")
   }
 
-  test("hierarchical JPEG (SOF14) stays quarantined") {
-    val bytes = JpegArithEncode.encode(16, 16, 3, gradient(16, 16, 1L), quant = 1)
-    // patch the frame marker SOF9 → SOF14 (differential arithmetic,
-    // hierarchical-only); everything else unchanged
-    val idx = bytes.indexOfSlice(Array(0xff.toByte, 0xc9.toByte))
-    assert(idx >= 0)
+  test("hierarchical (DHP + SOF9 + differential SOF13) refines a coarse frame to near-lossless") {
+    for ((w, h, id) <- Seq((16, 16, 0L), (24, 16, 7L), (17, 13, 3L))) {
+      // base frame at BRUTALLY coarse quant: alone it is visibly wrong;
+      // the differential frame must close the gap to residual-DCT slack
+      val bytes = JpegArithEncode.encodeHierarchical(w, h, 3,
+        gradient(w, h, id), quantBase = 32)
+      assert(bytes.indexOfSlice(Array(0xff.toByte, 0xde.toByte)) >= 0) // DHP
+      assert(bytes.indexOfSlice(Array(0xff.toByte, 0xc9.toByte)) >= 0)
+      assert(bytes.indexOfSlice(Array(0xff.toByte, 0xcd.toByte)) >= 0)
+      val img = JpegDecode.decode(bytes)
+        .getOrElse(fail(s"hierarchical decode failed at ${w}x$h"))
+      assert(img.width === w && img.height === h && img.channels === 3)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        maxDiff = math.max(maxDiff,
+          math.abs(img.at(y, x, c) - gradient(w, h, id)(y, x, c)))
+      assert(maxDiff <= 3, s"${w}x$h hierarchical: max |diff| = $maxDiff")
+      // the coarse base ALONE must be visibly worse — otherwise the
+      // differential frame proved nothing (truncate before SOF13 + EOI)
+      val cut = bytes.indexOfSlice(Array(0xff.toByte, 0xcd.toByte))
+      val baseOnly = bytes.take(cut) ++ Array(0xff.toByte, 0xd9.toByte)
+      JpegDecode.decode(baseOnly).foreach { coarse =>
+        var coarseMax = 0
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          coarseMax = math.max(coarseMax,
+            math.abs(coarse.at(y, x, c) - gradient(w, h, id)(y, x, c)))
+        assert(coarseMax > maxDiff,
+          s"quant-32 base alone ($coarseMax) should be worse than refined ($maxDiff)")
+      }
+    }
+    // grayscale + 12-bit hierarchical
+    def px12(y: Int, x: Int, ch: Int): Int = math.min(600 + y * 40 + x * 24, 4095)
+    val g12 = JpegArithEncode.encodeHierarchical(24, 16, 1, px12,
+      quantBase = 32, precision = 12)
+    val img12 = JpegDecode.decode(g12).getOrElse(fail("12-bit hierarchical failed"))
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(math.abs(img12.at(y, x, 0) - px12(y, x, 0)) <= 3)
+  }
+
+  test("EXP pyramids and non-arithmetic differential frames stay quarantined") {
+    val bytes = JpegArithEncode.encodeHierarchical(16, 16, 3,
+      gradient(16, 16, 1L), quantBase = 16)
+    // splice an EXP segment before the differential frame
+    val cut = bytes.indexOfSlice(Array(0xff.toByte, 0xcd.toByte))
+    val exp = Array(0xff.toByte, 0xdf.toByte, 0x00.toByte, 0x03.toByte, 0x10.toByte)
+    val withExp = bytes.take(cut) ++ exp ++ bytes.drop(cut)
+    assert(JpegDecode.decode(withExp).isEmpty,
+      "EXP (resolution pyramid) must quarantine, not mis-scale")
+    // a Huffman differential frame marker (SOF5) quarantines
     val patched = bytes.clone()
-    patched(idx + 1) = 0xce.toByte
-    assert(JpegDecode.decode(patched).isEmpty,
-      "SOF14 must return None (quarantine), not garbage pixels")
+    patched(cut + 1) = 0xc5.toByte
+    assert(JpegDecode.decode(patched).isEmpty)
+    // a differential frame with NO hierarchical context quarantines
+    val seq = JpegArithEncode.encode(16, 16, 3, gradient(16, 16, 1L), quant = 1)
+    val sofAt = seq.indexOfSlice(Array(0xff.toByte, 0xc9.toByte))
+    val noDhp = seq.clone()
+    noDhp(sofAt + 1) = 0xcd.toByte
+    assert(JpegDecode.decode(noDhp).isEmpty)
+    // arithmetic-differential-PROGRESSIVE (SOF14) also stays quarantined
+    val p14 = bytes.clone()
+    p14(cut + 1) = 0xce.toByte
+    assert(JpegDecode.decode(p14).isEmpty)
   }
 
   test("truncated and corrupted arithmetic streams quarantine, never throw") {
