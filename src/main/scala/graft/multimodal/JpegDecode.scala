@@ -172,6 +172,7 @@ object JpegDecode {
     // differential frame's IDCT output adds in
     var hier = false
     var differential = false
+    var lossless = false
     var refPlanes: Array[Array[Double]] = null
     var refPlaneW: Array[Int] = null
     var refComps: Array[Component] = null
@@ -271,10 +272,24 @@ object JpegDecode {
               Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)) return None
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb | 0xce | 0xcf =>
-            // lossless and the Huffman/progressive/lossless DIFFERENTIAL
-            // frames: quarantine (SOF13, arith differential sequential,
-            // decodes above)
+          case 0xc3 => // SOF3: lossless (Huffman, annex H)
+            precision = u8(b, seg)
+            if (precision < 2 || precision > 16) return None
+            lossless = true
+            progressive = false; arithmetic = false; differential = false
+            height = be16(b, seg + 1); width = be16(b, seg + 3)
+            val nc = u8(b, seg + 5)
+            if (nc < 1 || nc > 4) return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + c * 3
+              Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
+            }
+            // lossless with subsampling interleaves on a sample grid this
+            // decoder does not model — 1×1 factors only (the common case)
+            if (comps.exists(c => c.h != 1 || c.v != 1)) return None
+          case 0xc5 | 0xc6 | 0xc7 | 0xcb | 0xce | 0xcf =>
+            // Huffman/progressive/lossless DIFFERENTIAL frames and
+            // arithmetic lossless: quarantine (SOF13 decodes above)
             return None
           case 0xcc => // DAC: arithmetic conditioning (B.2.4.3)
             var p = seg
@@ -316,6 +331,12 @@ object JpegDecode {
             val ss = u8(b, p); val se = u8(b, p + 1)
             val ah = u8(b, p + 2) >> 4; val al = u8(b, p + 2) & 15
             p += 3
+            if (lossless) {
+              if (ns != comps.length) return None
+              // Ss carries the predictor selector, Al the point transform
+              return decodeScanLossless(b, p, width, height, comps,
+                dcTables, restartInterval, precision, ss, al)
+            }
             if (!progressive) {
               if (ns != comps.length) return None // multi-scan sequential: out of scope
               if (hier) {
@@ -815,6 +836,89 @@ object JpegDecode {
       mcu += 1
     }
     Some((planes, planeW, hMax, vMax, nextMarker(b, dec.pos)))
+  }
+
+  // ---- lossless (T.81 annex H, SOF3) ----
+
+  /** Lossless scan: raster-ordered per-sample prediction (the seven
+    * annex-H predictors; first sample = 2^(P−1−Pt), first line predicts
+    * from the left, first column from above), Huffman-coded differences
+    * (DC-style SSSS categories, 16 = +32768 with no extra bits), modulo
+    * 2^16 reconstruction, output shifted back by the point transform.
+    * Components pass through UNTRANSFORMED — lossless carries no JFIF
+    * YCbCr contract — so a 3-channel image is whatever the encoder put
+    * in (typically RGB). Exactness is the whole point: decode(encode(x))
+    * == x bit for bit (JpegLosslessSpec).
+    */
+  private def decodeScanLossless(b: Array[Byte], start: Int, width: Int,
+      height: Int, comps: Array[Component], dcT: Array[Huff],
+      restartInterval: Int, precision: Int, predictor: Int, pt: Int)
+      : Option[PixelDecode.Image] = {
+    if (predictor < 1 || predictor > 7) return None
+    if (pt < 0 || pt >= precision) return None
+    val nch = comps.length
+    val planes = Array.ofDim[Int](nch, width * height)
+    val r = new BitReader(b, start)
+    val default = 1 << (precision - 1 - pt)
+    var sample = 0 // raster index within a row-major walk
+    val n = width * height
+    var sinceRestart = 0
+    var restartPending = false
+    while (sample < n) {
+      val y = sample / width; val x = sample % width
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        r.restart()
+        sinceRestart = 0
+        restartPending = true // prediction re-initializes (H.2.2)
+      }
+      var ci = 0
+      while (ci < nch) {
+        val c = comps(ci)
+        val h = dcT(c.td); if (h == null) return None
+        val s = r.decode(h)
+        val diff =
+          if (s == 0) 0
+          else if (s == 16) 32768 // H.1.2.2: no appended bits
+          else extend(r.bits(s), s)
+        val p = planes(ci)
+        val pred =
+          if (restartPending || (y == 0 && x == 0)) default
+          else if (x == 0) p((y - 1) * width) // first column: Rb
+          else if (y == 0) p(x - 1) // first line: Ra
+          else {
+            val ra = p(y * width + x - 1)
+            val rb = p((y - 1) * width + x)
+            val rc = p((y - 1) * width + x - 1)
+            predictor match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case 7 => (ra + rb) >> 1
+            }
+          }
+        p(y * width + x) = (pred + diff) & 0xffff
+        ci += 1
+      }
+      restartPending = false
+      sinceRestart += 1
+      sample += 1
+    }
+    // point transform shifts back; values are exact, no clamping needed
+    val maxV = (1 << precision) - 1
+    val out = new Array[Int](n * nch)
+    var i = 0
+    while (i < n) {
+      var ci = 0
+      while (ci < nch) {
+        out(i * nch + ci) = math.min(maxV, planes(ci)(i) << pt)
+        ci += 1
+      }
+      i += 1
+    }
+    Some(PixelDecode.Image("jpeg", width, height, nch, out))
   }
 
   /** Upsample subsampled planes by sample replication and convert JFIF

@@ -641,6 +641,59 @@ object GateQueries {
       |  TRUE AS near_formula_mean, TRUE AS near_formula_max
       |FROM documents WHERE doc_id % 37 = 0""".stripMargin
 
+  /** q217: LOSSLESS JPEG decode (T.81 annex H, SOF3) — predictor-based,
+    * no DCT, and the verdict is EXACTNESS: every decoded sample must
+    * equal the generating pseudo-noise formula bit for bit (content is
+    * deliberately non-smooth — lossless has to be exact on arbitrary
+    * data). The fixture cycles all seven annex-H predictors by id, so a
+    * single broken predictor breaks a seventh of the rows.
+    */
+  def q217LosslessJpeg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("lossless_exact", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    MediaFixtures.jpegLossless41(s, dir)
+      .select("media_id", "w", "h", "payload").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val bytes = r.getAs[Array[Byte]](3)
+          def px(y: Int, x: Int, ch: Int): Int =
+            (((id % 251) * 31 + y * 17 + x * 7 + ch * 3) % 256).toInt
+          graft.multimodal.JpegDecode.decode(bytes) match {
+            case Some(img) =>
+              var exact = true
+              var yy = 0
+              while (yy < h && exact) {
+                var xx = 0
+                while (xx < w && exact) {
+                  var ch = 0
+                  while (ch < 3 && exact) {
+                    if (img.at(yy, xx, ch) != px(yy, xx, ch)) exact = false
+                    ch += 1
+                  }
+                  xx += 1
+                }
+                yy += 1
+              }
+              Row(id, img.width, img.height, img.channels, exact)
+            case None => Row(id, null, null, null, false)
+          }
+        }
+      }(enc)
+  }
+
+  val q217Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels, TRUE AS lossless_exact
+      |FROM documents WHERE doc_id % 41 = 0""".stripMargin
+
   /** Shared q212/q215 verdict body: decode with the first-principles
     * decoder, verdicts against the generating formula (no JDK
     * cross-decode exists for arithmetic streams — JpegArithSpec carries
@@ -1055,6 +1108,7 @@ object GateQueries {
     "q214_jpeg_12bit" -> (q214Jpeg12Bit _),
     "q215_arith_progressive" -> (q215ArithProgressive _),
     "q216_hier_jpeg" -> (q216HierJpeg _),
+    "q217_lossless_jpeg" -> (q217LosslessJpeg _),
     "q126_minute_dst" -> (q126MinuteDst _),
     "q205_sql_catalog" -> (q205SqlCatalog _),
     "q113_footer_meta" -> (q113FooterMeta _),
@@ -1079,6 +1133,7 @@ object GateQueries {
     "q214_jpeg_12bit" -> q214Sql,
     "q215_arith_progressive" -> q215Sql,
     "q216_hier_jpeg" -> q216Sql,
+    "q217_lossless_jpeg" -> q217Sql,
     "q199_progressive_jpeg" -> q199Sql,
     "q126_minute_dst" -> q126Sql,
     "q205_sql_catalog" -> q205Sql,

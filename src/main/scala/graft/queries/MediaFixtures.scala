@@ -77,6 +77,7 @@ object MediaFixtures {
     "jpeg_12bit_29_v1" -> (jpeg12Bit29 _),
     "jpeg_arithprog_31_v1" -> (jpegArithProg31 _),
     "jpeg_hier_37_v1" -> (jpegHier37 _),
+    "jpeg_lossless_41_v1" -> (jpegLossless41 _),
     "png_palette_7" -> (pngPalette7 _),
     "png_adam7_11" -> (pngAdam7_11 _),
     "png16_23" -> (png16_23 _),
@@ -224,6 +225,37 @@ object MediaFixtures {
             math.min(32 + (id % 16).toInt + 2 * y + 2 * x + 3 * ch, 255)
           val bytes = graft.multimodal.JpegArithEncode
             .encodeHierarchical(w, h, 3, px, quantBase = 16)
+          org.apache.spark.sql.Row(id, w, h, bytes)
+        }
+      }(enc)
+    }
+
+  /** q217's LOSSLESS (SOF3, annex H) JPEGs — pseudo-noise content (a
+    * mixing formula, deliberately NOT smooth: lossless must be exact on
+    * arbitrary data, not DCT-friendly gradients) on every 41st document,
+    * with the predictor cycling over all seven annex-H choices by id.
+    */
+  def jpegLossless41(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "jpeg_lossless_41_v1") {
+      import org.apache.spark.sql.types._
+      val geom = Tables.documents(s, dir)
+        .filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("w"),
+          (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("h"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("w", IntegerType, nullable = false),
+        StructField("h", IntegerType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.operators.Parallelism.spread(geom).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          def px(y: Int, x: Int, ch: Int): Int =
+            (((id % 251) * 31 + y * 17 + x * 7 + ch * 3) % 256).toInt
+          val bytes = graft.multimodal.JpegLosslessEncode.encode(
+            w, h, 3, px, predictor = 1 + (id % 7).toInt)
           org.apache.spark.sql.Row(id, w, h, bytes)
         }
       }(enc)
