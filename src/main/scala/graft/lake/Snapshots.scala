@@ -28,7 +28,10 @@ import java.nio.charset.StandardCharsets
   * `_metadata` — never trusted from the writer's plan), carries forward
   * the stats of files it keeps, and writes the combined table as a
   * stats sidecar (`stats_v<N>` parquet, one row per live file) beside
-  * the file-list manifest. [[readVersionPruned]] then prunes on ANY
+  * the file-list manifest. Every sidecar row also records the file's
+  * exact LENGTH and ROW COUNT, so the SQL catalog can report precise
+  * statistics to the planner and build its file index with zero data-file
+  * listing. [[readVersionPruned]] then prunes on ANY
   * version — a time-travel read skips, a post-[[compact]] read skips,
   * and there is no freestanding side-manifest to go stale: the stats a
   * read consults are exactly the ones committed with that version's
@@ -37,6 +40,19 @@ import java.nio.charset.StandardCharsets
   * always re-applies, so a pruned read is result-identical to the
   * unpruned scan by construction. ([[FileStats]]/[[ZOrder]]/[[BloomSkip]]
   * remain the format-free single-write variants of the same idea.)
+  *
+  * Row-level deletes are MERGE-ON-READ (the Iceberg equality-delete
+  * design): [[deleteWhere]] writes a tiny parquet of the DISTINCT values
+  * of the predicate's own columns among matching rows
+  * (`<root>/<table>/deletes/del-*.parquet`) and publishes a new manifest
+  * that lists it as a delete vector — no data file is rewritten. Reads
+  * apply each vector as one broadcast null-safe anti join, restricted to
+  * data files whose manifest-recorded `addedAt` version PRECEDES the
+  * delete (Iceberg's sequence-number rule), so a row re-inserted after a
+  * delete survives. [[compact]] folds all vectors into a clean rewrite.
+  * Because a vector stores every column the predicate referenced, the
+  * anti join removes exactly the predicate's matching rows — no key
+  * declaration is needed and no over-delete is possible.
   */
 object Snapshots {
 
@@ -44,16 +60,45 @@ object Snapshots {
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
   private def dataDir(root: String, table: String) = s"$root/$table/data"
+  private def deletesDir(root: String, table: String) = s"$root/$table/deletes"
   private def manifestDir(root: String, table: String) = s"$root/_snapshots/$table"
 
-  private def listDataFiles(f: FileSystem, dir: String): Set[String] = {
+  /** One merge-on-read delete vector: `file` (relative to `deletes/`)
+    * holds the distinct matching values of `cols`; the vector applies to
+    * data files whose `addedAt` version is strictly below `version`.
+    */
+  private[graft] case class DeleteVector(file: String, cols: Seq[String], version: Long)
+
+  /** A parsed manifest. `addedAt` aligns index-wise with `files` (empty
+    * for pre-tracking manifests — every file then reads as addedAt 0,
+    * i.e. subject to every delete vector, the conservative direction).
+    */
+  private[graft] case class Manifest(
+      committedAtMillis: Option[Long],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      deletes: Seq[DeleteVector],
+      addedAt: Seq[Long],
+      files: Seq[String]) {
+    /** file → version it was added in (0 when untracked). */
+    def addedAtOf: Map[String, Long] =
+      files.zip(addedAt.padTo(files.length, 0L)).toMap
+  }
+
+  private def listDataFiles(f: FileSystem, dir: String): Set[String] =
+    listDataFilesWithAge(f, dir).map(_._1).toSet
+
+  /** Plain data files under `dir` with their modification times (for
+    * vacuum's grace window). See [[listDataFiles]] for the hidden-segment
+    * contract.
+    */
+  private def listDataFilesWithAge(f: FileSystem, dir: String): Seq[(String, Long)] = {
     val base = new Path(dir)
-    if (!f.exists(base)) return Set.empty
+    if (!f.exists(base)) return Seq.empty
     // listFiles returns fully-qualified URIs — strip the QUALIFIED base so
     // the manifest stores scheme-independent relative paths
     val qualified = f.makeQualified(base).toString
     val it = f.listFiles(base, true)
-    val out = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val s = it.next()
       val rel = s.getPath.toString.stripPrefix(qualified).stripPrefix("/")
@@ -63,14 +108,15 @@ object Snapshots {
       // would capture those transient paths into a manifest
       if (s.isFile &&
           rel.split('/').forall(seg => !seg.startsWith("_") && !seg.startsWith(".")))
-        out += rel
+        out += ((rel, s.getModificationTime))
     }
-    out.toSet
+    out.toSeq
   }
 
   /** Write `df`'s Hive-layout files through a hidden per-commit staging
     * directory, then move each file into `data/` and return the moved
-    * relative paths. Added-file attribution is therefore WRITE-DERIVED —
+    * relative paths with their exact byte lengths. Added-file attribution
+    * is therefore WRITE-DERIVED —
     * exactly the files this job produced — never a before/after directory
     * diff, which would capture a concurrent writer's in-flight or
     * just-committed files into this commit's manifest. File names carry
@@ -79,22 +125,24 @@ object Snapshots {
     * where rename is a pointer swap.
     */
   private def writeData(df: DataFrame, root: String, table: String,
-      partitionCols: Seq[String]): Seq[String] = {
+      partitionCols: Seq[String]): Seq[(String, Long)] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val stage = s"$root/$table/.stage-${java.util.UUID.randomUUID().toString.take(12)}"
     try {
       df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage)
-      val rel = listDataFiles(f, stage).toSeq.sorted
+      val staged = listDataFilesWithAge(f, stage).map(_._1).sorted
       val dir = dataDir(root, table)
-      rel.foreach { p =>
+      staged.map { p =>
+        val src = new Path(s"$stage/$p")
+        val len = f.getFileStatus(src).getLen
         val dst = new Path(s"$dir/$p")
         f.mkdirs(dst.getParent)
-        if (!f.rename(new Path(s"$stage/$p"), dst))
+        if (!f.rename(src, dst))
           throw new java.io.IOException(
             s"failed to move staged file $p into $dir")
+        (p, len)
       }
-      rel
     } finally f.delete(new Path(stage), true)
   }
 
@@ -104,7 +152,10 @@ object Snapshots {
     * (stamped at the atomic put-if-absent publish), so the history is
     * PORTABLE: an rsync'd or object-store-migrated lake keeps its
     * timeline. Manifests written before the field existed fall back to
-    * the manifest file's modification time.
+    * the manifest file's modification time. Parsed manifests are memoized
+    * by (path, mtime, length) — immutable once published — so a lookup
+    * over a long history costs one directory listing, not O(versions)
+    * file opens.
     */
   def versionAsOf(spark: SparkSession, root: String, table: String,
       tsMillis: Long): Option[Long] = {
@@ -118,19 +169,11 @@ object Snapshots {
       }
       .map { s =>
         val v = s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong
-        (v, commitTimeMillis(f, s.getPath).getOrElse(s.getModificationTime))
+        val m = parsedManifestAt(f, s.getPath)
+        (v, m.committedAtMillis.getOrElse(s.getModificationTime))
       }
       .collect { case (v, t) if t <= tsMillis => v }
     if (vs.isEmpty) None else Some(vs.max)
-  }
-
-  /** The instant version `v` became visible, as recorded in its manifest
-    * (None for pre-timestamp manifests — callers fall back to mtime).
-    */
-  private def commitTimeMillis(f: FileSystem, p: Path): Option[Long] = {
-    val json = readUtf8(f, p)
-    """"committedAtMillis"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toLong)
   }
 
   private def readUtf8(f: FileSystem, p: Path): String = {
@@ -151,8 +194,28 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] =
     listVersions(fs(spark, root), root, table).lastOption
 
-  private def manifestJson(spark: SparkSession, root: String, table: String,
-      version: Long): String = {
+  /** Parsed-manifest memo: manifests are immutable once published (the
+    * put-if-absent commit), so (path, mtime, length) fully determines the
+    * content — mtime+length guard the test/migration edge where a manifest
+    * file is deleted and rewritten in place. Bounded by a full clear
+    * (entries are tiny; re-parse is one small file read).
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Manifest]()
+
+  private def parsedManifestAt(f: FileSystem, p: Path): Manifest = {
+    val st = f.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val m = parseManifest(readUtf8(f, p))
+    if (manifestCache.size > 4096) manifestCache.clear()
+    manifestCache.putIfAbsent(key, m)
+    m
+  }
+
+  private[graft] def manifest(spark: SparkSession, root: String, table: String,
+      version: Long): Manifest = {
     val f = fs(spark, root)
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     if (!f.exists(p)) {
@@ -167,18 +230,12 @@ object Snapshots {
           (if (vs.nonEmpty) s" (latest: v${vs.last})" else "")
       throw new IllegalArgumentException(msg)
     }
-    readUtf8(f, p)
+    parsedManifestAt(f, p)
   }
 
   private[graft] def liveFiles(spark: SparkSession, root: String, table: String,
-      version: Long): Seq[String] = {
-    val json = manifestJson(spark, root, table, version)
-    // the files array is written LAST; parse only past its key so the
-    // (escaped) schema string can never contribute phantom entries
-    val tail = json.substring(json.lastIndexOf("\"files\""))
-    """"([^"]+)"""".r.findAllMatchIn(tail).map(_.group(1)).toSeq
-      .filterNot(_ == "files")
-  }
+      version: Long): Seq[String] =
+    manifest(spark, root, table, version).files
 
   /** The schema version N was committed WITH (None for manifests that
     * predate schema tracking — readers fall back to parquet inference).
@@ -188,15 +245,35 @@ object Snapshots {
     * column read it as null.
     */
   def versionSchema(spark: SparkSession, root: String, table: String,
-      version: Long): Option[org.apache.spark.sql.types.StructType] = {
-    val json = manifestJson(spark, root, table, version)
-    """"schema"\s*:\s*"""".r.findFirstMatchIn(json).map { m =>
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifest(spark, root, table, version).schema
+
+  // ---------------------------------------------------------------- JSON
+
+  /** Minimal JSON reader for the manifest's own format (objects, arrays,
+    * strings with escapes, integer numbers) — a real parse with an
+    * in-string state machine, so no field value (an escaped schema
+    * string, a column literally named "files") can alias a key the way a
+    * regex scan could. Numbers are parsed as Long (the manifest writes
+    * only integers).
+    */
+  private[graft] def parseManifest(json: String): Manifest = {
+    var i = 0
+    def ws(): Unit = while (i < json.length && json.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      require(i < json.length && json.charAt(i) == c,
+        s"manifest parse: expected '$c' at $i")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
       val sb = new StringBuilder
-      var i = m.end
       while (json.charAt(i) != '"') {
         if (json.charAt(i) == '\\') {
           json.charAt(i + 1) match {
             case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
+            case 'b' => sb += '\b'; case 'f' => sb += '\f'
             case 'u' =>
               sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
               i += 4
@@ -205,9 +282,59 @@ object Snapshots {
           i += 2
         } else { sb += json.charAt(i); i += 1 }
       }
-      org.apache.spark.sql.types.DataType.fromJson(sb.toString)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      i += 1
+      sb.toString
     }
+    def value(): Any = {
+      ws()
+      json.charAt(i) match {
+        case '"' => str()
+        case '[' =>
+          i += 1; ws()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          if (json.charAt(i) == ']') { i += 1; return buf.toSeq }
+          var more = true
+          while (more) {
+            buf += value(); ws()
+            if (json.charAt(i) == ',') { i += 1 } else { expect(']'); more = false }
+          }
+          buf.toSeq
+        case '{' =>
+          i += 1; ws()
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          if (json.charAt(i) == '}') { i += 1; return m }
+          var more = true
+          while (more) {
+            ws(); val k = str(); expect(':'); m(k) = value(); ws()
+            if (json.charAt(i) == ',') { i += 1 } else { expect('}'); more = false }
+          }
+          m
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ =>
+          val start = i
+          while (i < json.length && "+-0123456789.eE".indexOf(json.charAt(i)) >= 0) i += 1
+          json.substring(start, i).toLong
+      }
+    }
+    val top = value().asInstanceOf[scala.collection.Map[String, Any]]
+    val deletes = top.get("deletes").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
+      .map { e =>
+        val o = e.asInstanceOf[scala.collection.Map[String, Any]]
+        DeleteVector(o("file").asInstanceOf[String],
+          o("cols").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
+          o("v").asInstanceOf[Long])
+      }
+    Manifest(
+      top.get("committedAtMillis").map(_.asInstanceOf[Long]),
+      top.get("schema").map(s => org.apache.spark.sql.types.DataType
+        .fromJson(s.asInstanceOf[String])
+        .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      deletes.toSeq,
+      top.get("addedAt").map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Long]))
+        .getOrElse(Nil),
+      top("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -231,6 +358,11 @@ object Snapshots {
     * retry against the new latest — at manifest granularity, never a
     * silent lost update.
     *
+    * Layout: `committedAtMillis`, the (escaped) `schema`, the `deletes`
+    * vectors, the `addedAt` array (index-aligned with `files`), then the
+    * `files` array LAST — readers use a real JSON parse, so the order is
+    * convention, not a parsing contract.
+    *
     * Atomicity caveat: `create(overwrite=false)` is atomic on HDFS and
     * local filesystems (the deployment contract). S3A implements it as a
     * non-atomic check-then-create, so on a bare object store two racing
@@ -241,12 +373,23 @@ object Snapshots {
     */
   private[graft] def writeManifest(f: FileSystem, root: String, table: String,
       version: Long, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      deletes: Seq[DeleteVector] = Nil,
+      addedAt: Seq[Long] = Nil): Unit = {
     val schemaPart =
       schema.map(s => s""""schema": "${jsonEscape(s.json)}", """).getOrElse("")
-    val json = files.map(x => s""""$x"""").mkString(
+    val deletesPart =
+      if (deletes.isEmpty) ""
+      else deletes.map(d =>
+          s"""{"file": "${jsonEscape(d.file)}", "cols": [${d.cols.map(c =>
+            s""""${jsonEscape(c)}"""").mkString(", ")}], "v": ${d.version}}""")
+        .mkString("\"deletes\": [", ", ", "], ")
+    val addedPart =
+      if (addedAt.isEmpty) ""
+      else addedAt.mkString("\"addedAt\": [", ", ", "], ")
+    val json = files.map(x => s""""${jsonEscape(x)}"""").mkString(
       s"""{"committedAtMillis": ${System.currentTimeMillis()}, """ +
-        schemaPart + """"files": [""",
+        schemaPart + deletesPart + addedPart + """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     val out =
@@ -259,13 +402,14 @@ object Snapshots {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Per-file min/max over `statsCols` for the given (relative-path) data
-    * files, derived from the files ACTUALLY WRITTEN via `_metadata` —
-    * never trusted from the writer's plan. One output row per file.
+  /** Per-file min/max over `statsCols` — plus exact row counts — for the
+    * given (relative-path) data files, derived from the files ACTUALLY
+    * WRITTEN via `_metadata` — never trusted from the writer's plan. One
+    * output row per file.
     */
   private def deriveFileStats(spark: SparkSession, dir: String,
       relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
-    val aggs = statsCols.flatMap(c =>
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.option("basePath", dir)
       .parquet(relFiles.map(p => s"$dir/$p"): _*)
@@ -277,19 +421,29 @@ object Snapshots {
   }
 
   /** Write the `stats_v<N>` sidecar: one row per LIVE file — fresh stats
-    * for added files (when `statsCols` is non-empty), carried-forward
+    * for added files, carried-forward
     * stats for kept files (from the previous version's sidecar), null
     * stats for files covered by neither (pruned reads open those
-    * conservatively). Skipped entirely when no stats exist on either side.
+    * conservatively). Every row records the file's exact byte length
+    * (write-derived) and — when the file's rows were counted at its own
+    * commit — its row count, so the catalog can report planner statistics
+    * and build file indexes with zero listing. With MOR delete vectors
+    * live, carried stats and counts OVERSTATE the readable rows — the
+    * conservative direction for both skipping and planning.
     */
   private def writeSidecar(spark: SparkSession, root: String, table: String,
-      version: Long, files: Seq[String], added: Seq[String],
+      version: Long, files: Seq[String], added: Seq[(String, Long)],
       carried: Seq[String], statsCols: Seq[String],
       prevVersion: Option[Long]): Unit = {
     val f = fs(spark, root)
     val fresh =
-      if (statsCols.isEmpty || added.isEmpty) None
-      else Some(deriveFileStats(spark, dataDir(root, table), added, statsCols))
+      if (added.isEmpty) None
+      else {
+        val stats = deriveFileStats(spark, dataDir(root, table),
+          added.map(_._1), statsCols)
+        import spark.implicits._
+        Some(stats.join(broadcast(added.toDF("file", "bytes")), Seq("file"), "left"))
+      }
     import spark.implicits._
     val keptStats = prevVersion
       .map(v => new Path(sidecarPath(root, table, v)))
@@ -347,7 +501,8 @@ object Snapshots {
 
   private def commitImpl(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String],
-      overwritePartitions: Boolean): Long = {
+      overwritePartitions: Boolean,
+      replaceAllFiles: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     // cluster by partition values: one writer task per partition value
@@ -359,8 +514,9 @@ object Snapshots {
     val added = writeData(clustered, root, table, partitionCols)
 
     val prevVersion = latestVersion(spark, root, table)
+    val prev = prevVersion.map(v => manifest(spark, root, table, v))
     val replacedPrefixes: Seq[String] =
-      if (prevVersion.isEmpty || !overwritePartitions) Seq.empty
+      if (prev.isEmpty || !overwritePartitions || replaceAllFiles) Seq.empty
       else df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect().toSeq
         .map { r =>
@@ -371,13 +527,23 @@ object Snapshots {
           partitionCols.zipWithIndex
             .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/")
         }
-    val carried = prevVersion
-      .map(v => liveFiles(spark, root, table, v)
-        .filterNot(file => replacedPrefixes.exists(file.startsWith)))
-      .getOrElse(Seq.empty)
+    val carried =
+      if (replaceAllFiles) Seq.empty
+      else prev
+        .map(_.files.filterNot(file => replacedPrefixes.exists(file.startsWith)))
+        .getOrElse(Seq.empty)
 
     val version = prevVersion.getOrElse(0L) + 1
-    val files = (carried ++ added).sorted
+    val files = (carried ++ added.map(_._1)).sorted
+    val carriedSet = carried.toSet
+    val prevAdded = prev.map(_.addedAtOf).getOrElse(Map.empty)
+    val addedAt = files.map(p =>
+      if (carriedSet(p)) prevAdded.getOrElse(p, 0L) else version)
+    // delete vectors carry forward: they still apply to the carried files
+    // (addedAt < vector version) and, by the sequence rule, never to the
+    // files this commit adds
+    val deletes =
+      if (replaceAllFiles) Seq.empty else prev.map(_.deletes).getOrElse(Nil)
     // partition columns go LAST in the stored schema — that is the order
     // every file-source read produces, so the manifest schema IS the read
     // schema, byte for byte
@@ -386,9 +552,104 @@ object Snapshots {
       merged.fields.filterNot(x => partitionCols.contains(x.name)) ++
         partitionCols.flatMap(c => merged.fields.find(_.name == c)))
     beforePublish()
-    writeManifest(f, root, table, version, files, Some(schema))
+    writeManifest(f, root, table, version, files, Some(schema), deletes, addedAt)
     writeSidecar(spark, root, table, version, files, added, carried,
       statsCols, prevVersion)
+    version
+  }
+
+  /** Merge-on-read row-level delete: publish a new version whose manifest
+    * carries one more delete vector — the DISTINCT values, among currently
+    * matching rows, of exactly the columns `cond` references. Reads of the
+    * new version apply the vector as one broadcast null-safe anti join, so
+    * they drop precisely the rows where `cond` held; no data file is
+    * rewritten (that is [[compact]]'s job, which folds all vectors away).
+    * Data files added AFTER this version are exempt by the addedAt
+    * sequence rule, so deleted keys can be legitimately re-inserted.
+    *
+    * Returns the new version, or the CURRENT version unchanged when no
+    * row matches (an empty vector would be a no-op read-side too).
+    * Deletes are expected to be small relative to the base — that is the
+    * merge-on-read premise; a predicate that matches most of the table is
+    * better served by `commit(readVersion(...).filter(!cond), ...)`.
+    *
+    * `cond` must reference only data columns (evaluable per row with
+    * null-out-means-keep SQL semantics). A predicate over NO columns
+    * (constant true) is a full truncate — use [[deleteAll]].
+    */
+  def deleteWhere(spark: SparkSession, root: String, table: String,
+      cond: Column): Long = {
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to delete from"))
+    val prev = manifest(spark, root, table, latest)
+    val cur = readVersion(spark, root, table, latest)
+    // resolve the predicate against the version's schema to learn exactly
+    // which columns it references (Spark 4 Columns are lazy node trees —
+    // only analysis binds the attributes)
+    val matching =
+      try cur.filter(cond)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"deleteWhere: predicate references unknown column(s): ${e.getMessage}")
+      }
+    val refCols = matching.queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        // keep schema order: deterministic vector layout
+        cur.columns.toSeq.filter(f.condition.references.map(_.name).toSet)
+      case other => throw new IllegalStateException(
+        s"deleteWhere: unexpected analyzed shape ${other.nodeName}")
+    }
+    require(refCols.nonEmpty,
+      "deleteWhere: the predicate references no columns — a constant " +
+        "predicate is a truncate; use Snapshots.deleteAll")
+    val keys = matching.select(refCols.map(col): _*).distinct()
+    val f = fs(spark, root)
+    // stage + move, like data files: the vector file must appear at its
+    // final path atomically, never half-written under a live name
+    val stage = s"$root/$table/.delstage-${java.util.UUID.randomUUID().toString.take(12)}"
+    val rel = s"del-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val moved =
+      try {
+        keys.coalesce(1) // delete vectors are small by premise (MOR)
+          .write.mode("overwrite").parquet(stage)
+        val parts = listDataFiles(f, stage)
+        // zero matching rows: no vector, no new version (checked from the
+        // tiny staged file, not by recomputing the predicate scan)
+        if (parts.isEmpty || spark.read.parquet(stage).isEmpty) false
+        else {
+          val dst = new Path(s"${deletesDir(root, table)}/$rel")
+          f.mkdirs(dst.getParent)
+          if (!f.rename(new Path(s"$stage/${parts.head}"), dst))
+            throw new java.io.IOException(s"failed to publish delete vector $rel")
+          true
+        }
+      } finally f.delete(new Path(stage), true)
+    if (!moved) return latest
+    val version = latest + 1
+    beforePublish()
+    writeManifest(f, root, table, version, prev.files, prev.schema,
+      prev.deletes :+ DeleteVector(rel, refCols, version),
+      prev.addedAt.padTo(prev.files.length, 0L))
+    // stats carry forward untouched: deleted rows can only make the
+    // ranges WIDER than reality — conservative for skipping and planning
+    writeSidecar(spark, root, table, version, prev.files, Seq.empty,
+      prev.files, Nil, Some(latest))
+    version
+  }
+
+  /** Truncate: publish a version with NO live files (and no vectors). The
+    * schema carries forward, so the empty version still reads typed; prior
+    * versions are untouched until [[vacuum]].
+    */
+  def deleteAll(spark: SparkSession, root: String, table: String): Long = {
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to delete from"))
+    val prev = manifest(spark, root, table, latest)
+    val schema = prev.schema.orElse(
+      scala.util.Try(readVersion(spark, root, table, latest).schema).toOption)
+    val version = latest + 1
+    beforePublish()
+    writeManifest(fs(spark, root), root, table, version, Seq.empty, schema)
     version
   }
 
@@ -440,17 +701,19 @@ object Snapshots {
     * losing attempt stay on disk unreferenced until [[vacuum]], exactly
     * like any table format's orphan files). Gives up after `maxRetries`
     * lost races — under that much contention the caller should serialize
-    * writers instead.
+    * writers instead. Returns (version, lostRaces) via the counter
+    * callback when provided.
     */
   def commitRetry(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String] = Nil,
-      maxRetries: Int = 3): Long = {
+      maxRetries: Int = 3, onRetry: Int => Unit = _ => ()): Long = {
     var attempt = 0
     while (true) {
       try return commit(df, root, table, partitionCols, statsCols)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
+          onRetry(attempt)
           if (attempt > maxRetries) throw e
       }
     }
@@ -465,31 +728,46 @@ object Snapshots {
     */
   private[graft] var beforePublish: () => Unit = () => ()
 
-  /** Rewrite the LATEST version's data into `numFiles` files range-
-    * clustered on `clusterCols`, committed as a new version whose file
+  /** Rewrite the LATEST version's data into `numFiles` files clustered on
+    * `clusterCols`, committed as a new version whose file
     * list is the rewrite alone (a full logical replace — superseded files
-    * stay on disk for older versions until [[vacuum]]). With `statsCols`,
+    * stay on disk for older versions until [[vacuum]]). Folds any pending
+    * merge-on-read delete vectors into the rewrite (the new manifest
+    * carries none). With `statsCols`,
     * fresh per-file stats are derived from the rewritten files, so a
     * post-compaction read prunes as well as (usually better than) the
     * pre-compaction one. `partitionCols` must match the table's layout;
     * the Hive directory structure is preserved.
+    *
+    * Clustering: by default files are RANGE-clustered on `clusterCols`
+    * (tight boxes on the leading column). With `zOrder = true` the
+    * rewrite instead range-clusters on the Morton interleaving of the
+    * cluster columns ([[ZOrder.mortonCode]]), so the files carry tight
+    * sidecar boxes on EVERY cluster column at once — a 2-D rectangle
+    * probe post-compact opens O(√files) instead of all of them.
     */
   def compact(spark: SparkSession, root: String, table: String,
       partitionCols: Seq[String], numFiles: Int, clusterCols: Seq[String],
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, zOrder: Boolean = false): Long = {
     val latest = latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to compact"))
     val f = fs(spark, root)
     val full = readVersion(spark, root, table, latest)
+    val clusterKeys: Seq[Column] =
+      if (zOrder) Seq(ZOrder.mortonCode(clusterCols.map(col)))
+      else clusterCols.map(col)
     val added = writeData(
-      full.repartitionByRange(numFiles, (partitionCols ++ clusterCols).map(col): _*),
+      full.repartitionByRange(numFiles, partitionCols.map(col) ++ clusterKeys: _*),
       root, table, partitionCols)
     val version = latest + 1
     beforePublish()
     // the rewrite materializes the merged schema into every file; the new
-    // manifest carries it forward
-    writeManifest(f, root, table, version, added, Some(full.schema))
-    writeSidecar(spark, root, table, version, added, added, Seq.empty,
+    // manifest carries it forward. Delete vectors are folded in (the
+    // rewrite read applied them), so none carry.
+    val files = added.map(_._1).sorted
+    writeManifest(f, root, table, version, files, Some(full.schema),
+      Nil, files.map(_ => version))
+    writeSidecar(spark, root, table, version, files, added, Seq.empty,
       statsCols, None)
     version
   }
@@ -532,7 +810,8 @@ object Snapshots {
     * minus the files whose stats prove they cannot match. Works on ANY
     * version: the stats consulted are exactly the ones committed with that
     * version's file list, so neither time travel nor [[compact]] can see
-    * stale skipping metadata.
+    * stale skipping metadata. Merge-on-read delete vectors apply exactly
+    * as in [[readVersion]].
     */
   def readVersionPruned(spark: SparkSession, root: String, table: String,
       version: Long, statsCol: String, lo: Column, hi: Column): DataFrame = {
@@ -542,7 +821,9 @@ object Snapshots {
       if (files.isEmpty)
         // preserve the schema with an empty relation
         readVersion(spark, root, table, version).filter(lit(false))
-      else readFiles(spark, root, table, version, dir, files)
+      else applyDeletes(
+        readFiles(spark, root, table, version, dir, files),
+        spark, root, table, manifest(spark, root, table, version))
     base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -560,7 +841,45 @@ object Snapshots {
     }
   }
 
-  /** Time-travel read: the table exactly as of `version`. Partition columns
+  /** Apply a version's merge-on-read delete vectors to its base scan: one
+    * broadcast null-safe anti join per vector, each restricted (by the
+    * manifest's addedAt sequence rule) to rows from files older than the
+    * vector. The base is never collected; vectors are small by premise.
+    * The `_metadata.file_path` → addedAt resolution is one extra broadcast
+    * join, added ONLY when vectors exist.
+    */
+  private def applyDeletes(base: DataFrame, spark: SparkSession, root: String,
+      table: String, m: Manifest): DataFrame = {
+    if (m.deletes.isEmpty) return base
+    import spark.implicits._
+    val originalCols = base.columns.toSeq
+    val av = broadcast(m.addedAtOf.toSeq.toDF("__graft_file", "__graft_added_v"))
+    val withV = base
+      .withColumn("__graft_rel",
+        substring_index(col("_metadata.file_path"), "/data/", -1))
+      .join(av, col("__graft_rel") === col("__graft_file"), "left")
+      // a file missing from the map (impossible by construction) reads as
+      // addedAt 0: subject to every vector — the conservative direction
+      .withColumn("__graft_v", coalesce(col("__graft_added_v"), lit(0L)))
+      .drop("__graft_rel", "__graft_file", "__graft_added_v")
+    val cleaned = m.deletes.foldLeft(withV) { (acc, d) =>
+      val keys = spark.read
+        .parquet(s"${deletesDir(root, table)}/${d.file}")
+        .select(d.cols.map(col): _*)
+      val accA = acc.as("__graft_b")
+      val keysA = broadcast(keys.as("__graft_k"))
+      // null-safe equality on every referenced column: the vector stores
+      // the predicate columns' values themselves, so the anti join removes
+      // exactly the predicate's matching rows (including IS NULL matches)
+      val eq = d.cols.map(c =>
+        col(s"__graft_b.$c") <=> col(s"__graft_k.$c")).reduce(_ && _)
+      accA.join(keysA, eq && col("__graft_b.__graft_v") < lit(d.version), "left_anti")
+    }
+    cleaned.select(originalCols.map(col): _*)
+  }
+
+  /** Time-travel read: the table exactly as of `version`, with any
+    * merge-on-read delete vectors applied. Partition columns
     * resolve through `basePath`, so partition pruning works as on a direct
     * scan. A version with ZERO live files (a commit of an empty frame, or
     * a dynamic overwrite that replaced every partition with nothing) reads
@@ -570,11 +889,12 @@ object Snapshots {
   def readVersion(spark: SparkSession, root: String, table: String,
       version: Long): DataFrame = {
     val dir = dataDir(root, table)
-    val files = liveFiles(spark, root, table, version)
+    val m = manifest(spark, root, table, version)
+    val files = m.files
     if (files.isEmpty) {
       // schema-preserving empty frame: the version's own committed schema
       // when it has one, else the latest earlier non-empty version's
-      versionSchema(spark, root, table, version).foreach { sch =>
+      m.schema.foreach { sch =>
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       }
@@ -586,7 +906,8 @@ object Snapshots {
             "version provides a schema"))
       return readVersion(spark, root, table, prior).filter(lit(false))
     }
-    readFiles(spark, root, table, version, dir, files)
+    applyDeletes(readFiles(spark, root, table, version, dir, files),
+      spark, root, table, m)
   }
 
   /** Change data feed between two versions: multiset row diff
@@ -603,11 +924,15 @@ object Snapshots {
     val b0 = readVersion(spark, root, table, toVersion)
     // align across schema evolution: a column absent from one version
     // reads as null there, so an added column surfaces as delete+insert
-    // pairs exactly like a value change (exceptAll needs equal schemas)
+    // pairs exactly like a value change (exceptAll needs equal schemas).
+    // SHARED columns are cast to the toVersion's type as well: the
+    // pre-schema-tracking migration path can leave the same column
+    // differently typed across versions (incoming frame types win over
+    // legacy inference), and exceptAll refuses unequal schemas.
     val cols = (b0.schema.fields ++
       a0.schema.fields.filterNot(f => b0.columns.contains(f.name))).toSeq
     def align(d: DataFrame) = d.select(cols.map(f =>
-      (if (d.columns.contains(f.name)) col(f.name)
+      (if (d.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)): _*)
     val a = align(a0)
     val b = align(b0)
@@ -615,23 +940,41 @@ object Snapshots {
       .unionByName(a.exceptAll(b).withColumn("change_type", lit("delete")))
   }
 
-  /** Drop data files referenced by NO version > `latest − keepVersions`,
-    * and the manifests of the dropped versions. Returns deleted file paths.
+  /** Drop data files and delete-vector files referenced by NO version >
+    * `latest − keepVersions`, and the manifests of the dropped versions.
+    * Returns deleted file paths.
+    *
+    * Concurrency: a commit in flight moves its staged files into `data/`
+    * BEFORE its manifest publishes, so a vacuum racing that window would
+    * classify them dead. `graceMillis` is the guard (the Delta/Iceberg
+    * retention convention): files younger than the grace window are never
+    * deleted, so any positive grace larger than a commit's stage-to-publish
+    * time makes the race harmless. The default keeps vacuum usable in
+    * tests; production callers sharing a table with live writers should
+    * pass a real window (minutes).
     */
   def vacuum(spark: SparkSession, root: String, table: String,
-      keepVersions: Int): Seq[String] = {
+      keepVersions: Int, graceMillis: Long = 0L): Seq[String] = {
     val f = fs(spark, root)
     val latest = latestVersion(spark, root, table).getOrElse(return Seq.empty)
     val keepFrom = math.max(1L, latest - keepVersions + 1)
-    val kept = (keepFrom to latest)
-      .flatMap(v => liveFiles(spark, root, table, v)).toSet
+    val keptManifests = (keepFrom to latest)
+      .map(v => manifest(spark, root, table, v))
+    val kept = keptManifests.flatMap(_.files).toSet
+    val keptVectors = keptManifests.flatMap(_.deletes.map(_.file)).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     val dir = dataDir(root, table)
-    val dead = (listDataFiles(f, dir) -- kept).toSeq.sorted
+    val dead = listDataFilesWithAge(f, dir)
+      .collect { case (p, t) if !kept(p) && t < cutoff => p }.sorted
     dead.foreach(p => f.delete(new Path(s"$dir/$p"), false))
+    val ddir = deletesDir(root, table)
+    val deadVectors = listDataFilesWithAge(f, ddir)
+      .collect { case (p, t) if !keptVectors(p) && t < cutoff => p }.sorted
+    deadVectors.foreach(p => f.delete(new Path(s"$ddir/$p"), false))
     (1L until keepFrom).foreach { v =>
       f.delete(new Path(s"${manifestDir(root, table)}/v$v.json"), false)
       f.delete(new Path(sidecarPath(root, table, v)), true)
     }
-    dead
+    dead ++ deadVectors.map(p => s"deletes/$p")
   }
 }

@@ -44,6 +44,21 @@ object ZOrder {
   def mortonCode(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** N-dimensional Morton code (16 bits per dimension, like the 2-D
+    * form). One dimension degenerates to the column itself; two uses the
+    * mask-cascade fast path; beyond that, a constant-size bit-gather
+    * expression (16·N shift/or terms — all long ops, codegen-friendly).
+    */
+  def mortonCode(cols: Seq[Column]): Column = cols match {
+    case Seq(one) => one
+    case Seq(x, y) => mortonCode(x, y)
+    case cs =>
+      val n = cs.length
+      (0 until 16).flatMap(i => cs.zipWithIndex.map { case (c, d) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d) })
+        .reduce(_ bitwiseOR _)
+  }
+
   private def statsPath(path: String) = s"${path.stripSuffix("/")}__zstats"
 
   /** Write `df` clustered by the Morton code of (xCol, yCol): range

@@ -309,4 +309,96 @@ class SnapshotsSpec extends SparkTestBase {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v2")))
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v3")))
   }
+
+  test("deleteWhere is merge-on-read: rows vanish, no data file is rewritten") {
+    val root = freshRoot()
+    Snapshots.commit(
+      (1L to 20L).map(i => (i, s"r$i", (i % 2).toInt)).toDF("id", "v", "p"),
+      root, "t", Seq("p"), statsCols = Seq("id"))
+    val filesBefore = Snapshots.liveFiles(spark, root, "t", 1L).toSet
+    val v2 = Snapshots.deleteWhere(spark, root, "t", $"id" % 5 === 0)
+    assert(v2 === 2L)
+    // the data-file set is UNCHANGED — the delete is a manifest vector
+    assert(Snapshots.liveFiles(spark, root, "t", 2L).toSet === filesBefore)
+    def ids(ver: Long) = Snapshots.readVersion(spark, root, "t", ver)
+      .select("id").as[Long].collect().toSet
+    assert(ids(2L) === (1L to 20L).filterNot(_ % 5 == 0).toSet)
+    // the pre-delete version still reads the full set (snapshot isolation)
+    assert(ids(1L) === (1L to 20L).toSet)
+    // a second vector stacks
+    val v3 = Snapshots.deleteWhere(spark, root, "t", $"v" === "r7")
+    assert(ids(v3) === (1L to 20L).filterNot(i => i % 5 == 0 || i == 7).toSet)
+    // pruned reads apply the vectors too
+    val pruned = Snapshots.readVersionPruned(spark, root, "t", v3,
+      "id", lit(1L), lit(10L)).select("id").as[Long].collect().toSet
+    assert(pruned === (1L to 10L).filterNot(i => i % 5 == 0 || i == 7).toSet)
+    // MOR read ≡ post-compact read; the compacted manifest carries no vectors
+    val v4 = Snapshots.compact(spark, root, "t", Seq("p"), numFiles = 2,
+      clusterCols = Seq("id"), statsCols = Seq("id"))
+    assert(ids(v4) === ids(v3))
+    assert(Snapshots.manifest(spark, root, "t", v4).deletes.isEmpty)
+    // vacuum to the compacted version retires the vector files
+    Snapshots.vacuum(spark, root, "t", keepVersions = 1)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val ddir = new org.apache.hadoop.fs.Path(s"$root/t/deletes")
+    assert(!f.exists(ddir) || f.listStatus(ddir).forall(!_.isFile))
+  }
+
+  test("a row re-inserted AFTER a delete survives it (addedAt sequence rule)") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "old", 0), (2L, "keep", 0)).toDF("id", "v", "p"),
+      root, "t", Seq("p"))
+    Snapshots.deleteWhere(spark, root, "t", $"id" === 1L)
+    // re-insert id=1 with new content: the vector (v=2) must not touch the
+    // v3-added file
+    val v3 = Snapshots.append(Seq((1L, "new", 0)).toDF("id", "v", "p"),
+      root, "t", Seq("p"))
+    val rows = Snapshots.readVersion(spark, root, "t", v3)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "new"), (2L, "keep")))
+    // and diff sees the delete+insert across the history
+    val d = Snapshots.diff(spark, root, "t", 1L, v3)
+      .select("id", "v", "change_type").as[(Long, String, String)].collect().toSet
+    assert(d === Set((1L, "old", "delete"), (1L, "new", "insert")))
+  }
+
+  test("deleteWhere edge cases: IS NULL matches, no-match is a no-op, deleteAll truncates") {
+    val root = freshRoot()
+    Snapshots.commit(
+      Seq((1L, Some("a")), (2L, None), (3L, Some("c"))).toDF("id", "v"),
+      root, "t", Seq.empty)
+    // IS NULL predicate: the vector's null key must null-safe match
+    val v2 = Snapshots.deleteWhere(spark, root, "t", $"v".isNull)
+    assert(Snapshots.readVersion(spark, root, "t", v2)
+      .select("id").as[Long].collect().toSet === Set(1L, 3L))
+    // nothing matches → no new version
+    assert(Snapshots.deleteWhere(spark, root, "t", $"id" === 999L) === v2)
+    // unknown column is refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      Snapshots.deleteWhere(spark, root, "t", col("nope") === 1L)
+    }
+    assert(bad.getMessage.contains("unknown column"), bad.getMessage)
+    // truncate keeps the schema
+    val v3 = Snapshots.deleteAll(spark, root, "t")
+    val empty = Snapshots.readVersion(spark, root, "t", v3)
+    assert(empty.columns.toSeq === Seq("id", "v") && empty.count() === 0L)
+  }
+
+  test("sidecar records exact bytes and rows for every added file") {
+    val root = freshRoot()
+    Snapshots.commit((1L to 10L).map(i => (i, (i % 2).toInt)).toDF("id", "p"),
+      root, "t", Seq("p")) // note: NO statsCols — bytes/rows still land
+    val sc = spark.read.parquet(s"$root/_snapshots/t/stats_v1")
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(sc.count() > 0)
+    sc.select("file", "bytes", "rows").as[(String, Long, Long)].collect()
+      .foreach { case (file, bytes, _) =>
+        val st = f.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/t/data/$file"))
+        assert(st.getLen === bytes, file)
+      }
+    val totalRows = sc.agg(sum("rows")).as[Long].head()
+    assert(totalRows === 10L)
+  }
 }
