@@ -47,7 +47,8 @@ class DppParquetScan(
     partitionFilters: Seq[Expression],
     dataFilters: Seq[Expression],
     pushedVariantExtractions: Array[VariantExtraction],
-    fileStats: () => Option[SidecarSkip.StatsIndex] = () => None)
+    fileStats: () => Option[SidecarSkip.StatsIndex] = () => None,
+    mor: Option[MorRead.Spec] = None)
   extends ParquetScan(sparkSession, hadoopConf, fileIndex, dataSchema,
     readDataSchema, readPartitionSchema, pushedFilters, options,
     pushedAggregate, partitionFilters, dataFilters, pushedVariantExtractions)
@@ -160,10 +161,31 @@ class DppParquetScan(
     // pushed data filters run against each file's committed min/max — the
     // SQL read opens the same candidate set Snapshots.readVersionPruned
     // does. No stats / no pushed filters → pass through unchanged.
-    if (pushedFilters.isEmpty) base
-    else fileStats() match {
-      case Some(stats) => SidecarSkip.prune(base, stats, pushedFilters)
-      case None => base
+    val pruned =
+      if (pushedFilters.isEmpty) base
+      else fileStats() match {
+        case Some(stats) => SidecarSkip.prune(base, stats, pushedFilters)
+        case None => base
+      }
+    // merge-on-read delete vectors: regroup so vector applicability (the
+    // addedAt sequence rule) is uniform per partition — the reader wrapper
+    // then decides it once per task, never per row
+    mor match {
+      case Some(spec) if spec.vectors.nonEmpty =>
+        MorRead.regroup(pruned, spec.addedAt,
+          sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      case _ => pruned
+    }
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner = super.createReaderFactory()
+    mor match {
+      case Some(spec) if spec.vectors.nonEmpty =>
+        new MorRead.ReaderFactory(inner, spec,
+          StructType(readDataSchema.fields ++ readPartitionSchema.fields))
+      case _ => inner
     }
   }
 }
@@ -178,15 +200,33 @@ class DppParquetScanBuilder(
     schema: StructType,
     dataSchema: StructType,
     options: CaseInsensitiveStringMap,
-    fileStats: () => Option[SidecarSkip.StatsIndex] = () => None)
+    fileStats: () => Option[SidecarSkip.StatsIndex] = () => None,
+    mor: Option[MorRead.Spec] = None)
   extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
+
+  /** With merge-on-read vectors live, the vector columns must survive
+    * column pruning — the reader filter evaluates them. Reporting them as
+    * unpruned is within the V2 contract (pruning is best-effort); the
+    * projection above the scan drops them again.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val withKeys = mor match {
+      case Some(spec) =>
+        val have = requiredSchema.fieldNames.toSet
+        val missing = spec.vectors.flatMap(_.cols).distinct.filterNot(have)
+        StructType(requiredSchema.fields ++
+          missing.flatMap(n => schema.fields.find(_.name == n)))
+      case None => requiredSchema
+    }
+    super.pruneColumns(withKeys)
+  }
 
   override def build(): ParquetScan = {
     val p = super.build()
     new DppParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema, p.pushedFilters,
       p.options, p.pushedAggregate, p.partitionFilters, p.dataFilters,
-      p.pushedVariantExtractions, fileStats)
+      p.pushedVariantExtractions, fileStats, mor)
   }
 }
 
@@ -267,7 +307,8 @@ class DppParquetTable(
     options: CaseInsensitiveStringMap,
     paths: Seq[String],
     userSpecifiedSchema: Option[StructType],
-    statsDir: Option[String] = None)
+    statsDir: Option[String] = None,
+    mor: Option[MorRead.Spec] = None)
   extends ParquetTable(name, sparkSession, options, paths,
     userSpecifiedSchema, classOf[ParquetFileFormat]) {
 
@@ -276,5 +317,5 @@ class DppParquetTable(
 
   override def newScanBuilder(params: CaseInsensitiveStringMap): ParquetScanBuilder =
     new DppParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema,
-      params, () => statsIndex)
+      params, () => statsIndex, mor)
 }

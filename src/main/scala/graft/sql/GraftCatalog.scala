@@ -131,23 +131,29 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  /** Versioned tables are CACHED per (session, root, table, version): a
+  /** Versioned tables are CACHED per session × (root, table, version): a
     * version's manifest and sidecar are immutable once published (the
     * put-if-absent commit), so the key fully determines the table —
     * repeated SQL over the same version plans without re-running schema
     * inference or re-loading skipping stats. The latest-version lookup
     * stays live (one manifest-dir listing per query), so a new commit is
     * visible immediately; only the per-version artifacts are cached.
+    * The session scope is a WEAK key (a stopped session's tables — and
+    * the session itself — become collectable) and each session's cache is
+    * LRU-bounded, so a wide catalog evicts cold versions instead of
+    * thundering-herd re-inferring everything.
     */
   private def versionedTable(ident: Identifier, version: Long): Table = {
     val spark = SparkSession.active
-    val key = (System.identityHashCode(spark), root, ident.name, version)
-    val cached = GraftCatalog.tableCache.get(key)
-    if (cached != null) return cached
+    val cache = GraftCatalog.tableCacheFor(spark)
+    val key = (root, ident.name, version)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val m = graft.lake.Snapshots.manifest(spark, root, ident.name, version)
     val dataDir = s"$root/${ident.name}/data"
-    val files = graft.lake.Snapshots
-      .liveFiles(spark, root, ident.name, version) // manifest-sized
-      .map(p => s"$dataDir/$p")
+    val files = m.files.map(p => s"$dataDir/$p") // manifest-sized
     if (files.isEmpty)
       // an all-empty version would otherwise surface as an opaque
       // schema-inference failure; the Scala API (Snapshots.readVersion)
@@ -167,20 +173,30 @@ class GraftCatalog extends TableCatalog {
     // each version's own columns, pre-column files read null — and no
     // inference pass runs at all; only the BIGINT partition widening
     // applies on top (partition columns recovered from the relative
-    // paths' `c=v` segments, no listing needed)
-    val t = graft.lake.Snapshots
-      .versionSchema(spark, root, ident.name, version) match {
+    // paths' `c=v` segments — the manifest list already loaded, no second
+    // manifest read and no listing)
+    val t = m.schema match {
       case Some(sch) =>
-        val partCols = graft.lake.Snapshots
-          .liveFiles(spark, root, ident.name, version).headOption.toSeq
+        val partCols = m.files.headOption.toSeq
           .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
           .toSet
+        val widened = widenPartitionInts(sch, partCols)
+        // merge-on-read delete vectors, resolved once per cached table:
+        // the SQL scan must drop exactly the rows Snapshots.readVersion's
+        // anti joins drop (MorRead applies them inside the readers)
+        val morSpec =
+          if (m.deletes.isEmpty) None
+          else Some(MorRead.resolve(spark, s"$root/${ident.name}/deletes",
+            m.deletes, m.addedAtOf, widened))
         new DppParquetTable(s"${ident.name}@v$version", spark, opts, files,
-          Some(widenPartitionInts(sch, partCols)), statsDir)
-      case None => widened(s"${ident.name}@v$version", opts, files, statsDir)
+          Some(widened), statsDir, morSpec)
+      case None =>
+        require(m.deletes.isEmpty,
+          s"version $version of ${ident.name} carries delete vectors but " +
+            "no manifest schema — read it via graft.lake.Snapshots.readVersion")
+        widened(s"${ident.name}@v$version", opts, files, statsDir)
     }
-    if (GraftCatalog.tableCache.size > 256) GraftCatalog.tableCache.clear()
-    GraftCatalog.tableCache.putIfAbsent(key, t)
+    cache.synchronized { cache.putIfAbsent(key, t) }
     t
   }
 
@@ -201,28 +217,47 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** DML resolves tables through this overload with the requested write
-    * privileges. ONE write is admitted: `INSERT INTO` a
-    * Snapshots-VERSIONED table, which routes through
-    * [[graft.lake.Snapshots.commit]] (see [[SnapshotInsertTable]]) — the
-    * appended files get partition clustering, a put-if-absent manifest,
-    * and stats-sidecar continuity, so they are fully visible to versioned
-    * reads. Everything else stays refused: an INSERT into a PLAIN lake
-    * table would append files Lake's partition clustering never shaped,
-    * and UPDATE/DELETE/MERGE have no commit-protocol path.
+    * privileges, and every admitted verb routes through the snapshot
+    * commit protocol on a Snapshots-VERSIONED table:
+    *
+    *  - `INSERT INTO` (INSERT privilege alone) → [[SnapshotInsertTable]]
+    *    → `Snapshots.append`: partition clustering, put-if-absent
+    *    manifest, stats-sidecar continuity;
+    *  - `DELETE FROM` / `MERGE INTO` (privilege sets touching DELETE or
+    *    UPDATE) → [[SnapshotDmlTable]]: DELETE executes as a
+    *    merge-on-read vector (`Snapshots.deleteWhere`); MERGE is rewritten
+    *    by [[SnapshotMergeRule]] (session extensions) onto `Cdc.merge` +
+    *    a commit. A bare `UPDATE` keeps failing at analysis with Spark's
+    *    row-level-operation error — MERGE is the update verb.
+    *
+    * Writes against a PLAIN lake table stay refused: they would land
+    * files the partition clustering never shaped and no manifest records.
     */
   override def loadTable(ident: Identifier,
       writePrivileges: java.util.Set[
         org.apache.spark.sql.connector.catalog.TableWritePrivilege]): Table = {
-    import org.apache.spark.sql.connector.catalog.TableWritePrivilege
-    val insertOnly = !writePrivileges.isEmpty &&
-      writePrivileges.stream().allMatch(_ == TableWritePrivilege.INSERT)
-    if (!insertOnly) readOnly(
-      s"$writePrivileges — only INSERT INTO a Snapshots-versioned table " +
-        "is admitted; INSERT OVERWRITE/UPDATE/DELETE/MERGE bypass the " +
-        "snapshot commit protocol")
+    import org.apache.spark.sql.connector.catalog.TableWritePrivilege._
+    val privs = writePrivileges
+    val known = java.util.EnumSet.of(INSERT, UPDATE, DELETE)
+    if (privs.isEmpty || !known.containsAll(privs)) readOnly(
+      s"$privs — only INSERT INTO / DELETE FROM / MERGE INTO a " +
+        "Snapshots-versioned table go through the snapshot commit protocol")
     else if (!isVersioned(ident.name)) readOnly(
-      "INSERT into a non-versioned table (commit it via graft.lake.Snapshots first)")
-    else insertTable(ident)
+      s"$privs into a non-versioned table (commit it via graft.lake.Snapshots first)")
+    else if (privs.size == 1 && privs.contains(INSERT)) insertTable(ident)
+    else dmlTable(ident)
+  }
+
+  /** DELETE/MERGE resolution of a versioned table: schema + lake identity
+    * + `SupportsDelete`. See [[SnapshotDmlTable]].
+    */
+  private def dmlTable(ident: Identifier): Table = {
+    val (_, partitionCols, statsCols) = insertShape(ident)
+    val latest = graft.lake.Snapshots
+      .latestVersion(SparkSession.active, root, ident.name).get
+    val read = versionedTable(ident, latest).asInstanceOf[DppParquetTable]
+    new SnapshotDmlTable(ident.name, root, ident.name,
+      partitionCols, statsCols, read)
   }
 
   /** Writable (append-only) view of a versioned table's LATEST version:
@@ -232,29 +267,39 @@ class GraftCatalog extends TableCatalog {
     * skipping keeps working across SQL appends.
     */
   private def insertTable(ident: Identifier): Table = {
+    val (schema, partitionCols, statsCols) = insertShape(ident)
+    new SnapshotInsertTable(ident.name,
+      schema, root, ident.name, partitionCols, statsCols)
+  }
+
+  /** The write-side shape of a versioned table: its COMMITTED (unwidened)
+    * schema — the append's additive-evolution check type-matches incoming
+    * columns against the manifest schema, so DML must ask for exactly
+    * those types — plus the partition layout and the stats columns the
+    * previous sidecar tracks (for skipping continuity across writes).
+    */
+  private def insertShape(ident: Identifier)
+      : (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]) = {
     val spark = SparkSession.active
     val latest = graft.lake.Snapshots
       .latestVersion(spark, root, ident.name)
       .getOrElse(throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace :+ ident.name))
+    val m = graft.lake.Snapshots.manifest(spark, root, ident.name, latest)
     val dataDir = s"$root/${ident.name}/data"
-    val files = graft.lake.Snapshots
-      .liveFiles(spark, root, ident.name, latest) // manifest-sized
-      .map(p => s"$dataDir/$p")
+    val files = m.files.map(p => s"$dataDir/$p") // manifest-sized
     if (files.isEmpty)
+      // even with a manifest schema the PARTITION LAYOUT is only evident
+      // from live file paths — writing unpartitioned files into a
+      // partitioned table would corrupt directory inference, so refuse
       throw new IllegalStateException(
-        s"version $latest of ${ident.name} has no live files to infer an " +
-          "insert schema from — commit the first rows via graft.lake.Snapshots")
+        s"version $latest of ${ident.name} has no live files to derive a " +
+          "write layout from — commit the first rows via graft.lake.Snapshots")
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("path", dataDir, "basePath", dataDir))
-    // the insert schema is the COMMITTED one, unwidened: the append's
-    // additive-evolution check type-matches incoming columns against the
-    // manifest schema, so the table must ask for exactly those types
-    val (schema, partitionCols) = graft.lake.Snapshots
-      .versionSchema(spark, root, ident.name, latest) match {
+    val (schema, partitionCols) = m.schema match {
       case Some(sch) =>
-        val parts = graft.lake.Snapshots
-          .liveFiles(spark, root, ident.name, latest).headOption.toSeq
+        val parts = m.files.headOption.toSeq
           .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
         (sch, parts)
       case None =>
@@ -269,8 +314,7 @@ class GraftCatalog extends TableCatalog {
           .schema.fieldNames.toSeq)
       .getOrElse(Seq.empty)
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    new SnapshotInsertTable(s"${ident.name}@v$latest",
-      schema, root, ident.name, partitionCols, statsCols)
+    (schema, partitionCols, statsCols)
   }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the
@@ -328,14 +372,33 @@ class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
 
-  /** Per-version table cache (see [[GraftCatalog.versionedTable]]) —
-    * shared across catalog instances; entries are keyed by session
-    * identity so a restarted session never resurrects stale plans.
-    * Vacuuming a version does not evict it (reads of a retired version
-    * fail at scan time); versions are immutable otherwise.
+  /** Per-version table caches (see [[GraftCatalog.versionedTable]]) —
+    * shared across catalog instances, scoped per SESSION via weak keys
+    * (two sessions can never exchange tables, and a stopped session's
+    * entries become collectable rather than pinned until a size purge).
+    * Each session's cache is access-order LRU bounded at 256 versions: a
+    * wider catalog evicts its coldest version instead of clearing
+    * everything. Vacuuming a version does not evict it (reads of a
+    * retired version fail at scan time); versions are immutable otherwise.
     */
-  private[sql] val tableCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String, Long), Table]()
+  private val sessionCaches = new java.util.WeakHashMap[
+    SparkSession, java.util.LinkedHashMap[(String, String, Long), Table]]()
+
+  private[sql] def tableCacheFor(spark: SparkSession)
+      : java.util.LinkedHashMap[(String, String, Long), Table] =
+    sessionCaches.synchronized {
+      var c = sessionCaches.get(spark)
+      if (c == null) {
+        c = new java.util.LinkedHashMap[(String, String, Long), Table](
+            64, 0.75f, /* accessOrder = */ true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, String, Long), Table]): Boolean =
+            size() > 256
+        }
+        sessionCaches.put(spark, c)
+      }
+      c
+    }
 
   /** Cache-miss counter (test observability: a repeated query over the
     * same version must not trigger a second inference/listing).

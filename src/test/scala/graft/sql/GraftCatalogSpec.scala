@@ -372,6 +372,65 @@ class GraftCatalogSpec extends SparkTestBase {
       Option(ins.getCause).exists(_.getMessage.contains("read-only")), ins.toString)
   }
 
+  test("SQL DELETE is a merge-on-read snapshot commit; SQL reads apply the vectors") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_del").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 100L).map(i => (i, i % 4)).toDF("id", "pb")
+      .repartitionByRange(4, $"id"), root, "t", Seq("pb"), statsCols = Seq("id"))
+    GraftCatalog.install(spark, "graftd", root)
+
+    spark.sql("DELETE FROM graftd.t WHERE id >= 90 OR id IN (7, 13)")
+
+    // a new version, same data files: the delete is a manifest vector
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(2L))
+    assert(Snapshots.liveFiles(spark, root, "t", 2L).toSet ===
+      Snapshots.liveFiles(spark, root, "t", 1L).toSet)
+    val survivors = (0L until 100L).filterNot(i => i >= 90 || i == 7 || i == 13)
+    // SQL read of the delete-bearing version applies the vector in-reader
+    assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graftd.t")
+      .as[(Long, Long)].head() === ((survivors.size.toLong, survivors.sum)))
+    // ...exactly like the Scala read
+    assert(Snapshots.readVersion(spark, root, "t", 2L).count() ===
+      survivors.size.toLong)
+    // the pre-delete version still reads the full set
+    assert(spark.sql("SELECT count(*) AS n FROM graftd.t VERSION AS OF 1")
+      .as[Long].head() === 100L)
+    // a WHERE on the scan composes with the MOR filter (and sidecar skip)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftd.t WHERE id BETWEEN 80 AND 99")
+      .as[Long].head() === 10L)
+
+    // re-insert a deleted key THROUGH SQL: the addedAt sequence rule must
+    // exempt the new file from the older vector
+    spark.sql("INSERT INTO graftd.t SELECT 7 AS id, 3 AS pb")
+    assert(spark.sql("SELECT count(*) AS n FROM graftd.t WHERE id = 7")
+      .as[Long].head() === 1L)
+
+    // MOR read ≡ post-compact read
+    val before = spark.sql("SELECT sum(id) AS s, count(*) AS n FROM graftd.t")
+      .as[(Long, Long)].head()
+    Snapshots.compact(spark, root, "t", Seq("pb"), numFiles = 4,
+      clusterCols = Seq("id"), statsCols = Seq("id"))
+    assert(spark.sql("SELECT sum(id) AS s, count(*) AS n FROM graftd.t")
+      .as[(Long, Long)].head() === before)
+
+    // an untranslatable predicate fails LOUDLY, deleting nothing
+    val pre = Snapshots.latestVersion(spark, root, "t")
+    val bad = intercept[Exception] {
+      spark.sql("DELETE FROM graftd.t WHERE id % 5 = 0")
+    }
+    assert(Snapshots.latestVersion(spark, root, "t") === pre, bad.toString)
+    // UPDATE still refuses (MERGE INTO is the update verb)
+    intercept[Exception] {
+      spark.sql("UPDATE graftd.t SET pb = 0 WHERE id = 1")
+    }
+    // unconditioned DELETE truncates via the protocol; schema survives
+    spark.sql("DELETE FROM graftd.t")
+    val empty = Snapshots.readVersion(spark, root, "t",
+      Snapshots.latestVersion(spark, root, "t").get)
+    assert(empty.count() === 0L && empty.columns.toSeq === Seq("id", "pb"))
+  }
+
   test("missing tables and DDL fail loudly; catalog is read-only") {
     val root = freshLake()
     GraftCatalog.install(spark, "graftt", root)
