@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native functions + the MERGE INTO resolution rule (cluster
+      // deployments set the same conf — docs/API.md)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths and the OS page cache for

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inside the operator-optimization batch, before physical planning
     // extracts partition filters
     e.injectOptimizerRule(_ => new graft.plans.SymbolPruningRule)
+    // MERGE INTO a Snapshots-versioned catalog table → Cdc.merge + a
+    // partition-pruned snapshot commit (the Delta deployment model: the
+    // row-level verb ships as a resolution rule behind spark.sql.extensions)
+    e.injectResolutionRule(_ => new graft.sql.SnapshotMergeRule)
     // per-key top-k physical operator (planner strategy)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     Seq(

@@ -499,10 +499,31 @@ object Snapshots {
       partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long =
     commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = false)
 
+  /** [[commit]] with an EXPLICIT replaced-partition list (prefix strings,
+    * `c=v/` form): dynamic overwrite replaces partitions present in the
+    * frame — a partition a MERGE/DELETE emptied has no rows to announce
+    * itself with, so row-level verbs must name their replacements.
+    */
+  private[graft] def commitReplacingPrefixes(df: DataFrame, root: String,
+      table: String, partitionCols: Seq[String], statsCols: Seq[String],
+      replacedPrefixes: Seq[String]): Long =
+    commitImpl(df, root, table, partitionCols, statsCols,
+      overwritePartitions = true, explicitReplaced = Some(replacedPrefixes))
+
+  /** Full logical replace: the committed frame IS the new version — no
+    * files carry over (an unpartitioned MERGE, or any whole-table
+    * rewrite). Prior versions stay readable until [[vacuum]].
+    */
+  private[graft] def commitFullReplace(df: DataFrame, root: String,
+      table: String, statsCols: Seq[String]): Long =
+    commitImpl(df, root, table, Seq.empty, statsCols,
+      overwritePartitions = true, replaceAllFiles = true)
+
   private def commitImpl(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String],
       overwritePartitions: Boolean,
-      replaceAllFiles: Boolean = false): Long = {
+      replaceAllFiles: Boolean = false,
+      explicitReplaced: Option[Seq[String]] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     // cluster by partition values: one writer task per partition value
@@ -517,6 +538,7 @@ object Snapshots {
     val prev = prevVersion.map(v => manifest(spark, root, table, v))
     val replacedPrefixes: Seq[String] =
       if (prev.isEmpty || !overwritePartitions || replaceAllFiles) Seq.empty
+      else if (explicitReplaced.nonEmpty) explicitReplaced.get
       else df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect().toSeq
         .map { r =>
@@ -653,10 +675,26 @@ object Snapshots {
     version
   }
 
-  /** Additive schema evolution (the Delta/Iceberg contract, narrow form):
-    * every previous field is kept with its type — a same-name field in
-    * the incoming frame must TYPE-match (changing a column's type would
-    * silently corrupt old versions' reads) — and fields new to this
+  /** Is `to` a lossless widening of `from` that Spark 4's parquet readers
+    * promote natively (SPARK-40876)? The Delta type-widening set, narrow
+    * form: the integer chain and float→double.
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    (ints.indexOf(from), ints.indexOf(to)) match {
+      case (f, t) if f >= 0 && t > f => true
+      case _ => from == FloatType && to == DoubleType
+    }
+  }
+
+  /** Additive + widening schema evolution (the Delta/Iceberg contract):
+    * every previous field is kept — a same-name field in the incoming
+    * frame must TYPE-match or losslessly WIDEN it (int chain,
+    * float→double: Spark 4 parquet readers promote old files natively;
+    * anything else would silently corrupt old versions' reads and is
+    * refused) — and fields new to this
     * commit append at the end. A frame may also OMIT previous columns
     * (partial-column appends): its files simply read null there.
     */
@@ -668,15 +706,23 @@ object Snapshots {
       case Some(prev) =>
         incoming.fields.foreach { fl =>
           prev.fields.find(_.name == fl.name).foreach { pf =>
-            require(pf.dataType == fl.dataType,
-              s"schema evolution is additive-only: column ${fl.name} of " +
-                s"$table is ${pf.dataType.simpleString}, commit brings " +
-                s"${fl.dataType.simpleString}")
+            require(pf.dataType == fl.dataType ||
+                widens(pf.dataType, fl.dataType),
+              s"schema evolution is additive/widening-only: column " +
+                s"${fl.name} of $table is ${pf.dataType.simpleString}, " +
+                s"commit brings ${fl.dataType.simpleString}")
           }
         }
         val prevNames = prev.fieldNames.toSet
+        val widened = prev.fields.map { pf =>
+          incoming.fields.find(f =>
+            f.name == pf.name && widens(pf.dataType, f.dataType)) match {
+            case Some(f) => pf.copy(dataType = f.dataType)
+            case None => pf
+          }
+        }
         org.apache.spark.sql.types.StructType(
-          prev.fields ++ incoming.fields.filterNot(f => prevNames(f.name)))
+          widened ++ incoming.fields.filterNot(f => prevNames(f.name)))
       case None if prevVersion.nonEmpty =>
         // migration edge: the previous manifest predates schema tracking.
         // Carry its INFERRED columns forward (they would otherwise vanish

@@ -255,7 +255,15 @@ class SnapshotInsertTable(
     partitionCols: Seq[String],
     statsCols: Seq[String])
   extends org.apache.spark.sql.connector.catalog.Table
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with SnapshotDmlTarget {
+
+  // insert-only MERGE resolves with {INSERT} privileges → this table;
+  // the merge rule needs the lake identity (see SnapshotDmlTarget)
+  override def lakeRoot: String = root
+  override def lakeTable: String = table
+  override def lakePartitionCols: Seq[String] = partitionCols
+  override def lakeStatsCols: Seq[String] = statsCols
 
   import org.apache.spark.sql.connector.catalog.TableCapability
 

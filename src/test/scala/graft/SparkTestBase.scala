@@ -19,6 +19,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the cluster deployment model (docs/API.md): native functions +
+      // the MERGE INTO resolution rule ride the session extensions
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

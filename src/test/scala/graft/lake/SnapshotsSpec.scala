@@ -213,12 +213,13 @@ class SnapshotsSpec extends SparkTestBase {
     val v3 = Snapshots.readVersion(spark, root, "t", 3L)
     assert(v3.columns.toSeq === Seq("id", "v", "extra", "year"))
     assert(v3.filter($"id" === 4L).select("v").collect().head.isNullAt(0))
-    // type changes are refused loudly — they would corrupt old versions
-    // (id arrives as INT where the table committed LONG)
+    // NARROWING type changes are refused loudly — they would corrupt old
+    // versions (id arrives as INT where the table committed LONG; the
+    // reverse, widening, is allowed — see the widening test)
     val ex2 = intercept[IllegalArgumentException] {
       Snapshots.commit(Seq((5, 2024)).toDF("id", "year"), root, "t", Seq("year"))
     }
-    assert(ex2.getMessage.contains("additive-only"), ex2.getMessage)
+    assert(ex2.getMessage.contains("additive/widening-only"), ex2.getMessage)
     // diff across the evolution boundary aligns schemas (added column
     // surfaces as null on the old side)
     val d = Snapshots.diff(spark, root, "t", 1L, 2L)
@@ -308,6 +309,25 @@ class SnapshotsSpec extends SparkTestBase {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v1")))
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v2")))
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v3")))
+  }
+
+  test("schema evolution widens losslessly: int32 files read under a bigint commit") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1, 2020)).toDF("n", "year"), root, "t", Seq("year"))
+    assert(Snapshots.versionSchema(spark, root, "t", 1L).get("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // a later commit brings bigint: the column WIDENS (Spark 4 parquet
+    // readers promote the old int32 files natively — SPARK-40876)
+    Snapshots.append(Seq((2L, 2021L)).toDF("n", "year")
+      .select($"n", $"year".cast("int").as("year")), root, "t", Seq("year"))
+    val v2 = Snapshots.readVersion(spark, root, "t", 2L)
+    assert(v2.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(v2.select("n").as[Long].collect().toSet === Set(1L, 2L))
+    // NARROWING (or a real type change) still refuses
+    val bad = intercept[IllegalArgumentException] {
+      Snapshots.append(Seq(("x", 2021)).toDF("n", "year"), root, "t", Seq("year"))
+    }
+    assert(bad.getMessage.contains("widening"), bad.getMessage)
   }
 
   test("deleteWhere is merge-on-read: rows vanish, no data file is rewritten") {
