@@ -832,6 +832,183 @@ object LakeQueries {
       |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 10 END) AS BIGINT)
       |FROM ev""".stripMargin
 
+  /** q218's delete-bearing history, staged once per (JVM, sf):
+    * v1 = all events (8 range files, event_id stats); v2 = a PURE-SQL
+    * `DELETE FROM … WHERE event_id BETWEEN 100 AND 2000` — a merge-on-read
+    * manifest vector, no file rewritten; v3 = a PURE-SQL `INSERT INTO`
+    * re-adding the deleted ids ≤ 500 (the addedAt sequence rule must
+    * exempt the new file from the older vector); v4 = compaction folding
+    * the vector away. Dir-keyed root per the concurrent-JVM invariant.
+    */
+  private def stageSqlDeleteHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqldel_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        graft.lake.Snapshots.commit(
+          ev.repartitionByRange(8, col("event_id")),
+          root, "events", Seq.empty, statsCols = Seq("event_id"))
+        graft.sql.GraftCatalog.install(s, "graftdel", root)
+        s.sql("DELETE FROM graftdel.events WHERE event_id BETWEEN 100 AND 2000")
+        ev.filter(col("event_id").between(100, 500))
+          .createOrReplaceTempView("graft_q218_src")
+        s.sql("""INSERT INTO graftdel.events
+                 SELECT event_id, value_cents FROM graft_q218_src""")
+        graft.lake.Snapshots.compact(s, root, "events", Seq.empty,
+          numFiles = 4, clusterCols = Seq("event_id"),
+          statsCols = Seq("event_id"))
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL row-level DELETE through the snapshot commit protocol
+    * ([[graft.sql.SnapshotDmlTable]] → `Snapshots.deleteWhere`,
+    * merge-on-read): leg 1 = the pre-delete version still reads the full
+    * set; leg 2 = the delete-bearing version read as PURE SQL (the scan
+    * applies the manifest vector in its readers — [[graft.sql.MorRead]]);
+    * leg 3 = after a SQL re-INSERT of the ids ≤ 500, the new file is
+    * exempt from the older vector (sequence rule); leg 4 = the
+    * post-compact read — must equal leg 3's aggregate exactly (MOR read ≡
+    * compacted read; the oracle pins both against the source recompute).
+    */
+  def q218SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSqlDeleteHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftdel", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(value_cents) AS value_cents_sum
+      FROM graftdel.events VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(value_cents)
+      FROM graftdel.events VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(value_cents)
+      FROM graftdel.events VERSION AS OF 3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), count(*), sum(value_cents)
+      FROM graftdel.events""")
+  }
+
+  val q218Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS vc
+      |            FROM events),
+      |surv AS (SELECT * FROM ev WHERE event_id NOT BETWEEN 100 AND 2000),
+      |reins AS (SELECT * FROM ev WHERE event_id BETWEEN 100 AND 500)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(vc) AS BIGINT) AS value_cents_sum FROM ev
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM surv
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT)
+      |FROM (SELECT * FROM surv UNION ALL SELECT * FROM reins)
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT)
+      |FROM (SELECT * FROM surv UNION ALL SELECT * FROM reins)""".stripMargin
+
+  /** q219's MERGE history, staged once per (JVM, sf): v1 = customers with
+    * `c_custkey % 7 != 0` (so the ops log has genuine NOT-MATCHED rows),
+    * bucketed by `pb = c_custkey % 10`; then the SAME `MERGE INTO` runs
+    * TWICE through pure SQL (idempotency is part of the gate): the orders
+    * log deduped to last-writer-wins per custkey (ANSI MERGE refuses dup
+    * source keys), status 'F' deletes, anything else upserts the latest
+    * price in cents, unmatched rows insert. Partition-pruned
+    * copy-on-write: only touched `pb=` partitions are replaced per run.
+    */
+  private def stageSqlMergeHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlmrg_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "balances", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftmrg", root)
+        Tables.orders(s, dir).select(
+            col("o_custkey").as("ck"), col("o_orderdate"), col("o_orderkey"),
+            when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("graft_q219_ops")
+        val merge =
+          """MERGE INTO graftmrg.balances AS tgt
+            |USING (SELECT * FROM (
+            |         SELECT ck, op, cents, row_number() OVER (
+            |           PARTITION BY ck
+            |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            |         FROM graft_q219_ops) WHERE rn = 1) AS src
+            |ON tgt.c_custkey = src.ck
+            |WHEN MATCHED AND src.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal_cents = src.cents
+            |WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, pb)
+            |  VALUES (src.ck, src.cents, src.ck % 10)""".stripMargin
+        s.sql(merge)
+        s.sql(merge) // idempotent re-run: new version, same end state
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL MERGE INTO as the CDC verb ([[graft.sql.SnapshotMergeRule]] →
+    * [[graft.operators.Cdc.merge]] → partition-pruned snapshot commit; the
+    * reference's daily update restated as one statement —
+    * update/app.py:877-940's anti-join append, publishers.py:270-288's
+    * replace-year). Leg 1 pins the pre-merge base; legs 2 and 3 read the
+    * first and second MERGE's versions — both must equal the oracle's
+    * last-writer-wins recompute (idempotent re-run), deletes dropped,
+    * unmatched ops inserted, untouched customers carried over.
+    */
+  def q219SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSqlMergeHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftmrg", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum
+      FROM graftmrg.balances VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM graftmrg.balances VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM graftmrg.balances""")
+  }
+
+  val q219Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |last AS (SELECT * FROM (
+      |    SELECT o_custkey AS ck,
+      |      CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |      CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1),
+      |merged AS (
+      |  SELECT COALESCE(b.c_custkey, l.ck) AS k,
+      |    CASE WHEN l.op = 'U' THEN l.cents ELSE b.bal END AS bal
+      |  FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.ck
+      |  WHERE COALESCE(l.op, '') <> 'D')
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM merged
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM merged""".stripMargin
+
   /** CDC apply / MERGE INTO ([[graft.operators.Cdc]]): treat orders as an
     * ordered change log over customer balances — order status 'F'
     * (fulfilled-and-closed in this synthetic mapping) deletes the account,
@@ -1150,6 +1327,8 @@ object LakeQueries {
     "q209_sql_time_travel" -> (q209SqlTimeTravel _),
     "q210_sql_stats_prune" -> (q210SqlStatsPrune _),
     "q211_sql_insert" -> (q211SqlInsert _),
+    "q218_sql_delete" -> (q218SqlDelete _),
+    "q219_sql_merge" -> (q219SqlMerge _),
     "q213_schema_evolution" -> (q213SchemaEvolution _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
@@ -1185,5 +1364,7 @@ object LakeQueries {
     "q209_sql_time_travel" -> q209Sql,
     "q210_sql_stats_prune" -> q210Sql,
     "q211_sql_insert" -> q211Sql,
+    "q218_sql_delete" -> q218Sql,
+    "q219_sql_merge" -> q219Sql,
     "q213_schema_evolution" -> q213Sql)
 }
