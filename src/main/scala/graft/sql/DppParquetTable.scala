@@ -178,6 +178,39 @@ class DppParquetScan(
     }
   }
 
+  /** Exact planner statistics from the version's sidecar: the commit
+    * recorded every live file's byte length and row count, so the
+    * optimizer sizes this scan from manifest metadata — no file listing,
+    * no size guessing — and a dimension-sized versioned table becomes
+    * broadcast-eligible before AQE ever measures it. The estimate honors
+    * the PUSHED filters at file granularity (the same sidecar ranges the
+    * skipping path uses), so a range-filtered read reports the candidate
+    * files' sizes, not the whole table's. Files without recorded
+    * bytes/rows (pre-recording commits) fall back to the file-listing
+    * estimate, conservatively.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    fileStats() match {
+      case Some(idx) if idx.bytes.nonEmpty &&
+          idx.bytes.keySet == idx.ranges.keySet =>
+        val candidates = idx.ranges.keysIterator.filter { file =>
+          pushedFilters.isEmpty ||
+            pushedFilters.forall(f => SidecarSkip.mayMatch(idx.ranges(file).get, f))
+        }.toSeq
+        val bytes = candidates.iterator.map(idx.bytes).sum
+        val rows = candidates.iterator.map(f => idx.rows.getOrElse(f, 0L)).sum
+        val rowsKnown = candidates.forall(idx.rows.contains)
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(bytes)
+          override def numRows(): java.util.OptionalLong =
+            if (rowsKnown) java.util.OptionalLong.of(rows)
+            else java.util.OptionalLong.empty()
+        }
+      case _ => super.estimateStatistics()
+    }
+
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val inner = super.createReaderFactory()
@@ -316,14 +349,62 @@ class DppParquetTable(
     paths: Seq[String],
     userSpecifiedSchema: Option[StructType],
     statsDir: Option[String] = None,
-    mor: Option[MorRead.Spec] = None)
+    mor: Option[MorRead.Spec] = None,
+    preloadedStats: Option[SidecarSkip.StatsIndex] = None)
   extends ParquetTable(name, sparkSession, options, paths,
     userSpecifiedSchema, classOf[ParquetFileFormat]) {
 
   private lazy val statsIndex: Option[SidecarSkip.StatsIndex] =
-    statsDir.flatMap(d => SidecarSkip.load(sparkSession, d))
+    preloadedStats.orElse(statsDir.flatMap(d => SidecarSkip.load(sparkSession, d)))
 
   override def newScanBuilder(params: CaseInsensitiveStringMap): ParquetScanBuilder =
     new DppParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema,
       params, () => statsIndex, mor)
+}
+
+/** [[DppParquetTable]] whose file index is built ENTIRELY from the
+  * version's manifest + sidecar — the Delta/Iceberg read path: the commit
+  * recorded every live file's exact byte length, so planning needs ZERO
+  * filesystem listing or stat calls (at ~10⁵ files on an object store
+  * that is the difference between a metadata read and 10⁵ HEAD requests).
+  * Partition values still parse from the `c=v` path segments, in memory.
+  * Execution opens the data files directly, exactly as before.
+  */
+class ManifestIndexedParquetTable(
+    name: String,
+    sparkSession: SparkSession,
+    options: CaseInsensitiveStringMap,
+    dataDir: String,
+    relFiles: Seq[String],
+    tableSchema: StructType,
+    stats: SidecarSkip.StatsIndex,
+    mor: Option[MorRead.Spec])
+  extends DppParquetTable(name, sparkSession, options,
+    relFiles.map(r => s"$dataDir/$r"), Some(tableSchema),
+    statsDir = None, mor = mor, preloadedStats = Some(stats)) {
+
+  override lazy val fileIndex
+      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val hadoopConf = sparkSession.sessionState.newHadoopConf()
+    // qualification resolves the scheme/authority only — no remote calls
+    val fsys = new Path(dataDir).getFileSystem(hadoopConf)
+    val statuses: Map[Path, FileStatus] = relFiles.map { r =>
+      val p = fsys.makeQualified(new Path(s"$dataDir/$r"))
+      // mtime 0: nothing downstream consults it for a batch parquet read;
+      // the LENGTH is the load-bearing field (split planning) and comes
+      // exact from the sidecar
+      p -> new FileStatus(stats.bytes(r), false, 1, 128L << 20, 0L, p)
+    }.toMap
+    val prefilled = new org.apache.spark.sql.execution.datasources.FileStatusCache {
+      override def getLeafFiles(path: Path): Option[Array[FileStatus]] =
+        statuses.get(path).map(Array(_))
+      override def putLeafFiles(path: Path, leafFiles: Array[FileStatus]): Unit = ()
+      override def invalidateAll(): Unit = ()
+    }
+    import scala.jdk.CollectionConverters._
+    new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      sparkSession, statuses.keys.toSeq,
+      options.asCaseSensitiveMap().asScala.toMap, Some(tableSchema), prefilled)
+  }
 }

@@ -188,8 +188,20 @@ class GraftCatalog extends TableCatalog {
           if (m.deletes.isEmpty) None
           else Some(MorRead.resolve(spark, s"$root/${ident.name}/deletes",
             m.deletes, m.addedAtOf, widened))
-        new DppParquetTable(s"${ident.name}@v$version", spark, opts, files,
-          Some(widened), statsDir, morSpec)
+        // sidecar loaded EAGERLY (once per cached version): when it
+        // records every live file's byte length, the table plans from a
+        // manifest-built file index — zero listing/stat calls — and its
+        // scans report exact planner statistics
+        val sidecar = SidecarSkip.load(spark, statsDir.get)
+        sidecar match {
+          case Some(idx) if m.files.forall(idx.bytes.contains) =>
+            new ManifestIndexedParquetTable(s"${ident.name}@v$version",
+              spark, opts, dataDir, m.files, widened, idx, morSpec)
+          case _ =>
+            new DppParquetTable(s"${ident.name}@v$version", spark, opts,
+              files, Some(widened), statsDir, morSpec,
+              preloadedStats = sidecar)
+        }
       case None =>
         require(m.deletes.isEmpty,
           s"version $version of ${ident.name} carries delete vectors but " +

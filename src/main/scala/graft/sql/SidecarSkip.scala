@@ -22,11 +22,21 @@ import org.apache.spark.sql.sources
   */
 object SidecarSkip {
 
-  /** file (relative to `data/`) → column → (min, max). Driver-sized: one
-    * entry per live data file, the cardinality any table format's metadata
-    * layer carries (~10⁵ at 100 TB with 1 GB files).
+  /** Driver-side sidecar index. Driver-sized: one entry per live data
+    * file, the cardinality any table format's metadata layer carries
+    * (~10⁵ at 100 TB with 1 GB files).
+    *
+    *  - `ranges`: file (relative to `data/`) → column → (min, max), for
+    *    skipping;
+    *  - `bytes` / `rows`: exact per-file length and row count (recorded
+    *    by the commit from the files actually written), for planner
+    *    statistics and listing-free file indexes — absent for files whose
+    *    commits predate the recording.
     */
-  type StatsIndex = Map[String, Map[String, (Any, Any)]]
+  case class StatsIndex(
+      ranges: Map[String, Map[String, (Any, Any)]],
+      bytes: Map[String, Long],
+      rows: Map[String, Long])
 
   /** Load a sidecar into a driver-side index. Unreadable or absent
     * sidecars yield None — the scan then skips nothing (conservative).
@@ -36,15 +46,26 @@ object SidecarSkip {
       val df = spark.read.parquet(sidecarDir)
       val cols = df.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         .filter(c => df.columns.contains(s"max_$c"))
-      df.collect() // sidecar-sized: one row per data file, never data-sized
-        .map { r =>
-          val per = cols.flatMap { c =>
-            val mn = r.getAs[Any](s"min_$c")
-            val mx = r.getAs[Any](s"max_$c")
-            if (mn == null || mx == null) None else Some(c -> (mn, mx))
-          }.toMap
-          r.getAs[String]("file") -> per
+      val hasBytes = df.columns.contains("bytes")
+      val hasRows = df.columns.contains("rows")
+      val collected =
+        df.collect() // sidecar-sized: one row per data file, never data-sized
+      val ranges = collected.map { r =>
+        val per = cols.flatMap { c =>
+          val mn = r.getAs[Any](s"min_$c")
+          val mx = r.getAs[Any](s"max_$c")
+          if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
+        r.getAs[String]("file") -> per
+      }.toMap
+      def longsOf(col: String, enabled: Boolean): Map[String, Long] =
+        if (!enabled) Map.empty
+        else collected.flatMap { r =>
+          val v = r.getAs[Any](col)
+          if (v == null) None
+          else Some(r.getAs[String]("file") -> v.asInstanceOf[Long])
+        }.toMap
+      StatsIndex(ranges, longsOf("bytes", hasBytes), longsOf("rows", hasRows))
     }.toOption
 
   /** Relative path under the table's `data/` dir — the sidecar's file key
@@ -67,7 +88,7 @@ object SidecarSkip {
     partitions.flatMap {
       case fp: FilePartition =>
         val kept = fp.files.filter { pf =>
-          stats.get(relOf(pf.filePath.toPath.toString)) match {
+          stats.ranges.get(relOf(pf.filePath.toPath.toString)) match {
             case Some(cs) => pushed.forall(f => mayMatch(cs.get, f))
             case None => true // not in the sidecar: read conservatively
           }

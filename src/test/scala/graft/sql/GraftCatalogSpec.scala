@@ -372,6 +372,63 @@ class GraftCatalogSpec extends SparkTestBase {
       Option(ins.getCause).exists(_.getMessage.contains("read-only")), ins.toString)
   }
 
+  test("versioned tables plan from the manifest: exact stats, zero listing, pre-AQE broadcast") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_stats").toString
+    import graft.lake.Snapshots
+    // pb tracks the id range (id/50), so the per-partition files carry
+    // DISJOINT id ranges — a range filter can prove files irrelevant
+    Snapshots.commit((0L until 200L).map(i => (i, i / 50)).toDF("id", "pb")
+      .repartitionByRange(4, $"id"), root, "t", Seq("pb"), statsCols = Seq("id"))
+    GraftCatalog.install(spark, "grafts", root)
+
+    // exact planner statistics from the sidecar: row count precise, size =
+    // the live files' true byte lengths (never a listing-based guess)
+    val stats = spark.sql("SELECT * FROM grafts.t")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount === Some(BigInt(200)), stats)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val diskBytes = Snapshots.liveFiles(spark, root, "t", 1L).map(p =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/t/data/$p")).getLen).sum
+    assert(stats.sizeInBytes === BigInt(diskBytes), s"$stats vs $diskBytes")
+    // a pushed range filter shrinks the SCAN's estimate to the candidate
+    // files (asserted on the scan relation — the residual Filter node
+    // above it reports size-only pass-through stats)
+    val prunedScan = spark.sql("SELECT * FROM grafts.t WHERE id BETWEEN 0 AND 10")
+      .queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      }.head.stats
+    assert(prunedScan.sizeInBytes < stats.sizeInBytes &&
+      prunedScan.rowCount.get < 200, s"$prunedScan vs $stats")
+
+    // exact stats make the dimension side broadcast-eligible BEFORE AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = spark.range(100000).toDF("id")
+        .join(spark.sql("SELECT id, pb FROM grafts.t"), "id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // ZERO data-file listing at plan time: physically remove a live file —
+    // a listing-built index would fail on construction; the manifest-built
+    // one must still resolve, plan, and split (by sidecar lengths alone).
+    // (Executing the scan would of course fail — that is I/O, not planning.)
+    val victim = Snapshots.liveFiles(spark, root, "t", 1L).head
+    f.rename(new org.apache.hadoop.fs.Path(s"$root/t/data/$victim"),
+      new org.apache.hadoop.fs.Path(s"$root/t/data_parked"))
+    try {
+      // fresh session-cache scope: a NEW version resolution must build its
+      // index without touching the filesystem
+      val fresh = spark.newSession()
+      GraftCatalog.install(fresh, "grafts2", root)
+      val parts = fresh.sql("SELECT id FROM grafts2.t VERSION AS OF 1")
+        .rdd.getNumPartitions
+      assert(parts > 0)
+    } finally f.rename(new org.apache.hadoop.fs.Path(s"$root/t/data_parked"),
+      new org.apache.hadoop.fs.Path(s"$root/t/data/$victim"))
+  }
+
   test("SQL DELETE is a merge-on-read snapshot commit; SQL reads apply the vectors") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_del").toString
     import graft.lake.Snapshots
