@@ -392,14 +392,35 @@ object Snapshots {
         schemaPart + deletesPart + addedPart + """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
-    val out =
-      try f.create(p, false)
-      catch { case e: java.io.IOException if f.exists(p) =>
-        throw new java.util.ConcurrentModificationException(
-          s"snapshot v$version of $table was committed concurrently — " +
-            "re-read the latest version and retry")
-      }
+    // content atomicity: the bytes land in a hidden temp file first, then
+    // RENAME into place — a concurrent reader can never observe an empty
+    // or half-written manifest (create-then-write would expose exactly
+    // that window; the 8-writer contention spec caught it). The rename is
+    // also the put-if-absent point: Hadoop rename refuses an existing
+    // destination, so the losing writer of a version race surfaces the
+    // retryable CME, never a silent overwrite.
+    val tmp = new Path(s"${manifestDir(root, table)}/" +
+      s".v$version.json.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // publish = put-if-absent, scheme-aware: on a LOCAL filesystem the
+    // atomic fail-if-exists primitive is POSIX link(2) — Hadoop's local
+    // rename() silently REPLACES an existing destination, and the
+    // 100-writer contention leg caught exactly that (two winners of one
+    // version). On HDFS, rename refuses an existing destination
+    // atomically. (S3A has neither — the documented caveat below.)
+    val lost =
+      try f match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          def local(x: Path) = java.nio.file.Paths.get(x.toUri.getPath)
+          try { java.nio.file.Files.createLink(local(p), local(tmp)); false }
+          catch { case _: java.nio.file.FileAlreadyExistsException => true }
+        case _ => f.exists(p) || !f.rename(tmp, p)
+      } finally f.delete(tmp, false) // no-op once published via rename
+    if (lost) throw new java.util.ConcurrentModificationException(
+      s"snapshot v$version of $table was committed concurrently — " +
+        "re-read the latest version and retry")
   }
 
   /** Per-file min/max over `statsCols` — plus exact row counts — for the
@@ -511,13 +532,26 @@ object Snapshots {
       overwritePartitions = true, explicitReplaced = Some(replacedPrefixes))
 
   /** Full logical replace: the committed frame IS the new version — no
-    * files carry over (an unpartitioned MERGE, or any whole-table
-    * rewrite). Prior versions stay readable until [[vacuum]].
+    * files carry over (an unpartitioned MERGE, a maintained state table,
+    * any whole-table rewrite; note an unpartitioned [[commit]] has no
+    * partitions to replace and therefore APPENDS). Prior versions stay
+    * readable until [[vacuum]].
     */
-  private[graft] def commitFullReplace(df: DataFrame, root: String,
-      table: String, statsCols: Seq[String]): Long =
+  def replace(df: DataFrame, root: String, table: String,
+      statsCols: Seq[String] = Nil): Long =
     commitImpl(df, root, table, Seq.empty, statsCols,
       overwritePartitions = true, replaceAllFiles = true)
+
+  /** [[replace]] under the same optimistic-concurrency retry loop as
+    * [[commitRetry]]. */
+  def replaceRetry(df: DataFrame, root: String, table: String,
+      statsCols: Seq[String] = Nil, maxRetries: Int = 3,
+      onRetry: Int => Unit = _ => ()): Long =
+    retryLoop(replace(df, root, table, statsCols), maxRetries, onRetry)
+
+  private[graft] def commitFullReplace(df: DataFrame, root: String,
+      table: String, statsCols: Seq[String]): Long =
+    replace(df, root, table, statsCols)
 
   private def commitImpl(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String],
@@ -752,10 +786,15 @@ object Snapshots {
     */
   def commitRetry(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String] = Nil,
-      maxRetries: Int = 3, onRetry: Int => Unit = _ => ()): Long = {
+      maxRetries: Int = 3, onRetry: Int => Unit = _ => ()): Long =
+    retryLoop(commit(df, root, table, partitionCols, statsCols),
+      maxRetries, onRetry)
+
+  private def retryLoop(attemptOnce: => Long, maxRetries: Int,
+      onRetry: Int => Unit): Long = {
     var attempt = 0
     while (true) {
-      try return commit(df, root, table, partitionCols, statsCols)
+      try return attemptOnce
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -848,6 +887,40 @@ object Snapshots {
     val inSidecar = sidecar.select("file")
       .collect().map(_.getString(0)).toSet // sidecar-sized
     all.filter(fp => cands.contains(fp) || !inSidecar.contains(fp))
+  }
+
+  /** Multi-column rectangle pruning: the intersection of each predicate's
+    * [[candidateFiles]] — a file is opened only when EVERY probed column's
+    * committed range can intersect its window. With a Z-ordered compact
+    * ([[compact]] `zOrder = true`) the per-file boxes are tight on every
+    * cluster column at once, so a 2-D rectangle opens ~O(selectivity)
+    * files whichever axis constrains. Conservative per column, exactly
+    * like the 1-D form.
+    */
+  def candidateFilesRect(spark: SparkSession, root: String, table: String,
+      version: Long, preds: Seq[(String, Column, Column)]): Seq[String] =
+    preds.map { case (c, lo, hi) =>
+      candidateFiles(spark, root, table, version, c, lo, hi).toSet
+    }.reduceOption(_ intersect _)
+      .map(s => liveFiles(spark, root, table, version).sorted.filter(s))
+      .getOrElse(liveFiles(spark, root, table, version).sorted)
+
+  /** Rectangle read over a version: open only [[candidateFilesRect]]'s
+    * files, apply merge-on-read vectors, then re-apply every exact row
+    * predicate — result-identical to the unpruned filtered scan by
+    * construction (the q220 gate replays that equivalence).
+    */
+  def readVersionRect(spark: SparkSession, root: String, table: String,
+      version: Long, preds: Seq[(String, Column, Column)]): DataFrame = {
+    val dir = dataDir(root, table)
+    val files = candidateFilesRect(spark, root, table, version, preds)
+    val base =
+      if (files.isEmpty) readVersion(spark, root, table, version).filter(lit(false))
+      else applyDeletes(readFiles(spark, root, table, version, dir, files),
+        spark, root, table, manifest(spark, root, table, version))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 
   /** Pruned time-travel read: open only [[candidateFiles]] of `version`,

@@ -159,6 +159,49 @@ object CurationQueries {
       |FROM e WHERE u BETWEEN 40 AND 80 AND d BETWEEN 19730 AND 19736
       |GROUP BY 1""".stripMargin
 
+  /** Z-order clustering INSIDE the snapshot compactor
+    * ([[graft.lake.Snapshots.compact]] `zOrder = true` ×
+    * [[graft.lake.ZOrder.mortonCode]]): a fragmented versioned table is
+    * compacted on the Morton interleave of (user, epoch-day), so the
+    * rewritten files carry tight TWO-dimensional sidecar boxes; a
+    * user-cohort × date-window rectangle over the post-compact version
+    * ([[graft.lake.Snapshots.readVersionRect]]) then opens only the
+    * intersecting files (SnapshotsSpec asserts the candidate set shrinks
+    * on BOTH axes vs the 1-D compact — counts stay out of the oracle
+    * because range boundaries are sample-dependent). This gate is q201's
+    * result-invariance contract moved onto the VERSIONED lake: pruned
+    * rectangle read ≡ unpruned filter, after a compact, under time
+    * travel.
+    */
+  def q220ZorderCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_q220_lake_${math.abs(dir.hashCode)}"
+    rm(s, root)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("user_id").as("u"),
+        expr("ts_ns div 86400000000000").as("d"))
+    // two commits → a fragmented pre-compact history (compaction's input)
+    graft.lake.Snapshots.commit(
+      ev.filter(col("u") % 2 === 0).repartitionByRange(8, col("d")),
+      root, "ev", Seq.empty, statsCols = Seq("u", "d"))
+    graft.lake.Snapshots.append(
+      ev.filter(col("u") % 2 === 1).repartitionByRange(8, col("d")),
+      root, "ev", Seq.empty, statsCols = Seq("u", "d"))
+    val v = graft.lake.Snapshots.compact(s, root, "ev", Seq.empty,
+      numFiles = 16, clusterCols = Seq("u", "d"),
+      statsCols = Seq("u", "d"), zOrder = true)
+    graft.lake.Snapshots.readVersionRect(s, root, "ev", v, Seq(
+        ("u", lit(40L), lit(80L)),
+        ("d", lit(19730L), lit(19736L)))) // Jan 8–14 2024
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents_sum"),
+        min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+  }
+
+  // same rectangle recompute as q201 — the layout must never change results
+  val q220Sql: String = q201Sql
+
   /** URL canonicalization ([[graft.text.UrlNormalize]]): three synthetic
     * URL shapes per document (mixed-case scheme/host, default and
     * non-default ports, tracking params, fragments, trailing slashes), and
@@ -844,6 +887,7 @@ object CurationQueries {
     "q135_semdedup" -> (q135SemDedup _),
     "q136_file_skipping" -> (q136FileSkipping _),
     "q201_zorder_skipping" -> (q201ZorderSkipping _),
+    "q220_zorder_compact" -> (q220ZorderCompact _),
     "q137_url_canonical" -> (q137UrlCanonical _),
     "q138_profile" -> (q138Profile _),
     "q139_pagerank" -> (q139PageRank _))
@@ -863,6 +907,7 @@ object CurationQueries {
     "q135_semdedup" -> q135Sql,
     "q136_file_skipping" -> q136Sql,
     "q201_zorder_skipping" -> q201Sql,
+    "q220_zorder_compact" -> q220Sql,
     "q137_url_canonical" -> q137Sql,
     "q138_profile" -> q138Sql,
     "q139_pagerank" -> q139Sql)

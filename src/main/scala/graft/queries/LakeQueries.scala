@@ -1056,10 +1056,17 @@ object LakeQueries {
 
   /** Streaming CDC apply — the maintenance loop a lake table actually
     * runs: an AvailableNow file stream of ops feeds `foreachBatch`, each
-    * batch [[graft.operators.Cdc.mergeStateful]]'d into a VERSIONED
-    * parquet state (read v{n}, write v{n+1} — no read-overwrite hazard,
-    * and every historical state stays addressable, the q89 time-travel
-    * posture). The state carries each key's winning (ts_ns, event_id) and
+    * batch [[graft.operators.Cdc.mergeStateful]]'d into a
+    * [[graft.lake.Snapshots]]-VERSIONED state table — streaming and batch
+    * share ONE commit protocol (put-if-absent manifests via
+    * `commitRetry`), and the CDC state gets time travel, a schema
+    * contract, and stats sidecars for free (previously a hand-rolled
+    * read-v{n}/write-v{n+1} directory scheme). Replay safety comes from
+    * the STATE's semantics, not batch-id addressing: `mergeStateful` is
+    * seq-guarded, so re-applying an already-applied batch against the
+    * latest state is a no-op (equal seqs lose; tombstones hold) — the
+    * foreachBatch retry contract without bespoke versioning.
+    * The state carries each key's winning (ts_ns, event_id) and
     * a delete tombstone, so last-writer-wins holds GLOBALLY across
     * batches even though the staged files deliver ops out of seq order —
     * `maxFilesPerTrigger = 2` forces 4 micro-batches precisely to
@@ -1071,6 +1078,7 @@ object LakeQueries {
     * inserts. Deterministic end state → full DuckDB replay.
     */
   def q108StreamingCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
     val ops = Tables.events(s, dir).select(
       col("user_id"), col("ts_ns"), col("event_id"),
       when(col("event_type") === "error", "D").otherwise("U").as("op"),
@@ -1089,19 +1097,24 @@ object LakeQueries {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
     Seq(stateRoot, ckpt).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    graft.operators.Cdc.seedState(base, ops, Seq("ts_ns", "event_id"))
-      .repartition(4).write.parquet(s"$stateRoot/v0")
+    Snapshots.replace(
+      graft.operators.Cdc.seedState(base, ops, Seq("ts_ns", "event_id"))
+        .repartition(4),
+      stateRoot, "state")
 
     val stream = Incremental.fileStream(s, src, ops.schema,
       maxFilesPerTrigger = Some(2))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val st = s.read.parquet(s"$stateRoot/v$batchId")
-        graft.operators.Cdc.mergeStateful(st, batch,
-            keyCols = Seq("user_id"), seqCols = Seq("ts_ns", "event_id"),
-            opCol = "op", deleteOp = "D",
-            valueCols = Map("balance_cents" -> col("cents")))
-          .repartition(4).write.parquet(s"$stateRoot/v${batchId + 1}")
+        val latest = Snapshots.latestVersion(s, stateRoot, "state").get
+        val st = Snapshots.readVersion(s, stateRoot, "state", latest)
+        Snapshots.replaceRetry(
+          graft.operators.Cdc.mergeStateful(st, batch,
+              keyCols = Seq("user_id"), seqCols = Seq("ts_ns", "event_id"),
+              opCol = "op", deleteOp = "D",
+              valueCols = Map("balance_cents" -> col("cents")))
+            .repartition(4),
+          stateRoot, "state")
         (): Unit
       }
       .option("checkpointLocation", ckpt)
@@ -1109,10 +1122,8 @@ object LakeQueries {
       .start()
     q.awaitTermination()
 
-    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
-      .map(_.getPath.getName).filter(_.startsWith("v"))
-      .map(_.drop(1).toInt).max
-    graft.operators.Cdc.currentView(s.read.parquet(s"$stateRoot/v$latest"))
+    graft.operators.Cdc.currentView(Snapshots.readVersion(s, stateRoot,
+      "state", Snapshots.latestVersion(s, stateRoot, "state").get))
   }
 
   val q108Sql: String =

@@ -585,6 +585,50 @@ object ScaleStress {
       record("sql_range_nosidecar", f, noSec, noRows, noLoads)
     }
 
+    // Commit-protocol contention (round 14): W writer threads race
+    // commitRetry against ONE table — the optimistic-concurrency loop
+    // under real (not seam-simulated) contention. Records wall-clock for
+    // all W commits to land and, as `rows`, the TOTAL lost-race retries
+    // observed. Claims under measurement: every writer lands (versions
+    // end dense at W — asserted, a lost update throws), and retry volume
+    // stays in the O(W·overlap) regime rather than exploding quadratically
+    // (each loss re-reads the new latest once).
+    val runContention = sys.env.getOrElse("SPARK_GRAFT_CONTENTION", "0") != "0"
+    for (w <- Seq(10, 100) if runContention) {
+      val root = s"/tmp/graft_scale_commitrace_${math.abs(srcDir.hashCode)}_w$w"
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val retries = new java.util.concurrent.atomic.AtomicLong(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(w)
+      val load0 = loadavg()
+      val t0 = System.nanoTime()
+      val versions =
+        try {
+          val futures = (0 until w).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              // one partition PER WRITER: co-partitioned writers would
+              // legitimately dynamic-overwrite each other — the leg
+              // measures manifest contention, not partition ownership
+              override def call(): Long = graft.lake.Snapshots.commitRetry(
+                spark.range(i, i + 1).select(col("id"), col("id").as("p")),
+                root, "t", Seq("p"), maxRetries = w * 8,
+                onRetry = _ => retries.incrementAndGet())
+            })
+          }
+          futures.map(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(versions.sorted == (1L to w.toLong),
+        s"contention lost an update: ${versions.sorted}")
+      require(graft.lake.Snapshots
+        .readVersion(spark, root, "t", w.toLong).count() == w.toLong,
+        "final version must carry every writer's row")
+      record("commit_contention_retriesAsRows", w, sec, retries.get(),
+        Seq(load0))
+      reset()
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)

@@ -311,6 +311,63 @@ class SnapshotsSpec extends SparkTestBase {
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/t/stats_v3")))
   }
 
+  test("z-order compact prunes a rectangle on BOTH axes; 1-D compact can't") {
+    val root = freshRoot()
+    // x and y vary independently: 1-D range clustering on x gives tight x
+    // boxes but full-range y boxes; the Morton interleave bounds both
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      col("id").as("v"))
+    Snapshots.commit(df.repartitionByRange(8, col("v")), root, "t",
+      Seq.empty, statsCols = Seq("x", "y"))
+    val v1d = Snapshots.compact(spark, root, "t", Seq.empty, numFiles = 16,
+      clusterCols = Seq("x", "y"), statsCols = Seq("x", "y"))
+    val vz = Snapshots.compact(spark, root, "t", Seq.empty, numFiles = 16,
+      clusterCols = Seq("x", "y"), statsCols = Seq("x", "y"), zOrder = true)
+    // x UNconstrained, y narrow: 1-D (x-leading) clustering cannot prune
+    // at all — every file spans all of y; z-order bounds y per file
+    val rect = Seq(("x", lit(0L), lit(63L)), ("y", lit(10L), lit(14L)))
+    val files1d = Snapshots.candidateFilesRect(spark, root, "t", v1d, rect)
+    val filesZ = Snapshots.candidateFilesRect(spark, root, "t", vz, rect)
+    assert(filesZ.size < files1d.size,
+      s"z-order must open fewer files on a 2-D rectangle: ${filesZ.size} vs ${files1d.size}")
+    assert(filesZ.size < 16)
+    // result invariance: pruned rectangle read ≡ unpruned filter, both layouts
+    val expect = df.filter($"x".between(0, 63) && $"y".between(10, 14))
+      .select("v").as[Long].collect().toSet
+    for (v <- Seq(v1d, vz))
+      assert(Snapshots.readVersionRect(spark, root, "t", v, rect)
+        .select("v").as[Long].collect().toSet === expect, s"version $v")
+  }
+
+  test("commitRetry under real N-way contention: dense versions, no lost updates") {
+    val root = freshRoot()
+    val writers = 8
+    val retries = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            Snapshots.commitRetry(
+              Seq((w.toLong, w)).toDF("id", "p"), root, "t", Seq("p"),
+              maxRetries = writers * 4, onRetry = _ => retries.incrementAndGet())
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // every writer landed; versions are DENSE 1..N (each lost race
+      // re-read the new latest and re-committed on top)
+      assert(versions.sorted === (1L to writers.toLong))
+      // no lost updates: the final version carries every writer's row
+      val ids = Snapshots.readVersion(spark, root, "t", writers.toLong)
+        .select("id").as[Long].collect().toSet
+      assert(ids === (0L until writers.toLong).toSet)
+      // contention was REAL: with 8 simultaneous writers racing one
+      // manifest path, at least one CME retry must have fired
+      assert(retries.get() > 0, "expected at least one lost manifest race")
+    } finally pool.shutdownNow()
+  }
+
   test("schema evolution widens losslessly: int32 files read under a bigint commit") {
     val root = freshRoot()
     Snapshots.commit(Seq((1, 2020)).toDF("n", "year"), root, "t", Seq("year"))
