@@ -280,6 +280,28 @@ class ApiDocSpec extends SparkTestBase {
       .as[Long].collect().toSeq === Seq(1L))
     assert(spark.sql("SELECT id FROM graft.dim")
       .as[Long].collect().toSeq === Seq(9L))
+
+    // reshape dim for the DML block (id, pb) — fresh versioned table
+    graft.lake.Snapshots.commit(
+      spark.range(40, 45).select(col("id"), (col("id") % 4).as("pb")),
+      root, "dim2", Seq("pb"))
+    Seq((40L, 0L, "D"), (44L, 9L, "U"), (77L, 1L, "U"))
+      .toDF("id", "pb", "op").createOrReplaceTempView("updates")
+    // --- docs/API.md: GraftCatalog SQL DML --- (dim2 for the fresh shape)
+    spark.sql("INSERT INTO graft.dim2 SELECT id, id % 4 AS pb FROM range(40, 50)")
+    spark.sql("DELETE FROM graft.dim2 WHERE id >= 45 OR id IN (41)")
+    spark.sql("""MERGE INTO graft.dim2 AS tgt USING updates AS s
+                 ON tgt.id = s.id
+                 WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET pb = s.pb
+                 WHEN NOT MATCHED THEN INSERT (id, pb) VALUES (s.id, s.pb)""")
+    // --- end ---
+    // v1 = 40..44; INSERT doubled 40..44 and added 45..49; DELETE dropped
+    // ≥45 and 41 (both copies); MERGE deleted 40s, repointed 44s, added 77
+    val end = spark.sql("SELECT id, pb FROM graft.dim2")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(end === Seq((42L, 2L), (42L, 2L), (43L, 3L), (43L, 3L),
+      (44L, 9L), (44L, 9L), (77L, 1L)), end)
   }
 
   test("Snapshots example: commit, time travel, CDF, vacuum") {
@@ -318,6 +340,25 @@ class ApiDocSpec extends SparkTestBase {
       clusterCols = Seq("id"), statsCols = Seq("id"))
     // --- end ---
     assert(pruned.count() === 0) // ids are 0..9 — every file pruned or filtered
+
+    // --- docs/API.md: Snapshots deleteWhere ---
+    val d1 = Snapshots.deleteWhere(spark, root, "t", $"id" % 5 === 0)
+    // prior versions untouched; the new version reads minus the matches
+    // --- end ---
+    assert(Snapshots.readVersion(spark, root, "t", d1)
+      .filter($"id" % 5 === 0).count() === 0)
+    assert(Snapshots.readVersion(spark, root, "t", d1 - 1).count() === 15)
+
+    // --- docs/API.md: Snapshots z-order compact + rectangle read ---
+    val grid = spark.range(0, 4096).select((col("id") % 64).as("x"),
+      expr("id div 64").as("y"))
+    Snapshots.commit(grid, root, "g", Seq.empty, statsCols = Seq("x", "y"))
+    val z = Snapshots.compact(spark, root, "g", Seq.empty, numFiles = 16,
+      clusterCols = Seq("x", "y"), statsCols = Seq("x", "y"), zOrder = true)
+    val rect = Snapshots.readVersionRect(spark, root, "g", z, Seq(
+      ("x", lit(0), lit(63)), ("y", lit(10), lit(14))))
+    // --- end ---
+    assert(rect.count() === 64L * 5)
   }
 
   test("Packing/Contamination example") {

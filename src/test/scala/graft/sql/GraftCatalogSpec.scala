@@ -488,6 +488,26 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("id", "pb"))
   }
 
+  test("per-session table cache is LRU-bounded: hot versions stay warm past 256 loads") {
+    val cache = GraftCatalog.tableCacheFor(spark.newSession())
+    def fake(i: Int) = new org.apache.spark.sql.connector.catalog.Table {
+      override def name(): String = s"t$i"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+      override def capabilities() = java.util.Collections.emptySet()
+    }
+    (0 until 300).foreach { i =>
+      cache.put(("root", "t", i.toLong), fake(i))
+      // keep version 0 HOT: under access-order LRU it must survive all
+      // 300 inserts; under clear-at-capacity (the old scheme) it dies
+      cache.get(("root", "t", 0L))
+    }
+    assert(cache.size() <= 256)
+    assert(cache.get(("root", "t", 0L)) != null, "hot entry evicted")
+    assert(cache.get(("root", "t", 299L)) != null, "most recent evicted")
+    assert(cache.get(("root", "t", 5L)) == null, "cold entry must be evicted")
+  }
+
   test("missing tables and DDL fail loudly; catalog is read-only") {
     val root = freshLake()
     GraftCatalog.install(spark, "graftt", root)
