@@ -72,13 +72,19 @@ object Snapshots {
   /** A parsed manifest. `addedAt` aligns index-wise with `files` (empty
     * for pre-tracking manifests — every file then reads as addedAt 0,
     * i.e. subject to every delete vector, the conservative direction).
+    * `operation` records the verb that produced the version (commit /
+    * append / replace / merge / update / delete / truncate / compact) and
+    * `partitionCols` the table's partition layout — both absent on
+    * pre-tracking manifests.
     */
   private[graft] case class Manifest(
       committedAtMillis: Option[Long],
       schema: Option[org.apache.spark.sql.types.StructType],
       deletes: Seq[DeleteVector],
       addedAt: Seq[Long],
-      files: Seq[String]) {
+      files: Seq[String],
+      operation: Option[String] = None,
+      partitionCols: Seq[String] = Nil) {
     /** file → version it was added in (0 when untracked). */
     def addedAtOf: Map[String, Long] =
       files.zip(addedAt.padTo(files.length, 0L)).toMap
@@ -124,8 +130,14 @@ object Snapshots {
     * per-file driver metadata ops (manifest-sized), cheap on HDFS/local
     * where rename is a pointer swap.
     */
+  /** Data-write counter (test observability: the stage-once/reconcile-many
+    * retry contract pins ONE data write across N lost manifest races).
+    */
+  private[graft] val dataWrites = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def writeData(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String]): Seq[(String, Long)] = {
+    dataWrites.incrementAndGet()
     val spark = df.sparkSession
     val f = fs(spark, root)
     val stage = s"$root/$table/.stage-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -334,7 +346,10 @@ object Snapshots {
       deletes.toSeq,
       top.get("addedAt").map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Long]))
         .getOrElse(Nil),
-      top("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
+      top("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
+      top.get("operation").map(_.asInstanceOf[String]),
+      top.get("partitionCols").map(_.asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[String])).getOrElse(Nil))
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -375,9 +390,17 @@ object Snapshots {
       version: Long, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       deletes: Seq[DeleteVector] = Nil,
-      addedAt: Seq[Long] = Nil): Unit = {
+      addedAt: Seq[Long] = Nil,
+      operation: Option[String] = None,
+      partitionCols: Seq[String] = Nil): Unit = {
     val schemaPart =
       schema.map(s => s""""schema": "${jsonEscape(s.json)}", """).getOrElse("")
+    val opPart =
+      operation.map(o => s""""operation": "${jsonEscape(o)}", """).getOrElse("")
+    val partPart =
+      if (partitionCols.isEmpty) ""
+      else partitionCols.map(c => s""""${jsonEscape(c)}"""")
+        .mkString("\"partitionCols\": [", ", ", "], ")
     val deletesPart =
       if (deletes.isEmpty) ""
       else deletes.map(d =>
@@ -389,39 +412,103 @@ object Snapshots {
       else addedAt.mkString("\"addedAt\": [", ", ", "], ")
     val json = files.map(x => s""""${jsonEscape(x)}"""").mkString(
       s"""{"committedAtMillis": ${System.currentTimeMillis()}, """ +
-        schemaPart + deletesPart + addedPart + """"files": [""",
+        opPart + partPart + schemaPart + deletesPart + addedPart + """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     // content atomicity: the bytes land in a hidden temp file first, then
-    // RENAME into place — a concurrent reader can never observe an empty
-    // or half-written manifest (create-then-write would expose exactly
-    // that window; the 8-writer contention spec caught it). The rename is
-    // also the put-if-absent point: Hadoop rename refuses an existing
-    // destination, so the losing writer of a version race surfaces the
-    // retryable CME, never a silent overwrite.
+    // the publish arbiter moves them into place atomically — a concurrent
+    // reader can never observe an empty or half-written manifest
+    // (create-then-write would expose exactly that window; the 8-writer
+    // contention spec caught it). The publish is also the put-if-absent
+    // point: the losing writer of a version race surfaces the retryable
+    // CME, never a silent overwrite.
     val tmp = new Path(s"${manifestDir(root, table)}/" +
       s".v$version.json.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // publish = put-if-absent, scheme-aware: on a LOCAL filesystem the
-    // atomic fail-if-exists primitive is POSIX link(2) — Hadoop's local
-    // rename() silently REPLACES an existing destination, and the
-    // 100-writer contention leg caught exactly that (two winners of one
-    // version). On HDFS, rename refuses an existing destination
-    // atomically. (S3A has neither — the documented caveat below.)
-    val lost =
-      try f match {
-        case _: org.apache.hadoop.fs.LocalFileSystem |
-             _: org.apache.hadoop.fs.RawLocalFileSystem =>
-          def local(x: Path) = java.nio.file.Paths.get(x.toUri.getPath)
-          try { java.nio.file.Files.createLink(local(p), local(tmp)); false }
-          catch { case _: java.nio.file.FileAlreadyExistsException => true }
-        case _ => f.exists(p) || !f.rename(tmp, p)
-      } finally f.delete(tmp, false) // no-op once published via rename
-    if (lost) throw new java.util.ConcurrentModificationException(
+    val won =
+      try publishArbiter.putIfAbsent(f, tmp, p)
+      finally f.delete(tmp, false) // no-op once published via rename
+    if (!won) throw new java.util.ConcurrentModificationException(
       s"snapshot v$version of $table was committed concurrently — " +
         "re-read the latest version and retry")
   }
+
+  /** The atomic put-if-absent primitive behind every manifest publish —
+    * PLUGGABLE per deployment (see [[publishArbiter]]). Implementations
+    * must guarantee: exactly one of N concurrent `putIfAbsent` calls for
+    * the same `dst` returns true, and `dst`'s bytes are never observable
+    * half-written.
+    */
+  trait PublishArbiter {
+    /** Publish `tmp`'s bytes at `dst` iff `dst` does not exist. Returns
+      * true when THIS call created `dst` (won), false when `dst` already
+      * existed or was created concurrently (lost — the caller raises the
+      * retryable CME). Must never silently replace an existing `dst`.
+      */
+    def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean
+  }
+
+  /** Scheme-aware default: on a LOCAL filesystem the atomic
+    * fail-if-exists primitive is POSIX link(2) — Hadoop's local rename()
+    * silently REPLACES an existing destination, and the 100-writer
+    * contention leg caught exactly that (two winners of one version). On
+    * HDFS, rename refuses an existing destination atomically. Object
+    * stores (S3A) have NEITHER primitive — deploy
+    * [[CoordinatedPublishArbiter]] there instead.
+    */
+  object DefaultPublishArbiter extends PublishArbiter {
+    override def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean =
+      f match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          def local(x: Path) = java.nio.file.Paths.get(x.toUri.getPath)
+          try { java.nio.file.Files.createLink(local(dst), local(tmp)); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        case _ => !f.exists(dst) && f.rename(tmp, dst)
+      }
+  }
+
+  /** Publish arbiter for data stores with NO atomic put-if-absent (S3A:
+    * rename is copy+delete that replaces, create(overwrite=false) is
+    * check-then-act): version ownership is arbitrated by a tiny LOCK file
+    * on a separate COORDINATION filesystem that does have the primitive
+    * (HDFS, an NFS mount, any POSIX path shared by the writers — the
+    * DynamoDB-coordination shape Delta uses on S3, with a filesystem as
+    * the coordinator). Winning the lock (one `<manifest>.lock` per
+    * version, put-if-absent via [[DefaultPublishArbiter]]) grants the
+    * exclusive right to write the manifest bytes on the data store, so
+    * the data-store write itself needs no atomicity. Lock files are one
+    * empty file per version on the coordination store; [[vacuum]]-class
+    * cleanup can drop locks of vacuumed versions.
+    */
+  class CoordinatedPublishArbiter(coordRoot: String,
+      conf: org.apache.hadoop.conf.Configuration) extends PublishArbiter {
+    override def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+      val coordFs = FileSystem.get(new java.net.URI(coordRoot), conf)
+      coordFs.mkdirs(new Path(coordRoot))
+      val lockTmp = new Path(s"$coordRoot/.${dst.getName}.lock-" +
+        java.util.UUID.randomUUID().toString.take(12))
+      val out = coordFs.create(lockTmp, false)
+      try out.write(Array.emptyByteArray) finally out.close()
+      val won =
+        try DefaultPublishArbiter.putIfAbsent(coordFs, lockTmp,
+          new Path(s"$coordRoot/${dst.getName}.lock"))
+        finally coordFs.delete(lockTmp, false)
+      if (!won) return false
+      // lock owned: this writer has the exclusive right to dst — a plain
+      // (even replacing) write is safe now
+      org.apache.hadoop.fs.FileUtil.copy(f, tmp, f, dst, false, true, f.getConf)
+      true
+    }
+  }
+
+  /** The manifest-publish arbiter in effect ([[DefaultPublishArbiter]]
+    * unless a deployment on an object store installs a
+    * [[CoordinatedPublishArbiter]]). Set once at startup, before any
+    * concurrent commits.
+    */
+  @volatile var publishArbiter: PublishArbiter = DefaultPublishArbiter
 
   /** Per-file min/max over `statsCols` — plus exact row counts — for the
     * given (relative-path) data files, derived from the files ACTUALLY
@@ -452,19 +539,52 @@ object Snapshots {
     * live, carried stats and counts OVERSTATE the readable rows — the
     * conservative direction for both skipping and planning.
     */
-  private def writeSidecar(spark: SparkSession, root: String, table: String,
-      version: Long, files: Seq[String], added: Seq[(String, Long)],
-      carried: Seq[String], statsCols: Seq[String],
-      prevVersion: Option[Long]): Unit = {
-    val f = fs(spark, root)
-    val fresh =
-      if (added.isEmpty) None
-      else {
-        val stats = deriveFileStats(spark, dataDir(root, table),
-          added.map(_._1), statsCols)
-        import spark.implicits._
-        Some(stats.join(broadcast(added.toDF("file", "bytes")), Seq("file"), "left"))
+  /** The per-file stats of a commit's ADDED files, computed ONCE at stage
+    * time and collected to driver rows (one row per added file —
+    * manifest-sized): a reconcile retry after a lost race must be
+    * METADATA-ONLY, never re-derive stats from data. With `statsCols`
+    * empty the rows come straight from the parquet FOOTERS (exact record
+    * counts, a driver metadata op — no Spark job at all); with stats
+    * columns requested, one aggregate job over just the added files
+    * derives min/max (from the files actually written, never the writer's
+    * plan).
+    */
+  private def stageFreshStats(spark: SparkSession, root: String, table: String,
+      added: Seq[(String, Long)], statsCols: Seq[String])
+      : Option[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])] = {
+    if (added.isEmpty) return None
+    val dir = dataDir(root, table)
+    if (statsCols.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val f = fs(spark, root)
+      val schema = StructType(Seq(StructField("file", StringType),
+        StructField("rows", LongType), StructField("bytes", LongType)))
+      val rows = added.map { case (p, bytes) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(s"$dir/$p"), f.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        org.apache.spark.sql.Row(p, n, bytes)
       }
+      Some((schema, rows))
+    } else {
+      import spark.implicits._
+      val stats = deriveFileStats(spark, dir, added.map(_._1), statsCols)
+        .join(broadcast(added.toDF("file", "bytes")), Seq("file"), "left")
+      Some((stats.schema, stats.collect().toSeq)) // one row per added file
+    }
+  }
+
+  private def writeSidecar(spark: SparkSession, root: String, table: String,
+      version: Long, files: Seq[String],
+      freshStats: Option[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])],
+      carried: Seq[String], prevVersion: Option[Long]): Unit = {
+    val f = fs(spark, root)
+    val fresh = freshStats.map { case (sch, rows) =>
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+    }
     import spark.implicits._
     val keptStats = prevVersion
       .map(v => new Path(sidecarPath(root, table, v)))
@@ -508,7 +628,8 @@ object Snapshots {
     */
   def commit(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long =
-    commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = true)
+    commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = true,
+      operation = "commit")
 
   /** Commit `df` as a pure APPEND: every previous live file carries over
     * unconditionally — nothing is replaced even when `df` touches existing
@@ -518,18 +639,25 @@ object Snapshots {
     */
   def append(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String] = Nil): Long =
-    commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = false)
+    commitImpl(df, root, table, partitionCols, statsCols, overwritePartitions = false,
+      operation = "append")
 
   /** [[commit]] with an EXPLICIT replaced-partition list (prefix strings,
     * `c=v/` form): dynamic overwrite replaces partitions present in the
     * frame — a partition a MERGE/DELETE emptied has no rows to announce
     * itself with, so row-level verbs must name their replacements.
+    * `expectedBase` pins the read-modify-write verbs: the commit refuses
+    * (retryable CME) when the table's latest version is no longer the one
+    * the verb computed against — a concurrent commit landing in between
+    * would otherwise be silently overwritten with stale-derived data.
     */
   private[graft] def commitReplacingPrefixes(df: DataFrame, root: String,
       table: String, partitionCols: Seq[String], statsCols: Seq[String],
-      replacedPrefixes: Seq[String]): Long =
+      replacedPrefixes: Seq[String], operation: String = "commit",
+      expectedBase: Option[Long] = None): Long =
     commitImpl(df, root, table, partitionCols, statsCols,
-      overwritePartitions = true, explicitReplaced = Some(replacedPrefixes))
+      overwritePartitions = true, explicitReplaced = Some(replacedPrefixes),
+      operation = operation, expectedBase = expectedBase)
 
   /** Full logical replace: the committed frame IS the new version — no
     * files carry over (an unpartitioned MERGE, a maintained state table,
@@ -540,40 +668,59 @@ object Snapshots {
   def replace(df: DataFrame, root: String, table: String,
       statsCols: Seq[String] = Nil): Long =
     commitImpl(df, root, table, Seq.empty, statsCols,
-      overwritePartitions = true, replaceAllFiles = true)
+      overwritePartitions = true, replaceAllFiles = true,
+      operation = "replace")
 
-  /** [[replace]] under the same optimistic-concurrency retry loop as
-    * [[commitRetry]]. */
+  /** [[replace]] under the same stage-once optimistic-concurrency retry
+    * loop as [[commitRetry]] — lost races retry the METADATA reconcile
+    * only, never the data write. */
   def replaceRetry(df: DataFrame, root: String, table: String,
       statsCols: Seq[String] = Nil, maxRetries: Int = 3,
-      onRetry: Int => Unit = _ => ()): Long =
-    retryLoop(replace(df, root, table, statsCols), maxRetries, onRetry)
+      onRetry: Int => Unit = _ => ()): Long = {
+    val spark = df.sparkSession
+    val staged = stage(df, root, table, Seq.empty, Nil)
+    retryLoop(
+      reconcile(spark, staged, root, table, Seq.empty,
+        overwritePartitions = true, replaceAllFiles = true,
+        explicitReplaced = None, operation = "replace", expectedBase = None),
+      maxRetries, onRetry)
+  }
 
   private[graft] def commitFullReplace(df: DataFrame, root: String,
-      table: String, statsCols: Seq[String]): Long =
-    replace(df, root, table, statsCols)
+      table: String, statsCols: Seq[String], operation: String = "replace",
+      expectedBase: Option[Long] = None): Long =
+    commitImpl(df, root, table, Seq.empty, statsCols,
+      overwritePartitions = true, replaceAllFiles = true,
+      operation = operation, expectedBase = expectedBase)
 
-  private def commitImpl(df: DataFrame, root: String, table: String,
-      partitionCols: Seq[String], statsCols: Seq[String],
-      overwritePartitions: Boolean,
-      replaceAllFiles: Boolean = false,
-      explicitReplaced: Option[Seq[String]] = None): Long = {
-    val spark = df.sparkSession
-    val f = fs(spark, root)
-    // cluster by partition values: one writer task per partition value
-    // instead of (parallelism × partitions) file shards — see
-    // Lake.clusterByPartitions for the scale rationale
-    val clustered =
-      if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    val added = writeData(clustered, root, table, partitionCols)
-
-    val prevVersion = latestVersion(spark, root, table)
-    val prev = prevVersion.map(v => manifest(spark, root, table, v))
-    val replacedPrefixes: Seq[String] =
-      if (prev.isEmpty || !overwritePartitions || replaceAllFiles) Seq.empty
-      else if (explicitReplaced.nonEmpty) explicitReplaced.get
-      else df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+  /** Everything a commit attempt needs that does NOT depend on the
+    * version it lands on — the staged data files (written ONCE), their
+    * collected per-file stats, and the frame-derived replaced-partition
+    * list. A reconcile retry after a lost manifest race reuses all of it:
+    * lazy vals memoize, so N lost races cost N metadata reconciles and
+    * exactly one data write (the Delta/Iceberg stage-once shape — at
+    * 100 TB commit sizes a lost race must never re-pay minutes of I/O).
+    */
+  private final class StagedCommit(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String]) {
+    val added: Seq[(String, Long)] = {
+      // cluster by partition values: one writer task per partition value
+      // instead of (parallelism × partitions) file shards — see
+      // Lake.clusterByPartitions for the scale rationale
+      val clustered =
+        if (partitionCols.isEmpty) df
+        else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      writeData(clustered, root, table, partitionCols)
+    }
+    val incomingSchema: org.apache.spark.sql.types.StructType = df.schema
+    lazy val freshStats: Option[(org.apache.spark.sql.types.StructType,
+      Seq[org.apache.spark.sql.Row])] =
+      stageFreshStats(df.sparkSession, root, table, added, statsCols)
+    /** Distinct partition prefixes present in the frame (dynamic
+      * overwrite's replaced set) — data-derived, version-independent.
+      */
+    lazy val framePrefixes: Seq[String] =
+      df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect().toSeq
         .map { r =>
           // a null partition value writes to Hive's default-partition dir,
@@ -583,6 +730,36 @@ object Snapshots {
           partitionCols.zipWithIndex
             .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/")
         }
+  }
+
+  private def stage(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String]): StagedCommit =
+    new StagedCommit(df, root, table, partitionCols, statsCols)
+
+  /** The metadata half of a commit: read the CURRENT latest version,
+    * compute carried files / addedAt / delete-vector carry / schema merge
+    * against it, and publish the manifest + stats sidecar. Contains no
+    * data I/O beyond driver-sized metadata — safe to retry on a lost
+    * race.
+    */
+  private def reconcile(spark: SparkSession, staged: StagedCommit,
+      root: String, table: String, partitionCols: Seq[String],
+      overwritePartitions: Boolean, replaceAllFiles: Boolean,
+      explicitReplaced: Option[Seq[String]], operation: String,
+      expectedBase: Option[Long]): Long = {
+    val f = fs(spark, root)
+    val prevVersion = latestVersion(spark, root, table)
+    expectedBase.foreach { e =>
+      val now = prevVersion.getOrElse(0L)
+      if (now != e) throw new java.util.ConcurrentModificationException(
+        s"$table moved to v$now while this statement was computing " +
+          s"against v$e — a read-modify-write verb cannot reconcile a " +
+          "stale base; re-run the statement against the new version")
+    }
+    val prev = prevVersion.map(v => manifest(spark, root, table, v))
+    val replacedPrefixes: Seq[String] =
+      if (prev.isEmpty || !overwritePartitions || replaceAllFiles) Seq.empty
+      else explicitReplaced.getOrElse(staged.framePrefixes)
     val carried =
       if (replaceAllFiles) Seq.empty
       else prev
@@ -590,7 +767,7 @@ object Snapshots {
         .getOrElse(Seq.empty)
 
     val version = prevVersion.getOrElse(0L) + 1
-    val files = (carried ++ added.map(_._1)).sorted
+    val files = (carried ++ staged.added.map(_._1)).sorted
     val carriedSet = carried.toSet
     val prevAdded = prev.map(_.addedAtOf).getOrElse(Map.empty)
     val addedAt = files.map(p =>
@@ -603,15 +780,29 @@ object Snapshots {
     // partition columns go LAST in the stored schema — that is the order
     // every file-source read produces, so the manifest schema IS the read
     // schema, byte for byte
-    val merged = mergedSchema(spark, root, table, prevVersion, df.schema)
+    val merged = mergedSchema(spark, root, table, prevVersion, staged.incomingSchema)
     val schema = org.apache.spark.sql.types.StructType(
       merged.fields.filterNot(x => partitionCols.contains(x.name)) ++
         partitionCols.flatMap(c => merged.fields.find(_.name == c)))
     beforePublish()
-    writeManifest(f, root, table, version, files, Some(schema), deletes, addedAt)
-    writeSidecar(spark, root, table, version, files, added, carried,
-      statsCols, prevVersion)
+    writeManifest(f, root, table, version, files, Some(schema), deletes,
+      addedAt, Some(operation), partitionCols)
+    writeSidecar(spark, root, table, version, files, staged.freshStats,
+      carried, prevVersion)
     version
+  }
+
+  private def commitImpl(df: DataFrame, root: String, table: String,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      overwritePartitions: Boolean,
+      replaceAllFiles: Boolean = false,
+      explicitReplaced: Option[Seq[String]] = None,
+      operation: String = "commit",
+      expectedBase: Option[Long] = None): Long = {
+    val staged = stage(df, root, table, partitionCols, statsCols)
+    reconcile(df.sparkSession, staged, root, table, partitionCols,
+      overwritePartitions, replaceAllFiles, explicitReplaced, operation,
+      expectedBase)
   }
 
   /** Merge-on-read row-level delete: publish a new version whose manifest
@@ -685,17 +876,21 @@ object Snapshots {
     beforePublish()
     writeManifest(f, root, table, version, prev.files, prev.schema,
       prev.deletes :+ DeleteVector(rel, refCols, version),
-      prev.addedAt.padTo(prev.files.length, 0L))
+      prev.addedAt.padTo(prev.files.length, 0L),
+      Some("delete"), prev.partitionCols)
     // stats carry forward untouched: deleted rows can only make the
     // ranges WIDER than reality — conservative for skipping and planning
-    writeSidecar(spark, root, table, version, prev.files, Seq.empty,
-      prev.files, Nil, Some(latest))
+    writeSidecar(spark, root, table, version, prev.files, None,
+      prev.files, Some(latest))
     version
   }
 
   /** Truncate: publish a version with NO live files (and no vectors). The
-    * schema carries forward, so the empty version still reads typed; prior
-    * versions are untouched until [[vacuum]].
+    * schema carries forward, so the empty version still reads typed; the
+    * PARTITION LAYOUT carries forward in the manifest too (derived from
+    * the truncated version's live file paths when the previous manifest
+    * predates layout tracking), so SQL reads and inserts keep working on
+    * the emptied table. Prior versions are untouched until [[vacuum]].
     */
   def deleteAll(spark: SparkSession, root: String, table: String): Long = {
     val latest = latestVersion(spark, root, table).getOrElse(
@@ -703,9 +898,14 @@ object Snapshots {
     val prev = manifest(spark, root, table, latest)
     val schema = prev.schema.orElse(
       scala.util.Try(readVersion(spark, root, table, latest).schema).toOption)
+    val partCols =
+      if (prev.partitionCols.nonEmpty) prev.partitionCols
+      else prev.files.headOption.toSeq
+        .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
     val version = latest + 1
     beforePublish()
-    writeManifest(fs(spark, root), root, table, version, Seq.empty, schema)
+    writeManifest(fs(spark, root), root, table, version, Seq.empty, schema,
+      operation = Some("truncate"), partitionCols = partCols)
     version
   }
 
@@ -775,20 +975,33 @@ object Snapshots {
   }
 
   /** [[commit]] with the optimistic-concurrency retry loop the CME
-    * contract asks of callers: on a lost manifest race, re-read the new
-    * latest and re-commit (dynamic-overwrite semantics make the retry
-    * idempotent at partition granularity — the data files staged by the
-    * losing attempt stay on disk unreferenced until [[vacuum]], exactly
-    * like any table format's orphan files). Gives up after `maxRetries`
+    * contract asks of callers — STAGE-ONCE/RECONCILE-MANY (the
+    * Delta/Iceberg shape): the data files are written exactly once; a
+    * lost manifest race retries only the metadata reconcile (carried
+    * list, addedAt, schema merge, manifest + sidecar publish) against the
+    * new latest version. N lost races therefore cost N manifest-sized
+    * metadata passes, never N data writes — at 100 TB commit sizes a
+    * conflict must not re-pay minutes of I/O. Gives up after `maxRetries`
     * lost races — under that much contention the caller should serialize
-    * writers instead. Returns (version, lostRaces) via the counter
-    * callback when provided.
+    * writers instead. Retry count surfaces via the `onRetry` callback.
+    *
+    * Valid for BLIND writes (the committed frame does not depend on the
+    * table's current contents — dynamic overwrite of self-contained
+    * partitions, appends, state replaces). Read-modify-write verbs
+    * (MERGE/UPDATE/deleteWhere) must instead pin their base version and
+    * surface the CME to the caller, who re-runs the whole statement — a
+    * reconcile-only retry would publish data derived from a stale base.
     */
   def commitRetry(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String] = Nil,
-      maxRetries: Int = 3, onRetry: Int => Unit = _ => ()): Long =
-    retryLoop(commit(df, root, table, partitionCols, statsCols),
+      maxRetries: Int = 3, onRetry: Int => Unit = _ => ()): Long = {
+    val staged = stage(df, root, table, partitionCols, statsCols)
+    retryLoop(
+      reconcile(df.sparkSession, staged, root, table, partitionCols,
+        overwritePartitions = true, replaceAllFiles = false,
+        explicitReplaced = None, operation = "commit", expectedBase = None),
       maxRetries, onRetry)
+  }
 
   private def retryLoop(attemptOnce: => Long, maxRetries: Int,
       onRetry: Int => Unit): Long = {
@@ -851,9 +1064,9 @@ object Snapshots {
     // rewrite read applied them), so none carry.
     val files = added.map(_._1).sorted
     writeManifest(f, root, table, version, files, Some(full.schema),
-      Nil, files.map(_ => version))
-    writeSidecar(spark, root, table, version, files, added, Seq.empty,
-      statsCols, None)
+      Nil, files.map(_ => version), Some("compact"), partitionCols)
+    writeSidecar(spark, root, table, version, files,
+      stageFreshStats(spark, root, table, added, statsCols), Seq.empty, None)
     version
   }
 
@@ -1059,6 +1272,42 @@ object Snapshots {
       .unionByName(a.exceptAll(b).withColumn("change_type", lit("delete")))
   }
 
+  /** One history row per live (non-vacuumed) version — the DESCRIBE
+    * HISTORY surface. All fields come from the manifests alone (no data
+    * file is opened): the version number, the portable commit timestamp
+    * (falling back to the manifest file's mtime for pre-tracking
+    * manifests), the verb that produced the version (null before
+    * operation tracking), live-file / delete-vector counts, and how many
+    * of the live files were ADDED by that version. Manifest-sized driver
+    * work; parsed manifests are memoized.
+    */
+  private[graft] def historyRows(spark: SparkSession, root: String,
+      table: String): Seq[(Long, Long, Option[String], Long, Long, Long)] = {
+    val f = fs(spark, root)
+    listVersions(f, root, table).map { v =>
+      val p = new Path(s"${manifestDir(root, table)}/v$v.json")
+      val m = parsedManifestAt(f, p)
+      val committedAt = m.committedAtMillis
+        .getOrElse(f.getFileStatus(p).getModificationTime)
+      val nAdded = m.addedAt.count(_ == v)
+      (v, committedAt, m.operation, m.files.length.toLong,
+        m.deletes.length.toLong, nAdded.toLong)
+    }
+  }
+
+  /** [[historyRows]] as a DataFrame (`version`, `committed_at_millis`,
+    * `operation`, `n_files`, `n_delete_vectors`, `n_added_files`),
+    * ascending by version. The SQL spelling is the Iceberg-style metadata
+    * table `SELECT * FROM <catalog>.<table>.history`.
+    */
+  def history(spark: SparkSession, root: String, table: String): DataFrame = {
+    import spark.implicits._
+    historyRows(spark, root, table)
+      .map { case (v, t, op, nf, nd, na) => (v, t, op.orNull, nf, nd, na) }
+      .toDF("version", "committed_at_millis", "operation", "n_files",
+        "n_delete_vectors", "n_added_files")
+  }
+
   /** Drop data files and delete-vector files referenced by NO version >
     * `latest − keepVersions`, and the manifests of the dropped versions.
     * Returns deleted file paths.
@@ -1068,12 +1317,13 @@ object Snapshots {
     * classify them dead. `graceMillis` is the guard (the Delta/Iceberg
     * retention convention): files younger than the grace window are never
     * deleted, so any positive grace larger than a commit's stage-to-publish
-    * time makes the race harmless. The default keeps vacuum usable in
-    * tests; production callers sharing a table with live writers should
-    * pass a real window (minutes).
+    * time makes the race harmless. The DEFAULT is one hour (Delta's
+    * convention is even wider) — a table shared with live writers is safe
+    * out of the box; tests and single-writer maintenance jobs that want
+    * immediate reclamation pass 0 explicitly.
     */
   def vacuum(spark: SparkSession, root: String, table: String,
-      keepVersions: Int, graceMillis: Long = 0L): Seq[String] = {
+      keepVersions: Int, graceMillis: Long = 3600000L): Seq[String] = {
     val f = fs(spark, root)
     val latest = latestVersion(spark, root, table).getOrElse(return Seq.empty)
     val keepFrom = math.max(1L, latest - keepVersions + 1)

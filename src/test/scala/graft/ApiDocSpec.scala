@@ -324,7 +324,7 @@ class ApiDocSpec extends SparkTestBase {
     assert(cdf.filter(col("change_type").isin("insert", "delete")).count() > 0)
     // append carried v2 forward even though df3 touches year=1995
     assert(Snapshots.readVersion(spark, root, "t", v3).count() === 15)
-    Snapshots.vacuum(spark, root, "t", keepVersions = 1)
+    Snapshots.vacuum(spark, root, "t", keepVersions = 1, graceMillis = 0L)
     // --- end ---
 
     assert(Snapshots.readVersion(spark, root, "t", v3).count() === 15)

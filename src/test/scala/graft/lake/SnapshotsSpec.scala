@@ -287,7 +287,7 @@ class SnapshotsSpec extends SparkTestBase {
       statsCols = Seq("id"))
     Snapshots.commit(Seq((3L, 2020)).toDF("id", "year"), root, "t", Seq("year"),
       statsCols = Seq("id"))
-    val deleted = Snapshots.vacuum(spark, root, "t", keepVersions = 1)
+    val deleted = Snapshots.vacuum(spark, root, "t", keepVersions = 1, graceMillis = 0L)
     assert(deleted.nonEmpty) // v1+v2's superseded files are gone
     assert(Snapshots.readVersion(spark, root, "t", 3L)
       .select("id").as[Long].collect().toSeq === Seq(3L))
@@ -415,7 +415,7 @@ class SnapshotsSpec extends SparkTestBase {
     assert(ids(v4) === ids(v3))
     assert(Snapshots.manifest(spark, root, "t", v4).deletes.isEmpty)
     // vacuum to the compacted version retires the vector files
-    Snapshots.vacuum(spark, root, "t", keepVersions = 1)
+    Snapshots.vacuum(spark, root, "t", keepVersions = 1, graceMillis = 0L)
     val f = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     val ddir = new org.apache.hadoop.fs.Path(s"$root/t/deletes")
@@ -477,5 +477,113 @@ class SnapshotsSpec extends SparkTestBase {
       }
     val totalRows = sc.agg(sum("rows")).as[Long].head()
     assert(totalRows === 10L)
+  }
+
+  test("a lost race retries METADATA only: one data write across N CMEs") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // a competing writer lands a new version during our first THREE
+    // publish attempts — each one a lost race for us
+    var competing = 0
+    Snapshots.beforePublish = () =>
+      if (competing < 3) {
+        competing += 1
+        val next = Snapshots.latestVersion(spark, root, "t").get + 1
+        Snapshots.writeManifest(f, root, "t", next,
+          Snapshots.liveFiles(spark, root, "t", next - 1))
+      }
+    val writesBefore = Snapshots.dataWrites.get()
+    try {
+      val v = Snapshots.commitRetry(Seq((2L, 2021)).toDF("id", "year"),
+        root, "t", Seq("year"), maxRetries = 5)
+      assert(v === 5L, "1 base + 3 competitors + ours")
+    } finally Snapshots.beforePublish = () => ()
+    assert(Snapshots.dataWrites.get() - writesBefore === 1L,
+      "a lost manifest race must never re-write data files")
+    // nothing lost: the final version carries both writers' rows
+    assert(Snapshots.readVersion(spark, root, "t", 5L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("an S3-shaped filesystem (replacing rename, racing exists) loses a version silently; the coordinated arbiter catches it") {
+    val root = freshRoot()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(new java.net.URI("file:///"), conf)
+    // S3A's semantics, distilled: rename is copy+delete that REPLACES an
+    // existing destination, and exists() inside the race window reports
+    // absent (check-then-act has no atomicity to offer)
+    val s3ish = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def exists(p: org.apache.hadoop.fs.Path): Boolean = false
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        fs.delete(dst, false); fs.rename(src, dst)
+      }
+    }
+    // two writers publish the SAME version through the default arbiter:
+    // both "succeed" — the second silently replaces the first (this is
+    // exactly what a bare object store would do)
+    Snapshots.writeManifest(s3ish, root, "t", 1L, Seq("first"))
+    Snapshots.writeManifest(s3ish, root, "t", 1L, Seq("second"))
+    assert(Snapshots.liveFiles(spark, root, "t", 1L) === Seq("second"),
+      "demonstrated: the default arbiter cannot protect a non-atomic FS")
+    // same race through the coordinated arbiter (put-if-absent lock on a
+    // coordination filesystem): exactly one winner, the loser gets the
+    // retryable CME and the winner's bytes survive
+    val lockDir = java.nio.file.Files.createTempDirectory("snap_locks").toString
+    Snapshots.publishArbiter = new Snapshots.CoordinatedPublishArbiter(lockDir, conf)
+    try {
+      Snapshots.writeManifest(s3ish, root, "t", 2L, Seq("winner"))
+      val lost = intercept[java.util.ConcurrentModificationException] {
+        Snapshots.writeManifest(s3ish, root, "t", 2L, Seq("loser"))
+      }
+      assert(lost.getMessage.contains("committed concurrently"))
+      assert(Snapshots.liveFiles(spark, root, "t", 2L) === Seq("winner"))
+    } finally Snapshots.publishArbiter = Snapshots.DefaultPublishArbiter
+  }
+
+  test("vacuum's default grace shields young unreferenced files (writer-vs-vacuum race)") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    Snapshots.replace(Seq((2L, 2021)).toDF("id", "year"), root, "t")
+    // v1's files are unreferenced by the kept version but SECONDS old —
+    // indistinguishable from a concurrent commit's just-staged files, so
+    // the default grace must keep them
+    val kept = Snapshots.vacuum(spark, root, "t", keepVersions = 1)
+    assert(kept.isEmpty, s"young files must survive the default grace: $kept")
+    assert(Snapshots.readVersion(spark, root, "t", 2L).count() === 1L)
+    // explicit zero grace reclaims them (single-writer maintenance)
+    val reclaimed = Snapshots.vacuum(spark, root, "t", keepVersions = 1,
+      graceMillis = 0L)
+    assert(reclaimed.nonEmpty)
+    assert(Snapshots.readVersion(spark, root, "t", 2L).count() === 1L)
+  }
+
+  test("history: one row per live version with operation, counts and added-file attribution") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year"),
+      root, "t", Seq("year"))
+    Snapshots.append(Seq((3L, "c", 2021)).toDF("id", "v", "year"),
+      root, "t", Seq("year"))
+    Snapshots.deleteWhere(spark, root, "t", $"id" === 1L)
+    Snapshots.compact(spark, root, "t", Seq("year"), numFiles = 2,
+      clusterCols = Seq("id"))
+    val h = Snapshots.history(spark, root, "t")
+      .orderBy("version")
+      .select("version", "operation", "n_files", "n_delete_vectors", "n_added_files")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(h.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_._2) === Seq("commit", "append", "delete", "compact"))
+    assert(h.map(_._4) === Seq(0L, 0L, 1L, 0L), "only v3 carries a vector")
+    val (nFilesV2, addedV2) = (h(1)._3, h(1)._5)
+    assert(addedV2 === nFilesV2 - h.head._3, "append adds, carries the rest")
+    assert(h(2)._5 === 0L, "a metadata-only delete adds no files")
+    assert(h(3)._5 === h(3)._3, "compact rewrites everything it lists")
+    // commit times are monotone and portable (manifest-carried)
+    val ts = Snapshots.history(spark, root, "t").orderBy("version")
+      .select("committed_at_millis").as[Long].collect()
+    assert(ts.sorted.sameElements(ts) && ts.forall(_ > 0L))
   }
 }
