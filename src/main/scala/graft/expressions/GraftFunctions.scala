@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partition-pruned snapshot commit (the Delta deployment model: the
     // row-level verb ships as a resolution rule behind spark.sql.extensions)
     e.injectResolutionRule(_ => new graft.sql.SnapshotMergeRule)
+    // UPDATE … SET … WHERE … on a versioned table → conditional projection
+    // + partition-pruned, base-pinned snapshot commit (no join needed —
+    // see SnapshotUpdateRule)
+    e.injectResolutionRule(_ => new graft.sql.SnapshotUpdateRule)
     // per-key top-k physical operator (planner strategy)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     Seq(

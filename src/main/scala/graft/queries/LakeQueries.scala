@@ -917,8 +917,10 @@ object LakeQueries {
     * TWICE through pure SQL (idempotency is part of the gate): the orders
     * log deduped to last-writer-wins per custkey (ANSI MERGE refuses dup
     * source keys), status 'F' deletes, anything else upserts the latest
-    * price in cents, unmatched rows insert. Partition-pruned
-    * copy-on-write: only touched `pb=` partitions are replaced per run.
+    * price in cents, unmatched NON-delete ops insert (the conditioned
+    * NOT MATCHED clause — a delete of a never-present key is ignored, per
+    * ANSI first-match routing). Partition-pruned copy-on-write: only
+    * touched `pb=` partitions are replaced per run.
     */
   private def stageSqlMergeHistory(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_sqlmrg_${math.abs(dir.hashCode)}"
@@ -950,8 +952,8 @@ object LakeQueries {
             |ON tgt.c_custkey = src.ck
             |WHEN MATCHED AND src.op = 'D' THEN DELETE
             |WHEN MATCHED THEN UPDATE SET bal_cents = src.cents
-            |WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, pb)
-            |  VALUES (src.ck, src.cents, src.ck % 10)""".stripMargin
+            |WHEN NOT MATCHED AND src.op <> 'D' THEN INSERT
+            |  (c_custkey, bal_cents, pb) VALUES (src.ck, src.cents, src.ck % 10)""".stripMargin
         s.sql(merge)
         s.sql(merge) // idempotent re-run: new version, same end state
       } catch { case e: Throwable => staged.remove(root); throw e }
@@ -982,6 +984,392 @@ object LakeQueries {
       SELECT CAST(3 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
       FROM graftmrg.balances""")
   }
+
+  /** q221's general-MERGE history, staged once per (JVM, sf): v1 =
+    * customers with `c_custkey % 7 != 0` bucketed by `pb`; one MERGE
+    * exercising the FULL ANSI clause surface the engine supports —
+    * first-match routing across two conditioned UPDATEs (the first reads
+    * the TARGET side: the accumulating `bal = tgt.bal + src.delta`
+    * upsert), and a CONDITIONED INSERT (small sources are ignored, per
+    * first-match NOT MATCHED routing). The source is an aggregation, so
+    * dup keys are impossible by construction.
+    */
+  private def stageSqlMerge2History(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlmrg2_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "balances", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftmrg2", root)
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("delta"),
+            count(lit(1)).as("n"))
+          .createOrReplaceTempView("graft_q221_ops")
+        s.sql("""MERGE INTO graftmrg2.balances AS tgt
+                 USING graft_q221_ops AS src ON tgt.c_custkey = src.ck
+                 WHEN MATCHED AND src.n >= 10 THEN
+                   UPDATE SET bal_cents = tgt.bal_cents + src.delta
+                 WHEN MATCHED THEN UPDATE SET bal_cents = src.delta
+                 WHEN NOT MATCHED AND src.n >= 2 THEN INSERT
+                   (c_custkey, bal_cents, pb) VALUES (src.ck, src.delta, src.ck % 10)""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL MERGE, general ANSI clause routing ([[graft.sql.SnapshotMergeRule]]):
+    * the accumulating target-reading upsert (`SET bal = tgt.bal +
+    * src.delta` for high-volume customers), a second UPDATE clause taking
+    * the first's leftovers (first-match wins), and a conditioned INSERT
+    * ignoring unmatched single-order customers. Leg 1 pins the pre-merge
+    * base; leg 2 the merged state — the oracle replays the clause routing
+    * as one CASE over a full outer join.
+    */
+  def q221SqlMergeGeneral(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSqlMerge2History(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftmrg2", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum
+      FROM graftmrg2.balances VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM graftmrg2.balances""")
+  }
+
+  val q221Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |ops AS (SELECT o_custkey AS ck,
+      |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |merged AS (
+      |  SELECT COALESCE(b.c_custkey, o.ck) AS k,
+      |    CASE WHEN b.c_custkey IS NOT NULL AND o.ck IS NOT NULL AND o.n >= 10
+      |           THEN b.bal + o.delta
+      |         WHEN b.c_custkey IS NOT NULL AND o.ck IS NOT NULL THEN o.delta
+      |         WHEN b.c_custkey IS NOT NULL THEN b.bal
+      |         ELSE o.delta END AS bal,
+      |    (b.c_custkey IS NOT NULL OR o.n >= 2) AS keep
+      |  FROM base b FULL OUTER JOIN ops o ON b.c_custkey = o.ck)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM merged WHERE keep""".stripMargin
+
+  /** q222's UPDATE history, staged once per (JVM, sf): v1 = all customers
+    * bucketed by `pb`; v2 = a conditioned, TARGET-READING pure-SQL UPDATE
+    * (`SET bal_cents = bal_cents + c_custkey % 100 WHERE pb = 3` —
+    * partition-pruned to the one touched bucket); v3 = an unconditioned
+    * UPDATE negating every balance (whole-table rewrite).
+    */
+  private def stageSqlUpdateHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_squpd_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "balances", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftupd", root)
+        s.sql("""UPDATE graftupd.balances
+                 SET bal_cents = bal_cents + c_custkey % 100 WHERE pb = 3""")
+        s.sql("UPDATE graftupd.balances SET bal_cents = -bal_cents")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL UPDATE through the snapshot commit protocol
+    * ([[graft.sql.SnapshotUpdateRule]] → conditional projection →
+    * partition-pruned, base-pinned commit): leg 1 = the pre-update version
+    * intact (time travel); leg 2 = the conditioned target-reading UPDATE
+    * (only `pb = 3` rows moved, only that partition was replaced); leg 3 =
+    * the unconditioned whole-table UPDATE. The oracle recomputes every leg
+    * from the source table.
+    */
+  def q222SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSqlUpdateHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftupd", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum
+      FROM graftupd.balances VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM graftupd.balances VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM graftupd.balances""")
+  }
+
+  val q222Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+      |    c_custkey % 10 AS pb
+      |  FROM customer),
+      |v2 AS (SELECT c_custkey,
+      |    bal + CASE WHEN pb = 3 THEN c_custkey % 100 ELSE 0 END AS bal
+      |  FROM base)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(c_custkey) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(-bal) AS BIGINT),
+      |  CAST(sum(c_custkey) AS BIGINT) FROM v2""".stripMargin
+
+  /** q223's CDF history + one AvailableNow stream pass, staged once per
+    * (JVM, sf): v1/v2/v4 = unpartitioned commits (append semantics — no
+    * file ever removed, the CDF-exact shape) slicing events by
+    * `event_id % 3`; v3 = a merge-on-read `deleteWhere` over a key range
+    * (a manifest vector, streamed as key-level delete rows). The stream
+    * ([[graft.sql.CdfSource]]) writes its change rows to a parquet sink
+    * with a persistent checkpoint, so a re-invocation consumes nothing new
+    * and the sink is stable (resume is additionally pinned in
+    * CdfSourceSpec).
+    */
+  private def stageCdfStreamHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_cdfstream_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        def slice(r: Int) = ev.filter(col("event_id") % 3 === r)
+        graft.lake.Snapshots.commit(slice(0), root, "events", Seq.empty)
+        graft.lake.Snapshots.commit(slice(1), root, "events", Seq.empty)
+        graft.lake.Snapshots.deleteWhere(s, root, "events",
+          col("event_id").between(100, 500))
+        graft.lake.Snapshots.commit(slice(2), root, "events", Seq.empty)
+        val q = s.readStream.format(classOf[graft.sql.CdfSource].getName)
+          .option("root", root).option("table", "events").load()
+          .writeStream.format("parquet")
+          .option("path", s"$root/_cdf_out")
+          .option("checkpointLocation", s"$root/_cdf_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** Change-data-feed streaming source over a versioned table
+    * ([[graft.sql.CdfSource]] — version-number offsets, manifest `addedAt`
+    * file attribution, vector-key delete rows): one per-(version,
+    * change-type) aggregate row per micro-batch's worth of changes. The
+    * oracle replays every leg from the source table, including the delete
+    * rows (= the vector's distinct matching keys, value columns null).
+    */
+  def q223CdfStream(s: SparkSession, dir: String): DataFrame = {
+    val root = stageCdfStreamHistory(s, dir)
+    s.read.parquet(s"$root/_cdf_out")
+      .groupBy(col("_commit_version").as("v"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value_cents")).as("vc_sum"))
+  }
+
+  val q223Sql: String =
+    """WITH ev AS (SELECT event_id,
+      |    CAST(round(value*100) AS BIGINT) AS vc FROM events)
+      |SELECT CAST(1 AS BIGINT) AS v, 'insert' AS change_type,
+      |  count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(vc) AS BIGINT) AS vc_sum
+      |FROM ev WHERE event_id % 3 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'insert', count(*),
+      |  CAST(sum(event_id) AS BIGINT), CAST(sum(vc) AS BIGINT)
+      |FROM ev WHERE event_id % 3 = 1
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'delete', count(*),
+      |  CAST(sum(event_id) AS BIGINT), CAST(NULL AS BIGINT)
+      |FROM (SELECT DISTINCT event_id FROM ev
+      |      WHERE event_id BETWEEN 100 AND 500 AND event_id % 3 IN (0, 1))
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), 'insert', count(*),
+      |  CAST(sum(event_id) AS BIGINT), CAST(sum(vc) AS BIGINT)
+      |FROM ev WHERE event_id % 3 = 2""".stripMargin
+
+  /** q224's four-verb history, staged once per (JVM, sf): v1 = a 2-file
+    * commit, v2 = a 1-file commit (unpartitioned commits append), v3 = a
+    * merge-on-read delete (vector only — zero files added or removed),
+    * v4 = a single-file compact folding the vector away. File counts are
+    * pinned by explicit repartitioning, so the whole history surface is
+    * oracle-replayable.
+    */
+  private def stageHistoryGate(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_hist_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(col("event_id"))
+        graft.lake.Snapshots.commit(
+          ev.filter(col("event_id") % 5 === 0).repartition(2),
+          root, "events", Seq.empty)
+        graft.lake.Snapshots.commit(
+          ev.filter(col("event_id") % 5 === 1).repartition(1),
+          root, "events", Seq.empty)
+        graft.lake.Snapshots.deleteWhere(s, root, "events",
+          col("event_id") % 10 === 0)
+        graft.lake.Snapshots.compact(s, root, "events", Seq.empty,
+          numFiles = 1, clusterCols = Seq("event_id"))
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** DESCRIBE HISTORY ([[graft.lake.Snapshots.history]] — manifest-only
+    * driver work: version, operation, live-file / delete-vector / added-
+    * file counts), cross-checked against per-version SQL time-travel row
+    * counts. The oracle replays both the structural columns (pinned by the
+    * staged verbs) and the row counts (recomputed from the source table).
+    */
+  def q224History(s: SparkSession, dir: String): DataFrame = {
+    val root = stageHistoryGate(s, dir)
+    val h = graft.lake.Snapshots.history(s, root, "events")
+      .select(col("version"), col("operation"), col("n_files"),
+        col("n_delete_vectors"), col("n_added_files"))
+    graft.sql.GraftCatalog.install(s, "grafthist", root)
+    val counts = (1L to 4L).map(v => s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows
+            FROM grafthist.events VERSION AS OF $v"""))
+      .reduce(_.unionByName(_)) // four rows — version-count-sized
+    h.join(counts, Seq("version"))
+  }
+
+  val q224Sql: String =
+    """WITH a AS (SELECT event_id FROM events WHERE event_id % 5 = 0),
+      |b AS (SELECT event_id FROM events WHERE event_id % 5 = 1),
+      |d AS (SELECT event_id FROM a WHERE event_id % 10 = 0)
+      |SELECT CAST(1 AS BIGINT) AS version, 'commit' AS operation,
+      |  CAST(2 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_delete_vectors,
+      |  CAST(2 AS BIGINT) AS n_added_files,
+      |  (SELECT count(*) FROM a) AS n_rows
+      |UNION ALL
+      |SELECT 2, 'commit', 3, 0, 1,
+      |  (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+      |UNION ALL
+      |SELECT 3, 'delete', 3, 1, 0,
+      |  (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+      |    - (SELECT count(*) FROM d)
+      |UNION ALL
+      |SELECT 4, 'compact', 1, 0, 1,
+      |  (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+      |    - (SELECT count(*) FROM d)""".stripMargin
+
+  /** q225's truncate-and-recover lifecycle, staged once per (JVM, sf):
+    * v1 = all customers; v2 = a PURE-SQL `DELETE FROM` (no WHERE) — a
+    * zero-file truncate manifest; v3 = a PURE-SQL `INSERT INTO` re-seeding
+    * a third of the keys (the write layout derives from the manifest alone
+    * — no live file existed to infer it from); v4 = a PURE-SQL MERGE
+    * upserting into the re-born table. Every statement runs through the
+    * catalog — the truncated state must stay fully SQL-addressable.
+    */
+  private def stageTruncateHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_trunc_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "balances", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "grafttrunc", root)
+        s.sql("DELETE FROM grafttrunc.balances")
+        base.filter(col("c_custkey") % 3 === 0)
+          .createOrReplaceTempView("graft_q225_reseed")
+        s.sql("""INSERT INTO grafttrunc.balances
+                 SELECT c_custkey, bal_cents, pb FROM graft_q225_reseed""")
+        base.filter(col("c_custkey") % 3 <= 1)
+          .select(col("c_custkey").as("ck"), col("bal_cents").as("bal"),
+            col("pb"))
+          .createOrReplaceTempView("graft_q225_src")
+        s.sql("""MERGE INTO grafttrunc.balances AS tgt
+                 USING graft_q225_src AS src ON tgt.c_custkey = src.ck
+                 WHEN MATCHED THEN UPDATE SET bal_cents = tgt.bal_cents + 1
+                 WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, pb)
+                   VALUES (src.ck, src.bal, src.pb)""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL truncate lifecycle: leg 1 = the pre-truncate version; leg 2 = the
+    * ZERO-FILE truncated version read as pure SQL (a typed empty relation,
+    * not an error); leg 3 = the SQL re-INSERT (write layout derived from
+    * the manifest of an empty table); leg 4 = a MERGE upsert on the
+    * re-born table. The oracle replays all four legs from the source.
+    */
+  def q225SqlTruncate(s: SparkSession, dir: String): DataFrame = {
+    val root = stageTruncateHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "grafttrunc", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum
+      FROM grafttrunc.balances VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM grafttrunc.balances VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM grafttrunc.balances VERSION AS OF 3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM grafttrunc.balances""")
+  }
+
+  val q225Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer),
+      |re AS (SELECT * FROM base WHERE c_custkey % 3 = 0),
+      |m AS (SELECT c_custkey, bal + 1 AS bal FROM re
+      |      UNION ALL
+      |      SELECT c_custkey, bal FROM base WHERE c_custkey % 3 = 1)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS BIGINT)
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(c_custkey) AS BIGINT) FROM re
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(c_custkey) AS BIGINT) FROM m""".stripMargin
 
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
@@ -1340,6 +1728,11 @@ object LakeQueries {
     "q211_sql_insert" -> (q211SqlInsert _),
     "q218_sql_delete" -> (q218SqlDelete _),
     "q219_sql_merge" -> (q219SqlMerge _),
+    "q221_sql_merge_general" -> (q221SqlMergeGeneral _),
+    "q222_sql_update" -> (q222SqlUpdate _),
+    "q223_cdf_stream" -> (q223CdfStream _),
+    "q224_history" -> (q224History _),
+    "q225_sql_truncate" -> (q225SqlTruncate _),
     "q213_schema_evolution" -> (q213SchemaEvolution _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
@@ -1377,5 +1770,10 @@ object LakeQueries {
     "q211_sql_insert" -> q211Sql,
     "q218_sql_delete" -> q218Sql,
     "q219_sql_merge" -> q219Sql,
+    "q221_sql_merge_general" -> q221Sql,
+    "q222_sql_update" -> q222Sql,
+    "q223_cdf_stream" -> q223Sql,
+    "q224_history" -> q224Sql,
+    "q225_sql_truncate" -> q225Sql,
     "q213_schema_evolution" -> q213Sql)
 }

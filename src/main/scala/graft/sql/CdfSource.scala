@@ -1,0 +1,282 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.Snapshots
+
+/** Change-data-feed STREAMING source over a Snapshots-versioned table —
+  * Delta's CDF shape at a fraction of the cost: the manifest's `addedAt`
+  * attribution already names, for free, exactly which live files each
+  * version added, and delete vectors are first-class manifest entries. A
+  * micro-batch is therefore "versions (start, end]": per version, the
+  * files it added stream as `insert` rows (read through the same V2
+  * parquet machinery as any catalog scan) and the delete vectors it
+  * registered stream as key-level `delete` rows (vector columns set,
+  * everything else null — vectors are key tuples, not full rows, by the
+  * MOR design). Two metadata columns are appended: `_change_type`
+  * (insert/delete) and `_commit_version`.
+  *
+  * {{{
+  *   spark.readStream.format("graft.sql.CdfSource")
+  *     .option("root", root).option("table", "events")
+  *     .option("startingVersion", "1")      // default 1 (from the beginning)
+  *     .load()
+  * }}}
+  *
+  * Exactness contract: append-style versions (`commit`/`append` adding
+  * files without removing any) and merge-on-read deletes replay exactly.
+  * A version that REMOVES live files (partition overwrite, compaction,
+  * row-level MERGE/UPDATE rewrites) cannot be attributed from file adds
+  * alone — by default the stream FAILS on such a version rather than
+  * silently emitting replaced rows as fresh inserts; `skipChangeCommits`
+  * (Delta's option, same semantics) skips those versions entirely. The
+  * general row-level diff between arbitrary versions stays the batch
+  * verb, [[graft.lake.Snapshots.diff]].
+  *
+  * Offsets are plain version numbers, so resume is exact: a checkpointed
+  * restart continues at the first unconsumed version (AvailableNow
+  * support via `SupportsTriggerAvailableNow` — the end version is pinned
+  * at stream start). Scale shape: planning reads manifests only
+  * (driver-tiny, memoized); data I/O is exactly the added files of the
+  * consumed versions, never a table scan.
+  */
+class CdfSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdfSource.changeSchema(CdfSource.dataSchema(
+      SparkSession.active, CdfSource.rootOf(options), CdfSource.tableOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new CdfTable(CdfSource.rootOf(opts), CdfSource.tableOf(opts),
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
+      opts.getBoolean("skipChangeCommits", false), schema)
+  }
+}
+
+object CdfSource {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  private[sql] def rootOf(o: CaseInsensitiveStringMap): String =
+    Option(o.get("root")).getOrElse(
+      throw new IllegalArgumentException("CdfSource needs option `root`"))
+  private[sql] def tableOf(o: CaseInsensitiveStringMap): String =
+    Option(o.get("table")).getOrElse(
+      throw new IllegalArgumentException("CdfSource needs option `table`"))
+
+  /** The stream's DATA schema: the latest manifest schema (CDF needs
+    * schema tracking — pre-tracking tables have no authoritative column
+    * story across versions), integer partition columns widened to BIGINT
+    * exactly like the catalog's reads so change rows type-match SQL reads.
+    */
+  private[sql] def dataSchema(spark: SparkSession, root: String,
+      table: String): StructType = {
+    val latest = Snapshots.latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to stream"))
+    val m = Snapshots.manifest(spark, root, table, latest)
+    val sch = m.schema.getOrElse(throw new IllegalStateException(
+      s"$table@v$latest has no manifest schema — the CDF stream needs " +
+        "schema tracking (recommit through graft.lake.Snapshots)"))
+    val partCols = partColsOf(m).toSet
+    StructType(sch.fields.map { f =>
+      if (partCols.contains(f.name) && (f.dataType == IntegerType ||
+          f.dataType == ShortType || f.dataType == ByteType))
+        f.copy(dataType = LongType)
+      else f
+    })
+  }
+
+  private[sql] def partColsOf(m: Snapshots.Manifest): Seq[String] =
+    if (m.partitionCols.nonEmpty) m.partitionCols
+    else m.files.headOption.toSeq
+      .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
+
+  private[sql] def changeSchema(data: StructType): StructType =
+    StructType(data.fields.toSeq :+
+      StructField(ChangeType, StringType, nullable = false) :+
+      StructField(CommitVersion, LongType, nullable = false))
+}
+
+private[sql] class CdfTable(root: String, table: String,
+    startingVersion: Long, skipChangeCommits: Boolean, schema0: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"cdf(`$root`.`$table`)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String)
+            : MicroBatchStream =
+          new CdfStream(root, table, startingVersion, skipChangeCommits,
+            schema0)
+      }
+    }
+}
+
+private[sql] case class CdfOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Offsets are version numbers: batch (start, end] consumes the file adds
+  * and vector registrations of those versions. Planning is manifest-only.
+  */
+private[sql] class CdfStream(root: String, table: String,
+    startingVersion: Long, skipChangeCommits: Boolean, schema: StructType)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+  private val dataSchema =
+    StructType(schema.fields.dropRight(2))
+  // AvailableNow pins the end version at stream start
+  @volatile private var availableNowCap: Option[Long] = None
+  // handed from planInputPartitions to createReaderFactory (always called
+  // in that order within a micro-batch, on the driver)
+  @volatile private var innerFactories: Array[PartitionReaderFactory] = Array.empty
+
+  private def currentLatest(): Long =
+    Snapshots.latestVersion(spark, root, table)
+      .getOrElse(startingVersion - 1).max(startingVersion - 1)
+
+  override def initialOffset(): Offset = CdfOffset(startingVersion - 1)
+  override def deserializeOffset(json: String): Offset = CdfOffset(json.toLong)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentLatest())
+  override def reportLatestOffset(): Offset = CdfOffset(currentLatest())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-controlled source")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val l = currentLatest()
+    CdfOffset(availableNowCap.fold(l)(math.min(l, _)))
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = start.asInstanceOf[CdfOffset].v
+    val to = end.asInstanceOf[CdfOffset].v
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val factories =
+      scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
+    val dataDir = s"$root/$table/data"
+    var prevFiles: Option[Set[String]] = None
+    for (v <- (from + 1) to to) {
+      val m = Snapshots.manifest(spark, root, table, v)
+      val live = m.files.toSet
+      // change attribution needs an append-shaped version: nothing the
+      // previous version served may disappear (deleteWhere removes no
+      // files; overwrites/compactions do)
+      val prev = prevFiles.getOrElse(
+        if (v == 1) Set.empty[String]
+        else Snapshots.manifest(spark, root, table, v - 1).files.toSet)
+      prevFiles = Some(live)
+      val removed = prev -- live
+      if (removed.nonEmpty) {
+        if (!skipChangeCommits) throw new IllegalStateException(
+          s"CDF stream over $table: version $v removed " +
+            s"${removed.size} live file(s) (operation " +
+            s"${m.operation.getOrElse("unknown")}) — file adds cannot " +
+            "attribute its row changes. Replay it with " +
+            "graft.lake.Snapshots.diff, or set skipChangeCommits=true " +
+            "to skip such versions.")
+      } else {
+        val added = m.addedAtOf.collect { case (f, at) if at == v => f }.toSeq
+        if (added.nonEmpty) {
+          val opts = new CaseInsensitiveStringMap(
+            java.util.Map.of("path", dataDir, "basePath", dataDir))
+          val tbl = new DppParquetTable(s"$table@v$v(cdf)", spark, opts,
+            added.sorted.map(f => s"$dataDir/$f"), Some(dataSchema))
+          val batch: Batch = tbl.newScanBuilder(opts).build().toBatch
+          val fi = factories.length
+          factories += batch.createReaderFactory()
+          batch.planInputPartitions().foreach(p =>
+            parts += CdfFilePartition(p, fi, v))
+        }
+        m.deletes.filter(_.version == v).foreach { d =>
+          val df = spark.read.parquet(s"$root/$table/deletes/${d.file}")
+            .select(d.cols.map(c => col(c).cast(dataSchema(c).dataType)): _*)
+          // vector files are broadcast-anti-join sized by the MOR premise,
+          // never data-sized — driver-resolving them is the design
+          val rows = df.collect().map(r => d.cols.indices.map(r.get).toArray)
+          parts += CdfDeletePartition(d.cols, rows, v)
+        }
+      }
+    }
+    innerFactories = factories.toArray
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(innerFactories, schema)
+}
+
+/** A parquet file partition of one added-at version, tagged with the
+  * factory that reads it and the version to stamp. */
+private[sql] case class CdfFilePartition(inner: InputPartition,
+    factoryIdx: Int, version: Long) extends InputPartition
+
+/** A delete vector's key tuples (EXTERNAL Row values — serializable), one
+  * change row per distinct key. */
+private[sql] case class CdfDeletePartition(cols: Seq[String],
+    rows: Array[Array[Any]], version: Long) extends InputPartition
+
+private[sql] class CdfReaderFactory(
+    factories: Array[PartitionReaderFactory], schema: StructType)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case CdfFilePartition(inner, fi, v) =>
+        val r = factories(fi).createReader(inner)
+        val meta = new GenericInternalRow(Array[Any](
+          UTF8String.fromString("insert"), v))
+        val joined = new JoinedRow
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = joined(r.get(), meta)
+          override def close(): Unit = r.close()
+        }
+      case CdfDeletePartition(cols, rows, v) =>
+        val nData = schema.length - 2
+        val ords = cols.map(c => schema.fieldIndex(c))
+        val convs = cols.map(c => CatalystTypeConverters
+          .createToCatalystConverter(schema(c).dataType))
+        var i = -1
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            val out = new GenericInternalRow(schema.length)
+            ords.indices.foreach(j =>
+              out.update(ords(j), convs(j)(rows(i)(j))))
+            out.update(nData, UTF8String.fromString("delete"))
+            out.update(nData + 1, v)
+            out
+          }
+          override def close(): Unit = ()
+        }
+      case other => throw new IllegalStateException(
+        s"CDF reader got a foreign partition: ${other.getClass.getName}")
+    }
+}

@@ -154,14 +154,21 @@ class GraftCatalog extends TableCatalog {
     val m = graft.lake.Snapshots.manifest(spark, root, ident.name, version)
     val dataDir = s"$root/${ident.name}/data"
     val files = m.files.map(p => s"$dataDir/$p") // manifest-sized
-    if (files.isEmpty)
-      // an all-empty version would otherwise surface as an opaque
-      // schema-inference failure; the Scala API (Snapshots.readVersion)
-      // synthesizes a schema-preserving empty frame for this state
-      throw new IllegalStateException(
-        s"version $version of ${ident.name} has no live files — read it " +
-          "via graft.lake.Snapshots.readVersion for a schema-preserving " +
-          "empty relation")
+    if (files.isEmpty) {
+      // a zero-file version with a manifest schema (e.g. the result of a
+      // SQL `DELETE FROM t` truncate) reads as a typed EMPTY relation —
+      // the table must stay SQL-addressable, not stranded until the next
+      // Scala-API commit. Pre-schema-tracking zero-file versions have no
+      // authoritative schema and keep refusing.
+      val sch = m.schema.getOrElse(throw new IllegalStateException(
+        s"version $version of ${ident.name} has no live files and no " +
+          "manifest schema — read it via graft.lake.Snapshots.readVersion " +
+          "for a schema-preserving empty relation"))
+      val t: Table = new EmptySnapshotTable(s"${ident.name}@v$version",
+        widenPartitionInts(sch, m.partitionCols.toSet))
+      cache.synchronized { cache.putIfAbsent(key, t) }
+      return t
+    }
     GraftCatalog.versionedBuilds.incrementAndGet()
     // basePath keeps Hive partition-column inference working on the
     // explicit per-version file list, exactly like Snapshots.readVersion
@@ -235,12 +242,11 @@ class GraftCatalog extends TableCatalog {
     *  - `INSERT INTO` (INSERT privilege alone) → [[SnapshotInsertTable]]
     *    → `Snapshots.append`: partition clustering, put-if-absent
     *    manifest, stats-sidecar continuity;
-    *  - `DELETE FROM` / `MERGE INTO` (privilege sets touching DELETE or
-    *    UPDATE) → [[SnapshotDmlTable]]: DELETE executes as a
-    *    merge-on-read vector (`Snapshots.deleteWhere`); MERGE is rewritten
-    *    by [[SnapshotMergeRule]] (session extensions) onto `Cdc.merge` +
-    *    a commit. A bare `UPDATE` keeps failing at analysis with Spark's
-    *    row-level-operation error — MERGE is the update verb.
+    *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` (privilege sets touching
+    *    DELETE or UPDATE) → [[SnapshotDmlTable]]: DELETE executes as a
+    *    merge-on-read vector (`Snapshots.deleteWhere`); UPDATE and MERGE
+    *    are rewritten by [[SnapshotUpdateRule]]/[[SnapshotMergeRule]]
+    *    (session extensions) onto base-pinned, partition-pruned commits.
     *
     * Writes against a PLAIN lake table stay refused: they would land
     * files the partition clustering never shaped and no manifest records.
@@ -267,7 +273,8 @@ class GraftCatalog extends TableCatalog {
     val (_, partitionCols, statsCols) = insertShape(ident)
     val latest = graft.lake.Snapshots
       .latestVersion(SparkSession.active, root, ident.name).get
-    val read = versionedTable(ident, latest).asInstanceOf[DppParquetTable]
+    val read = versionedTable(ident, latest)
+      .asInstanceOf[Table with org.apache.spark.sql.connector.catalog.SupportsRead]
     new SnapshotDmlTable(ident.name, root, ident.name,
       partitionCols, statsCols, read)
   }
@@ -301,12 +308,18 @@ class GraftCatalog extends TableCatalog {
     val dataDir = s"$root/${ident.name}/data"
     val files = m.files.map(p => s"$dataDir/$p") // manifest-sized
     if (files.isEmpty)
-      // even with a manifest schema the PARTITION LAYOUT is only evident
-      // from live file paths — writing unpartitioned files into a
-      // partitioned table would corrupt directory inference, so refuse
-      throw new IllegalStateException(
-        s"version $latest of ${ident.name} has no live files to derive a " +
-          "write layout from — commit the first rows via graft.lake.Snapshots")
+      // a truncated (zero-file) version: the manifest records the schema
+      // AND the partition layout since operation tracking, so the write
+      // shape derives without any live file — `INSERT INTO` a truncated
+      // table just works. Pre-tracking empty manifests (no schema) still
+      // refuse: guessing a layout would corrupt directory inference.
+      return m.schema match {
+        case Some(sch) => (sch, m.partitionCols, Seq.empty)
+        case None => throw new IllegalStateException(
+          s"version $latest of ${ident.name} has no live files and no " +
+            "manifest schema to derive a write layout from — commit the " +
+            "first rows via graft.lake.Snapshots")
+      }
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("path", dataDir, "basePath", dataDir))
     val (schema, partitionCols) = m.schema match {
@@ -382,19 +395,59 @@ class GraftCatalog extends TableCatalog {
     readOnly("RENAME TABLE")
 }
 
+/** A typed EMPTY relation — the SQL read of a zero-file snapshot version
+  * (a truncated table, or a dynamic overwrite that emptied everything).
+  * Plans zero input partitions; the reader factory is unreachable.
+  */
+private[sql] class EmptySnapshotTable(tableName: String, schema0:
+    org.apache.spark.sql.types.StructType)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+
+  override def name(): String = tableName
+  override def schema(): org.apache.spark.sql.types.StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): org.apache.spark.sql.types.StructType =
+          schema0
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          (_: InputPartition) => throw new IllegalStateException(
+            "empty relation planned no partitions")
+      }
+    }
+}
+
 object GraftCatalog {
 
   /** Per-version table caches (see [[GraftCatalog.versionedTable]]) —
-    * shared across catalog instances, scoped per SESSION via weak keys
-    * (two sessions can never exchange tables, and a stopped session's
-    * entries become collectable rather than pinned until a size purge).
-    * Each session's cache is access-order LRU bounded at 256 versions: a
-    * wider catalog evicts its coldest version instead of clearing
+    * shared across catalog instances, scoped per SESSION (two sessions can
+    * never exchange tables). The session scope is itself an access-order
+    * LRU bounded at 16 live sessions: the cached tables strongly reference
+    * their SparkSession (ParquetTable holds it), so weak keys could never
+    * collect anything — bounding the map is what actually caps memory in
+    * session-churning deployments (a stopped session's cache is evicted
+    * once 16 newer sessions have planned through the catalog). Each
+    * session's cache is in turn access-order LRU bounded at 256 versions:
+    * a wider catalog evicts its coldest version instead of clearing
     * everything. Vacuuming a version does not evict it (reads of a
     * retired version fail at scan time); versions are immutable otherwise.
     */
-  private val sessionCaches = new java.util.WeakHashMap[
-    SparkSession, java.util.LinkedHashMap[(String, String, Long), Table]]()
+  private val sessionCaches = new java.util.LinkedHashMap[
+      SparkSession, java.util.LinkedHashMap[(String, String, Long), Table]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[SparkSession,
+        java.util.LinkedHashMap[(String, String, Long), Table]]): Boolean =
+      size() > 16
+  }
 
   private[sql] def tableCacheFor(spark: SparkSession)
       : java.util.LinkedHashMap[(String, String, Long), Table] =

@@ -30,9 +30,9 @@ trait SnapshotDmlTarget {
   * plans `DeleteFromTable` as a metadata-only delete when every predicate
   * translates to source filters; an untranslatable predicate fails the
   * statement loudly (`canDeleteWhere` = false) rather than silently
-  * deleting the wrong rows. UPDATE has no such path and keeps failing at
-  * analysis (Spark's own row-level-operation error); the supported update
-  * verb is MERGE INTO (see [[SnapshotMergeRule]]).
+  * deleting the wrong rows. UPDATE and MERGE resolve against this same
+  * table through their session-extension rules ([[SnapshotUpdateRule]],
+  * [[SnapshotMergeRule]]).
   */
 class SnapshotDmlTable(
     tableName: String,
@@ -40,7 +40,8 @@ class SnapshotDmlTable(
     override val lakeTable: String,
     override val lakePartitionCols: Seq[String],
     override val lakeStatsCols: Seq[String],
-    readTable: DppParquetTable)
+    readTable: org.apache.spark.sql.connector.catalog.Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsDelete

@@ -1,19 +1,21 @@
 package graft.sql
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, If, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{broadcast, col, lit, struct}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.DataType
 
 /** `MERGE INTO graft.t USING src ON …` over a Snapshots-versioned table —
-  * the SQL spelling of the engine's CDC-apply verb
-  * ([[graft.operators.Cdc.merge]]; reference precedent: the daily update
-  * IS an upsert — update/app.py:877-940's anti-join-append and
-  * publishers.py:270-288's replace-year, here restated as one statement).
+  * the SQL spelling of the engine's CDC-apply verb (reference precedent:
+  * the daily update IS an upsert — update/app.py:877-940's anti-join
+  * append and publishers.py:270-288's replace-year, here restated as one
+  * statement).
   *
   * Deployment model is Delta's: a resolution rule injected via session
   * extensions (`spark.sql.extensions=graft.expressions.GraftExtensions`)
@@ -23,36 +25,48 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, struct}
   * unsupported-operation error rather than doing anything silent.
   *
   * Execution is partition-pruned copy-on-write through the commit
-  * protocol: one key-partitioned dedup guard, ONE full-outer equi-join
-  * (`Cdc.merge`), then a dynamic-overwrite commit restricted to the
-  * partitions the merge actually touched (matched or inserted) —
-  * untouched partitions carry over by manifest reference, exactly like
-  * the reference's replace-year cycle. Re-running the same MERGE is
-  * idempotent (same end state, new version).
+  * protocol: one dup-source-key refusal pass, ONE full-outer equi-join of
+  * the pinned base version against the source, first-matching-clause
+  * routing evaluated as mutually exclusive CASE branches over the joined
+  * row (so matched and unmatched rows get their OWN value expressions),
+  * then a dynamic-overwrite commit restricted to the partitions the merge
+  * actually touched. The commit is PINNED to the base version it computed
+  * against: a concurrent commit landing in between raises the retryable
+  * `ConcurrentModificationException` instead of silently losing the
+  * concurrent writer's rows (the Delta/Iceberg conflict contract).
+  * Re-running the same MERGE is idempotent (same end state, new version).
   *
-  * Supported shapes (everything else refuses loudly, by design — these
-  * are the CDC verbs; arbitrary row-level programs belong in the Scala
-  * API):
-  *  - ON: conjunction of `target.keyCol = <source expr>` equalities;
-  *  - WHEN MATCHED THEN UPDATE SET * / SET col = <source expr>…
-  *    (unconditioned), optionally preceded or followed by
-  *    WHEN MATCHED [AND <source-only cond>] THEN DELETE;
-  *  - WHEN NOT MATCHED THEN INSERT * / (cols) VALUES (<source exprs>)
-  *    (unconditioned);
-  *  - update-only, insert-only and delete-only merges (matched/unmatched
-  *    rows outside the declared clauses carry over untouched);
-  *  - assignment values may reference SOURCE columns only (a value that
-  *    reads target columns needs the row-level API, not an upsert).
+  * Supported shapes — full ANSI first-match clause routing:
+  *  - ON: conjunction of `target.keyCol = <source expr>` equalities
+  *    (non-equi ON refuses: a range-matched merge is not key-addressable
+  *    copy-on-write);
+  *  - any interleaving of `WHEN MATCHED [AND <cond>] THEN UPDATE SET … /
+  *    SET *` and `WHEN MATCHED [AND <cond>] THEN DELETE`, evaluated in
+  *    declaration order, first match wins; UPDATE values and MATCHED
+  *    conditions may read BOTH target and source columns
+  *    (`SET bal = tgt.bal + src.delta` accumulates);
+  *  - any number of `WHEN NOT MATCHED [AND <cond>] THEN INSERT … /
+  *    INSERT *` clauses (conditions and values source-only, per ANSI —
+  *    there is no target row to read);
+  *  - matched rows no clause claims carry over untouched; unmatched
+  *    source rows no INSERT claims are ignored (never phantom-inserted).
+  *
+  * Refusals (loud, by design): subqueries in clause expressions, updates
+  * of a join-key column, INSERT assigning a key something other than the
+  * ON expression, `WHEN NOT MATCHED BY SOURCE` (a full-table rewrite verb
+  * — use `Snapshots.commit`), WITH SCHEMA EVOLUTION (commit new columns
+  * via `Snapshots.append` first), and duplicate source keys (ANSI
+  * nondeterminism — deduplicate with `QUALIFY row_number() = 1`).
   */
 class SnapshotMergeRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m @ MergeIntoTable(_, _, _, _, _, _, withSchemaEvolution)
         if m.childrenResolved && m.mergeCondition.resolved &&
-          targetOf(m).isDefined &&
+          SnapshotMerge.targetOf(m.targetTable).isDefined &&
           (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
             .forall(actionResolved) =>
-      val (rel, target) = targetOf(m).get
+      val (rel, target) = SnapshotMerge.targetOf(m.targetTable).get
       if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION (commit the " +
         "new columns via graft.lake.Snapshots.append first)")
       if (m.notMatchedBySourceActions.nonEmpty)
@@ -67,16 +81,6 @@ class SnapshotMergeRule extends Rule[LogicalPlan] {
     case other => other.resolved
   }
 
-  private def targetOf(m: MergeIntoTable)
-      : Option[(DataSourceV2Relation, SnapshotDmlTarget)] =
-    EliminateSubqueryAliases(m.targetTable) match {
-      case r: DataSourceV2Relation => r.table match {
-        case t: SnapshotDmlTarget => Some((r, t))
-        case _ => None
-      }
-      case _ => None
-    }
-
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"MERGE INTO a Snapshots-versioned table does not support $what")
@@ -88,20 +92,58 @@ private[sql] object SnapshotMerge {
     throw new UnsupportedOperationException(
       s"MERGE INTO a Snapshots-versioned table does not support $what")
 
-  /** Build the [[SnapshotMergeCommand]]: extract the key equalities, fold
-    * the actions into an ops-projection over the SOURCE plan (keys renamed
-    * to target names, value expressions, an op route column), and record
-    * which rows participate (matched-only / unmatched-only pre-joins).
+  /** The writable snapshot table a DML statement resolved, if any. */
+  def targetOf(table: LogicalPlan)
+      : Option[(DataSourceV2Relation, SnapshotDmlTarget)] =
+    EliminateSubqueryAliases(table) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: SnapshotDmlTarget => Some((r, t))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** One WHEN MATCHED clause, declaration order: `cond` (None = always),
+    * `assigns` by target-column name (None = DELETE). Expressions may
+    * reference target AND source attributes; target references are
+    * remapped onto the pinned base read at execution
+    * ([[MergeProgram.targetName]]).
+    */
+  case class MatchedClause(cond: Option[Expression],
+      assigns: Option[Seq[(String, Expression)]])
+
+  /** One WHEN NOT MATCHED clause: source-only condition + assignments. */
+  case class InsertClause(cond: Option[Expression],
+      assigns: Seq[(String, Expression)])
+
+  /** The resolved merge program, carried OPAQUELY inside the command (a
+    * plain case class, invisible to Catalyst's expression traversals — the
+    * expressions inside reference the analysis-time target relation and
+    * are re-bound to the execution-time base read by exprId).
+    */
+  case class MergeProgram(
+      keyPairs: Seq[(String, Expression)],
+      matched: Seq[MatchedClause],
+      inserts: Seq[InsertClause],
+      targetName: Map[ExprId, String])
+
+  /** Build the [[SnapshotMergeCommand]]: extract the key equalities and
+    * fold the actions into a [[MergeProgram]] over the raw source plan.
     */
   def rewrite(m: MergeIntoTable, rel: DataSourceV2Relation,
       target: SnapshotDmlTarget): LogicalPlan = {
     val source = m.sourceTable
     val targetAttrs = rel.outputSet
     val sourceAttrs = source.outputSet
-    def sourceOnly(e: Expression, what: String): Unit =
-      if (!e.references.subsetOf(sourceAttrs))
-        refuse(s"$what referencing target columns (got $e) — only source " +
-          "columns are evaluable in an upsert")
+    def checked(e: Expression, what: String, sourceOnly: Boolean): Unit = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        refuse(s"a subquery in $what (materialize it into the USING source)")
+      if (sourceOnly && !e.references.subsetOf(sourceAttrs))
+        refuse(s"$what referencing target columns (got $e) — an unmatched " +
+          "row has no target side to read")
+      if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
+        refuse(s"$what referencing columns outside the merge (got $e)")
+    }
 
     // ON: conjunction of target.key = <source expr>
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -121,191 +163,237 @@ private[sql] object SnapshotMerge {
             "`target.col = <source expr>` conjunctions")
       }
     val keyNames = keyPairs.map(_._1.name)
+    val onExprOf: Map[String, Expression] =
+      keyPairs.map { case (t, s) => t.name -> s }.toMap
 
-    // actions → op route + value assignments
-    var updateAssigns: Option[Seq[Assignment]] = None
-    var deleteAt: Option[(Int, Option[Expression])] = None
-    m.matchedActions.zipWithIndex.foreach {
-      case (UpdateStarAction(cond), _) =>
-        if (cond.nonEmpty) refuse("a conditioned UPDATE (route rows via " +
-          "WHEN MATCHED AND cond THEN DELETE, or pre-filter the source)")
-        if (updateAssigns.nonEmpty) refuse("multiple UPDATE actions")
-        val assigns = rel.output.filterNot(a => keyNames.contains(a.name)).map { t =>
-          val s = source.output.find(_.name == t.name).getOrElse(refuse(
-            s"UPDATE SET * with source missing target column ${t.name}"))
-          Assignment(t, s)
-        }
-        updateAssigns = Some(assigns)
-      case (UpdateAction(cond, assigns, _), _) =>
-        if (cond.nonEmpty) refuse("a conditioned UPDATE (route rows via " +
-          "WHEN MATCHED AND cond THEN DELETE, or pre-filter the source)")
-        if (updateAssigns.nonEmpty) refuse("multiple UPDATE actions")
-        updateAssigns = Some(assigns)
-      case (DeleteAction(cond), i) =>
-        if (deleteAt.nonEmpty) refuse("multiple DELETE actions")
-        cond.foreach(sourceOnly(_, "a DELETE condition"))
-        deleteAt = Some((i, cond))
-      case (other, _) => refuse(s"matched action $other")
-    }
-    var insertAssigns: Option[Seq[Assignment]] = None
-    m.notMatchedActions.foreach {
-      case InsertStarAction(cond) =>
-        if (cond.nonEmpty) refuse("a conditioned INSERT (pre-filter the source)")
-        if (insertAssigns.nonEmpty) refuse("multiple INSERT actions")
-        val assigns = rel.output.map { t =>
-          val s = source.output.find(_.name == t.name).getOrElse(refuse(
-            s"INSERT * with source missing target column ${t.name}"))
-          Assignment(t, s)
-        }
-        insertAssigns = Some(assigns)
-      case InsertAction(cond, assigns) =>
-        if (cond.nonEmpty) refuse("a conditioned INSERT (pre-filter the source)")
-        if (insertAssigns.nonEmpty) refuse("multiple INSERT actions")
-        insertAssigns = Some(assigns)
-      case other => refuse(s"not-matched action $other")
-    }
-    if (updateAssigns.isEmpty && insertAssigns.isEmpty && deleteAt.isEmpty)
-      refuse("a MERGE with no actions")
-
-    // resolve assignments to (targetColName → source expr); key-column
-    // assignments must restate the ON key (anything else would insert a
-    // row whose key differs from its join key)
-    def named(assigns: Seq[Assignment], what: String): Seq[(String, Expression)] =
+    // resolve an assignment list to (target column name → value expr)
+    def named(assigns: Seq[Assignment], what: String,
+        sourceOnly: Boolean): Seq[(String, Expression)] =
       assigns.map { a =>
-        val name = a.key match {
-          case t: AttributeReference if targetAttrs.contains(t) => t.name
+        val attr = a.key match {
+          case t: AttributeReference if targetAttrs.contains(t) => t
           case other => refuse(s"$what assigning a non-column target $other")
         }
-        sourceOnly(a.value, s"a $what value")
-        (name, a.value)
-      }
-    // UPDATE SET * arrives star-EXPANDED (every column, keys included):
-    // a key assignment that restates the ON clause is a no-op and drops;
-    // rewriting a key to anything else is not an upsert
-    val upd = updateAssigns.map(named(_, "UPDATE")).getOrElse(Nil)
-      .filterNot { case (n, v) =>
-        keyNames.contains(n) &&
-          keyPairs.find(_._1.name == n).exists(_._2.semanticEquals(v))
-      }
-    upd.foreach { case (n, _) =>
-      if (keyNames.contains(n)) refuse(
-        s"UPDATE of the join key column $n (delete + insert instead)")
-    }
-    val ins = insertAssigns.map(named(_, "INSERT")).getOrElse(Nil)
-    ins.foreach { case (n, v) =>
-      if (keyNames.contains(n)) {
-        val onExpr = keyPairs.find(_._1.name == n).get._2
-        if (!v.semanticEquals(onExpr)) refuse(
-          s"INSERT assigning key column $n an expression different from " +
-            s"the ON clause ($v vs $onExpr)")
-      }
-    }
-    // value map = union; a column assigned differently by UPDATE and
-    // INSERT cannot be one upsert expression
-    val valuePairs = (upd ++ ins.filterNot(p => keyNames.contains(p._1)))
-      .groupBy(_._1).toSeq.sortBy(_._1).map {
-        case (n, vs) =>
-          vs.map(_._2).reduce { (a, b) =>
-            if (a.semanticEquals(b)) a
-            else refuse(s"UPDATE and INSERT assigning column $n different " +
-              s"expressions ($a vs $b)")
-          } match { case e => (n, e) }
-      }
+        checked(a.value, s"a $what value", sourceOnly)
+        (attr, a.value)
+      }.map { case (attr, v) => (attr.name, v) }
 
-    // op route: actions in declaration order; rows no action claims carry
-    // over (encoded as op 'U' with… — see participation modes below)
-    val hasUpdate = updateAssigns.nonEmpty
-    val hasInsert = insertAssigns.nonEmpty
-    val opExpr: Expression = deleteAt match {
-      case Some((i, cond)) if hasUpdate =>
-        val delFirst = i == 0
-        val c = cond.getOrElse(Literal.TrueLiteral)
-        if (delFirst) If(c, Literal("D"), Literal("U"))
-        else Literal("U") // unconditional UPDATE precedes: DELETE unreachable
-      case Some((_, cond)) =>
-        if (hasInsert) refuse("DELETE + INSERT without UPDATE (ambiguous " +
-          "matched-row routing)")
-        Literal("D") // delete-only: rows failing the condition are filtered out
-      case None => Literal("U")
+    def starAssigns(what: String): Seq[Assignment] = rel.output.map { t =>
+      val s = source.output.find(_.name == t.name).getOrElse(refuse(
+        s"$what with source missing target column ${t.name}"))
+      Assignment(t, s)
     }
-    val deleteOnlyCond: Option[Expression] =
-      if (deleteAt.nonEmpty && !hasUpdate) deleteAt.get._2 else None
 
-    // the ops projection over the source: keys under target names, value
-    // expressions under target names, the op route
-    val opsProject: Seq[NamedExpression] =
-      keyPairs.map { case (t, s) => Alias(s, t.name)() } ++
-        valuePairs.map { case (n, e) => Alias(e, n)() } :+
-        Alias(opExpr, "__graft_op")()
-    val opsPlan = Project(opsProject,
-      deleteOnlyCond.map(c =>
-        org.apache.spark.sql.catalyst.plans.logical.Filter(c, source))
-        .getOrElse(source))
+    val matched: Seq[MatchedClause] = m.matchedActions.map {
+      case UpdateStarAction(cond) =>
+        cond.foreach(checked(_, "a MATCHED condition", sourceOnly = false))
+        MatchedClause(cond, Some(filterUpdate(
+          named(starAssigns("UPDATE SET *"), "UPDATE", sourceOnly = false),
+          keyNames, onExprOf, targetAttrs)))
+      case UpdateAction(cond, assigns, _) =>
+        cond.foreach(checked(_, "a MATCHED condition", sourceOnly = false))
+        MatchedClause(cond, Some(filterUpdate(
+          named(assigns, "UPDATE", sourceOnly = false),
+          keyNames, onExprOf, targetAttrs)))
+      case DeleteAction(cond) =>
+        cond.foreach(checked(_, "a MATCHED condition", sourceOnly = false))
+        MatchedClause(cond, None)
+      case other => refuse(s"matched action $other")
+    }
+    val inserts: Seq[InsertClause] = m.notMatchedActions.map {
+      case InsertStarAction(cond) =>
+        cond.foreach(checked(_, "a NOT MATCHED condition", sourceOnly = true))
+        InsertClause(cond, checkInsert(
+          named(starAssigns("INSERT *"), "INSERT", sourceOnly = true),
+          keyNames, onExprOf))
+      case InsertAction(cond, assigns) =>
+        cond.foreach(checked(_, "a NOT MATCHED condition", sourceOnly = true))
+        InsertClause(cond, checkInsert(
+          named(assigns, "INSERT", sourceOnly = true), keyNames, onExprOf))
+      case other => refuse(s"not-matched action $other")
+    }
+    if (matched.isEmpty && inserts.isEmpty) refuse("a MERGE with no actions")
+
+    val targetName: Map[ExprId, String] =
+      rel.output.map(a => a.exprId -> a.name).toMap
 
     SnapshotMergeCommand(
       target.lakeRoot, target.lakeTable,
       target.lakePartitionCols, target.lakeStatsCols,
-      opsPlan, keyNames, valuePairs.map(_._1),
-      matchedOnly = !hasInsert && deleteAt.isEmpty,
-      unmatchedOnly = !hasUpdate && deleteAt.isEmpty && hasInsert)
+      source, MergeProgram(keyPairs.map { case (t, s) => (t.name, s) },
+        matched, inserts, targetName))
+  }
+
+  /** UPDATE assignments: a key assignment that restates the ON clause (or
+    * carries the target key itself — `SET *` arrives star-expanded) is a
+    * no-op and drops; rewriting a key to anything else is not an upsert.
+    */
+  private def filterUpdate(assigns: Seq[(String, Expression)],
+      keyNames: Seq[String], onExprOf: Map[String, Expression],
+      targetAttrs: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Seq[(String, Expression)] = {
+    val kept = assigns.filterNot { case (n, v) =>
+      keyNames.contains(n) && (onExprOf(n).semanticEquals(v) ||
+        (v match {
+          case a: AttributeReference => targetAttrs.contains(a) && a.name == n
+          case _ => false
+        }))
+    }
+    kept.foreach { case (n, _) =>
+      if (keyNames.contains(n)) refuse(
+        s"UPDATE of the join key column $n (delete + insert instead)")
+    }
+    kept
+  }
+
+  /** INSERT assignments: a key column must be assigned the ON expression
+    * itself — anything else would insert a row whose key differs from its
+    * join key (it might silently collide with an existing base key the
+    * join just declared unmatched).
+    */
+  private def checkInsert(assigns: Seq[(String, Expression)],
+      keyNames: Seq[String], onExprOf: Map[String, Expression])
+      : Seq[(String, Expression)] = {
+    assigns.foreach { case (n, v) =>
+      if (keyNames.contains(n) && !onExprOf(n).semanticEquals(v)) refuse(
+        s"INSERT assigning key column $n an expression different from " +
+          s"the ON clause ($v vs ${onExprOf(n)})")
+    }
+    assigns
   }
 }
 
 /** The executable half of [[SnapshotMergeRule]] — a V1 command (the
   * eager-side-effect idiom Spark itself uses for writes that own their
-  * commit protocol). `ops` is a resolved projection of the MERGE source.
+  * commit protocol). `source` is the raw resolved USING plan; `program`
+  * carries the clause expressions opaquely (see
+  * [[SnapshotMerge.MergeProgram]]).
   */
 case class SnapshotMergeCommand(
     root: String, table: String,
     partitionCols: Seq[String], statsCols: Seq[String],
-    ops: LogicalPlan, keyCols: Seq[String], valueCols: Seq[String],
-    matchedOnly: Boolean, unmatchedOnly: Boolean)
+    source: LogicalPlan, program: SnapshotMerge.MergeProgram)
   extends LeafRunnableCommand {
 
-  override def innerChildren: Seq[LogicalPlan] = Seq(ops)
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.lake.Snapshots
     val latest = Snapshots.latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to merge into"))
-    val opsDf = org.apache.spark.sql.graft.bridge.ofRows(spark, ops)
+    val srcDf = bridge.ofRows(spark, source)
+    val keyNames = program.keyPairs.map(_._1)
 
     // ANSI MERGE contract: a source row set that hits one target key twice
     // is nondeterministic — refuse before touching anything
-    val dup = opsDf.groupBy(keyCols.map(col): _*)
+    val dup = srcDf
+      .select(program.keyPairs.map { case (n, e) => bridge.column(e).as(n) }: _*)
+      .groupBy(keyNames.map(col): _*)
       .count().filter(col("count") > 1).limit(1)
       .collect() // at most one row by construction
     if (dup.nonEmpty) throw new IllegalStateException(
       s"MERGE source matches target key ${dup.head.toSeq.init.mkString("/")} " +
         "more than once — deduplicate the source (QUALIFY row_number() = 1)")
 
+    // the PINNED base: computed against `latest`, committed against
+    // `latest` (expectedBase) — a concurrent commit in between raises the
+    // retryable ConcurrentModificationException instead of a lost update
     val base = Snapshots.readVersion(spark, root, table, latest)
-    // participation: an update-only merge must not insert unmatched source
-    // rows; an insert-only merge must not rewrite matched rows
-    val participating =
-      if (matchedOnly)
-        opsDf.join(base.select(keyCols.map(col): _*), keyCols, "left_semi")
-      else if (unmatchedOnly)
-        opsDf.join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
-      else opsDf
-    val merged = graft.operators.Cdc.merge(
-      base, participating.withColumn("__graft_seq", lit(1L)),
-      keyCols, Seq("__graft_seq"), "__graft_op", "D",
-      valueCols.map(n => n -> col(n)).toMap)
+    val baseAttr: Map[String, Attribute] =
+      base.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    def baseOf(name: String): Attribute = baseAttr.getOrElse(name,
+      throw new IllegalStateException(
+        s"MERGE references target column $name absent from $table@v$latest"))
+    // re-bind analysis-time target references onto the pinned base read;
+    // the catalog widens integer partition columns to BIGINT, so a width
+    // mismatch gets a lossless up-cast
+    def remap(e: Expression): Expression = e.transform {
+      case a: AttributeReference if program.targetName.contains(a.exprId) =>
+        val b = baseOf(program.targetName(a.exprId))
+        if (b.dataType == a.dataType) b else Cast(b, a.dataType)
+    }
+    def castTo(e: Expression, dt: DataType): Column =
+      if (e.dataType == dt) bridge.column(e)
+      else bridge.column(Cast(e, dt))
+
+    // full-outer equi-join on the keys, with presence indicators (nullable
+    // key columns cannot signal side presence)
+    val baseDf = base.withColumn("__graft_t", lit(true))
+    val srcI = srcDf.withColumn("__graft_s", lit(true))
+    val joinCond = program.keyPairs
+      .map { case (n, e) => bridge.column(EqualTo(baseOf(n), e)) }
+      .reduce(_ && _)
+    val joined = baseDf.join(srcI, joinCond, "full_outer")
+    val tPresent = col("__graft_t").isNotNull
+    val sPresent = col("__graft_s").isNotNull
+    val matchedRow = tPresent && sPresent
+    val srcOnly = !tPresent && sPresent
+
+    // first-match clause routing as mutually exclusive fire flags
+    def condOf(c: Option[Expression]): Column =
+      c.map(e => coalesce(bridge.column(remap(e)), lit(false)))
+        .getOrElse(lit(true))
+    val mConds = program.matched.map(cl => condOf(cl.cond))
+    val mFires = mConds.indices.map(i =>
+      mConds.take(i).foldLeft(matchedRow && mConds(i))(_ && !_))
+    val anyMFires =
+      if (mConds.isEmpty) lit(false) else matchedRow && mConds.reduce(_ || _)
+    val deleteFires = mFires.zip(program.matched)
+      .collect { case (f, cl) if cl.assigns.isEmpty => f }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val iConds = program.inserts.map(cl => condOf(cl.cond))
+    val iFires = iConds.indices.map(j =>
+      iConds.take(j).foldLeft(srcOnly && iConds(j))(_ && !_))
+    val anyIFires =
+      if (iConds.isEmpty) lit(false) else srcOnly && iConds.reduce(_ || _)
+
+    // per-column value: the firing clause's expression, else carry / null
+    val baseFields = base.schema.fields.toSeq
+    val outCols = baseFields.map { f =>
+      val updBranches = mFires.zip(program.matched).flatMap {
+        case (fire, SnapshotMerge.MatchedClause(_, Some(assigns))) =>
+          assigns.collectFirst { case (n, v) if n == f.name =>
+            (fire, castTo(remap(v), f.dataType)) }
+        case _ => None
+      }
+      val insBranches = iFires.zip(program.inserts).map {
+        case (fire, SnapshotMerge.InsertClause(_, assigns)) =>
+          val v = assigns.collectFirst { case (n, e) if n == f.name =>
+            castTo(e, f.dataType) }
+          (fire, v.getOrElse(lit(null).cast(f.dataType)))
+      }
+      (updBranches ++ insBranches)
+        .foldRight(bridge.column(baseOf(f.name))) { case ((fire, v), acc) =>
+          when(fire, v).otherwise(acc)
+        }.as(f.name)
+    }
+    // a matched row survives unless a DELETE clause claimed it; an
+    // unmatched source row exists only if an INSERT clause claimed it
+    val keep = !deleteFires && (tPresent || anyIFires)
+    val touch = anyMFires || anyIFires
+    val extras = Seq(keep.as("__graft_keep"), touch.as("__graft_touch"),
+      matchedRow.as("__graft_m")) ++
+      partitionCols.map(p =>
+        bridge.column(baseOf(p)).as(s"__graft_old_$p"))
+    val full = joined.select(outCols ++ extras: _*)
+    val result = full.filter(col("__graft_keep"))
+      .select(baseFields.map(f => col(f.name)): _*)
 
     if (partitionCols.isEmpty) {
-      // unpartitioned table: the merge result replaces everything
-      Snapshots.commitFullReplace(merged.drop("__changed"), root, table, statsCols)
+      Snapshots.commitFullReplace(result, root, table, statsCols,
+        operation = "merge", expectedBase = Some(latest))
     } else {
       // partition-pruned copy-on-write: replace ONLY partitions the merge
-      // touched — changed/inserted rows' partitions plus matched rows'
-      // (covers a partition the merge emptied via DELETE)
-      val touched = merged.filter(col("__changed") === 1)
+      // touched — surviving touched rows' (possibly NEW) partitions plus
+      // matched-and-claimed rows' OLD partitions (covers a partition a
+      // DELETE emptied and the old home of a partition-moving UPDATE)
+      val newTouched = full
+        .filter(col("__graft_touch") && col("__graft_keep"))
         .select(partitionCols.map(col): _*)
-        .unionByName(base
-          .join(participating.select(keyCols.map(col): _*), keyCols, "left_semi")
-          .select(partitionCols.map(col): _*))
-        .distinct()
+      val oldTouched = full
+        .filter(col("__graft_touch") && col("__graft_m"))
+        .select(partitionCols.map(p => col(s"__graft_old_$p").as(p)): _*)
+      val touched = newTouched.unionByName(oldTouched).distinct()
         .collect() // partition-value-sized (dimension data), never row-sized
         .toSeq
       val prefixes = touched.map { r =>
@@ -318,12 +406,11 @@ case class SnapshotMergeCommand(
       val touchedDf = spark.createDataFrame(
         spark.sparkContext.parallelize(touched, 1),
         org.apache.spark.sql.types.StructType(
-          merged.schema.fields.filter(f => partitionCols.contains(f.name))))
-      val commitDf = merged
-        .join(broadcast(touchedDf), partitionCols, "left_semi")
-        .drop("__changed")
+          baseFields.filter(f => partitionCols.contains(f.name))))
+      val commitDf = result.join(broadcast(touchedDf), partitionCols, "left_semi")
       Snapshots.commitReplacingPrefixes(commitDf, root, table,
-        partitionCols, statsCols, prefixes)
+        partitionCols, statsCols, prefixes,
+        operation = "merge", expectedBase = Some(latest))
     }
     Seq.empty
   }

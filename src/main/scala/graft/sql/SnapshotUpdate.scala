@@ -1,0 +1,194 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.DataType
+
+/** Expression re-binding shared by the row-level SQL verbs: analysis-time
+  * target attribute references are rewritten by exprId onto the
+  * execution-time base read (`Snapshots.readVersion` of the pinned
+  * version). The catalog widens integer partition columns to BIGINT while
+  * the stored files keep the committed type, so a width mismatch gets a
+  * lossless up-cast; assigned values are cast back to the stored column
+  * type at projection time (ANSI cast — a lossy narrow fails loudly).
+  */
+private[sql] object DmlRebind {
+
+  def baseAttrs(base: org.apache.spark.sql.DataFrame): Map[String, Attribute] =
+    base.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+
+  def remap(e: Expression, targetName: Map[ExprId, String],
+      baseAttr: Map[String, Attribute], table: String): Expression =
+    e.transform {
+      case a: AttributeReference if targetName.contains(a.exprId) =>
+        val b = baseAttr.getOrElse(targetName(a.exprId),
+          throw new IllegalStateException(s"statement references target " +
+            s"column ${targetName(a.exprId)} absent from $table"))
+        if (b.dataType == a.dataType) b else Cast(b, a.dataType)
+    }
+
+  def castTo(e: Expression, dt: DataType): Column =
+    if (e.dataType == dt) bridge.column(e) else bridge.column(Cast(e, dt))
+}
+
+/** `UPDATE graft.t SET … [WHERE …]` over a Snapshots-versioned table —
+  * the first statement a SQL user types to correct data, mechanically a
+  * conditional projection committed copy-on-write (no join at all: unlike
+  * MERGE there is no second relation, so the rewrite is
+  * `when(cond, value).otherwise(col)` per assigned column).
+  *
+  * Same deployment model as [[SnapshotMergeRule]]: a resolution rule
+  * behind `spark.sql.extensions`, rewriting the resolved `UpdateTable`
+  * onto a V1 command that owns its commit. Execution is partition-pruned:
+  * only partitions holding predicate-matching rows are replaced (plus the
+  * NEW home partitions when an assignment moves rows across the partition
+  * layout); the commit is pinned to the base version (concurrent commit →
+  * retryable `ConcurrentModificationException`). Any deterministic
+  * predicate/value over the target's columns is supported — predicates
+  * are EVALUATED by Spark, not translated to source filters (contrast
+  * `DELETE FROM`, whose merge-on-read vectors require translatable
+  * predicates); subqueries refuse loudly (materialize them and use MERGE).
+  *
+  * An UPDATE whose predicate matches no row is a no-op: no new version is
+  * published. An UPDATE of an unpartitioned table rewrites the table —
+  * the documented copy-on-write cost, same as an unpartitioned MERGE.
+  */
+class SnapshotUpdateRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(tbl, assignments, condition)
+        if u.childrenResolved && assignments.forall(_.resolved) &&
+          condition.forall(_.resolved) &&
+          SnapshotMerge.targetOf(tbl).isDefined =>
+      val (rel, target) = SnapshotMerge.targetOf(tbl).get
+      SnapshotUpdate.rewrite(rel, target, assignments, condition)
+  }
+}
+
+private[sql] object SnapshotUpdate {
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"UPDATE of a Snapshots-versioned table does not support $what")
+
+  /** The resolved update program, carried opaquely inside the command
+    * (same contract as [[SnapshotMerge.MergeProgram]]). */
+  case class UpdateProgram(
+      assigns: Seq[(String, Expression)],
+      cond: Option[Expression],
+      targetName: Map[ExprId, String])
+
+  def rewrite(rel: DataSourceV2Relation, target: SnapshotDmlTarget,
+      assignments: Seq[Assignment], condition: Option[Expression])
+      : LogicalPlan = {
+    val targetAttrs = rel.outputSet
+    def checked(e: Expression, what: String): Unit = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        refuse(s"a subquery in $what (materialize it and MERGE instead)")
+      if (!e.references.subsetOf(targetAttrs))
+        refuse(s"$what referencing columns outside the table (got $e)")
+    }
+    condition.foreach(checked(_, "the WHERE predicate"))
+    val assigns = assignments.map { a =>
+      val name = a.key match {
+        case t: AttributeReference if targetAttrs.contains(t) => t.name
+        case other => refuse(s"assigning a non-column target $other")
+      }
+      checked(a.value, s"the value assigned to $name")
+      (name, a.value)
+    }
+    val dups = assigns.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    if (dups.nonEmpty) refuse(s"assigning ${dups.mkString(", ")} twice")
+    // identity assignments (alignment rules pad unassigned columns with
+    // `c = c`) are no-ops and drop
+    val effective = assigns.filterNot { case (n, v) =>
+      v match {
+        case a: AttributeReference => targetAttrs.contains(a) && a.name == n
+        case _ => false
+      }
+    }
+    if (effective.isEmpty) refuse("an all-identity SET list")
+    SnapshotUpdateCommand(
+      target.lakeRoot, target.lakeTable,
+      target.lakePartitionCols, target.lakeStatsCols,
+      UpdateProgram(effective, condition,
+        rel.output.map(a => a.exprId -> a.name).toMap))
+  }
+}
+
+/** The executable half of [[SnapshotUpdateRule]]. */
+case class SnapshotUpdateCommand(
+    root: String, table: String,
+    partitionCols: Seq[String], statsCols: Seq[String],
+    program: SnapshotUpdate.UpdateProgram)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.lake.Snapshots
+    val latest = Snapshots.latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to update"))
+    val base = Snapshots.readVersion(spark, root, table, latest)
+    val baseAttr = DmlRebind.baseAttrs(base)
+    def remap(e: Expression): Expression =
+      DmlRebind.remap(e, program.targetName, baseAttr, s"$table@v$latest")
+    val assignOf: Map[String, Expression] = program.assigns.toMap
+    // null predicate = false, per SQL WHERE semantics
+    val hit = program.cond
+      .map(e => coalesce(bridge.column(remap(e)), lit(false)))
+      .getOrElse(lit(true))
+    val outCols = base.schema.fields.toSeq.map { f =>
+      assignOf.get(f.name) match {
+        case Some(v) =>
+          when(hit, DmlRebind.castTo(remap(v), f.dataType))
+            .otherwise(bridge.column(baseAttr(f.name))).as(f.name)
+        case None => bridge.column(baseAttr(f.name)).as(f.name)
+      }
+    }
+    val updated = base.select(outCols: _*)
+
+    if (partitionCols.isEmpty) {
+      Snapshots.commitFullReplace(updated, root, table, statsCols,
+        operation = "update", expectedBase = Some(latest))
+    } else {
+      // partition-pruned copy-on-write: hit rows' OLD partitions, plus
+      // their NEW partitions when the SET list rewrites a partition column
+      val oldTouched = base.filter(hit).select(partitionCols.map(col): _*)
+      val touchedDf0 =
+        if (partitionCols.exists(assignOf.contains)) {
+          val newPart = partitionCols.map { p =>
+            assignOf.get(p)
+              .map(v => when(hit, DmlRebind.castTo(remap(v),
+                base.schema(p).dataType))
+                .otherwise(bridge.column(baseAttr(p))))
+              .getOrElse(bridge.column(baseAttr(p))).as(p)
+          }
+          oldTouched.unionByName(base.filter(hit).select(newPart: _*))
+        } else oldTouched
+      val touched = touchedDf0.distinct()
+        .collect() // partition-value-sized (dimension data), never row-sized
+        .toSeq
+      if (touched.isEmpty) return Seq.empty // predicate matched nothing
+      val prefixes = touched.map { r =>
+        require((0 until partitionCols.length).forall(!r.isNullAt(_)),
+          s"UPDATE into null partition value of $partitionCols")
+        partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/")
+      }
+      val touchedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(touched, 1),
+        org.apache.spark.sql.types.StructType(
+          base.schema.fields.filter(f => partitionCols.contains(f.name))))
+      val commitDf = updated.join(broadcast(touchedDf), partitionCols, "left_semi")
+      Snapshots.commitReplacingPrefixes(commitDf, root, table,
+        partitionCols, statsCols, prefixes,
+        operation = "update", expectedBase = Some(latest))
+    }
+    Seq.empty
+  }
+}

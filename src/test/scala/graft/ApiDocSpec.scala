@@ -290,18 +290,47 @@ class ApiDocSpec extends SparkTestBase {
     // --- docs/API.md: GraftCatalog SQL DML --- (dim2 for the fresh shape)
     spark.sql("INSERT INTO graft.dim2 SELECT id, id % 4 AS pb FROM range(40, 50)")
     spark.sql("DELETE FROM graft.dim2 WHERE id >= 45 OR id IN (41)")
+    spark.sql("UPDATE graft.dim2 SET pb = pb + 10 WHERE id = 43")
     spark.sql("""MERGE INTO graft.dim2 AS tgt USING updates AS s
                  ON tgt.id = s.id
                  WHEN MATCHED AND s.op = 'D' THEN DELETE
-                 WHEN MATCHED THEN UPDATE SET pb = s.pb
-                 WHEN NOT MATCHED THEN INSERT (id, pb) VALUES (s.id, s.pb)""")
+                 WHEN MATCHED THEN UPDATE SET pb = tgt.pb + s.pb
+                 WHEN NOT MATCHED AND s.op <> 'D' THEN
+                   INSERT (id, pb) VALUES (s.id, s.pb)""")
     // --- end ---
     // v1 = 40..44; INSERT doubled 40..44 and added 45..49; DELETE dropped
-    // ≥45 and 41 (both copies); MERGE deleted 40s, repointed 44s, added 77
+    // ≥45 and 41 (both copies); UPDATE moved both 43s to pb 13; MERGE
+    // deleted the 40s, accumulated the 44s (0 + 9), inserted 77
     val end = spark.sql("SELECT id, pb FROM graft.dim2")
       .as[(Long, Long)].collect().toSeq.sorted
-    assert(end === Seq((42L, 2L), (42L, 2L), (43L, 3L), (43L, 3L),
+    assert(end === Seq((42L, 2L), (42L, 2L), (43L, 13L), (43L, 13L),
       (44L, 9L), (44L, 9L), (77L, 1L)), end)
+  }
+
+  test("CDF streaming source + history example") {
+    import graft.lake.Snapshots
+    val root = tmp("cdfdoc")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    Snapshots.commit(spark.range(0, 5).select(col("id")), root, "t", Seq.empty)
+    Snapshots.commit(spark.range(5, 8).select(col("id")), root, "t", Seq.empty)
+
+    // --- docs/API.md: CDF streaming source ---
+    val changes = spark.readStream.format("graft.sql.CdfSource")
+      .option("root", root).option("table", "t")
+      .load()   // data columns + _change_type (insert/delete) + _commit_version
+    // --- end ---
+    val q = changes.writeStream.format("memory").queryName("cdfdoc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("cdfdoc").count() === 8)
+    assert(spark.table("cdfdoc").columns.toSet ===
+      Set("id", "_change_type", "_commit_version"))
+
+    val h = Snapshots.history(spark, root, "t")
+    assert(h.columns.toSeq === Seq("version", "committed_at_millis",
+      "operation", "n_files", "n_delete_vectors", "n_added_files"))
+    assert(h.count() === 2)
   }
 
   test("Snapshots example: commit, time travel, CDF, vacuum") {

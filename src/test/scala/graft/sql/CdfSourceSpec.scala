@@ -1,0 +1,113 @@
+package graft.sql
+
+import graft.SparkTestBase
+import graft.lake.Snapshots
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Change-data-feed streaming source over Snapshots-versioned tables
+  * ([[CdfSource]]): version-offset micro-batches, file-add inserts,
+  * vector-key deletes, AvailableNow + exact checkpointed resume, and the
+  * replaced-files refusal/skip contract.
+  */
+class CdfSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("cdf_src").toString
+
+  private def runStream(root: String, table: String, out: String, cp: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format(classOf[CdfSource].getName)
+      .option("root", root).option("table", table)
+    val q = extra.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("adds stream as inserts, vectors as key deletes; resume is exact") {
+    val root = freshRoot()
+    val out = s"$root/_out"; val cp = s"$root/_cp"
+    // unpartitioned commits APPEND (no partitions to replace)
+    Snapshots.commit((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"),
+      root, "t", Seq.empty)
+    Snapshots.commit((10L until 15L).map(i => (i, s"b$i")).toDF("id", "v"),
+      root, "t", Seq.empty)
+    Snapshots.deleteWhere(spark, root, "t", col("id").isin(2L, 3L))
+    Snapshots.commit(Seq((15L, "c15")).toDF("id", "v"), root, "t", Seq.empty)
+
+    runStream(root, "t", out, cp)
+    val changes = spark.read.parquet(out)
+    assert(changes.columns.toSet ===
+      Set("id", "v", "_change_type", "_commit_version"))
+    val byBatch = changes
+      .groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect()
+      .map { case (cv, ct, n) => (cv, ct) -> n }.toMap
+    assert(byBatch === Map((1L, "insert") -> 10L, (2L, "insert") -> 5L,
+      (3L, "delete") -> 2L, (4L, "insert") -> 1L))
+    // delete rows carry the vector key columns; the rest is null
+    val dels = changes.filter($"_change_type" === "delete")
+      .select("id", "v").as[(Long, Option[String])].collect().toSet
+    assert(dels === Set((2L, None), (3L, None)))
+    // applying the stream's changes replays the final table exactly
+    val replayed = changes.filter($"_change_type" === "insert")
+      .join(changes.filter($"_change_type" === "delete").select("id"),
+        Seq("id"), "left_anti")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    val direct = Snapshots.readVersion(spark, root, "t", 4L)
+      .as[(Long, String)].collect().toSet
+    assert(replayed === direct)
+
+    // resume: one more version; the checkpointed stream consumes ONLY it
+    Snapshots.commit(Seq((16L, "d16")).toDF("id", "v"), root, "t", Seq.empty)
+    runStream(root, "t", out, cp)
+    val after = spark.read.parquet(out)
+    assert(after.count() === changes.count() + 1)
+    assert(after.filter($"_commit_version" === 5L)
+      .select("id").as[Long].collect().toSeq === Seq(16L))
+  }
+
+  test("a version that removes files refuses; skipChangeCommits skips it") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "p"),
+      root, "t", Seq("p"))
+    // dynamic overwrite of p=0: removes that partition's file — file adds
+    // cannot attribute the change
+    Snapshots.commit(Seq((1L, "a2", 0)).toDF("id", "v", "p"),
+      root, "t", Seq("p"))
+    Snapshots.commit(Seq((3L, "c", 2)).toDF("id", "v", "p"),
+      root, "t", Seq("p"))
+    val e = intercept[Exception] {
+      runStream(root, "t", s"$root/_out1", s"$root/_cp1")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null)
+      && chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("removed"))), e.toString)
+
+    runStream(root, "t", s"$root/_out2", s"$root/_cp2",
+      Map("skipChangeCommits" -> "true"))
+    val changes = spark.read.parquet(s"$root/_out2")
+    val byBatch = changes.groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    // v1 and v3 stream; the replacing v2 is skipped entirely
+    assert(byBatch === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("startingVersion skips earlier history") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root, "t", Seq.empty)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), root, "t", Seq.empty)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), root, "t", Seq.empty)
+    runStream(root, "t", s"$root/_out", s"$root/_cp",
+      Map("startingVersion" -> "3"))
+    val ids = spark.read.parquet(s"$root/_out")
+      .select("id").as[Long].collect().toSeq
+    assert(ids === Seq(3L))
+  }
+}

@@ -83,7 +83,7 @@ class SnapshotMergeSpec extends SparkTestBase {
     assert(afterI(500L) === "NOPE" && afterI.size === 41)
   }
 
-  test("MERGE refusals are loud: dup source keys, non-equi ON, target-reading values") {
+  test("MERGE refusals are loud: dup source keys, non-equi ON, key update") {
     val root = freshRoot(); stage(root)
     Seq((1L, "a", 1), (1L, "b", 1)).toDF("id", "v", "p")
       .createOrReplaceTempView("m_dup")
@@ -101,11 +101,127 @@ class SnapshotMergeSpec extends SparkTestBase {
                    WHEN MATCHED THEN UPDATE SET *""")
     }
     assert(nonEqui.getMessage.contains("non-equality"), nonEqui.getMessage)
-    val tgtRef = intercept[Exception] {
+    val keyUpd = intercept[Exception] {
       spark.sql("""MERGE INTO graftm.t AS tgt USING m_one AS s ON tgt.id = s.id
-                   WHEN MATCHED THEN UPDATE SET v = concat(tgt.v, s.v)""")
+                   WHEN MATCHED THEN UPDATE SET id = s.id + 1""")
     }
-    assert(tgtRef.getMessage.contains("target columns"), tgtRef.getMessage)
+    assert(keyUpd.getMessage.contains("join key"), keyUpd.getMessage)
+    val tgtIns = intercept[Exception] {
+      spark.sql("""MERGE INTO graftm.t AS tgt USING m_one AS s ON tgt.id = s.id
+                   WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, tgt.v, s.p)""")
+    }
+    // Spark's own analyzer scopes NOT MATCHED to the source side — the
+    // refusal is loud before the rewrite even sees the statement
+    assert(tgtIns.getMessage.contains("cannot be resolved"), tgtIns.getMessage)
+  }
+
+  test("MERGE UPDATE values and MATCHED conditions read target columns") {
+    val root = freshRoot(); stage(root)
+    // accumulating upsert: bal = tgt.bal + src.delta — the canonical CDC-
+    // adjacent pattern (the value reads the target side of the join)
+    Snapshots.commit(
+      Seq((1L, 100L, 0), (2L, 50L, 1)).toDF("id", "bal", "p"),
+      root, "acct", Seq("p"))
+    Seq((1L, 7L, 1), (3L, 5L, 0)).toDF("id", "delta", "p")
+      .createOrReplaceTempView("m_acc")
+    spark.sql("""MERGE INTO graftm.acct AS tgt USING m_acc AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET bal = tgt.bal + s.delta
+                 WHEN NOT MATCHED THEN INSERT (id, bal, p) VALUES (s.id, s.delta, s.p)""")
+    val rows = spark.sql("SELECT id, bal FROM graftm.acct")
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 107L, 2L -> 50L, 3L -> 5L))
+    // conditioned UPDATE comparing target against source: only rows whose
+    // stored balance is LOWER than the incoming one move
+    Seq((1L, 90L, 0), (2L, 60L, 1)).toDF("id", "bal2", "p")
+      .createOrReplaceTempView("m_max")
+    spark.sql("""MERGE INTO graftm.acct AS tgt USING m_max AS s ON tgt.id = s.id
+                 WHEN MATCHED AND tgt.bal < s.bal2 THEN UPDATE SET bal = s.bal2""")
+    val rows2 = spark.sql("SELECT id, bal FROM graftm.acct")
+      .as[(Long, Long)].collect().toMap
+    assert(rows2 === Map(1L -> 107L, 2L -> 60L, 3L -> 5L),
+      "only the condition-passing row updates; others carry")
+  }
+
+  test("UPDATE+DELETE without INSERT ignores unmatched source rows") {
+    val root = freshRoot(); stage(root)
+    // 700/701 match nothing; with no NOT MATCHED clause they must be
+    // IGNORED, never phantom-inserted (ANSI first-match routing)
+    Seq((1L, "upd", "U", 1), (8L, "x", "D", 0),
+        (700L, "ghost", "U", 0), (701L, "ghost", "D", 1))
+      .toDF("id", "v", "op", "p").createOrReplaceTempView("m_ud")
+    spark.sql("""MERGE INTO graftm.t AS tgt USING m_ud AS s ON tgt.id = s.id
+                 WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET v = s.v""")
+    val rows = spark.sql("SELECT id, v FROM graftm.t")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size === 39 && rows(1L) === "upd" && !rows.contains(8L))
+    assert(!rows.contains(700L) && !rows.contains(701L),
+      "unmatched source rows with no INSERT clause are ignored")
+  }
+
+  test("asymmetric UPDATE/INSERT column sets route separately") {
+    val root = freshRoot()
+    Snapshots.commit(
+      Seq((1L, "keepA", "keepB", 0)).toDF("id", "a", "b", "p"),
+      root, "asym", Seq("p"))
+    GraftCatalog.install(spark, "graftm", root)
+    Seq((1L, "ua", "ib", 0), (2L, "ua2", "ib2", 1)).toDF("id", "sa", "sb", "p")
+      .createOrReplaceTempView("m_asym")
+    // UPDATE assigns only `a`; INSERT assigns only (id, b, p): the matched
+    // row's `b` must stay untouched, the inserted row's `a` must be null —
+    // one shared value map would leak each clause's columns into the other
+    spark.sql("""MERGE INTO graftm.asym AS tgt USING m_asym AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET a = s.sa
+                 WHEN NOT MATCHED THEN INSERT (id, b, p) VALUES (s.id, s.sb, s.p)""")
+    val rows = spark.sql("SELECT id, a, b FROM graftm.asym")
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L) === (("ua", "keepB")),
+      "a column the UPDATE does not assign must carry the stored value")
+    assert(rows(2L) === ((null, "ib2")),
+      "a column the INSERT does not assign must be null on the new row")
+  }
+
+  test("multiple conditioned clauses: first match wins, in declaration order") {
+    val root = freshRoot(); stage(root)
+    Seq((1L, 5L, 1), (2L, 50L, 2), (3L, 500L, 3)).toDF("id", "x", "p")
+      .createOrReplaceTempView("m_multi")
+    spark.sql("""MERGE INTO graftm.t AS tgt USING m_multi AS s ON tgt.id = s.id
+                 WHEN MATCHED AND s.x < 10 THEN UPDATE SET v = 'small'
+                 WHEN MATCHED AND s.x < 100 THEN UPDATE SET v = 'mid'
+                 WHEN MATCHED THEN DELETE""")
+    val rows = spark.sql("SELECT id, v FROM graftm.t")
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "small" && rows(2L) === "mid" && !rows.contains(3L))
+    assert(rows.size === 39)
+  }
+
+  test("MERGE pins its base version: a concurrent commit raises CME") {
+    val root = freshRoot(); stage(root)
+    // a competing writer lands BETWEEN the merge's base read (pinned at
+    // v1) and its commit reconcile: the trigger UDF fires during the
+    // merge's own dup-check job, so the table is at v2 by the time the
+    // merge publishes. The merge must refuse (retryable CME, the
+    // expectedBase pin), never silently overwrite the competitor's rows
+    // with data derived from the stale v1 snapshot.
+    MergeCmeTrigger.root = root
+    MergeCmeTrigger.fired.set(false)
+    spark.udf.register("m_cme_trigger", (id: Long) => MergeCmeTrigger(id))
+    Seq((1L, "late", 1)).toDF("id", "v", "p").createOrReplaceTempView("m_cme_raw")
+    spark.sql("SELECT m_cme_trigger(id) AS id, v, p FROM m_cme_raw")
+      .createOrReplaceTempView("m_cme")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graftm.t AS tgt USING m_cme AS s ON tgt.id = s.id
+                   WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]), e.toString)
+    // the competitor's version is the latest; its row and the would-be
+    // merged row are both intact
+    val rows = spark.sql("SELECT id, v FROM graftm.t")
+      .as[(Long, String)].collect().toMap
+    assert(rows(99L) === "concurrent" && rows(1L) === "v1")
   }
 
   test("a MERGE that empties a partition really empties it") {
@@ -120,5 +236,26 @@ class SnapshotMergeSpec extends SparkTestBase {
       Set(2L))
     assert(Snapshots.liveFiles(spark, root, "t", 2L)
       .forall(_.startsWith("p=1/")), "p=0 must be gone from the manifest")
+  }
+}
+
+/** Competing-commit trigger for the expectedBase CME test: a UDF body
+  * (top-level object — nothing non-serializable captured) that commits a
+  * new version of `t` the FIRST time it is evaluated, i.e. inside the
+  * merge's own dup-check job, after the merge pinned its base version.
+  * local-mode only (the inner commit launches jobs from a task thread).
+  */
+private[sql] object MergeCmeTrigger {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var root: String = _
+  def apply(id: Long): Long = {
+    if (fired.compareAndSet(false, true)) {
+      val s = org.apache.spark.sql.SparkSession.builder().getOrCreate()
+      graft.lake.Snapshots.append(
+        s.range(1).selectExpr("CAST(99 AS BIGINT) AS id",
+          "'concurrent' AS v", "CAST(1 AS INT) AS p"),
+        root, "t", Seq("p"))
+    }
+    id
   }
 }
