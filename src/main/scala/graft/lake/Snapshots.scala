@@ -559,13 +559,20 @@ object Snapshots {
       val f = fs(spark, root)
       val schema = StructType(Seq(StructField("file", StringType),
         StructField("rows", LongType), StructField("bytes", LongType)))
-      val rows = added.map { case (p, bytes) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(s"$dir/$p"), f.getConf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val n = try r.getRecordCount finally r.close()
-        org.apache.spark.sql.Row(p, n, bytes)
-      }
+      // footer opens are independent ~ms-scale I/O — read them
+      // concurrently (a partitioned commit lands tens of files; serial
+      // footer reads were a visible per-commit constant)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val rows = Await.result(Future.traverse(added) { case (p, bytes) =>
+        Future {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(s"$dir/$p"), f.getConf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val n = try r.getRecordCount finally r.close()
+          org.apache.spark.sql.Row(p, n, bytes)
+        }
+      }, scala.concurrent.duration.Duration.Inf)
       Some((schema, rows))
     } else {
       import spark.implicits._
@@ -580,6 +587,13 @@ object Snapshots {
       freshStats: Option[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])],
       carried: Seq[String], prevVersion: Option[Long]): Unit = {
     val f = fs(spark, root)
+    // fast path: pure driver I/O (parquet-hadoop read/merge/write of the
+    // manifest-sized sidecar). Paying a Spark read + two joins + a
+    // one-task write JOB per commit was the dominant per-commit constant
+    // (q89/q90/q108 in the round-14 bench). Falls through to the Spark
+    // path for stats-column types outside SidecarIO's narrow set.
+    if (writeSidecarDriverSide(f, root, table, version, files, freshStats,
+        carried, prevVersion)) return
     val fresh = freshStats.map { case (sch, rows) =>
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -615,6 +629,66 @@ object Snapshots {
           throw new java.io.IOException(s"failed to publish sidecar $dst")
       } finally f.delete(tmp, true)
     }
+  }
+
+  /** [[writeSidecar]]'s driver-only fast path: replicate the Spark plan
+    * (prev-sidecar read ▸ carried semi-join ▸ unionByName(allowMissing) ▸
+    * live-file left join ▸ single-part write ▸ tmp+rename publish) over
+    * in-memory Rows. Returns false — writing NOTHING — whenever any input
+    * falls outside [[SidecarIO]]'s supported shape; the caller then runs
+    * the Spark path, so exotic stats columns stay correct, just slower.
+    */
+  private def writeSidecarDriverSide(f: FileSystem, root: String,
+      table: String, version: Long, files: Seq[String],
+      freshStats: Option[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])],
+      carried: Seq[String], prevVersion: Option[Long]): Boolean = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    if (!freshStats.forall { case (sch, _) => SidecarIO.supported(sch) })
+      return false
+    val prevKept: Option[(StructType, Seq[org.apache.spark.sql.Row])] =
+      prevVersion.map(v => new Path(sidecarPath(root, table, v)))
+        .filter(f.exists) match {
+        case None => None
+        case Some(p) => SidecarIO.read(f.getConf, p) match {
+          case None => return false // legacy/exotic sidecar → Spark path
+          case Some((st, rows)) =>
+            if (st.fields.isEmpty || !st.fieldNames.contains("file"))
+              return false
+            val fi = st.fieldIndex("file")
+            val carriedSet = carried.toSet
+            Some((st, rows.filter(r =>
+              !r.isNullAt(fi) && carriedSet(r.getString(fi)))))
+        }
+      }
+    val parts = freshStats.toSeq ++ prevKept.toSeq
+    if (parts.isEmpty) return true // no stats at all: nothing to publish
+    val (st, rows) = SidecarIO.unionByName(parts) match {
+      case Some(m) => m
+      case None => return false // same column, two types → Spark cast path
+    }
+    if (!st.fieldNames.contains("file")) return false
+    val fi = st.fieldIndex("file")
+    val byFile = rows.iterator
+      .filterNot(_.isNullAt(fi)).map(r => r.getString(fi) -> r).toMap
+    val rest = st.fields.filterNot(_.name == "file").toSeq
+    val outSchema = StructType(StructField("file", StringType) +: rest)
+    val outRows = files.map { p =>
+      byFile.get(p) match {
+        case Some(r) => org.apache.spark.sql.Row.fromSeq(
+          p +: rest.map(fd => r.get(st.fieldIndex(fd.name))))
+        case None => org.apache.spark.sql.Row.fromSeq(
+          p +: rest.map(_ => null))
+      }
+    }
+    val dst = new Path(sidecarPath(root, table, version))
+    val tmp = new Path(
+      s"${dst}.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      if (!SidecarIO.write(f.getConf, tmp, outSchema, outRows)) return false
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"failed to publish sidecar $dst")
+    } finally f.delete(tmp, true)
+    true
   }
 
   /** Commit `df` with dynamic-overwrite semantics: partitions present in
