@@ -1254,10 +1254,12 @@ object LakeQueries {
     */
   def q224History(s: SparkSession, dir: String): DataFrame = {
     val root = stageHistoryGate(s, dir)
-    val h = graft.lake.Snapshots.history(s, root, "events")
-      .select(col("version"), col("operation"), col("n_files"),
-        col("n_delete_vectors"), col("n_added_files"))
     graft.sql.GraftCatalog.install(s, "grafthist", root)
+    // the Iceberg-style SQL spelling of Snapshots.history: a LocalScan
+    // metadata table resolved by the catalog (graft.sql.HistoryMetadataTable)
+    val h = s.sql("""SELECT version, operation, n_files,
+                     n_delete_vectors, n_added_files
+                     FROM grafthist.events.history""")
     val counts = (1L to 4L).map(v => s.sql(
         s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows
             FROM grafthist.events VERSION AS OF $v"""))

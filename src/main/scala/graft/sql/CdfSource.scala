@@ -62,7 +62,8 @@ class CdfSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new CdfTable(CdfSource.rootOf(opts), CdfSource.tableOf(opts),
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
-      opts.getBoolean("skipChangeCommits", false), schema)
+      opts.getBoolean("skipChangeCommits", false),
+      opts.getInt("maxVersionsPerBatch", 0), schema)
   }
 }
 
@@ -111,7 +112,8 @@ object CdfSource {
 }
 
 private[sql] class CdfTable(root: String, table: String,
-    startingVersion: Long, skipChangeCommits: Boolean, schema0: StructType)
+    startingVersion: Long, skipChangeCommits: Boolean,
+    maxVersionsPerBatch: Int, schema0: StructType)
   extends Table with SupportsRead {
 
   override def name(): String = s"cdf(`$root`.`$table`)"
@@ -126,7 +128,7 @@ private[sql] class CdfTable(root: String, table: String,
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
           new CdfStream(root, table, startingVersion, skipChangeCommits,
-            schema0)
+            maxVersionsPerBatch, schema0)
       }
     }
 }
@@ -138,8 +140,14 @@ private[sql] case class CdfOffset(v: Long) extends Offset {
 /** Offsets are version numbers: batch (start, end] consumes the file adds
   * and vector registrations of those versions. Planning is manifest-only.
   */
+/** `maxVersionsPerBatch` (0 = unlimited) is the admission-control dial:
+  * a catch-up over a long history consumes at most that many versions
+  * per micro-batch instead of one giant batch — the AvailableNow loop
+  * then runs several batches up to the pinned end version.
+  */
 private[sql] class CdfStream(root: String, table: String,
-    startingVersion: Long, skipChangeCommits: Boolean, schema: StructType)
+    startingVersion: Long, skipChangeCommits: Boolean,
+    maxVersionsPerBatch: Int, schema: StructType)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -166,7 +174,11 @@ private[sql] class CdfStream(root: String, table: String,
       "latestOffset(Offset, ReadLimit) drives this admission-controlled source")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val l = currentLatest()
-    CdfOffset(availableNowCap.fold(l)(math.min(l, _)))
+    val capped = availableNowCap.fold(l)(math.min(l, _))
+    val s = start.asInstanceOf[CdfOffset].v
+    CdfOffset(
+      if (maxVersionsPerBatch > 0) math.min(capped, s + maxVersionsPerBatch)
+      else capped)
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

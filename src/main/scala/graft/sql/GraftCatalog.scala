@@ -220,6 +220,12 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata table: `SELECT * FROM <catalog>.<t>.history`
+    // (identifier arrives as namespace=[t], name=history) — one row per
+    // live version, manifest-only driver work surfaced as a LocalScan
+    if (ident.namespace.length == 1 && ident.name == "history" &&
+        isVersioned(ident.namespace.head))
+      return new HistoryMetadataTable(root, ident.namespace.head)
     val p = tablePath(ident)
     if (!fs(p).exists(p))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace :+ ident.name)
@@ -393,6 +399,50 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+/** The `<table>.history` metadata table (the Iceberg spelling of
+  * DESCRIBE HISTORY): one row per live version, computed from the
+  * manifests alone at scan time ([[graft.lake.Snapshots.historyRows]] —
+  * no data file is opened) and surfaced as a DSV2 `LocalScan`, which the
+  * planner executes as a driver-local table scan. History is
+  * version-count-sized by construction.
+  */
+private[sql] class HistoryMetadataTable(root: String, table: String)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  private val schema0 = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at_millis", LongType, nullable = false),
+    StructField("operation", StringType, nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_delete_vectors", LongType, nullable = false),
+    StructField("n_added_files", LongType, nullable = false)))
+
+  override def name(): String = s"$table.history"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema0
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          graft.lake.Snapshots
+            .historyRows(SparkSession.active, root, table)
+            .map { case (v, t, op, nf, nd, na) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](v, t,
+                  op.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+                  nf, nd, na))
+            }.toArray
+      }
+    }
 }
 
 /** A typed EMPTY relation — the SQL read of a zero-file snapshot version

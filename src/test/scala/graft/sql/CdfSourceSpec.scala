@@ -99,6 +99,24 @@ class CdfSourceSpec extends SparkTestBase {
     assert(byBatch === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("maxVersionsPerBatch paces catch-up into several micro-batches") {
+    val root = freshRoot()
+    (1 to 4).foreach(i =>
+      Snapshots.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        root, "t", Seq.empty))
+    runStream(root, "t", s"$root/_out", s"$root/_cp",
+      Map("maxVersionsPerBatch" -> "1"))
+    // same rows either way…
+    assert(spark.read.parquet(s"$root/_out").count() === 4)
+    // …but consumed as FOUR micro-batches: one committed offset each
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val offsets = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_cp/offsets")).toSeq
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
+    assert(offsets.size === 4, offsets.toString)
+  }
+
   test("startingVersion skips earlier history") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root, "t", Seq.empty)

@@ -489,6 +489,29 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("id", "pb"))
   }
 
+  test("t.history is a SQL metadata table (LocalScan over the manifests)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_hist").toString
+    import graft.lake.Snapshots
+    Snapshots.commit(Seq((1L, 0)).toDF("id", "p"), root, "t", Seq("p"))
+    Snapshots.commit(Seq((2L, 1)).toDF("id", "p"), root, "t", Seq("p"))
+    Snapshots.deleteWhere(spark, root, "t", $"id" === 1L)
+    GraftCatalog.install(spark, "grafth", root)
+    val h = spark.sql("""SELECT version, operation, n_files,
+                         n_delete_vectors, n_added_files
+                         FROM grafth.t.history ORDER BY version""")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(h === Seq((1L, "commit", 1L, 0L, 1L), (2L, "commit", 2L, 0L, 1L),
+      (3L, "delete", 2L, 1L, 0L)))
+    // driver-local plan: no exchange, no file scan
+    val plan = spark.sql("SELECT * FROM grafth.t.history")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    // a non-versioned name keeps failing cleanly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM grafth.nosuch.history").collect()
+    }
+  }
+
   test("per-session table cache is LRU-bounded: hot versions stay warm past 256 loads") {
     val cache = GraftCatalog.tableCacheFor(spark.newSession())
     def fake(i: Int) = new org.apache.spark.sql.connector.catalog.Table {
