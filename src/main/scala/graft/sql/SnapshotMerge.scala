@@ -278,16 +278,28 @@ case class SnapshotMergeCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // the source plan is evaluated several times (dup check, touched-
+    // partition discovery, the rewrite join): materialize it once — for
+    // cost AND for determinism (a non-deterministic source re-evaluated
+    // across passes could match different keys per pass)
+    val srcDf = bridge.ofRows(spark, source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runMerge(spark, srcDf)
+    finally srcDf.unpersist(blocking = false)
+  }
+
+  private def runMerge(spark: SparkSession,
+      srcDf: org.apache.spark.sql.DataFrame): Seq[Row] = {
     import graft.lake.Snapshots
     val latest = Snapshots.latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to merge into"))
-    val srcDf = bridge.ofRows(spark, source)
     val keyNames = program.keyPairs.map(_._1)
+    val srcKeysDf = srcDf
+      .select(program.keyPairs.map { case (n, e) => bridge.column(e).as(n) }: _*)
 
     // ANSI MERGE contract: a source row set that hits one target key twice
     // is nondeterministic — refuse before touching anything
-    val dup = srcDf
-      .select(program.keyPairs.map { case (n, e) => bridge.column(e).as(n) }: _*)
+    val dup = srcKeysDf
       .groupBy(keyNames.map(col): _*)
       .count().filter(col("count") > 1).limit(1)
       .collect() // at most one row by construction
@@ -316,9 +328,84 @@ case class SnapshotMergeCommand(
       if (e.dataType == dt) bridge.column(e)
       else bridge.column(Cast(e, dt))
 
+    // touched-partition DISCOVERY: the rewrite join must not shuffle the
+    // whole table when the merge touches a handful of partitions (the
+    // Delta copy-on-write shape, at this engine's partition granularity).
+    // A base partition participates only if it (a) holds a matched key —
+    // one column-pruned semi-join pass — or (b) is a NEW home: an INSERT
+    // clause's partition values (evaluable over the source alone, ANSI),
+    // or an UPDATE clause rewriting partition columns (evaluable only
+    // when the clause assigns EVERY partition column from source-only
+    // expressions — otherwise the new home depends on target values and
+    // the scan stays unpruned). Untouched partitions never flow: they
+    // carry in the manifest by reference.
+    val prunePredicate: Option[Column] =
+      if (partitionCols.isEmpty) None
+      else {
+        val newHomesResolvable = program.matched.forall {
+          case SnapshotMerge.MatchedClause(_, Some(assigns)) =>
+            val partAssigns = assigns.filter(a => partitionCols.contains(a._1))
+            partAssigns.isEmpty || (
+              partAssigns.map(_._1).toSet == partitionCols.toSet &&
+                partAssigns.forall(!_._2.references.exists(a =>
+                  program.targetName.contains(a.exprId))))
+          case _ => true
+        }
+        if (!newHomesResolvable) None
+        else {
+          // the source is already materialized (persisted) — its exact
+          // row count is one cheap cached pass, and a small CDC batch
+          // then BROADCASTS into the discovery semi-join: the base side
+          // is scanned (key+partition columns only), never shuffled
+          val srcRows = srcDf.count()
+          val probe =
+            if (srcRows <= 1000000L) broadcast(srcKeysDf) else srcKeysDf
+          // single-key merges additionally SKIP base files whose sidecar
+          // [min,max] cannot intersect the source's key range — on a
+          // key-clustered table the discovery opens O(selectivity) files
+          // instead of scanning the table (conservative without a
+          // sidecar: candidateFiles degrades to every live file)
+          val probeBase =
+            if (keyNames.lengthCompare(1) == 0 && srcRows > 0) {
+              val k = keyNames.head
+              val mm = srcKeysDf
+                .agg(org.apache.spark.sql.functions.min(col(k)),
+                  org.apache.spark.sql.functions.max(col(k))).head()
+              if (mm.isNullAt(0)) base.filter(lit(false)) // null keys never match
+              else Snapshots.readVersionPruned(spark, root, table, latest,
+                k, lit(mm.get(0)), lit(mm.get(1)))
+            } else base
+          val matchedHomes = probeBase
+            .join(probe, keyNames, "left_semi")
+            .select(partitionCols.map(col): _*)
+          val insertHomes = program.inserts.map { icl =>
+            val assignOf = icl.assigns.toMap
+            srcDf.select(partitionCols.map { p =>
+              val dt = base.schema(p).dataType
+              assignOf.get(p).map(e => castTo(e, dt))
+                .getOrElse(lit(null).cast(dt)).as(p)
+            }: _*)
+          }
+          val updateHomes = program.matched.collect {
+            case SnapshotMerge.MatchedClause(_, Some(assigns))
+                if assigns.exists(a => partitionCols.contains(a._1)) =>
+              val assignOf = assigns.toMap
+              srcDf.select(partitionCols.map { p =>
+                castTo(assignOf(p), base.schema(p).dataType).as(p)
+              }: _*)
+          }
+          val homes = (matchedHomes +: (insertHomes ++ updateHomes))
+            .reduce(_ unionByName _).na.drop().distinct()
+            .collect() // partition-value-sized (dimension data), never row-sized
+            .toSeq
+          DmlRebind.partitionPredicate(partitionCols, homes)
+        }
+      }
+    val prunedBase = prunePredicate.fold(base)(base.filter)
+
     // full-outer equi-join on the keys, with presence indicators (nullable
     // key columns cannot signal side presence)
-    val baseDf = base.withColumn("__graft_t", lit(true))
+    val baseDf = prunedBase.withColumn("__graft_t", lit(true))
     val srcI = srcDf.withColumn("__graft_s", lit(true))
     val joinCond = program.keyPairs
       .map { case (n, e) => bridge.column(EqualTo(baseOf(n), e)) }
@@ -403,11 +490,19 @@ case class SnapshotMergeCommand(
           .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/")
       }
       if (prefixes.isEmpty) return Seq.empty // nothing matched or inserted
-      val touchedDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(touched, 1),
-        org.apache.spark.sql.types.StructType(
-          baseFields.filter(f => partitionCols.contains(f.name))))
-      val commitDf = result.join(broadcast(touchedDf), partitionCols, "left_semi")
+      // literal predicate over the collected touched list (no broadcast
+      // machinery for dimension data); a merge touching thousands of
+      // partitions falls back to the broadcast semi join
+      val commitDf = DmlRebind
+        .partitionPredicate(partitionCols, touched)
+        .map(result.filter)
+        .getOrElse {
+          val touchedDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(touched, 1),
+            org.apache.spark.sql.types.StructType(
+              baseFields.filter(f => partitionCols.contains(f.name))))
+          result.join(broadcast(touchedDf), partitionCols, "left_semi")
+        }
       Snapshots.commitReplacingPrefixes(commitDf, root, table,
         partitionCols, statsCols, prefixes,
         operation = "merge", expectedBase = Some(latest))

@@ -35,6 +35,25 @@ private[sql] object DmlRebind {
 
   def castTo(e: Expression, dt: DataType): Column =
     if (e.dataType == dt) bridge.column(e) else bridge.column(Cast(e, dt))
+
+  /** STATIC partition-pruning predicate from a collected touched-partition
+    * list (dimension-sized): unlike a broadcast-semi-join against the same
+    * list, a literal predicate prunes at the FILE INDEX at plan time — no
+    * DPP heuristics involved. None past `max` tuples (the rewrite is
+    * table-wide anyway) — callers then skip pruning.
+    */
+  def partitionPredicate(partitionCols: Seq[String],
+      touched: Seq[org.apache.spark.sql.Row], max: Int = 4096)
+      : Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (touched.size > max) None
+    else if (touched.isEmpty) Some(lit(false))
+    else if (partitionCols.lengthCompare(1) == 0)
+      Some(col(partitionCols.head).isin(touched.map(_.get(0)): _*))
+    else Some(touched.map(r => partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+      .reduce(_ || _))
+  }
 }
 
 /** `UPDATE graft.t SET … [WHERE …]` over a Snapshots-versioned table —
@@ -180,11 +199,19 @@ case class SnapshotUpdateCommand(
         partitionCols.zipWithIndex
           .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("", "/", "/")
       }
-      val touchedDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(touched, 1),
-        org.apache.spark.sql.types.StructType(
-          base.schema.fields.filter(f => partitionCols.contains(f.name))))
-      val commitDf = updated.join(broadcast(touchedDf), partitionCols, "left_semi")
+      // literal predicate over the collected touched list (prunes the
+      // re-scan at the file index when no partition col was assigned);
+      // thousands of touched partitions fall back to the broadcast semi
+      val commitDf = DmlRebind
+        .partitionPredicate(partitionCols, touched)
+        .map(updated.filter)
+        .getOrElse {
+          val touchedDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(touched, 1),
+            org.apache.spark.sql.types.StructType(
+              base.schema.fields.filter(f => partitionCols.contains(f.name))))
+          updated.join(broadcast(touchedDf), partitionCols, "left_semi")
+        }
       Snapshots.commitReplacingPrefixes(commitDf, root, table,
         partitionCols, statsCols, prefixes,
         operation = "update", expectedBase = Some(latest))

@@ -216,6 +216,8 @@ object ScaleStress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the SQL row-level verbs (dml_merge leg) ride the session extensions
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -626,6 +628,44 @@ object ScaleStress {
         "final version must carry every writer's row")
       record("commit_contention_retriesAsRows", w, sec, retries.get(),
         Seq(load0))
+      reset()
+    }
+
+    // SQL MERGE scale shape (round 15): a FIXED 4k-row CDC batch merged
+    // into bases of growing size (5M·f rows, 64 hash partitions, 2 of
+    // them touched). Claim under measurement: the merge is SUB-LINEAR in
+    // base size — touched-partition discovery is a column-pruned
+    // broadcast-semi scan (plus sidecar key-range skipping when the base
+    // is key-clustered) and the rewrite full-outer join runs over ONLY
+    // the touched partitions; the data-proportional full-table shuffle of
+    // a naive merge never happens. `rows` records the base size.
+    val runDml = sys.env.getOrElse("SPARK_GRAFT_DML_MERGE", "0") != "0"
+    for (f <- scales if runDml) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val n = 5000000L * f
+      val root = s"/tmp/graft_scale_dmlmerge_${math.abs(srcDir.hashCode)}_x$f"
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      graft.lake.Snapshots.commit(
+        spark.range(0, n).select(col("id"), (col("id") % 1000).as("bal"),
+          (col("id") % 64).as("p")).repartitionByRange(64, col("id")),
+        root, "t", Seq("p"), statsCols = Seq("id"))
+      graft.sql.GraftCatalog.install(spark, "graftdml", root)
+      spark.conf.set("spark.sql.catalog.graftdml.root", root)
+      spark.range(0, 2000)
+        .select((col("id") * 64 + 3).as("id"), lit(7L).as("delta"), lit(3L).as("p"))
+        .union(spark.range(0, 2000)
+          .select((col("id") * 64 + 17).as("id"), lit(9L).as("delta"), lit(17L).as("p")))
+        .createOrReplaceTempView("graft_scale_dml_ops")
+      val load0 = loadavg()
+      val t0 = System.nanoTime()
+      spark.sql("""MERGE INTO graftdml.t AS tgt USING graft_scale_dml_ops AS s
+                   ON tgt.id = s.id
+                   WHEN MATCHED THEN UPDATE SET bal = tgt.bal + s.delta
+                   WHEN NOT MATCHED THEN INSERT (id, bal, p) VALUES (s.id, s.delta, s.p)""")
+      record("sql_merge_fixed_batch", f,
+        (System.nanoTime() - t0) / 1e9, n, Seq(load0))
       reset()
     }
 

@@ -206,7 +206,15 @@ class SnapshotMergeSpec extends SparkTestBase {
     MergeCmeTrigger.root = root
     MergeCmeTrigger.fired.set(false)
     spark.udf.register("m_cme_trigger", (id: Long) => MergeCmeTrigger(id))
-    Seq((1L, "late", 1)).toDF("id", "v", "p").createOrReplaceTempView("m_cme_raw")
+    // the raw source must be a FILE scan, not a local relation: over a
+    // LocalRelation the optimizer constant-folds the deterministic UDF
+    // driver-side the moment the merge materializes its source — BEFORE
+    // the version pin — and the merge then (correctly) computes against
+    // the competitor's version instead of conflicting with it
+    Seq((1L, "late", 1)).toDF("id", "v", "p")
+      .write.mode("overwrite").parquet(s"$root/_cme_src")
+    spark.read.parquet(s"$root/_cme_src")
+      .createOrReplaceTempView("m_cme_raw")
     spark.sql("SELECT m_cme_trigger(id) AS id, v, p FROM m_cme_raw")
       .createOrReplaceTempView("m_cme")
     val e = intercept[Exception] {
@@ -250,11 +258,21 @@ private[sql] object MergeCmeTrigger {
   @volatile var root: String = _
   def apply(id: Long): Long = {
     if (fired.compareAndSet(false, true)) {
-      val s = org.apache.spark.sql.SparkSession.builder().getOrCreate()
-      graft.lake.Snapshots.append(
-        s.range(1).selectExpr("CAST(99 AS BIGINT) AS id",
-          "'concurrent' AS v", "CAST(1 AS INT) AS p"),
-        root, "t", Seq("p"))
+      // the commit must run OFF the task thread (sessions are
+      // driver-only); a fresh thread has no TaskContext, so the default
+      // session resolves and job submission is legal in local mode
+      var err: Throwable = null
+      val t = new Thread(() => {
+        try {
+          val s = org.apache.spark.sql.SparkSession.builder().getOrCreate()
+          graft.lake.Snapshots.append(
+            s.range(1).selectExpr("CAST(99 AS BIGINT) AS id",
+              "'concurrent' AS v", "CAST(1 AS INT) AS p"),
+            root, "t", Seq("p"))
+        } catch { case e: Throwable => err = e }
+      })
+      t.start(); t.join()
+      if (err != null) throw err
     }
     id
   }
