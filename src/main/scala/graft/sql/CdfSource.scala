@@ -121,14 +121,38 @@ private[sql] class CdfTable(root: String, table: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
+  /** Column pruning composes through: the requested data columns are
+    * pushed into each per-version parquet scan (a wide table's change
+    * stream decodes only what the query reads — partition columns stay
+    * last, the V2 file-scan output order, so rows align positionally),
+    * and the two change-metadata columns are appended only when asked for.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream =
-          new CdfStream(root, table, startingVersion, skipChangeCommits,
-            maxVersionsPerBatch, schema0)
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = schema0
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = {
+        val changeNames = Set(CdfSource.ChangeType, CdfSource.CommitVersion)
+        val wanted = required.fieldNames.toSet
+        val prunedData = StructType(schema0.fields
+          .filter(f => !changeNames(f.name) && wanted(f.name)))
+        val changeCols = schema0.fields
+          .filter(f => changeNames(f.name) && wanted(f.name))
+          .map(_.name).toSeq
+        val readSchema0 = StructType(prunedData.fields ++
+          schema0.fields.filter(f => changeCols.contains(f.name)))
+        new Scan {
+          override def readSchema(): StructType = readSchema0
+          override def toMicroBatchStream(checkpointLocation: String)
+              : MicroBatchStream =
+            new CdfStream(root, table, startingVersion, skipChangeCommits,
+              maxVersionsPerBatch, StructType(schema0.fields.dropRight(2)),
+              prunedData, changeCols)
+        }
       }
     }
 }
@@ -147,12 +171,13 @@ private[sql] case class CdfOffset(v: Long) extends Offset {
   */
 private[sql] class CdfStream(root: String, table: String,
     startingVersion: Long, skipChangeCommits: Boolean,
-    maxVersionsPerBatch: Int, schema: StructType)
+    maxVersionsPerBatch: Int,
+    fullDataSchema: StructType,     // the table's data columns (inner scans)
+    prunedData: StructType,         // the requested data columns, table order
+    changeCols: Seq[String])        // requested change-metadata columns
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
-  private val dataSchema =
-    StructType(schema.fields.dropRight(2))
   // AvailableNow pins the end version at stream start
   @volatile private var availableNowCap: Option[Long] = None
   // handed from planInputPartitions to createReaderFactory (always called
@@ -217,8 +242,14 @@ private[sql] class CdfStream(root: String, table: String,
           val opts = new CaseInsensitiveStringMap(
             java.util.Map.of("path", dataDir, "basePath", dataDir))
           val tbl = new DppParquetTable(s"$table@v$v(cdf)", spark, opts,
-            added.sorted.map(f => s"$dataDir/$f"), Some(dataSchema))
-          val batch: Batch = tbl.newScanBuilder(opts).build().toBatch
+            added.sorted.map(f => s"$dataDir/$f"), Some(fullDataSchema))
+          val builder = tbl.newScanBuilder(opts)
+          builder match {
+            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+              p.pruneColumns(prunedData) // decode only the requested columns
+            case _ =>
+          }
+          val batch: Batch = builder.build().toBatch
           val fi = factories.length
           factories += batch.createReaderFactory()
           batch.planInputPartitions().foreach(p =>
@@ -226,7 +257,8 @@ private[sql] class CdfStream(root: String, table: String,
         }
         m.deletes.filter(_.version == v).foreach { d =>
           val df = spark.read.parquet(s"$root/$table/deletes/${d.file}")
-            .select(d.cols.map(c => col(c).cast(dataSchema(c).dataType)): _*)
+            .select(d.cols.map(c =>
+              col(c).cast(fullDataSchema(c).dataType)): _*)
           // vector files are broadcast-anti-join sized by the MOR premise,
           // never data-sized — driver-resolving them is the design
           val rows = df.collect().map(r => d.cols.indices.map(r.get).toArray)
@@ -239,7 +271,7 @@ private[sql] class CdfStream(root: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(innerFactories, schema)
+    new CdfReaderFactory(innerFactories, prunedData, changeCols)
 }
 
 /** A parquet file partition of one added-at version, tagged with the
@@ -253,17 +285,25 @@ private[sql] case class CdfDeletePartition(cols: Seq[String],
     rows: Array[Array[Any]], version: Long) extends InputPartition
 
 private[sql] class CdfReaderFactory(
-    factories: Array[PartitionReaderFactory], schema: StructType)
+    factories: Array[PartitionReaderFactory],
+    prunedData: StructType, changeCols: Seq[String])
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  // output layout: requested data columns (inner-scan order) then the
+  // requested change-metadata columns
+  private def metaValues(changeType: String, v: Long): Array[Any] =
+    changeCols.map {
+      case CdfSource.ChangeType => UTF8String.fromString(changeType)
+      case CdfSource.CommitVersion => v: Any
+    }.toArray
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case CdfFilePartition(inner, fi, v) =>
         val r = factories(fi).createReader(inner)
-        val meta = new GenericInternalRow(Array[Any](
-          UTF8String.fromString("insert"), v))
+        val meta = new GenericInternalRow(metaValues("insert", v))
         val joined = new JoinedRow
         new PartitionReader[InternalRow] {
           override def next(): Boolean = r.next()
@@ -271,19 +311,23 @@ private[sql] class CdfReaderFactory(
           override def close(): Unit = r.close()
         }
       case CdfDeletePartition(cols, rows, v) =>
-        val nData = schema.length - 2
-        val ords = cols.map(c => schema.fieldIndex(c))
-        val convs = cols.map(c => CatalystTypeConverters
-          .createToCatalystConverter(schema(c).dataType))
+        val nData = prunedData.length
+        // a vector column the query pruned away simply isn't emitted
+        val emitted = cols.zipWithIndex
+          .filter { case (c, _) => prunedData.fieldNames.contains(c) }
+        val ords = emitted.map { case (c, _) => prunedData.fieldIndex(c) }
+        val convs = emitted.map { case (c, _) => CatalystTypeConverters
+          .createToCatalystConverter(prunedData(c).dataType) }
+        val srcIdx = emitted.map(_._2)
+        val meta = metaValues("delete", v)
         var i = -1
         new PartitionReader[InternalRow] {
           override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow = {
-            val out = new GenericInternalRow(schema.length)
+            val out = new GenericInternalRow(nData + changeCols.length)
             ords.indices.foreach(j =>
-              out.update(ords(j), convs(j)(rows(i)(j))))
-            out.update(nData, UTF8String.fromString("delete"))
-            out.update(nData + 1, v)
+              out.update(ords(j), convs(j)(rows(i)(srcIdx(j)))))
+            meta.indices.foreach(j => out.update(nData + j, meta(j)))
             out
           }
           override def close(): Unit = ()

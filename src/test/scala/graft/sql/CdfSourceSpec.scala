@@ -117,6 +117,25 @@ class CdfSourceSpec extends SparkTestBase {
     assert(offsets.size === 4, offsets.toString)
   }
 
+  test("column pruning pushes into the per-version scans and delete rows") {
+    val root = freshRoot()
+    Snapshots.commit((0L until 6L).map(i => (i, s"w$i", i * 10.0))
+      .toDF("id", "wide", "x"), root, "t", Seq.empty)
+    Snapshots.deleteWhere(spark, root, "t", col("id") === 4L)
+    val q = spark.readStream.format(classOf[CdfSource].getName)
+      .option("root", root).option("table", "t").load()
+      .select("id", "_commit_version") // prunes `wide`, `x`, `_change_type`
+      .writeStream.format("parquet")
+      .option("path", s"$root/_out").option("checkpointLocation", s"$root/_cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/_out")
+    assert(out.columns.toSeq === Seq("id", "_commit_version"))
+    val rows = out.as[(Long, Long)].collect().toSet
+    assert(rows === (0L until 6L).map((_, 1L)).toSet + ((4L, 2L)),
+      "six pruned inserts plus the pruned delete row")
+  }
+
   test("startingVersion skips earlier history") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root, "t", Seq.empty)
