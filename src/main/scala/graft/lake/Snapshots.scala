@@ -762,8 +762,9 @@ object Snapshots {
 
   private[graft] def commitFullReplace(df: DataFrame, root: String,
       table: String, statsCols: Seq[String], operation: String = "replace",
-      expectedBase: Option[Long] = None): Long =
-    commitImpl(df, root, table, Seq.empty, statsCols,
+      expectedBase: Option[Long] = None,
+      partitionCols: Seq[String] = Seq.empty): Long =
+    commitImpl(df, root, table, partitionCols, statsCols,
       overwritePartitions = true, replaceAllFiles = true,
       operation = operation, expectedBase = expectedBase)
 

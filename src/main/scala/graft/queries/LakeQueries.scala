@@ -1373,6 +1373,97 @@ object LakeQueries {
       |SELECT CAST(4 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
       |  CAST(sum(c_custkey) AS BIGINT) FROM m""".stripMargin
 
+  /** q226's INSERT OVERWRITE lifecycle, staged once per (JVM, sf): v1 =
+    * orders bucketed by `ob`; v2 = a STATIC `PARTITION (ob = 3)` spec
+    * overwrite thinning that one bucket (explicit replaced prefix — no
+    * other partition moves); v3 = a DYNAMIC-mode overwrite doubling
+    * buckets 1 and 5 (partitions present in the frame replaced, the rest
+    * carried — `Snapshots.commit` through the
+    * [[graft.sql.SnapshotDynamicOverwriteCommand]] rewrite); v4 = a
+    * static FULL overwrite (the frame IS the new version; the partition
+    * layout survives in the manifest). All pure SQL.
+    */
+  private def stageInsertOverwriteHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_iow_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          (col("o_orderkey") % 8).as("ob"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("o_orderkey")),
+          root, "ord", Seq("ob"), statsCols = Seq("o_orderkey"))
+        graft.sql.GraftCatalog.install(s, "graftiow", root)
+        base.createOrReplaceTempView("graft_q226_src")
+        s.sql("""INSERT OVERWRITE graftiow.ord PARTITION (ob = 3)
+                 SELECT o_orderkey, cents FROM graft_q226_src
+                 WHERE ob = 3 AND o_orderkey % 3 = 0""")
+        val k = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(k)
+        s.conf.set(k, "dynamic")
+        try s.sql("""INSERT OVERWRITE graftiow.ord
+                     SELECT o_orderkey, cents * 2 AS cents, ob
+                     FROM graft_q226_src WHERE ob IN (1, 5)""")
+        finally prev match {
+          case Some(v) => s.conf.set(k, v)
+          case None => s.conf.unset(k)
+        }
+        s.sql("""INSERT OVERWRITE graftiow.ord
+                 SELECT o_orderkey, cents, ob FROM graft_q226_src
+                 WHERE ob = 0""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL INSERT OVERWRITE in all three shapes (static PARTITION spec →
+    * explicit replaced prefix; dynamic mode → `Snapshots.commit`; static
+    * full → logical replace with the layout carried): each leg reads one
+    * version of the staged history, every value oracle-recomputed.
+    */
+  def q226InsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val root = stageInsertOverwriteHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftiow", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(cents) AS cents_sum, sum(o_orderkey) AS key_sum
+      FROM graftiow.ord VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(cents), sum(o_orderkey)
+      FROM graftiow.ord VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(cents), sum(o_orderkey)
+      FROM graftiow.ord VERSION AS OF 3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), count(*), sum(cents), sum(o_orderkey)
+      FROM graftiow.ord""")
+  }
+
+  val q226Sql: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+      |    o_orderkey % 8 AS ob
+      |  FROM orders),
+      |v2 AS (SELECT * FROM o WHERE ob <> 3
+      |       UNION ALL SELECT * FROM o WHERE ob = 3 AND k % 3 = 0),
+      |v3 AS (SELECT * FROM v2 WHERE ob NOT IN (1, 5)
+      |       UNION ALL SELECT k, cents * 2, ob FROM o WHERE ob IN (1, 5))
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+      |  CAST(sum(k) AS BIGINT) AS key_sum FROM o
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM v3
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM o WHERE ob = 0""".stripMargin
+
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
       |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
@@ -1735,6 +1826,7 @@ object LakeQueries {
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
+    "q226_insert_overwrite" -> (q226InsertOverwrite _),
     "q213_schema_evolution" -> (q213SchemaEvolution _),
     "q71_stream_stream_join" -> (q71StreamStreamJoin _),
     "q202_bloom_skipping" -> (q202BloomSkipping _),
@@ -1777,5 +1869,6 @@ object LakeQueries {
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,
+    "q226_insert_overwrite" -> q226Sql,
     "q213_schema_evolution" -> q213Sql)
 }

@@ -303,31 +303,96 @@ class SnapshotInsertTable(
   override def name(): String = tableName
   override def schema(): StructType = tableSchema // columns() derives from this
 
+  // the declared layout drives INSERT's partition machinery: the static
+  // `PARTITION (c=v)` spec validates against it, and dynamic
+  // partition-overwrite mode plans OverwritePartitionsDynamic only for
+  // tables that declare partitioning
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCols.map(org.apache.spark.sql.connector.expressions.Expressions
+      .identity).toArray
+
   // deliberately NOT a FileTable: the analyzer's FallBackFileSourceV2
   // rule rewrites INSERTs over any FileTable back to the V1 file-format
   // write path (single-path, protocol-bypassing); a plain SupportsWrite
-  // table keeps the write on THIS builder. No BATCH_WRITE / truncate:
-  // INSERT OVERWRITE fails at analysis instead of bypassing
-  // dynamic-overwrite semantics.
+  // table keeps the write on THIS builder. Every INSERT shape maps onto
+  // a protocol verb:
+  //  - INSERT INTO                     → Snapshots.append
+  //  - INSERT OVERWRITE (dynamic mode) → Snapshots.commit (dynamic
+  //    partition overwrite — partitions present in the frame replaced)
+  //  - INSERT OVERWRITE (static mode, no/true filter) → full replace
+  //  - INSERT OVERWRITE … PARTITION (c=v…) → explicit replaced prefixes
+  //    (a layout-prefix of equality filters; anything else refuses)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      import org.apache.spark.sql.connector.write.WriteBuilder
+      import org.apache.spark.sql.{sources => f}
+
+      private sealed trait Mode
+      private case object Append extends Mode
+      private case object Dynamic extends Mode
+      private case object Replace extends Mode
+      private case class Prefixes(p: Seq[String]) extends Mode
+      private var mode: Mode = Append
+
+      override def truncate(): WriteBuilder = { mode = Replace; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = Dynamic; this
+      }
+      override def overwrite(filters: Array[f.Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[f.AlwaysTrue])) {
+          mode = Replace
+        } else {
+          // a static PARTITION (c=v, …) spec arrives as equality filters;
+          // they must name a PREFIX of the partition layout, or the
+          // replaced file set is not expressible as directory prefixes
+          val eq = filters.toSeq.map {
+            case f.EqualTo(a, v) => a -> v
+            case f.EqualNullSafe(a, v) => a -> v
+            case other => throw new UnsupportedOperationException(
+              s"INSERT OVERWRITE with non-equality partition filter $other " +
+                "— only a static PARTITION (c=v, …) spec is supported " +
+                "(row-level overwrites go through MERGE/UPDATE/DELETE)")
+          }.toMap
+          val prefixCols = partitionCols.take(eq.size)
+          if (eq.keySet != prefixCols.toSet)
+            throw new UnsupportedOperationException(
+              s"INSERT OVERWRITE PARTITION must bind a prefix of the " +
+                s"partition layout $partitionCols (got ${eq.keySet})")
+          mode = Prefixes(Seq(
+            prefixCols.map(c => s"$c=${eq(c)}").mkString("", "/", "/")))
+        }
+        this
+      }
+
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
-                  overwrite: Boolean): Unit = {
-                require(!overwrite,
-                  "INSERT OVERWRITE bypasses the snapshot commit protocol " +
-                    "— use graft.lake.Snapshots.commit (dynamic overwrite)")
-                graft.lake.Snapshots.append(data, root, table,
+                  overwrite: Boolean): Unit = mode match {
+                case Append => graft.lake.Snapshots.append(data, root, table,
                   partitionCols, statsCols)
+                case Dynamic => graft.lake.Snapshots.commit(data, root, table,
+                  partitionCols, statsCols)
+                case Replace => graft.lake.Snapshots.commitFullReplace(
+                  data, root, table, statsCols, operation = "replace",
+                  // the LAYOUT survives a full replace: the next insert's
+                  // write shape derives from this manifest
+                  partitionCols = partitionCols)
+                case Prefixes(p) => graft.lake.Snapshots
+                  .commitReplacingPrefixes(data, root, table, partitionCols,
+                    statsCols, p)
               }
             }
         }

@@ -268,7 +268,12 @@ class GraftCatalog extends TableCatalog {
         "Snapshots-versioned table go through the snapshot commit protocol")
     else if (!isVersioned(ident.name)) readOnly(
       s"$privs into a non-versioned table (commit it via graft.lake.Snapshots first)")
-    else if (privs.size == 1 && privs.contains(INSERT)) insertTable(ident)
+    // INSERT INTO asks {INSERT}; INSERT OVERWRITE asks {INSERT, DELETE} —
+    // both are write shapes of SnapshotInsertTable (append / the three
+    // overwrite verbs). Row-level statements (UPDATE/MERGE ask UPDATE,
+    // DELETE FROM asks {DELETE}) resolve the SupportsDelete DML table.
+    else if (privs.contains(INSERT) && !privs.contains(UPDATE))
+      insertTable(ident)
     else dmlTable(ident)
   }
 

@@ -87,6 +87,35 @@ class SnapshotUpdateRule extends Rule[LogicalPlan] {
           SnapshotMerge.targetOf(tbl).isDefined =>
       val (rel, target) = SnapshotMerge.targetOf(tbl).get
       SnapshotUpdate.rewrite(rel, target, assignments, condition)
+    // `INSERT OVERWRITE` in dynamic partition-overwrite mode: Spark has
+    // no V1 fallback exec for OverwritePartitionsDynamic, so the verb is
+    // rewritten onto the commit protocol directly (Snapshots.commit IS
+    // dynamic overwrite) — same deployment pattern as MERGE/UPDATE
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+        if o.query.resolved && SnapshotMerge.targetOf(o.table).isDefined =>
+      val (_, target) = SnapshotMerge.targetOf(o.table).get
+      SnapshotDynamicOverwriteCommand(target.lakeRoot, target.lakeTable,
+        target.lakePartitionCols, target.lakeStatsCols, o.query)
+  }
+}
+
+/** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`: partitions
+  * present in the query result are replaced, all others carry — exactly
+  * [[graft.lake.Snapshots.commit]]'s contract. The query arrives aligned
+  * (ResolveInsertInto adds the casts/projections).
+  */
+case class SnapshotDynamicOverwriteCommand(
+    root: String, table: String,
+    partitionCols: Seq[String], statsCols: Seq[String],
+    query: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.lake.Snapshots.commit(bridge.ofRows(spark, query),
+      root, table, partitionCols, statsCols)
+    Seq.empty
   }
 }
 

@@ -355,13 +355,13 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(Snapshots.readVersionPruned(spark, root, "t", 2L, "id",
       lit(1000L), lit(1040L)).count() === 41L)
 
-    // INSERT OVERWRITE must not bypass dynamic-overwrite semantics
-    val ow = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE graftt.t SELECT id, id % 4 AS pb FROM range(5)")
-    }
-    assert(ow.toString.toLowerCase.contains("overwrite") ||
-      Option(ow.getCause).exists(_.toString.toLowerCase.contains("overwrite")),
-      ow.toString)
+    // INSERT OVERWRITE routes through the protocol since round 15 (its
+    // own verbs are pinned in the dedicated test below); here: it must
+    // still be a VERSION, never a directory wipe
+    spark.sql("INSERT OVERWRITE graftt.t SELECT id, id % 4 AS pb FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graftt.t").as[Long].head() === 5L)
+    assert(Snapshots.readVersion(spark, root, "t", 2L).count() > 5L,
+      "the pre-overwrite version must stay readable")
     // a plain (non-versioned) table still refuses INSERT
     graft.lake.Lake.overwritePartitions(Seq((1L, 7L)).toDF("id", "x"),
       root, "flat", Seq.empty)
@@ -487,6 +487,50 @@ class GraftCatalogSpec extends SparkTestBase {
     val empty = Snapshots.readVersion(spark, root, "t",
       Snapshots.latestVersion(spark, root, "t").get)
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("id", "pb"))
+  }
+
+  test("INSERT OVERWRITE maps onto the protocol: dynamic, truncate, static spec") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_iow").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 40L).map(i => (i, i % 4)).toDF("id", "p")
+      .repartitionByRange(2, $"id"), root, "t", Seq("p"))
+    GraftCatalog.install(spark, "graftw", root)
+
+    // static mode (default) + full overwrite: the frame IS the new version
+    spark.sql("INSERT OVERWRITE graftw.t SELECT id, id % 4 AS p FROM range(100, 104)")
+    assert(spark.sql("SELECT count(*) FROM graftw.t").as[Long].head() === 4L)
+    // prior version untouched (snapshot protocol, not a directory wipe)
+    assert(Snapshots.readVersion(spark, root, "t", 1L).count() === 40L)
+
+    // static PARTITION (p=1) spec: only that partition is replaced
+    spark.sql("INSERT OVERWRITE graftw.t PARTITION (p = 1) SELECT 500 AS id")
+    val afterStatic = spark.sql("SELECT id, p FROM graftw.t")
+      .as[(Long, Long)].collect().toSet
+    assert(afterStatic === Set((100L, 0L), (500L, 1L), (102L, 2L), (103L, 3L)),
+      afterStatic.toString)
+
+    // dynamic mode: partitions PRESENT in the frame are replaced, the
+    // rest carry
+    withDynamicOverwrite {
+      spark.sql("INSERT OVERWRITE graftw.t SELECT id, 2 AS p FROM range(900, 902)")
+    }
+    val afterDyn = spark.sql("SELECT id, p FROM graftw.t")
+      .as[(Long, Long)].collect().toSet
+    assert(afterDyn === Set((100L, 0L), (500L, 1L), (900L, 2L), (901L, 2L),
+      (103L, 3L)), afterDyn.toString)
+    // every overwrite is a VERSION: full history intact
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(4L))
+  }
+
+  private def withDynamicOverwrite(body: => Unit): Unit = {
+    val k = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
   }
 
   test("t.history is a SQL metadata table (LocalScan over the manifests)") {

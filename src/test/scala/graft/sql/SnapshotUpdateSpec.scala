@@ -67,6 +67,22 @@ class SnapshotUpdateSpec extends SparkTestBase {
       (0L until 40L).map(_ * 10L).sum, "moved rows keep their values")
   }
 
+  test("UPDATE composes with merge-on-read delete vectors") {
+    val root = freshRoot(); stage(root)
+    // rows 8 and 12 are vector-deleted; the UPDATE's base read applies
+    // the vectors, so they stay gone — including in the rewritten
+    // partition, where the rewrite drops them physically
+    Snapshots.deleteWhere(spark, root, "t", $"id".isin(8L, 12L))
+    spark.sql("UPDATE graftu.t SET bal = bal + 1 WHERE p = 0")
+    val rows = spark.sql("SELECT id, bal FROM graftu.t")
+      .as[(Long, Long)].collect().toMap
+    assert(!rows.contains(8L) && !rows.contains(12L),
+      "vector-deleted rows must not be resurrected by the rewrite")
+    assert(rows(4L) === 41L && rows(16L) === 161L, "p=0 rows updated")
+    assert(rows(5L) === 50L, "other partitions untouched")
+    assert(rows.size === 38)
+  }
+
   test("UPDATE refusals are loud: subquery predicate, non-versioned table") {
     val root = freshRoot(); stage(root)
     val sub = intercept[Exception] {
