@@ -658,6 +658,10 @@ object ScaleStress {
         .union(spark.range(0, 2000)
           .select((col("id") * 64 + 17).as("id"), lit(9L).as("delta"), lit(17L).as("p")))
         .createOrReplaceTempView("graft_scale_dml_ops")
+      // the big-base staging commit immediately precedes the measurement;
+      // let its I/O tail drain (same rationale as the inter-query settle)
+      reset()
+      if (settleMs > 0) Thread.sleep(settleMs)
       val load0 = loadavg()
       val t0 = System.nanoTime()
       spark.sql("""MERGE INTO graftdml.t AS tgt USING graft_scale_dml_ops AS s
