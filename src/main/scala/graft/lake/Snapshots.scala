@@ -893,7 +893,12 @@ object Snapshots {
     * row matches (an empty vector would be a no-op read-side too).
     * Deletes are expected to be small relative to the base — that is the
     * merge-on-read premise; a predicate that matches most of the table is
-    * better served by `commit(readVersion(...).filter(!cond), ...)`.
+    * better served by `commit(readVersion(...).filter(!cond), ...)`. The
+    * premise is ENFORCED, not just documented: a staged vector larger
+    * than `spark.graft.delete.maxVectorRows` (default 1M keys) refuses
+    * loudly BEFORE publishing — every later read would otherwise
+    * driver-resolve the oversized vector (MorRead/CdfSource collect it
+    * for the broadcast anti join) and die far from the cause.
     *
     * `cond` must reference only data columns (evaluable per row with
     * null-out-means-keep SQL semantics). A predicate over NO columns
@@ -937,7 +942,18 @@ object Snapshots {
         val parts = listDataFiles(f, stage)
         // zero matching rows: no vector, no new version (checked from the
         // tiny staged file, not by recomputing the predicate scan)
-        if (parts.isEmpty || spark.read.parquet(stage).isEmpty) false
+        val stagedRows =
+          if (parts.isEmpty) 0L else spark.read.parquet(stage).count()
+        val maxRows = spark.conf
+          .getOption("spark.graft.delete.maxVectorRows")
+          .map(_.toLong).getOrElse(1000000L)
+        if (stagedRows > maxRows) throw new IllegalArgumentException(
+          s"deleteWhere: the predicate matches $stagedRows distinct key " +
+            s"tuples — beyond the merge-on-read premise (cap $maxRows, " +
+            "conf spark.graft.delete.maxVectorRows). A delete this large " +
+            "is a rewrite: use Snapshots.commit/replace with " +
+            "readVersion(...).filter(!cond) instead")
+        if (stagedRows == 0L) false
         else {
           val dst = new Path(s"${deletesDir(root, table)}/$rel")
           f.mkdirs(dst.getParent)
@@ -981,6 +997,11 @@ object Snapshots {
     beforePublish()
     writeManifest(fs(spark, root), root, table, version, Seq.empty, schema,
       operation = Some("truncate"), partitionCols = partCols)
+    // carry the stats-sidecar SCHEMA forward (zero rows — no live files):
+    // the write shape of the reborn table derives its tracked statsCols
+    // from the latest sidecar, so skipping continuity survives a truncate
+    writeSidecar(spark, root, table, version, Seq.empty, None,
+      Seq.empty, Some(latest))
     version
   }
 

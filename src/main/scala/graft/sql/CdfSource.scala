@@ -192,7 +192,10 @@ private[sql] class CdfStream(root: String, table: String,
   override def deserializeOffset(json: String): Offset = CdfOffset(json.toLong)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentLatest())
-  override def reportLatestOffset(): Offset = CdfOffset(currentLatest())
+  // progress reporting honors the AvailableNow cap like latestOffset does
+  // (no data effect — metrics would otherwise overstate the backlog)
+  override def reportLatestOffset(): Offset =
+    CdfOffset(availableNowCap.fold(currentLatest())(math.min(currentLatest(), _)))
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -324,8 +324,11 @@ class GraftCatalog extends TableCatalog {
       // shape derives without any live file — `INSERT INTO` a truncated
       // table just works. Pre-tracking empty manifests (no schema) still
       // refuse: guessing a layout would corrupt directory inference.
+      // Stats continuity survives the truncate too: the empty version's
+      // sidecar still records the tracked min_/max_ columns, so the first
+      // INSERT after a truncate keeps deriving skipping stats.
       return m.schema match {
-        case Some(sch) => (sch, m.partitionCols, Seq.empty)
+        case Some(sch) => (sch, m.partitionCols, sidecarStatsCols(latest, ident))
         case None => throw new IllegalStateException(
           s"version $latest of ${ident.name} has no live files and no " +
             "manifest schema to derive a write layout from — commit the " +
@@ -345,13 +348,20 @@ class GraftCatalog extends TableCatalog {
     }
     // stats continuity: keep deriving min/max for the columns the
     // previous version's sidecar tracks (sidecar-footer read, driver-tiny)
-    val statsCols = scala.util.Try(
-        spark.read.parquet(s"$root/_snapshots/${ident.name}/stats_v$latest")
+    (schema, partitionCols, sidecarStatsCols(latest, ident))
+  }
+
+  /** Columns the version's stats sidecar tracks (min_/max_ pairs) — the
+    * write shape keeps deriving these so file skipping survives appends
+    * (works with or without live files: a Try-based footer read).
+    */
+  private def sidecarStatsCols(version: Long, ident: Identifier): Seq[String] =
+    scala.util.Try(
+        SparkSession.active.read
+          .parquet(s"$root/_snapshots/${ident.name}/stats_v$version")
           .schema.fieldNames.toSeq)
       .getOrElse(Seq.empty)
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    (schema, partitionCols, statsCols)
-  }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the
     * Snapshots manifest of that version ("v2" also accepted).

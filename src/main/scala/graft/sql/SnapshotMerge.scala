@@ -138,6 +138,13 @@ private[sql] object SnapshotMerge {
     def checked(e: Expression, what: String, sourceOnly: Boolean): Unit = {
       if (e.exists(_.isInstanceOf[SubqueryExpression]))
         refuse(s"a subquery in $what (materialize it into the USING source)")
+      // touched-partition discovery re-evaluates clause expressions
+      // separately from the rewrite join: a non-deterministic value (e.g.
+      // rand()) could land rows in a partition the discovery never saw,
+      // silently dropping that partition's bystander rows
+      if (!e.deterministic)
+        refuse(s"a non-deterministic expression in $what (got $e) — " +
+          "materialize it into the USING source")
       if (sourceOnly && !e.references.subsetOf(sourceAttrs))
         refuse(s"$what referencing target columns (got $e) — an unmatched " +
           "row has no target side to read")

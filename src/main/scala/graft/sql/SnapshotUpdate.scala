@@ -90,9 +90,14 @@ class SnapshotUpdateRule extends Rule[LogicalPlan] {
     // `INSERT OVERWRITE` in dynamic partition-overwrite mode: Spark has
     // no V1 fallback exec for OverwritePartitionsDynamic, so the verb is
     // rewritten onto the commit protocol directly (Snapshots.commit IS
-    // dynamic overwrite) — same deployment pattern as MERGE/UPDATE
+    // dynamic overwrite) — same deployment pattern as MERGE/UPDATE.
+    // outputResolved (not just query.resolved) gates the claim: the
+    // rewrite must only fire AFTER ResolveOutputRelation aligned the
+    // query's columns/casts to the table, or the command would commit the
+    // raw SELECT output (unaliased expression names, missing casts).
     case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
-        if o.query.resolved && SnapshotMerge.targetOf(o.table).isDefined =>
+        if o.query.resolved && o.outputResolved &&
+          SnapshotMerge.targetOf(o.table).isDefined =>
       val (_, target) = SnapshotMerge.targetOf(o.table).get
       SnapshotDynamicOverwriteCommand(target.lakeRoot, target.lakeTable,
         target.lakePartitionCols, target.lakeStatsCols, o.query)
@@ -139,6 +144,11 @@ private[sql] object SnapshotUpdate {
     def checked(e: Expression, what: String): Unit = {
       if (e.exists(_.isInstanceOf[SubqueryExpression]))
         refuse(s"a subquery in $what (materialize it and MERGE instead)")
+      // the WHERE predicate and SET values are evaluated once for
+      // touched-partition discovery and again for the rewrite — the doc
+      // promises "any deterministic predicate/value" and this enforces it
+      if (!e.deterministic)
+        refuse(s"a non-deterministic expression in $what (got $e)")
       if (!e.references.subsetOf(targetAttrs))
         refuse(s"$what referencing columns outside the table (got $e)")
     }

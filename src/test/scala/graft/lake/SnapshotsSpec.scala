@@ -422,6 +422,27 @@ class SnapshotsSpec extends SparkTestBase {
     assert(!f.exists(ddir) || f.listStatus(ddir).forall(!_.isFile))
   }
 
+  test("deleteWhere enforces the MOR vector-size contract: an oversized " +
+      "vector refuses loudly, pointing at the rewrite path") {
+    val root = freshRoot()
+    Snapshots.commit((1L to 50L).map(i => (i, s"r$i")).toDF("id", "v"),
+      root, "t", Seq.empty)
+    spark.conf.set("spark.graft.delete.maxVectorRows", "10")
+    try {
+      // 25 matching keys > cap 10: refused BEFORE any version publishes
+      val big = intercept[IllegalArgumentException] {
+        Snapshots.deleteWhere(spark, root, "t", $"id" % 2 === 0)
+      }
+      assert(big.getMessage.contains("merge-on-read premise"), big.getMessage)
+      assert(big.getMessage.contains("filter(!cond)"), big.getMessage)
+      assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
+      // under the cap still works
+      val v2 = Snapshots.deleteWhere(spark, root, "t", $"id" <= 5L)
+      assert(Snapshots.readVersion(spark, root, "t", v2)
+        .count() === 45L)
+    } finally spark.conf.unset("spark.graft.delete.maxVectorRows")
+  }
+
   test("a row re-inserted AFTER a delete survives it (addedAt sequence rule)") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, "old", 0), (2L, "keep", 0)).toDF("id", "v", "p"),

@@ -372,6 +372,27 @@ class GraftCatalogSpec extends SparkTestBase {
       Option(ins.getCause).exists(_.getMessage.contains("read-only")), ins.toString)
   }
 
+  test("stats-sidecar continuity survives a SQL truncate: the reborn table keeps skipping") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_trunc").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 100L).map(i => (i, i % 4)).toDF("id", "pb")
+      .repartitionByRange(4, $"id"), root, "t", Seq("pb"), statsCols = Seq("id"))
+    GraftCatalog.install(spark, "grafttc", root)
+    // SQL truncate → zero-file v2 whose sidecar still records min_/max_ id
+    spark.sql("DELETE FROM grafttc.t")
+    assert(spark.sql("SELECT count(*) FROM grafttc.t").as[Long].head() === 0L)
+    // the first INSERT after the truncate must re-derive id stats (the
+    // write shape reads statsCols from the empty version's sidecar, not
+    // from live files); pb tracks the id range so files carry DISJOINT
+    // id boxes and the range probe can actually skip
+    spark.sql("INSERT INTO grafttc.t SELECT id, id DIV 100 AS pb FROM range(0, 400)")
+    val v3files = Snapshots.liveFiles(spark, root, "t", 3L)
+    val cand = Snapshots.candidateFiles(spark, root, "t", 3L, "id",
+      lit(0L), lit(10L))
+    assert(cand.size < v3files.size,
+      s"skipping must survive the truncate: $cand of ${v3files.size}")
+  }
+
   test("versioned tables plan from the manifest: exact stats, zero listing, pre-AQE broadcast") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_stats").toString
     import graft.lake.Snapshots

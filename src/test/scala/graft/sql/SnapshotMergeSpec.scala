@@ -113,6 +113,16 @@ class SnapshotMergeSpec extends SparkTestBase {
     // Spark's own analyzer scopes NOT MATCHED to the source side — the
     // refusal is loud before the rewrite even sees the statement
     assert(tgtIns.getMessage.contains("cannot be resolved"), tgtIns.getMessage)
+    // non-deterministic clause values are refused: touched-partition
+    // discovery re-evaluates them separately from the rewrite join, so a
+    // rand()-derived partition home could silently drop bystander rows
+    val nondet = intercept[Exception] {
+      spark.sql("""MERGE INTO graftm.t AS tgt USING m_one AS s ON tgt.id = s.id
+                   WHEN NOT MATCHED THEN INSERT (id, v, p)
+                     VALUES (s.id, s.v, CAST(rand() * 4 AS INT))""")
+    }
+    assert(nondet.getMessage.contains("non-deterministic"), nondet.getMessage)
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
   }
 
   test("MERGE UPDATE values and MATCHED conditions read target columns") {

@@ -92,5 +92,17 @@ class SnapshotUpdateSpec extends SparkTestBase {
     assert(sub.getMessage.contains("subquery"), sub.getMessage)
     assert(Snapshots.latestVersion(spark, root, "t") === Some(1L),
       "a refused statement must not commit")
+    // non-deterministic predicates/values are refused: the WHERE is
+    // evaluated once for touched-partition discovery and again for the
+    // rewrite — rand() could hit different rows per pass
+    val nondetV = intercept[Exception] {
+      spark.sql("UPDATE graftu.t SET bal = CAST(rand() * 100 AS BIGINT)")
+    }
+    assert(nondetV.getMessage.contains("non-deterministic"), nondetV.getMessage)
+    val nondetW = intercept[Exception] {
+      spark.sql("UPDATE graftu.t SET bal = 0 WHERE rand() < 0.5")
+    }
+    assert(nondetW.getMessage.contains("non-deterministic"), nondetW.getMessage)
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
   }
 }
