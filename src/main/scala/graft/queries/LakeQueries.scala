@@ -1464,6 +1464,107 @@ object LakeQueries {
       |SELECT CAST(4 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
       |  CAST(sum(k) AS BIGINT) FROM o WHERE ob = 0""".stripMargin
 
+  /** q227's BY SOURCE history, staged once per (JVM, sf): v1 = every
+    * customer listed 'active'; ONE full-sync MERGE against "today's
+    * snapshot" (customers with `c_custkey % 3 != 0`, re-priced, plus a
+    * key-shifted newly-listed block) — matched rows re-price
+    * conditionally, unmatched snapshot rows insert, and rows ABSENT from
+    * the snapshot route through `WHEN NOT MATCHED BY SOURCE`: low
+    * buckets hard-DELETE (first match), the rest soft-delist. This is
+    * the reference's SCD-2 delist semantics (securities absent from
+    * today's snapshot get end-dated, master/security_master.py:1198-1410)
+    * as one ANSI statement ([[graft.sql.SnapshotMergeRule]]).
+    */
+  private def stageMergeBySourceHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlbs_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit("active").as("status"),
+          (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "listings", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftbs", root)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        cust.filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey").as("ck"), (col("cents") + 137L).as("nb"))
+          .unionByName(cust.filter(col("c_custkey") % 9 === 1)
+            .select((col("c_custkey") + 1000000L).as("ck"),
+              (col("cents") * 2L + 11L).as("nb")))
+          .createOrReplaceTempView("graft_q227_snap")
+        s.sql("""MERGE INTO graftbs.listings AS tgt
+                 USING graft_q227_snap AS src ON tgt.c_custkey = src.ck
+                 WHEN MATCHED AND src.nb > tgt.bal_cents THEN
+                   UPDATE SET bal_cents = src.nb
+                 WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, status, pb)
+                   VALUES (src.ck, src.nb, 'active', src.ck % 10)
+                 WHEN NOT MATCHED BY SOURCE AND tgt.pb <= 2 THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE THEN
+                   UPDATE SET status = 'delisted'""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL MERGE `WHEN NOT MATCHED BY SOURCE` — the full-sync verb
+    * ([[graft.sql.SnapshotMergeRule]]): leg 1 pins the pre-sync base;
+    * leg 2 the synced state — conditional re-prices, inserts, first-match
+    * BY SOURCE routing (hard delete for low buckets, soft delist
+    * otherwise). The oracle replays the routing as one CASE over a full
+    * outer join of base and snapshot.
+    */
+  def q227MergeBySource(s: SparkSession, dir: String): DataFrame = {
+    val root = stageMergeBySourceHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftbs", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum,
+             sum(CASE WHEN status = 'delisted' THEN 1 ELSE 0 END) AS n_delisted
+      FROM graftbs.listings VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey),
+             sum(CASE WHEN status = 'delisted' THEN 1 ELSE 0 END)
+      FROM graftbs.listings""")
+  }
+
+  val q227Sql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+      |    c_custkey % 10 AS pb
+      |  FROM customer),
+      |snap AS (SELECT c_custkey AS ck,
+      |    CAST(round(c_acctbal*100) AS BIGINT) + 137 AS nb
+      |  FROM customer WHERE c_custkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    CAST(round(c_acctbal*100) AS BIGINT) * 2 + 11
+      |  FROM customer WHERE c_custkey % 9 = 1),
+      |merged AS (SELECT COALESCE(b.k, s.ck) AS k,
+      |    CASE WHEN b.k IS NOT NULL AND s.ck IS NOT NULL AND s.nb > b.bal
+      |           THEN s.nb
+      |         WHEN b.k IS NOT NULL THEN b.bal
+      |         ELSE s.nb END AS bal,
+      |    CASE WHEN b.k IS NOT NULL AND s.ck IS NULL AND b.pb > 2
+      |           THEN 'delisted' ELSE 'active' END AS status,
+      |    NOT (b.k IS NOT NULL AND s.ck IS NULL AND b.pb <= 2) AS keep
+      |  FROM base b FULL OUTER JOIN snap s ON b.k = s.ck)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(0 AS BIGINT) AS n_delisted FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT),
+      |  CAST(sum(CASE WHEN status = 'delisted' THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM merged WHERE keep""".stripMargin
+
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
       |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
@@ -1823,6 +1924,7 @@ object LakeQueries {
     "q219_sql_merge" -> (q219SqlMerge _),
     "q221_sql_merge_general" -> (q221SqlMergeGeneral _),
     "q222_sql_update" -> (q222SqlUpdate _),
+    "q227_merge_by_source" -> (q227MergeBySource _),
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
@@ -1866,6 +1968,7 @@ object LakeQueries {
     "q219_sql_merge" -> q219Sql,
     "q221_sql_merge_general" -> q221Sql,
     "q222_sql_update" -> q222Sql,
+    "q227_merge_by_source" -> q227Sql,
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,

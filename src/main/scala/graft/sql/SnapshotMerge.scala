@@ -48,13 +48,24 @@ import org.apache.spark.sql.types.DataType
   *  - any number of `WHEN NOT MATCHED [AND <cond>] THEN INSERT … /
   *    INSERT *` clauses (conditions and values source-only, per ANSI —
   *    there is no target row to read);
+  *  - any interleaving of `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+  *    UPDATE SET … / DELETE` (conditions and values target-only, per ANSI
+  *    — there is no source row to read), first match wins in declaration
+  *    order. This is the full-sync verb (the reference's SCD-2 delist
+  *    shape: securities absent from today's snapshot get end-dated,
+  *    master/security_master.py:1198-1410, otherwise only reachable via
+  *    the Scala `applySnapshot`). BY SOURCE makes every base row a
+  *    candidate BY DEFINITION, so touched-partition pruning falls back to
+  *    the unpruned base scan — the statement is a potential full-table
+  *    rewrite and is priced as one (the commit still replaces only the
+  *    partitions that actually changed);
   *  - matched rows no clause claims carry over untouched; unmatched
-  *    source rows no INSERT claims are ignored (never phantom-inserted).
+  *    source rows no INSERT claims are ignored (never phantom-inserted);
+  *    base rows no BY SOURCE clause claims carry over untouched.
   *
   * Refusals (loud, by design): subqueries in clause expressions, updates
   * of a join-key column, INSERT assigning a key something other than the
-  * ON expression, `WHEN NOT MATCHED BY SOURCE` (a full-table rewrite verb
-  * — use `Snapshots.commit`), WITH SCHEMA EVOLUTION (commit new columns
+  * ON expression, WITH SCHEMA EVOLUTION (commit new columns
   * via `Snapshots.append` first), and duplicate source keys (ANSI
   * nondeterminism — deduplicate with `QUALIFY row_number() = 1`).
   */
@@ -69,9 +80,6 @@ class SnapshotMergeRule extends Rule[LogicalPlan] {
       val (rel, target) = SnapshotMerge.targetOf(m.targetTable).get
       if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION (commit the " +
         "new columns via graft.lake.Snapshots.append first)")
-      if (m.notMatchedBySourceActions.nonEmpty)
-        refuse("WHEN NOT MATCHED BY SOURCE (a full-table rewrite verb — " +
-          "use graft.lake.Snapshots.commit)")
       SnapshotMerge.rewrite(m, rel, target)
   }
 
@@ -120,12 +128,16 @@ private[sql] object SnapshotMerge {
     * plain case class, invisible to Catalyst's expression traversals — the
     * expressions inside reference the analysis-time target relation and
     * are re-bound to the execution-time base read by exprId).
+    * `bySource` = the WHEN NOT MATCHED BY SOURCE clauses (target-only
+    * expressions; None assigns = DELETE), routed first-match over the
+    * full-outer join's source-null side.
     */
   case class MergeProgram(
       keyPairs: Seq[(String, Expression)],
       matched: Seq[MatchedClause],
       inserts: Seq[InsertClause],
-      targetName: Map[ExprId, String])
+      targetName: Map[ExprId, String],
+      bySource: Seq[MatchedClause] = Seq.empty)
 
   /** Build the [[SnapshotMergeCommand]]: extract the key equalities and
     * fold the actions into a [[MergeProgram]] over the raw source plan.
@@ -135,7 +147,8 @@ private[sql] object SnapshotMerge {
     val source = m.sourceTable
     val targetAttrs = rel.outputSet
     val sourceAttrs = source.outputSet
-    def checked(e: Expression, what: String, sourceOnly: Boolean): Unit = {
+    def checked(e: Expression, what: String, sourceOnly: Boolean,
+        targetOnly: Boolean = false): Unit = {
       if (e.exists(_.isInstanceOf[SubqueryExpression]))
         refuse(s"a subquery in $what (materialize it into the USING source)")
       // touched-partition discovery re-evaluates clause expressions
@@ -148,6 +161,9 @@ private[sql] object SnapshotMerge {
       if (sourceOnly && !e.references.subsetOf(sourceAttrs))
         refuse(s"$what referencing target columns (got $e) — an unmatched " +
           "row has no target side to read")
+      if (targetOnly && !e.references.subsetOf(targetAttrs))
+        refuse(s"$what referencing source columns (got $e) — an " +
+          "unmatched-by-source row has no source side to read")
       if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
         refuse(s"$what referencing columns outside the merge (got $e)")
     }
@@ -175,13 +191,14 @@ private[sql] object SnapshotMerge {
 
     // resolve an assignment list to (target column name → value expr)
     def named(assigns: Seq[Assignment], what: String,
-        sourceOnly: Boolean): Seq[(String, Expression)] =
+        sourceOnly: Boolean, targetOnly: Boolean = false)
+        : Seq[(String, Expression)] =
       assigns.map { a =>
         val attr = a.key match {
           case t: AttributeReference if targetAttrs.contains(t) => t
           case other => refuse(s"$what assigning a non-column target $other")
         }
-        checked(a.value, s"a $what value", sourceOnly)
+        checked(a.value, s"a $what value", sourceOnly, targetOnly)
         (attr, a.value)
       }.map { case (attr, v) => (attr.name, v) }
 
@@ -219,7 +236,26 @@ private[sql] object SnapshotMerge {
           named(assigns, "INSERT", sourceOnly = true), keyNames, onExprOf))
       case other => refuse(s"not-matched action $other")
     }
-    if (matched.isEmpty && inserts.isEmpty) refuse("a MERGE with no actions")
+    // WHEN NOT MATCHED BY SOURCE: the full-sync clauses — base rows whose
+    // key the source never mentions. Target-only expressions (ANSI: there
+    // is no source row to read; Spark's analyzer scopes them that way
+    // already — targetOnly re-checks the contract defensively).
+    val bySource: Seq[MatchedClause] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        cond.foreach(checked(_, "a NOT MATCHED BY SOURCE condition",
+          sourceOnly = false, targetOnly = true))
+        MatchedClause(cond, Some(filterUpdate(
+          named(assigns, "BY SOURCE UPDATE", sourceOnly = false,
+            targetOnly = true),
+          keyNames, onExprOf, targetAttrs)))
+      case DeleteAction(cond) =>
+        cond.foreach(checked(_, "a NOT MATCHED BY SOURCE condition",
+          sourceOnly = false, targetOnly = true))
+        MatchedClause(cond, None)
+      case other => refuse(s"not-matched-by-source action $other")
+    }
+    if (matched.isEmpty && inserts.isEmpty && bySource.isEmpty)
+      refuse("a MERGE with no actions")
 
     val targetName: Map[ExprId, String] =
       rel.output.map(a => a.exprId -> a.name).toMap
@@ -228,7 +264,7 @@ private[sql] object SnapshotMerge {
       target.lakeRoot, target.lakeTable,
       target.lakePartitionCols, target.lakeStatsCols,
       source, MergeProgram(keyPairs.map { case (t, s) => (t.name, s) },
-        matched, inserts, targetName))
+        matched, inserts, targetName, bySource))
   }
 
   /** UPDATE assignments: a key assignment that restates the ON clause (or
@@ -345,9 +381,12 @@ case class SnapshotMergeCommand(
     // when the clause assigns EVERY partition column from source-only
     // expressions — otherwise the new home depends on target values and
     // the scan stays unpruned). Untouched partitions never flow: they
-    // carry in the manifest by reference.
+    // carry in the manifest by reference. WHEN NOT MATCHED BY SOURCE
+    // defeats pruning BY DEFINITION: every base row whose key the source
+    // does not mention is a candidate, so the scan stays unpruned (the
+    // commit still replaces only partitions that actually changed).
     val prunePredicate: Option[Column] =
-      if (partitionCols.isEmpty) None
+      if (partitionCols.isEmpty || program.bySource.nonEmpty) None
       else {
         val newHomesResolvable = program.matched.forall {
           case SnapshotMerge.MatchedClause(_, Some(assigns)) =>
@@ -423,7 +462,10 @@ case class SnapshotMergeCommand(
     val matchedRow = tPresent && sPresent
     val srcOnly = !tPresent && sPresent
 
-    // first-match clause routing as mutually exclusive fire flags
+    // first-match clause routing as mutually exclusive fire flags; the
+    // three clause groups (MATCHED / NOT MATCHED / NOT MATCHED BY SOURCE)
+    // route disjoint row sets, so first-match order applies within each
+    val tgtOnly = tPresent && !sPresent
     def condOf(c: Option[Expression]): Column =
       c.map(e => coalesce(bridge.column(remap(e)), lit(false)))
         .getOrElse(lit(true))
@@ -432,7 +474,13 @@ case class SnapshotMergeCommand(
       mConds.take(i).foldLeft(matchedRow && mConds(i))(_ && !_))
     val anyMFires =
       if (mConds.isEmpty) lit(false) else matchedRow && mConds.reduce(_ || _)
-    val deleteFires = mFires.zip(program.matched)
+    val bsConds = program.bySource.map(cl => condOf(cl.cond))
+    val bsFires = bsConds.indices.map(i =>
+      bsConds.take(i).foldLeft(tgtOnly && bsConds(i))(_ && !_))
+    val anyBSFires =
+      if (bsConds.isEmpty) lit(false) else tgtOnly && bsConds.reduce(_ || _)
+    val deleteFires = (mFires.zip(program.matched) ++
+        bsFires.zip(program.bySource))
       .collect { case (f, cl) if cl.assigns.isEmpty => f }
       .reduceOption(_ || _).getOrElse(lit(false))
     val iConds = program.inserts.map(cl => condOf(cl.cond))
@@ -444,7 +492,8 @@ case class SnapshotMergeCommand(
     // per-column value: the firing clause's expression, else carry / null
     val baseFields = base.schema.fields.toSeq
     val outCols = baseFields.map { f =>
-      val updBranches = mFires.zip(program.matched).flatMap {
+      val updBranches = (mFires.zip(program.matched) ++
+          bsFires.zip(program.bySource)).flatMap {
         case (fire, SnapshotMerge.MatchedClause(_, Some(assigns))) =>
           assigns.collectFirst { case (n, v) if n == f.name =>
             (fire, castTo(remap(v), f.dataType)) }
@@ -461,12 +510,14 @@ case class SnapshotMergeCommand(
           when(fire, v).otherwise(acc)
         }.as(f.name)
     }
-    // a matched row survives unless a DELETE clause claimed it; an
-    // unmatched source row exists only if an INSERT clause claimed it
+    // a target-present row (matched or by-source) survives unless a
+    // DELETE clause claimed it; an unmatched source row exists only if an
+    // INSERT clause claimed it. __graft_m marks rows WITH a target side —
+    // the rows whose OLD partition the commit must name as replaced.
     val keep = !deleteFires && (tPresent || anyIFires)
-    val touch = anyMFires || anyIFires
+    val touch = anyMFires || anyIFires || anyBSFires
     val extras = Seq(keep.as("__graft_keep"), touch.as("__graft_touch"),
-      matchedRow.as("__graft_m")) ++
+      tPresent.as("__graft_m")) ++
       partitionCols.map(p =>
         bridge.column(baseOf(p)).as(s"__graft_old_$p"))
     val full = joined.select(outCols ++ extras: _*)

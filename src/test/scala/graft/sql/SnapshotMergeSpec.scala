@@ -205,6 +205,63 @@ class SnapshotMergeSpec extends SparkTestBase {
     assert(rows.size === 39)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE routes first-match over the source-null " +
+      "side, interleaved with MATCHED and INSERT clauses") {
+    val root = freshRoot(); stage(root) // ids 0..39, v=v<i>, p=i%4
+    Seq((1L, "SRC1", 1), (2L, "SRC2", 2), (100L, "INS", 0))
+      .toDF("id", "v", "p").createOrReplaceTempView("bs_src")
+    spark.sql("""MERGE INTO graftm.t AS tgt USING bs_src AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)
+                 WHEN NOT MATCHED BY SOURCE AND tgt.id >= 30 THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE AND tgt.id >= 20 THEN
+                   UPDATE SET v = concat(tgt.v, '_stale')""")
+    val out = spark.sql("SELECT id, v FROM graftm.t")
+      .as[(Long, String)].collect().toMap
+    // matched updates + insert
+    assert(out(1L) === "SRC1" && out(2L) === "SRC2" && out(100L) === "INS")
+    // conditioned BY SOURCE DELETE claimed ids 30..39 (first match wins —
+    // the UPDATE clause's condition also covers them but never fires)
+    assert((30L to 39L).forall(!out.contains(_)))
+    // second BY SOURCE clause took the leftovers 20..29
+    assert((20L to 29L).forall(i => out(i) === s"v${i}_stale"))
+    // unclaimed BY SOURCE rows carry untouched
+    assert(out(0L) === "v0" && (3L to 19L).forall(i => out(i) === s"v$i"))
+    assert(out.size === 31) // 40 - 10 deleted + 1 inserted
+    // BY SOURCE expressions are target-only: a source reference refuses
+    // loudly (Spark's analyzer scopes the clause before the rewrite)
+    val srcRef = intercept[Exception] {
+      spark.sql("""MERGE INTO graftm.t AS tgt USING bs_src AS s ON tgt.id = s.id
+                   WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE""")
+    }
+    assert(srcRef.getMessage != null, srcRef.toString)
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(2L))
+  }
+
+  test("unconditioned DELETE BY SOURCE is the full-sync verb: the table " +
+      "converges to exactly the source's keys") {
+    val root = freshRoot(); stage(root)
+    Seq((5L, "S5", 1), (6L, "S6", 2), (200L, "S200", 0))
+      .toDF("id", "v", "p").createOrReplaceTempView("bs_sync")
+    spark.sql("""MERGE INTO graftm.t AS tgt USING bs_sync AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val out = spark.sql("SELECT id, v FROM graftm.t")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(5L -> "S5", 6L -> "S6", 200L -> "S200"))
+    // re-running the full sync is idempotent: same end state, new version
+    spark.sql("""MERGE INTO graftm.t AS tgt USING bs_sync AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id, v FROM graftm.t")
+      .as[(Long, String)].collect().toMap === out)
+    // snapshot isolation: the pre-sync version reads all 40 rows
+    assert(spark.sql("SELECT count(*) FROM graftm.t VERSION AS OF 1")
+      .as[Long].head() === 40L)
+  }
+
   test("MERGE pins its base version: a concurrent commit raises CME") {
     val root = freshRoot(); stage(root)
     // a competing writer lands BETWEEN the merge's base read (pinned at
@@ -227,9 +284,12 @@ class SnapshotMergeSpec extends SparkTestBase {
       .createOrReplaceTempView("m_cme_raw")
     spark.sql("SELECT m_cme_trigger(id) AS id, v, p FROM m_cme_raw")
       .createOrReplaceTempView("m_cme")
+    // the BY SOURCE clause rides along: the pin must guard the unpruned
+    // full-sync shape exactly like the pruned one
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO graftm.t AS tgt USING m_cme AS s ON tgt.id = s.id
-                   WHEN MATCHED THEN UPDATE SET v = s.v""")
+                   WHEN MATCHED THEN UPDATE SET v = s.v
+                   WHEN NOT MATCHED BY SOURCE AND tgt.id > 1000 THEN DELETE""")
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
