@@ -691,6 +691,58 @@ object Snapshots {
     true
   }
 
+  /** Provision an EMPTY versioned table: publish v1 as a zero-file
+    * manifest carrying the declared schema and identity partition layout
+    * — the engine's CREATE TABLE verb (the reference creates tables
+    * implicitly on first write, storage/pipeline/publishers.py:65-144;
+    * here provisioning is explicit and the first write is just an
+    * append). The empty version is fully addressable: SQL reads resolve
+    * a typed empty relation, `INSERT INTO` derives its write shape from
+    * the manifest (the q225 truncate machinery), and every later commit
+    * evolves the schema additively against it.
+    *
+    * Concurrency: the manifest publish is put-if-absent, so exactly one
+    * of N concurrent creators of the same table wins; losers surface the
+    * retryable CME. Refuses when the table already has versions.
+    */
+  def createTable(spark: SparkSession, root: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Nil): Long = {
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"createTable: partition column(s) ${missing.mkString(", ")} absent " +
+        "from the declared schema")
+    latestVersion(spark, root, table).foreach(v =>
+      throw new IllegalStateException(
+        s"table $table already exists (latest version v$v)"))
+    val f = fs(spark, root)
+    // partition columns LAST — the stored schema must equal the read
+    // schema byte for byte (file-source reads emit partition cols last)
+    val ordered = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(x => partitionCols.contains(x.name)) ++
+        partitionCols.flatMap(c => schema.fields.find(_.name == c)))
+    f.mkdirs(new Path(dataDir(root, table)))
+    beforePublish()
+    writeManifest(f, root, table, 1L, Seq.empty, Some(ordered),
+      operation = Some("create"), partitionCols = partitionCols)
+    1L
+  }
+
+  /** Drop a versioned table: delete its manifests, sidecars, data and
+    * delete-vector files, and the table directory. DESTRUCTIVE and
+    * immediate (vacuum-to-zero semantics) — time travel over the dropped
+    * table is gone. Returns false when nothing existed.
+    */
+  def dropTable(spark: SparkSession, root: String, table: String): Boolean = {
+    val f = fs(spark, root)
+    val data = new Path(s"$root/$table")
+    val manifests = new Path(manifestDir(root, table))
+    val existed = f.exists(data) || f.exists(manifests)
+    f.delete(manifests, true)
+    f.delete(data, true)
+    existed
+  }
+
   /** Commit `df` with dynamic-overwrite semantics: partitions present in
     * `df` are replaced in the NEW version, all other live files carry
     * over; nothing is deleted. Returns the new version number (1-based).

@@ -1565,6 +1565,94 @@ object LakeQueries {
       |  CAST(sum(CASE WHEN status = 'delisted' THEN 1 ELSE 0 END) AS BIGINT)
       |FROM merged WHERE keep""".stripMargin
 
+  /** q228's DDL history, staged once per (JVM, sf): the whole table
+    * lifecycle in pure SQL — `CREATE TABLE … PARTITIONED BY` provisions
+    * v1 as a zero-file manifest ([[graft.sql.GraftCatalog.createTable]] →
+    * [[graft.lake.Snapshots.createTable]]), `INSERT INTO` lands the first
+    * rows as a protocol append deriving its write shape from the empty
+    * manifest, a general `MERGE` upserts order revenue into it, and CTAS
+    * provisions + appends a second table from the first. (Reference
+    * framing: the reference creates tables implicitly on first write,
+    * storage/pipeline/publishers.py:65-144 — here provisioning is an
+    * explicit verb, and DROP has vacuum-to-zero semantics, spec-pinned.)
+    */
+  private def stageSqlDdlHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlddl_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        graft.sql.GraftCatalog.install(s, "graftddl2", root)
+        s.sql("""CREATE TABLE graftddl2.bal
+                 (c_custkey BIGINT, bal_cents BIGINT, pb BIGINT)
+                 PARTITIONED BY (pb)""")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_q228_cust")
+        Tables.orders(s, dir).createOrReplaceTempView("graft_q228_ord")
+        s.sql("""INSERT INTO graftddl2.bal
+                 SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+                        c_custkey % 10
+                 FROM graft_q228_cust WHERE c_custkey % 5 <> 0""")
+        s.sql("""MERGE INTO graftddl2.bal AS tgt
+                 USING (SELECT o_custkey AS ck,
+                          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta
+                        FROM graft_q228_ord GROUP BY o_custkey) AS src
+                 ON tgt.c_custkey = src.ck
+                 WHEN MATCHED THEN
+                   UPDATE SET bal_cents = tgt.bal_cents + src.delta
+                 WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, pb)
+                   VALUES (src.ck, src.delta, src.ck % 10)""")
+        s.sql("""CREATE TABLE graftddl2.top PARTITIONED BY (pb)
+                 AS SELECT * FROM graftddl2.bal WHERE bal_cents > 5000000""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL DDL lifecycle: leg 1 = the CREATEd table's v1 (a typed EMPTY
+    * relation — zero rows, zero-coalesced sums), leg 2 = the table after
+    * INSERT + MERGE, leg 3 = the CTAS table. Every value oracle-recomputed
+    * from customer/orders.
+    */
+  def q228SqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSqlDdlHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftddl2", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             coalesce(sum(bal_cents), 0) AS bal_sum,
+             coalesce(sum(c_custkey), 0) AS key_sum
+      FROM graftddl2.bal VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), coalesce(sum(bal_cents), 0),
+             coalesce(sum(c_custkey), 0)
+      FROM graftddl2.bal
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), coalesce(sum(bal_cents), 0),
+             coalesce(sum(c_custkey), 0)
+      FROM graftddl2.top""")
+  }
+
+  val q228Sql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |ops AS (SELECT o_custkey AS ck,
+      |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta
+      |  FROM orders GROUP BY 1),
+      |merged AS (SELECT COALESCE(b.k, o.ck) AS k,
+      |    CASE WHEN b.k IS NOT NULL AND o.ck IS NOT NULL THEN b.bal + o.delta
+      |         WHEN b.k IS NOT NULL THEN b.bal
+      |         ELSE o.delta END AS bal
+      |  FROM base b FULL OUTER JOIN ops o ON b.k = o.ck)
+      |SELECT CAST(1 AS BIGINT) AS leg, CAST(0 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS bal_sum, CAST(0 AS BIGINT) AS key_sum
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM merged
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM merged WHERE bal > 5000000""".stripMargin
+
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
       |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
@@ -1925,6 +2013,7 @@ object LakeQueries {
     "q221_sql_merge_general" -> (q221SqlMergeGeneral _),
     "q222_sql_update" -> (q222SqlUpdate _),
     "q227_merge_by_source" -> (q227MergeBySource _),
+    "q228_sql_ddl" -> (q228SqlDdl _),
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
@@ -1969,6 +2058,7 @@ object LakeQueries {
     "q221_sql_merge_general" -> q221Sql,
     "q222_sql_update" -> q222Sql,
     "q227_merge_by_source" -> q227Sql,
+    "q228_sql_ddl" -> q228Sql,
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,

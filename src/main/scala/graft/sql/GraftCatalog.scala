@@ -34,10 +34,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * INSTANCES per name, so a fixture-rotating test or a multi-lake session
   * can repoint `…​.root` without a new session).
   *
-  * Read-only by design: writes go through [[graft.lake.Lake]] /
-  * [[graft.lake.Snapshots]], whose partition-clustering and
-  * dynamic-overwrite semantics are the engine's write contract. DDL
-  * through the catalog throws rather than silently diverging from them.
+  * Writes and DDL route through the snapshot commit protocol — never a
+  * raw directory write: `CREATE TABLE [PARTITIONED BY]` publishes v1 as
+  * an empty manifest ([[graft.lake.Snapshots.createTable]]), CTAS is
+  * that plus Spark's own write onto the returned table, `INSERT` /
+  * `DELETE` / `UPDATE` / `MERGE` map onto protocol verbs (see the
+  * DML `loadTable` overload), and `DROP TABLE` deletes the manifests
+  * and data with vacuum-to-zero semantics. `ALTER TABLE` and
+  * `RENAME TABLE` stay refused (additive schema evolution happens
+  * per-commit; renames would orphan manifest dirs).
   */
 class GraftCatalog extends TableCatalog {
 
@@ -409,9 +414,63 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"$catalogName is a read-only catalog: $op goes through graft.lake.Lake/Snapshots")
 
+  /** `CREATE TABLE [PARTITIONED BY (c, …)]` — provision v1 as a zero-file
+    * manifest with the declared schema and identity partition layout
+    * ([[graft.lake.Snapshots.createTable]]; the q225 machinery makes the
+    * empty version fully addressable). CTAS arrives as this plus Spark's
+    * own write onto the returned table — which is the INSERT write shape
+    * ([[SnapshotInsertTable]]), so the CTAS data lands as a protocol
+    * append (partition clustering, put-if-absent manifest). Only identity
+    * (plain column) partitioning maps onto the lake's Hive directory
+    * layout; bucket/temporal transforms refuse loudly.
+    */
+  override def createTable(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    requireTopLevel(ident.namespace)
+    val partCols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        "only identity (plain column) PARTITIONED BY maps onto the " +
+          s"lake's Hive directory layout — got $other")
+    }
+    if (properties.containsKey(TableCatalog.PROP_LOCATION))
+      throw new UnsupportedOperationException(
+        s"LOCATION is not supported: tables live at <$catalogName root>/<name>")
+    if (isVersioned(ident.name) ||
+        graft.lake.Snapshots.latestVersion(SparkSession.active, root,
+          ident.name).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    graft.lake.Snapshots.createTable(SparkSession.active, root, ident.name,
+      schema, partCols)
+    // the returned table is the WRITE shape: CTAS immediately appends to
+    // it; a plain CREATE's next lookup goes through loadTable as usual
+    new SnapshotInsertTable(ident.name, schema, root, ident.name,
+      partCols, Seq.empty)
+  }
+
+  /** `DROP TABLE` — vacuum-to-zero semantics, by design: the manifests,
+    * stats sidecars, data files, and delete vectors are deleted
+    * immediately (time travel over a dropped table is gone) and every
+    * cached version of the table is evicted so a re-created table never
+    * serves stale files.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    requireTopLevel(ident.namespace)
+    GraftCatalog.invalidate(root, ident.name)
+    graft.lake.Snapshots.dropTable(SparkSession.active, root, ident.name)
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    GraftCatalog.invalidate(root, ident.name)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+    readOnly("ALTER TABLE (schema evolution is per-commit: write the " +
+      "evolved frame through Snapshots.append/commit)")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 }
@@ -528,6 +587,25 @@ object GraftCatalog {
         sessionCaches.put(spark, c)
       }
       c
+    }
+
+  /** Evict every cached version of (root, table) across all sessions —
+    * DROP TABLE's guard: a re-created table at the same identifier would
+    * otherwise serve the dropped table's files at matching versions
+    * (manifests are mtime-keyed in their own cache and safe; the TABLE
+    * cache keys on (root, name, version) alone).
+    */
+  private[sql] def invalidate(root: String, table: String): Unit =
+    sessionCaches.synchronized {
+      sessionCaches.values.forEach { c =>
+        c.synchronized {
+          val it = c.keySet().iterator()
+          while (it.hasNext) {
+            val k = it.next()
+            if (k._1 == root && k._2 == table) it.remove()
+          }
+        }
+      }
     }
 
   /** Cache-miss counter (test observability: a repeated query over the

@@ -393,6 +393,77 @@ class GraftCatalogSpec extends SparkTestBase {
       s"skipping must survive the truncate: $cand of ${v3files.size}")
   }
 
+  test("CREATE TABLE provisions an empty versioned table; INSERT, MERGE, " +
+      "SHOW TABLES, DROP and re-CREATE complete the lifecycle") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_ddl").toString
+    import graft.lake.Snapshots
+    GraftCatalog.install(spark, "graftddl", root)
+    spark.sql("""CREATE TABLE graftddl.t (id BIGINT, v STRING, pb BIGINT)
+                 PARTITIONED BY (pb)""")
+    // v1 = a zero-file manifest carrying schema + identity layout
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
+    assert(Snapshots.manifest(spark, root, "t", 1L).partitionCols === Seq("pb"))
+    assert(spark.sql("SELECT * FROM graftddl.t").count() === 0L)
+    assert(spark.table("graftddl.t").schema.fieldNames.toSeq ===
+      Seq("id", "v", "pb"))
+    // first INSERT derives its write shape from the empty manifest
+    spark.sql("""INSERT INTO graftddl.t
+                 SELECT id, concat('v', id) AS v, id % 4 AS pb FROM range(0, 40)""")
+    assert(spark.sql("SELECT count(*) FROM graftddl.t").as[Long].head() === 40L)
+    val v2files = Snapshots.liveFiles(spark, root, "t", 2L)
+    assert(v2files.forall(_.startsWith("pb=")), v2files)
+    // MERGE works against the created table
+    Seq((1L, "UPD", 1L), (100L, "INS", 0L)).toDF("id", "v", "pb")
+      .createOrReplaceTempView("ddl_src")
+    spark.sql("""MERGE INTO graftddl.t AS tgt USING ddl_src AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val out = spark.sql("SELECT id, v FROM graftddl.t")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "UPD" && out(100L) === "INS" && out.size === 41)
+    // SHOW TABLES lists it; a duplicate CREATE refuses; IF NOT EXISTS no-ops
+    assert(spark.sql("SHOW TABLES IN graftddl").collect()
+      .map(_.getString(1)).contains("t"))
+    intercept[Exception] { spark.sql("CREATE TABLE graftddl.t (x BIGINT)") }
+    spark.sql("CREATE TABLE IF NOT EXISTS graftddl.t (x BIGINT)")
+    assert(spark.table("graftddl.t").schema.fieldNames.length === 3)
+    // non-identity partitioning refuses loudly
+    val bucket = intercept[Exception] {
+      spark.sql("""CREATE TABLE graftddl.b (id BIGINT)
+                   PARTITIONED BY (bucket(4, id))""")
+    }
+    assert(bucket.getMessage.contains("identity"), bucket.getMessage)
+    // DROP deletes manifests + data and evicts the version cache: a
+    // re-created table at the same name serves the NEW schema, not a
+    // cached v1 of the dropped one
+    spark.sql("DROP TABLE graftddl.t")
+    assert(!spark.sql("SHOW TABLES IN graftddl").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("CREATE TABLE graftddl.t (x BIGINT)")
+    assert(spark.table("graftddl.t").schema.fieldNames.toSeq === Seq("x"))
+    assert(spark.sql("SELECT * FROM graftddl.t").count() === 0L)
+  }
+
+  test("CTAS lands as a protocol append onto the created table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_ctas").toString
+    import graft.lake.Snapshots
+    GraftCatalog.install(spark, "graftcts", root)
+    spark.sql("""CREATE TABLE graftcts.c PARTITIONED BY (pb)
+                 AS SELECT id, CAST(id % 120 AS BIGINT) AS cents,
+                           id % 4 AS pb FROM range(0, 200)""")
+    // v1 = the empty provision, v2 = the CTAS data as a protocol append
+    assert(Snapshots.latestVersion(spark, root, "c") === Some(2L))
+    assert(spark.sql("SELECT count(*) FROM graftcts.c").as[Long].head() === 200L)
+    assert(spark.sql("SELECT sum(cents) FROM graftcts.c").as[Long].head() ===
+      (0L until 200L).map(_ % 120).sum)
+    // partition clustering applied (the protocol write, not a raw dump)
+    val files = Snapshots.liveFiles(spark, root, "c", 2L)
+    assert(files.nonEmpty && files.forall(_.startsWith("pb=")), files)
+    // the created table keeps evolving through the protocol
+    spark.sql("INSERT INTO graftcts.c SELECT id, id AS cents, 9 AS pb FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graftcts.c").as[Long].head() === 205L)
+  }
+
   test("versioned tables plan from the manifest: exact stats, zero listing, pre-AQE broadcast") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_stats").toString
     import graft.lake.Snapshots
