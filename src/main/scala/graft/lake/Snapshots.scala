@@ -728,6 +728,52 @@ object Snapshots {
     1L
   }
 
+  /** Publish a METADATA-ONLY version whose schema appends `newFields` —
+    * the explicit half of additive schema evolution (the implicit half is
+    * a commit whose frame carries new columns, [[mergedSchema]]). Same
+    * files, delete vectors, addedAt, and partition layout; files that
+    * predate the new columns read them as null, and time travel keeps
+    * each version's own column set. The SQL surface reaches this through
+    * `MERGE … WITH SCHEMA EVOLUTION` (Spark's
+    * ResolveMergeIntoSchemaEvolution → `GraftCatalog.alterTable`).
+    *
+    * New fields must be NULLABLE (existing rows have no value to give a
+    * non-null column) and must not collide with existing names.
+    */
+  def evolveSchema(spark: SparkSession, root: String, table: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(newFields.nonEmpty, "evolveSchema: no fields to add")
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to evolve"))
+    val prev = manifest(spark, root, table, latest)
+    val prevSchema = prev.schema.getOrElse(throw new IllegalStateException(
+      s"version $latest of $table predates schema tracking — commit once " +
+        "through Snapshots before evolving the schema explicitly"))
+    val clash = newFields.map(_.name).filter(prevSchema.fieldNames.contains)
+    require(clash.isEmpty,
+      s"evolveSchema: column(s) ${clash.mkString(", ")} already exist")
+    val notNullable = newFields.filterNot(_.nullable)
+    require(notNullable.isEmpty,
+      s"evolveSchema: new column(s) ${notNullable.map(_.name).mkString(", ")} " +
+        "must be nullable — existing rows have no value for them")
+    // partition columns stay LAST (the read-schema convention): new data
+    // columns slot in before them
+    val partSet = prev.partitionCols.toSet
+    val evolved = org.apache.spark.sql.types.StructType(
+      prevSchema.fields.filterNot(f => partSet.contains(f.name)) ++
+        newFields ++
+        prevSchema.fields.filter(f => partSet.contains(f.name)))
+    val version = latest + 1
+    beforePublish()
+    writeManifest(fs(spark, root), root, table, version, prev.files,
+      Some(evolved), prev.deletes, prev.addedAt.padTo(prev.files.length, 0L),
+      Some("evolve"), prev.partitionCols)
+    // stats carry forward untouched (same files, same data)
+    writeSidecar(spark, root, table, version, prev.files, None,
+      prev.files, Some(latest))
+    version
+  }
+
   /** Drop a versioned table: delete its manifests, sidecars, data and
     * delete-vector files, and the table directory. DESTRUCTIVE and
     * immediate (vacuum-to-zero semantics) — time travel over the dropped

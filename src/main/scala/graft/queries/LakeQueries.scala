@@ -1653,6 +1653,97 @@ object LakeQueries {
       |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
       |  CAST(sum(k) AS BIGINT) FROM merged WHERE bal > 5000000""".stripMargin
 
+  /** q229's evolution history, staged once per (JVM, sf): v1 = customers
+    * with `c_custkey % 4 != 1` (no `tier` column); ONE `MERGE WITH SCHEMA
+    * EVOLUTION` whose source carries the new STRING `tier` — Spark's own
+    * resolution (the DML table declares AUTOMATIC_SCHEMA_EVOLUTION)
+    * computes the AddColumn diff and publishes a metadata-only evolved
+    * version through `GraftCatalog.alterTable` →
+    * [[graft.lake.Snapshots.evolveSchema]], then the merge routes
+    * normally: matched rows take the source's bal and tier (`SET *`),
+    * unmatched snapshot rows insert.
+    */
+  private def stageMergeEvolveHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlmev_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 4 =!= 1)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "bal", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftmev", root)
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"),
+            (round(col("c_acctbal") * 100).cast("long") + 55L).as("bal_cents"),
+            when(col("c_acctbal") > 5000.0, "hi").otherwise("lo").as("tier"),
+            (col("c_custkey") % 10).as("pb"))
+          .createOrReplaceTempView("graft_q229_snap")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftmev.bal AS tgt
+                 USING graft_q229_snap AS src
+                 ON tgt.c_custkey = src.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** `MERGE WITH SCHEMA EVOLUTION`: leg 1 reads the PRE-merge version and
+    * pins (q213's invariant) that `tier` does NOT exist there (-1
+    * sentinels); leg 2 reads the merged state — matched rows re-priced
+    * and tiered, unmatched base rows read the evolved column as null,
+    * snapshot-only rows inserted. Oracle recomputes both legs.
+    */
+  def q229MergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = stageMergeEvolveHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftmev", root)
+    val v1 = graft.lake.Snapshots.readVersion(s, root, "bal", 1L)
+    val (nt, nh) =
+      if (v1.columns.contains("tier"))
+        (count(col("tier")), count(when(col("tier") === "hi", 1)))
+      else (lit(-1L), lit(-1L)) // pins that the column does NOT exist at v1
+    val leg1 = v1.groupBy().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("bal_cents")).as("bal_sum"),
+        sum(col("c_custkey")).as("key_sum"),
+        nt.cast("long").as("n_tier"), nh.cast("long").as("n_hi"))
+      .withColumn("leg", lit(1L))
+    val leg2 = s.sql("""
+      SELECT count(*) AS n_rows, sum(bal_cents) AS bal_sum,
+             sum(c_custkey) AS key_sum, count(tier) AS n_tier,
+             count(CASE WHEN tier = 'hi' THEN 1 END) AS n_hi
+      FROM graftmev.bal""").withColumn("leg", lit(2L))
+    leg1.unionByName(leg2)
+      .select("leg", "n_rows", "bal_sum", "key_sum", "n_tier", "n_hi")
+  }
+
+  val q229Sql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer WHERE c_custkey % 4 <> 1),
+      |snap AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) + 55 AS bal,
+      |    CASE WHEN c_acctbal > 5000 THEN 'hi' ELSE 'lo' END AS tier
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |merged AS (SELECT COALESCE(b.k, s.k) AS k,
+      |    COALESCE(s.bal, b.bal) AS bal, s.tier AS tier
+      |  FROM base b FULL OUTER JOIN snap s ON b.k = s.k)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(-1 AS BIGINT) AS n_tier, CAST(-1 AS BIGINT) AS n_hi FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT), count(tier),
+      |  count(CASE WHEN tier = 'hi' THEN 1 END) FROM merged""".stripMargin
+
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
       |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
@@ -2014,6 +2105,7 @@ object LakeQueries {
     "q222_sql_update" -> (q222SqlUpdate _),
     "q227_merge_by_source" -> (q227MergeBySource _),
     "q228_sql_ddl" -> (q228SqlDdl _),
+    "q229_merge_evolution" -> (q229MergeEvolution _),
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
@@ -2059,6 +2151,7 @@ object LakeQueries {
     "q222_sql_update" -> q222Sql,
     "q227_merge_by_source" -> q227Sql,
     "q228_sql_ddl" -> q228Sql,
+    "q229_merge_evolution" -> q229Sql,
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,

@@ -307,6 +307,26 @@ class GraftCatalog extends TableCatalog {
       schema, root, ident.name, partitionCols, statsCols)
   }
 
+  /** The lake identity of a versioned table as a bare [[SnapshotDmlTarget]]
+    * — used by the row-level rules when the analyzer REBUILT the target
+    * relation around a plain read table: ResolveMergeIntoSchemaEvolution
+    * reloads the table via the privilege-less `loadTable(ident)` after
+    * evolving the schema, which loses the DML table wrapper. None for
+    * non-versioned tables (those never resolve a DML shape).
+    */
+  private[sql] def dmlShapeFor(ident: Identifier): Option[SnapshotDmlTarget] =
+    if (ident.namespace.nonEmpty || !isVersioned(ident.name)) None
+    else {
+      val (_, partitionCols, statsCols) = insertShape(ident)
+      val r = root
+      Some(new SnapshotDmlTarget {
+        override def lakeRoot: String = r
+        override def lakeTable: String = ident.name
+        override def lakePartitionCols: Seq[String] = partitionCols
+        override def lakeStatsCols: Seq[String] = statsCols
+      })
+    }
+
   /** The write-side shape of a versioned table: its COMMITTED (unwidened)
     * schema — the append's additive-evolution check type-matches incoming
     * columns against the manifest schema, so DML must ask for exactly
@@ -468,9 +488,29 @@ class GraftCatalog extends TableCatalog {
   override def invalidateTable(ident: Identifier): Unit =
     GraftCatalog.invalidate(root, ident.name)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE (schema evolution is per-commit: write the " +
-      "evolved frame through Snapshots.append/commit)")
+  /** ALTER TABLE, additive only: top-level `ADD COLUMNS` publishes a
+    * metadata-only evolved version ([[graft.lake.Snapshots.evolveSchema]]
+    * — same files, new schema; old files read the columns as null). This
+    * is the hook Spark's `MERGE … WITH SCHEMA EVOLUTION` resolution calls
+    * (ResolveMergeIntoSchemaEvolution computes the AddColumn diff against
+    * the USING source). Every other change — renames, drops, type changes
+    * — refuses: they would silently corrupt old versions' reads.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireTopLevel(ident.namespace)
+    if (!isVersioned(ident.name))
+      readOnly("ALTER TABLE of a non-versioned table")
+    val newFields = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, a.isNullable)
+      case other => readOnly(s"ALTER TABLE change $other — only top-level " +
+        "ADD COLUMNS maps onto additive snapshot schema evolution")
+    }
+    graft.lake.Snapshots.evolveSchema(SparkSession.active, root, ident.name,
+      newFields)
+    loadTable(ident)
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 }

@@ -54,9 +54,14 @@ class SnapshotDmlTable(
 
   // readable (DML analysis requires a readable target — and MERGE scans
   // it); reads delegate to the SAME versioned scan loadTable(ident)
-  // resolves, merge-on-read vectors and sidecar skipping included
+  // resolves, merge-on-read vectors and sidecar skipping included.
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's own MERGE … WITH SCHEMA
+  // EVOLUTION resolution (ResolveMergeIntoSchemaEvolution computes the
+  // AddColumn diff and calls GraftCatalog.alterTable, which publishes a
+  // metadata-only evolved version — Snapshots.evolveSchema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)

@@ -63,23 +63,33 @@ import org.apache.spark.sql.types.DataType
   *    source rows no INSERT claims are ignored (never phantom-inserted);
   *    base rows no BY SOURCE clause claims carry over untouched.
   *
+  * `WITH SCHEMA EVOLUTION` is supported through Spark's own resolution:
+  * the DML target declares `AUTOMATIC_SCHEMA_EVOLUTION`, so the analyzer
+  * computes the AddColumn diff against the USING source and routes it
+  * through `GraftCatalog.alterTable` → `Snapshots.evolveSchema` (a
+  * metadata-only evolved version) before this rule claims the statement;
+  * pre-evolution versions read the new columns as null under time travel.
+  *
   * Refusals (loud, by design): subqueries in clause expressions, updates
   * of a join-key column, INSERT assigning a key something other than the
-  * ON expression, WITH SCHEMA EVOLUTION (commit new columns
-  * via `Snapshots.append` first), and duplicate source keys (ANSI
+  * ON expression, and duplicate source keys (ANSI
   * nondeterminism — deduplicate with `QUALIFY row_number() = 1`).
   */
 class SnapshotMergeRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case m @ MergeIntoTable(_, _, _, _, _, _, withSchemaEvolution)
+    case m @ MergeIntoTable(_, _, _, _, _, _, _)
         if m.childrenResolved && m.mergeCondition.resolved &&
           SnapshotMerge.targetOf(m.targetTable).isDefined &&
           (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
             .forall(actionResolved) =>
       val (rel, target) = SnapshotMerge.targetOf(m.targetTable).get
-      if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION (commit the " +
-        "new columns via graft.lake.Snapshots.append first)")
+      // WITH SCHEMA EVOLUTION is handled BEFORE this rule claims the
+      // statement: SnapshotDmlTable declares AUTOMATIC_SCHEMA_EVOLUTION,
+      // so Spark's ResolveMergeIntoSchemaEvolution computes the AddColumn
+      // diff vs the USING source and calls GraftCatalog.alterTable (a
+      // metadata-only evolved version) — by the time the actions resolve
+      // here, the target relation already carries the new columns
       SnapshotMerge.rewrite(m, rel, target)
   }
 
@@ -100,13 +110,22 @@ private[sql] object SnapshotMerge {
     throw new UnsupportedOperationException(
       s"MERGE INTO a Snapshots-versioned table does not support $what")
 
-  /** The writable snapshot table a DML statement resolved, if any. */
+  /** The writable snapshot table a DML statement resolved, if any. A
+    * relation whose table lost the DML wrapper but still points at a
+    * graft catalog's versioned table recovers its lake identity through
+    * the catalog (the WITH SCHEMA EVOLUTION rebuild path — Spark reloads
+    * the evolved table via the privilege-less `loadTable`).
+    */
   def targetOf(table: LogicalPlan)
       : Option[(DataSourceV2Relation, SnapshotDmlTarget)] =
     EliminateSubqueryAliases(table) match {
       case r: DataSourceV2Relation => r.table match {
         case t: SnapshotDmlTarget => Some((r, t))
-        case _ => None
+        case _ => (r.catalog, r.identifier) match {
+          case (Some(c: GraftCatalog), Some(id)) =>
+            c.dmlShapeFor(id).map(t => (r, t))
+          case _ => None
+        }
       }
       case _ => None
     }

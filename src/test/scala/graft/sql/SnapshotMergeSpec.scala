@@ -262,6 +262,51 @@ class SnapshotMergeSpec extends SparkTestBase {
       .as[Long].head() === 40L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new columns " +
+      "additively; pre-merge versions read them null under time travel") {
+    val root = freshRoot(); stage(root) // t: (id, v, p), ids 0..39
+    // existing columns must TYPE-match the target (p arrives BIGINT: the
+    // catalog widens int partition cols) — Spark's schemaChanges diff
+    // treats any type difference as an UpdateColumnType, which additive
+    // evolution refuses loudly; only genuinely NEW columns evolve
+    Seq((1L, "NEW1", 1L, 7.5), (100L, "INS", 0L, 9.25))
+      .toDF("id", "v", "p", "score").createOrReplaceTempView("ev_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftm.t AS tgt
+                 USING ev_src AS s ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // the evolved column exists, with data-cols-before-partition-cols order
+    assert(spark.table("graftm.t").schema.fieldNames.toSeq ===
+      Seq("id", "v", "score", "p"))
+    assert(spark.sql("SELECT v, score FROM graftm.t WHERE id = 1")
+      .as[(String, Option[Double])].head() === ("NEW1", Some(7.5)))
+    assert(spark.sql("SELECT v, score FROM graftm.t WHERE id = 100")
+      .as[(String, Option[Double])].head() === ("INS", Some(9.25)))
+    // untouched rows (old files) read the new column as null
+    assert(spark.sql("SELECT score FROM graftm.t WHERE id = 5")
+      .as[Option[Double]].head() === None)
+    assert(spark.sql("SELECT count(*) FROM graftm.t").as[Long].head() === 41L)
+    // q213's invariant: the pre-evolution version keeps its OWN columns
+    assert(!spark.sql("SELECT * FROM graftm.t VERSION AS OF 1")
+      .schema.fieldNames.contains("score"))
+    // the explicit spelling works too: ALTER TABLE ADD COLUMNS
+    spark.sql("ALTER TABLE graftm.t ADD COLUMNS (note STRING)")
+    assert(spark.table("graftm.t").schema.fieldNames.toSeq ===
+      Seq("id", "v", "score", "note", "p"))
+    // lossy changes stay refused
+    val drop = intercept[Exception] {
+      spark.sql("ALTER TABLE graftm.t DROP COLUMN v")
+    }
+    assert(drop.getMessage.contains("ADD COLUMNS") ||
+      drop.getMessage.contains("read-only"), drop.getMessage)
+    val dup = intercept[Exception] {
+      graft.lake.Snapshots.evolveSchema(spark, root, "t",
+        Seq(org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(dup.getMessage.contains("already exist"), dup.getMessage)
+  }
+
   test("MERGE pins its base version: a concurrent commit raises CME") {
     val root = freshRoot(); stage(root)
     // a competing writer lands BETWEEN the merge's base read (pinned at
