@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => new graft.sql.SnapshotUpdateRule)
     // per-key top-k physical operator (planner strategy)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // SQL maintenance verbs (OPTIMIZE / VACUUM) — a delegating parser
+    // that claims exactly those two statements (Spark's grammar has
+    // neither) and hands everything else to Spark's own parser
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     Seq(
       ("cosine_sim", (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
       ("dot_product", (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),

@@ -1744,6 +1744,81 @@ object LakeQueries {
       |  CAST(sum(k) AS BIGINT), count(tier),
       |  count(CASE WHEN tier = 'hi' THEN 1 END) FROM merged""".stripMargin
 
+  /** q230's maintenance history, staged once per (JVM, sf): three appends
+    * (12 files across 4 buckets), one merge-on-read delete (v4), then the
+    * SQL verb `OPTIMIZE … ZORDER BY (o_orderkey)`
+    * ([[graft.sql.GraftSqlParser]] → [[graft.lake.Snapshots.compact]]) —
+    * v5 rewrites the table into fewer Z-ordered files with the vector
+    * folded away. VACUUM's retention refusal is spec-pinned
+    * (MaintenanceSqlSpec) — a gate can't hash wall-clock-dependent
+    * deletions.
+    */
+  private def stageOptimizeHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlopt_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          (col("o_orderkey") % 4).as("ob"))
+        (0 until 3).foreach { i =>
+          graft.lake.Snapshots.append(
+            base.filter(col("o_orderkey") % 3 === i),
+            root, "ord", Seq("ob"), statsCols = Seq("o_orderkey"))
+        }
+        graft.lake.Snapshots.deleteWhere(s, root, "ord",
+          col("o_orderkey") % 7 === 0) // v4: a MOR vector
+        graft.sql.GraftCatalog.install(s, "graftq230", root)
+        s.sql("OPTIMIZE graftq230.ord ZORDER BY (o_orderkey)") // v5
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL `OPTIMIZE … ZORDER BY`: legs 1 and 2 read the pre- and
+    * post-compact versions — identical by the result-invariance contract
+    * (the rewrite folds the delete vector in); leg 3 reads the `history`
+    * metadata table (q224 machinery): the compact version carries FEWER
+    * files than its predecessor, zero delete vectors, and exactly one
+    * 'compact' operation exists.
+    */
+  def q230SqlOptimize(s: SparkSession, dir: String): DataFrame = {
+    val root = stageOptimizeHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftq230", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS v1,
+             sum(cents) AS v2, sum(o_orderkey) AS v3
+      FROM graftq230.ord VERSION AS OF 4
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(cents), sum(o_orderkey)
+      FROM graftq230.ord
+      UNION ALL
+      SELECT CAST(3 AS BIGINT),
+             CAST(CASE WHEN c.n_files < p.n_files THEN 1 ELSE 0 END AS BIGINT),
+             CAST(c.n_delete_vectors AS BIGINT),
+             (SELECT count(*) FROM graftq230.ord.history
+              WHERE operation = 'compact')
+      FROM graftq230.ord.history c JOIN graftq230.ord.history p
+        ON c.version = 5 AND p.version = 4""")
+  }
+
+  val q230Sql: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS v1,
+      |  CAST(sum(cents) AS BIGINT) AS v2, CAST(sum(k) AS BIGINT) AS v3
+      |FROM o
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM o
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(1 AS BIGINT)""".stripMargin
+
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
       |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
@@ -2106,6 +2181,7 @@ object LakeQueries {
     "q227_merge_by_source" -> (q227MergeBySource _),
     "q228_sql_ddl" -> (q228SqlDdl _),
     "q229_merge_evolution" -> (q229MergeEvolution _),
+    "q230_sql_optimize" -> (q230SqlOptimize _),
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
@@ -2152,6 +2228,7 @@ object LakeQueries {
     "q227_merge_by_source" -> q227Sql,
     "q228_sql_ddl" -> q228Sql,
     "q229_merge_evolution" -> q229Sql,
+    "q230_sql_optimize" -> q230Sql,
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,
