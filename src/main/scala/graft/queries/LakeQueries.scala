@@ -1819,6 +1819,74 @@ object LakeQueries {
       |SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
       |  CAST(1 AS BIGINT)""".stripMargin
 
+  /** q231's subquery-UPDATE history, staged once per (JVM, sf): v1 = all
+    * customers; ONE `UPDATE` whose SET value carries an uncorrelated
+    * SCALAR subquery and whose WHERE carries an IN subquery — both
+    * executed once at statement-run time and inlined as literals
+    * ([[graft.sql.DmlRebind.materializeSubqueries]]), so discovery and
+    * rewrite see identical values. Correlated subqueries refuse
+    * (spec-pinned): a per-row subquery is a join — spelled as MERGE.
+    */
+  private def stageSubqueryUpdateHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqlsub_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          (col("c_custkey") % 10).as("pb"))
+        graft.lake.Snapshots.commit(base.repartitionByRange(4, col("c_custkey")),
+          root, "bal", Seq("pb"), statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftq231", root)
+        Tables.orders(s, dir).createOrReplaceTempView("graft_q231_ord")
+        s.sql("""UPDATE graftq231.bal
+                 SET bal_cents = bal_cents +
+                   (SELECT max(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FROM graft_q231_ord)
+                 WHERE c_custkey IN (SELECT o_custkey FROM graft_q231_ord
+                                     WHERE o_totalprice > 400000)""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL UPDATE with inlined subqueries: leg 1 = the pre-update base;
+    * leg 2 = the updated state — customers with a >400k order gained the
+    * corpus-max order price. The oracle recomputes both subqueries and
+    * the conditional projection from customer/orders.
+    */
+  def q231SubqueryUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = stageSubqueryUpdateHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftq231", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum
+      FROM graftq231.bal VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+      FROM graftq231.bal""")
+  }
+
+  val q231Sql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+      |  FROM customer),
+      |mx AS (SELECT max(CAST(round(o_totalprice*100) AS BIGINT)) AS m
+      |  FROM orders),
+      |hot AS (SELECT DISTINCT o_custkey AS hk FROM orders
+      |  WHERE o_totalprice > 400000)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(k) AS BIGINT) AS key_sum FROM base
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*),
+      |  CAST(sum(CASE WHEN k IN (SELECT hk FROM hot)
+      |             THEN bal + (SELECT m FROM mx) ELSE bal END) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM base""".stripMargin
+
   val q219Sql: String =
     """WITH base AS (SELECT c_custkey,
       |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
@@ -2182,6 +2250,7 @@ object LakeQueries {
     "q228_sql_ddl" -> (q228SqlDdl _),
     "q229_merge_evolution" -> (q229MergeEvolution _),
     "q230_sql_optimize" -> (q230SqlOptimize _),
+    "q231_subquery_update" -> (q231SubqueryUpdate _),
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
@@ -2229,6 +2298,7 @@ object LakeQueries {
     "q228_sql_ddl" -> q228Sql,
     "q229_merge_evolution" -> q229Sql,
     "q230_sql_optimize" -> q230Sql,
+    "q231_subquery_update" -> q231Sql,
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,

@@ -70,7 +70,12 @@ import org.apache.spark.sql.types.DataType
   * metadata-only evolved version) before this rule claims the statement;
   * pre-evolution versions read the new columns as null under time travel.
   *
-  * Refusals (loud, by design): subqueries in clause expressions, updates
+  * UNCORRELATED scalar and IN subqueries in clause expressions inline at
+  * run time (executed once, up front — `SET bal = (SELECT max(…) FROM s)`
+  * becomes a literal); correlated subqueries are per-row joins and refuse
+  * with the USING-source spelling.
+  *
+  * Refusals (loud, by design): correlated subqueries, updates
   * of a join-key column, INSERT assigning a key something other than the
   * ON expression, and duplicate source keys (ANSI
   * nondeterminism — deduplicate with `QUALIFY row_number() = 1`).
@@ -168,8 +173,21 @@ private[sql] object SnapshotMerge {
     val sourceAttrs = source.outputSet
     def checked(e: Expression, what: String, sourceOnly: Boolean,
         targetOnly: Boolean = false): Unit = {
-      if (e.exists(_.isInstanceOf[SubqueryExpression]))
-        refuse(s"a subquery in $what (materialize it into the USING source)")
+      // uncorrelated scalar/IN subqueries inline at run time
+      // (DmlRebind.materializeSubqueries); anything else refuses
+      e.foreach {
+        case s: SubqueryExpression if s.isCorrelated =>
+          refuse(s"a CORRELATED subquery in $what (a per-row subquery is " +
+            "a join — put it in the USING source)")
+        // ListQuery is the accepted InSubquery's own child node
+        case _: org.apache.spark.sql.catalyst.expressions.ScalarSubquery |
+            _: org.apache.spark.sql.catalyst.expressions.InSubquery |
+            _: org.apache.spark.sql.catalyst.expressions.ListQuery => ()
+        case s: SubqueryExpression =>
+          refuse(s"a ${s.prettyName} subquery in $what (only scalar and " +
+            "IN subqueries inline — materialize it into the USING source)")
+        case _ => ()
+      }
       // touched-partition discovery re-evaluates clause expressions
       // separately from the rewrite join: a non-deterministic value (e.g.
       // rand()) could land rows in a partition the discovery never saw,
@@ -353,6 +371,21 @@ case class SnapshotMergeCommand(
   private def runMerge(spark: SparkSession,
       srcDf: org.apache.spark.sql.DataFrame): Seq[Row] = {
     import graft.lake.Snapshots
+    // inline uncorrelated subqueries ONCE, up front — every later pass
+    // (dup check, discovery, rewrite) then sees identical literal values
+    val program = {
+      def mat(e: Expression) = DmlRebind.materializeSubqueries(spark, e)
+      def matC(cl: SnapshotMerge.MatchedClause) = cl.copy(
+        cond = cl.cond.map(mat),
+        assigns = cl.assigns.map(_.map { case (n, v) => (n, mat(v)) }))
+      this.program.copy(
+        keyPairs = this.program.keyPairs.map { case (n, e) => (n, mat(e)) },
+        matched = this.program.matched.map(matC),
+        bySource = this.program.bySource.map(matC),
+        inserts = this.program.inserts.map(i => i.copy(
+          cond = i.cond.map(mat),
+          assigns = i.assigns.map { case (n, v) => (n, mat(v)) })))
+    }
     val latest = Snapshots.latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to merge into"))
     val keyNames = program.keyPairs.map(_._1)

@@ -36,6 +36,51 @@ private[sql] object DmlRebind {
   def castTo(e: Expression, dt: DataType): Column =
     if (e.dataType == dt) bridge.column(e) else bridge.column(Cast(e, dt))
 
+  /** Inline UNCORRELATED subqueries by executing them at statement-run
+    * time: `SET x = (SELECT max(…) FROM s)` becomes a literal, `WHERE k
+    * IN (SELECT …)` becomes an IN over collected literals (bounded by
+    * `spark.graft.dml.maxInlineSubqueryRows`, default 10k — past that,
+    * materialize into a MERGE source instead of an expression tree).
+    * Runs BEFORE the rewrite evaluates anything, so the touched-partition
+    * discovery and the rewrite see the SAME values (the same reason
+    * clause expressions must be deterministic). Correlated subqueries are
+    * refused at rewrite time ([[SnapshotUpdate.rewrite]]/
+    * [[SnapshotMerge.rewrite]] `checked`) — a per-row subquery is a join;
+    * spell it as MERGE.
+    */
+  def materializeSubqueries(spark: SparkSession, e: Expression): Expression =
+    e.transformUp {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        val rows = bridge.ofRows(spark, s.plan).limit(2)
+          .collect() // scalar by contract: at most 2 rows fetched
+        if (rows.length > 1) throw new IllegalStateException(
+          "a scalar subquery in a DML statement returned more than one row")
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          if (rows.isEmpty) null else rows(0).get(0), s.dataType)
+      case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+        val cap = spark.conf
+          .getOption("spark.graft.dml.maxInlineSubqueryRows")
+          .map(_.toInt).getOrElse(10000)
+        val df = bridge.ofRows(spark,
+          in.query.plan.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+        val rows = df.limit(cap + 1).collect() // capped: refused past it
+        if (rows.length > cap) throw new IllegalArgumentException(
+          s"an IN subquery in a DML statement returned more than $cap rows " +
+            "(spark.graft.dml.maxInlineSubqueryRows) — materialize it and " +
+            "use MERGE instead")
+        if (in.values.lengthCompare(1) != 0) throw new
+            UnsupportedOperationException(
+          "multi-column IN subqueries in DML statements are not supported " +
+            "— materialize and MERGE instead")
+        val dt = in.query.plan.output.head.dataType
+        val lits = rows.toSeq.map(r =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), dt))
+        if (lits.isEmpty)
+          org.apache.spark.sql.catalyst.expressions.Literal.create(false,
+            org.apache.spark.sql.types.BooleanType)
+        else org.apache.spark.sql.catalyst.expressions.In(in.values.head, lits)
+    }
+
   /** STATIC partition-pruning predicate from a collected touched-partition
     * list (dimension-sized): unlike a broadcast-semi-join against the same
     * list, a literal predicate prunes at the FILE INDEX at plan time — no
@@ -72,7 +117,9 @@ private[sql] object DmlRebind {
   * predicate/value over the target's columns is supported — predicates
   * are EVALUATED by Spark, not translated to source filters (contrast
   * `DELETE FROM`, whose merge-on-read vectors require translatable
-  * predicates); subqueries refuse loudly (materialize them and use MERGE).
+  * predicates). Uncorrelated scalar/IN subqueries inline at run time
+  * ([[DmlRebind.materializeSubqueries]]); correlated ones refuse loudly
+  * (a per-row subquery is a join — spell it as MERGE).
   *
   * An UPDATE whose predicate matches no row is a no-op: no new version is
   * published. An UPDATE of an unpartitioned table rewrites the table —
@@ -142,8 +189,22 @@ private[sql] object SnapshotUpdate {
       : LogicalPlan = {
     val targetAttrs = rel.outputSet
     def checked(e: Expression, what: String): Unit = {
-      if (e.exists(_.isInstanceOf[SubqueryExpression]))
-        refuse(s"a subquery in $what (materialize it and MERGE instead)")
+      // uncorrelated scalar/IN subqueries are materialized at run time
+      // (DmlRebind.materializeSubqueries); correlated ones are per-row
+      // joins — refuse with the MERGE spelling
+      e.foreach {
+        case s: SubqueryExpression if s.isCorrelated =>
+          refuse(s"a CORRELATED subquery in $what (a per-row subquery is " +
+            "a join — spell it as MERGE)")
+        // ListQuery is the accepted InSubquery's own child node
+        case _: org.apache.spark.sql.catalyst.expressions.ScalarSubquery |
+            _: org.apache.spark.sql.catalyst.expressions.InSubquery |
+            _: org.apache.spark.sql.catalyst.expressions.ListQuery => ()
+        case s: SubqueryExpression =>
+          refuse(s"a ${s.prettyName} subquery in $what (only scalar and " +
+            "IN subqueries inline — materialize it and MERGE instead)")
+        case _ => ()
+      }
       // the WHERE predicate and SET values are evaluated once for
       // touched-partition discovery and again for the rewrite — the doc
       // promises "any deterministic predicate/value" and this enforces it
@@ -194,10 +255,15 @@ case class SnapshotUpdateCommand(
     val base = Snapshots.readVersion(spark, root, table, latest)
     val baseAttr = DmlRebind.baseAttrs(base)
     def remap(e: Expression): Expression =
-      DmlRebind.remap(e, program.targetName, baseAttr, s"$table@v$latest")
-    val assignOf: Map[String, Expression] = program.assigns.toMap
+      DmlRebind.remap(e,
+        program.targetName, baseAttr, s"$table@v$latest")
+    // inline uncorrelated subqueries ONCE, before anything evaluates —
+    // discovery and rewrite must see identical values
+    val assignOf: Map[String, Expression] = program.assigns.map {
+      case (n, v) => (n, DmlRebind.materializeSubqueries(spark, v)) }.toMap
+    val cond = program.cond.map(DmlRebind.materializeSubqueries(spark, _))
     // null predicate = false, per SQL WHERE semantics
-    val hit = program.cond
+    val hit = cond
       .map(e => coalesce(bridge.column(remap(e)), lit(false)))
       .getOrElse(lit(true))
     val outCols = base.schema.fields.toSeq.map { f =>

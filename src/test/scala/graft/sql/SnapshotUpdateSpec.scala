@@ -83,15 +83,46 @@ class SnapshotUpdateSpec extends SparkTestBase {
     assert(rows.size === 38)
   }
 
-  test("UPDATE refusals are loud: subquery predicate, non-versioned table") {
-    val root = freshRoot(); stage(root)
-    val sub = intercept[Exception] {
-      spark.sql("""UPDATE graftu.t SET bal = 0
-                   WHERE id IN (SELECT id FROM graftu.t WHERE bal > 100)""")
+  test("UPDATE subqueries: uncorrelated scalar/IN inline at run time; " +
+      "correlated refuses; non-deterministic refuses") {
+    val root = freshRoot(); stage(root) // ids 0..39, bal = id*10, p = id%4
+    // scalar subquery in a SET value: executed once, inlined as a literal
+    spark.sql("""UPDATE graftu.t
+                 SET bal = (SELECT max(id) FROM graftu.t) + 1
+                 WHERE id = 3""")
+    assert(spark.sql("SELECT bal FROM graftu.t WHERE id = 3")
+      .as[Long].head() === 40L)
+    // IN subquery in the WHERE: collected (capped) and inlined
+    spark.sql("""UPDATE graftu.t SET bal = -1
+                 WHERE id IN (SELECT id FROM graftu.t WHERE bal >= 370)""")
+    assert(spark.sql("SELECT count(*) FROM graftu.t WHERE bal = -1")
+      .as[Long].head() === 3L) // ids 37, 38, 39
+    // an empty IN result updates nothing (and publishes nothing)
+    val vBefore = Snapshots.latestVersion(spark, root, "t").get
+    spark.sql("""UPDATE graftu.t SET bal = 0
+                 WHERE id IN (SELECT id FROM graftu.t WHERE bal > 99999)""")
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(vBefore))
+    // correlated subqueries refuse with the MERGE spelling
+    val corr = intercept[Exception] {
+      spark.sql("""UPDATE graftu.t AS o SET bal = 0
+                   WHERE id < (SELECT max(i.bal) FROM graftu.t AS i
+                               WHERE i.p = o.p)""")
     }
-    assert(sub.getMessage.contains("subquery"), sub.getMessage)
-    assert(Snapshots.latestVersion(spark, root, "t") === Some(1L),
-      "a refused statement must not commit")
+    assert(corr.getMessage.contains("CORRELATED"), corr.getMessage)
+    // past the inline cap, the IN subquery refuses with guidance
+    spark.conf.set("spark.graft.dml.maxInlineSubqueryRows", "2")
+    try {
+      val big = intercept[Exception] {
+        spark.sql("""UPDATE graftu.t SET bal = 0
+                     WHERE id IN (SELECT id FROM graftu.t)""")
+      }
+      assert(big.getMessage.contains("maxInlineSubqueryRows"), big.getMessage)
+    } finally spark.conf.unset("spark.graft.dml.maxInlineSubqueryRows")
+  }
+
+  test("UPDATE refusals are loud: non-versioned table") {
+    val root = freshRoot(); stage(root)
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
     // non-deterministic predicates/values are refused: the WHERE is
     // evaluated once for touched-partition discovery and again for the
     // rewrite — rand() could hit different rows per pass
