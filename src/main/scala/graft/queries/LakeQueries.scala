@@ -1802,7 +1802,8 @@ object LakeQueries {
              (SELECT count(*) FROM graftq230.ord.history
               WHERE operation = 'compact')
       FROM graftq230.ord.history c JOIN graftq230.ord.history p
-        ON c.version = 5 AND p.version = 4""")
+        ON c.version = p.version + 1
+      WHERE c.version = 5""")
   }
 
   val q230Sql: String =

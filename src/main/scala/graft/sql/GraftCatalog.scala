@@ -481,6 +481,12 @@ class GraftCatalog extends TableCatalog {
     */
   override def dropTable(ident: Identifier): Boolean = {
     requireTopLevel(ident.namespace)
+    if (!tableExists(ident) && !isVersioned(ident.name)) return false
+    // a PLAIN lake table was never created through this catalog — its
+    // lifecycle belongs to graft.lake.Lake, same refusal as plain writes
+    if (!isVersioned(ident.name))
+      readOnly("DROP TABLE of a non-versioned table (manage it via " +
+        "graft.lake.Lake)")
     GraftCatalog.invalidate(root, ident.name)
     graft.lake.Snapshots.dropTable(SparkSession.active, root, ident.name)
   }

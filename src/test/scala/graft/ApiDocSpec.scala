@@ -305,6 +305,39 @@ class ApiDocSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(end === Seq((42L, 2L), (42L, 2L), (43L, 13L), (43L, 13L),
       (44L, 9L), (44L, 9L), (77L, 1L)), end)
+    // --- docs/API.md: GraftCatalog SQL DML, full-sync BY SOURCE ---
+    spark.sql("""MERGE INTO graft.dim2 AS tgt USING updates AS s
+                 ON tgt.id = s.id
+                 WHEN MATCHED THEN UPDATE SET pb = s.pb
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // --- end ---
+    // the table converged to the source's matched keys: 42/43 (absent
+    // from updates) dropped, both 44s took pb=9, 77 kept
+    val synced = spark.sql("SELECT id, pb FROM graft.dim2")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(synced === Seq((44L, 9L), (44L, 9L), (77L, 1L)), synced)
+
+    // --- docs/API.md: GraftCatalog SQL DDL ---
+    spark.sql("""CREATE TABLE graft.bal (id BIGINT, cents BIGINT, pb BIGINT)
+                 PARTITIONED BY (pb)""")
+    spark.sql("INSERT INTO graft.bal SELECT id, id * 7 AS cents, id % 4 AS pb FROM range(20)")
+    spark.sql("""CREATE TABLE graft.hot PARTITIONED BY (pb)
+                 AS SELECT * FROM graft.bal WHERE cents > 70""")
+    spark.sql("ALTER TABLE graft.bal ADD COLUMNS (tier STRING)")
+    spark.sql("DROP TABLE graft.hot")
+    // --- end ---
+    assert(spark.sql("SELECT sum(cents) FROM graft.bal").as[Long].head() ===
+      (0L until 20L).map(_ * 7).sum)
+    assert(spark.table("graft.bal").schema.fieldNames.contains("tier"))
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("hot"))
+
+    // --- docs/API.md: GraftCatalog SQL maintenance ---
+    spark.sql("OPTIMIZE graft.bal ZORDER BY (id)") // -> (version, files before/after)
+    spark.sql("VACUUM graft.bal KEEP 2 VERSIONS")  // -> (n_deleted)
+    // --- end ---
+    assert(spark.sql("SELECT sum(cents) FROM graft.bal").as[Long].head() ===
+      (0L until 20L).map(_ * 7).sum, "OPTIMIZE is result-invariant")
   }
 
   test("CDF streaming source + history example") {

@@ -668,12 +668,15 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(cache.get(("root", "t", 5L)) == null, "cold entry must be evicted")
   }
 
-  test("missing tables and DDL fail loudly; catalog is read-only") {
+  test("missing tables and DDL fail loudly; plain (non-versioned) tables " +
+      "stay read-only") {
     val root = freshLake()
     GraftCatalog.install(spark, "graftt", root)
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graftt.no_such_table").collect()
     }
+    // a plain Lake table was never created through the catalog: its
+    // lifecycle (writes AND drop) belongs to graft.lake.Lake
     val ex = intercept[Exception] {
       spark.sql("DROP TABLE graftt.daily_ticks")
     }
