@@ -673,6 +673,45 @@ object ScaleStress {
       reset()
     }
 
+    // BY SOURCE full-sync scale shape (round 16): the SCD-2 delist — a
+    // snapshot mentioning 99.9% of the base's keys, one `WHEN NOT MATCHED
+    // BY SOURCE THEN UPDATE` soft-delisting the absent sliver. Claim
+    // under measurement: the statement is LINEAR in base size (exponent
+    // ~1) with a one-join + one-rewrite constant — BY SOURCE unprunes the
+    // scan BY DEFINITION (docs/API.md prices it as a table scan; this leg
+    // is the committed evidence), and it must never go super-linear.
+    val runBySource = sys.env.getOrElse("SPARK_GRAFT_DML_BYSOURCE", "0") != "0"
+    for (f <- scales if runBySource) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val n = 5000000L * f
+      val root = s"/tmp/graft_scale_dmlbs_${math.abs(srcDir.hashCode)}_x$f"
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      graft.lake.Snapshots.commit(
+        spark.range(0, n).select(col("id"), (col("id") % 1000).as("bal"),
+          (col("id") % 64).as("p")).repartitionByRange(64, col("id")),
+        root, "t", Seq("p"), statsCols = Seq("id"))
+      graft.sql.GraftCatalog.install(spark, "graftbsrc", root)
+      spark.conf.set("spark.sql.catalog.graftbsrc.root", root)
+      spark.range(0, n).filter(col("id") % 997 =!= 3)
+        .select(col("id")) // today's snapshot: all keys but a 0.1% sliver
+        .createOrReplaceTempView("graft_scale_bs_snap")
+      reset()
+      if (settleMs > 0) Thread.sleep(settleMs)
+      val load0 = loadavg()
+      val t0 = System.nanoTime()
+      spark.sql("""MERGE INTO graftbsrc.t AS tgt
+                   USING graft_scale_bs_snap AS s ON tgt.id = s.id
+                   WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -1""")
+      record("sql_merge_bysource_fullsync", f,
+        (System.nanoTime() - t0) / 1e9, n, Seq(load0))
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      reset()
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)
