@@ -1003,11 +1003,21 @@ object Snapshots {
     * (constant true) is a full truncate — use [[deleteAll]].
     */
   def deleteWhere(spark: SparkSession, root: String, table: String,
-      cond: Column): Long = {
+      cond: Column): Long =
+    deleteWhereBound(spark, root, table, _ => cond)
+
+  /** [[deleteWhere]] with the predicate built AGAINST the pinned read —
+    * for callers holding analysis-time expressions that must re-bind onto
+    * this statement's own base attributes (the SQL DELETE command; a
+    * name-based Column can just use the public overload).
+    */
+  private[graft] def deleteWhereBound(spark: SparkSession, root: String,
+      table: String, mkCond: DataFrame => Column): Long = {
     val latest = latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to delete from"))
     val prev = manifest(spark, root, table, latest)
     val cur = readVersion(spark, root, table, latest)
+    val cond = mkCond(cur)
     // resolve the predicate against the version's schema to learn exactly
     // which columns it references (Spark 4 Columns are lazy node trees —
     // only analysis binds the attributes)

@@ -840,6 +840,70 @@ object LakeQueries {
     * exempt the new file from the older vector); v4 = compaction folding
     * the vector away. Dir-keyed root per the concurrent-JVM invariant.
     */
+  /** q232's general-DELETE history, staged once per (JVM, sf): v1 = all
+    * events; v2 = a DELETE whose predicate the V2 filter language cannot
+    * express (`event_id % 7 = 3` — evaluated via
+    * [[graft.sql.SnapshotDeleteCommand]] → `Snapshots.deleteWhereBound`,
+    * still a merge-on-read vector); v3 = a DELETE whose predicate carries
+    * an IN SUBQUERY over the table's own current state (inlined once at
+    * run time — it sees v2, i.e. post-first-delete rows only).
+    */
+  private def stageGeneralDeleteHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_sqldel2_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        graft.lake.Snapshots.commit(
+          ev.repartitionByRange(8, col("event_id")),
+          root, "events", Seq.empty, statsCols = Seq("event_id"))
+        graft.sql.GraftCatalog.install(s, "graftdel2", root)
+        s.sql("DELETE FROM graftdel2.events WHERE event_id % 7 = 3")
+        s.sql("""DELETE FROM graftdel2.events
+                 WHERE event_id IN (SELECT event_id FROM graftdel2.events
+                                    WHERE value_cents % 1000 = 7)""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** Generalized SQL DELETE (round 16): evaluated predicates beyond the
+    * V2 filter language and inlined uncorrelated subqueries, both still
+    * merge-on-read vectors through the same protocol. Leg 1 = pre-delete;
+    * leg 2 = post modulo-delete; leg 3 = post subquery-delete (the
+    * subquery saw v2). The oracle recomputes all three from events.
+    */
+  def q232GeneralDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = stageGeneralDeleteHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftdel2", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+             sum(value_cents) AS value_cents_sum
+      FROM graftdel2.events VERSION AS OF 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*), sum(value_cents)
+      FROM graftdel2.events VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*), sum(value_cents)
+      FROM graftdel2.events""")
+  }
+
+  val q232Sql: String =
+    """WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS vc
+      |            FROM events),
+      |v2 AS (SELECT * FROM ev WHERE event_id % 7 <> 3),
+      |v3 AS (SELECT * FROM v2 WHERE vc % 1000 <> 7)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(vc) AS BIGINT) AS value_cents_sum FROM ev
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(vc) AS BIGINT) FROM v3""".stripMargin
+
   private def stageSqlDeleteHistory(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_sqldel_${math.abs(dir.hashCode)}"
     if (staged.add(root)) {
@@ -2252,6 +2316,7 @@ object LakeQueries {
     "q229_merge_evolution" -> (q229MergeEvolution _),
     "q230_sql_optimize" -> (q230SqlOptimize _),
     "q231_subquery_update" -> (q231SubqueryUpdate _),
+    "q232_general_delete" -> (q232GeneralDelete _),
     "q223_cdf_stream" -> (q223CdfStream _),
     "q224_history" -> (q224History _),
     "q225_sql_truncate" -> (q225SqlTruncate _),
@@ -2300,6 +2365,7 @@ object LakeQueries {
     "q229_merge_evolution" -> q229Sql,
     "q230_sql_optimize" -> q230Sql,
     "q231_subquery_update" -> q231Sql,
+    "q232_general_delete" -> q232Sql,
     "q223_cdf_stream" -> q223Sql,
     "q224_history" -> q224Sql,
     "q225_sql_truncate" -> q225Sql,

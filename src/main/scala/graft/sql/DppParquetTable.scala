@@ -48,13 +48,32 @@ class DppParquetScan(
     dataFilters: Seq[Expression],
     pushedVariantExtractions: Array[VariantExtraction],
     fileStats: () => Option[SidecarSkip.StatsIndex] = () => None,
-    mor: Option[MorRead.Spec] = None)
+    val mor: Option[MorRead.Spec] = None)
   extends ParquetScan(sparkSession, hadoopConf, fileIndex, dataSchema,
     readDataSchema, readPartitionSchema, pushedFilters, options,
     pushedAggregate, partitionFilters, dataFilters, pushedVariantExtractions)
   with SupportsRuntimeFiltering {
 
   @volatile private var runtimePartitionFilters: Seq[Expression] = Nil
+
+  // Version identity for plan-reuse equality. ParquetScan's equals
+  // compares schemas/options/pushed filters but NOT the file index or
+  // the merge-on-read vectors — two VERSIONS of a snapshot table with
+  // identical schema and options compare EQUAL whenever their file
+  // lists coincide (a vector-only delete keeps every file), and AQE's
+  // exchange reuse then silently serves one version's rows for the
+  // other (caught by q232: a UNION over `VERSION AS OF 2` and latest=v3
+  // collapsed to two copies of v2). Equality additionally requires the
+  // SAME file-index instance — scans of the same cached per-version
+  // table still compare equal, so legitimate same-version reuse is
+  // preserved — and an equal vector spec.
+  override def equals(obj: Any): Boolean = obj match {
+    case o: DppParquetScan =>
+      super.equals(o) && (fileIndex eq o.fileIndex) && mor == o.mor
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * super.hashCode() + System.identityHashCode(fileIndex)
 
   // only partition columns the scan actually OUTPUTS: the rule resolves
   // these against the pruned relation output, and an absent column is an

@@ -134,6 +134,18 @@ class SnapshotUpdateRule extends Rule[LogicalPlan] {
           SnapshotMerge.targetOf(tbl).isDefined =>
       val (rel, target) = SnapshotMerge.targetOf(tbl).get
       SnapshotUpdate.rewrite(rel, target, assignments, condition)
+    // `DELETE FROM … WHERE <any deterministic predicate>`: Spark's own
+    // SupportsDelete path serves only V2-translatable filters (no modulo,
+    // no function calls, no subqueries). With the extensions installed,
+    // conditioned deletes route here instead and the predicate is
+    // EVALUATED (Snapshots.deleteWhere's merge-on-read vector), with
+    // uncorrelated subqueries inlined — extension-free sessions keep the
+    // translatable-filter path
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+        if d.childrenResolved && d.condition.resolved &&
+          SnapshotMerge.targetOf(d.table).isDefined =>
+      val (rel, target) = SnapshotMerge.targetOf(d.table).get
+      SnapshotUpdate.rewriteDelete(rel, target, d.condition)
     // `INSERT OVERWRITE` in dynamic partition-overwrite mode: Spark has
     // no V1 fallback exec for OverwritePartitionsDynamic, so the verb is
     // rewritten onto the commit protocol directly (Snapshots.commit IS
@@ -183,6 +195,43 @@ private[sql] object SnapshotUpdate {
       assigns: Seq[(String, Expression)],
       cond: Option[Expression],
       targetName: Map[ExprId, String])
+
+  /** Rewrite a conditioned DELETE onto [[SnapshotDeleteCommand]] — the
+    * general-predicate spelling of `Snapshots.deleteWhere` (the
+    * SupportsDelete path keeps serving translatable filters on
+    * extension-free sessions). Same expression rules as UPDATE: any
+    * deterministic predicate over the target's columns, uncorrelated
+    * scalar/IN subqueries inline at run time, correlated ones refuse.
+    */
+  def rewriteDelete(rel: DataSourceV2Relation, target: SnapshotDmlTarget,
+      condition: Expression): LogicalPlan = {
+    val targetAttrs = rel.outputSet
+    condition.foreach {
+      case s: SubqueryExpression if s.isCorrelated =>
+        refuse("a CORRELATED subquery in the DELETE predicate (a per-row " +
+          "subquery is a join — spell it as MERGE)")
+      case _: org.apache.spark.sql.catalyst.expressions.ScalarSubquery |
+          _: org.apache.spark.sql.catalyst.expressions.InSubquery |
+          _: org.apache.spark.sql.catalyst.expressions.ListQuery => ()
+      case s: SubqueryExpression =>
+        refuse(s"a ${s.prettyName} subquery in the DELETE predicate")
+      case _ => ()
+    }
+    if (!condition.deterministic)
+      refuse(s"a non-deterministic DELETE predicate (got $condition)")
+    if (!condition.references.subsetOf(targetAttrs))
+      refuse(s"a DELETE predicate referencing columns outside the table " +
+        s"(got $condition)")
+    SnapshotDeleteCommand(target.lakeRoot, target.lakeTable,
+      DeleteProgram(condition, rel.output.map(a => a.exprId -> a.name).toMap))
+  }
+
+  /** The resolved delete predicate, carried OPAQUELY (a plain case class
+    * — Catalyst's expression traversals must not see the condition: its
+    * analysis-time attrs and inline-later subqueries are out of scope for
+    * the command node; same contract as [[UpdateProgram]]).
+    */
+  case class DeleteProgram(cond: Expression, targetName: Map[ExprId, String])
 
   def rewrite(rel: DataSourceV2Relation, target: SnapshotDmlTarget,
       assignments: Seq[Assignment], condition: Option[Expression])
@@ -238,6 +287,40 @@ private[sql] object SnapshotUpdate {
       target.lakePartitionCols, target.lakeStatsCols,
       UpdateProgram(effective, condition,
         rel.output.map(a => a.exprId -> a.name).toMap))
+  }
+}
+
+/** The executable half of the generalized `DELETE FROM … WHERE …`
+  * ([[SnapshotUpdate.rewriteDelete]]): inline uncorrelated subqueries,
+  * rebind target references BY NAME (deleteWhere resolves the predicate
+  * against its own pinned read), and publish a merge-on-read vector via
+  * [[graft.lake.Snapshots.deleteWhere]] — vector-size cap, no-match
+  * no-op, and addedAt sequence rule all inherited. A constant-true
+  * predicate (no WHERE) truncates via [[graft.lake.Snapshots.deleteAll]].
+  */
+case class SnapshotDeleteCommand(
+    root: String, table: String,
+    program: SnapshotUpdate.DeleteProgram)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val inlined = DmlRebind.materializeSubqueries(spark, program.cond)
+    inlined match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(true,
+          org.apache.spark.sql.types.BooleanType) =>
+        graft.lake.Snapshots.deleteAll(spark, root, table)
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v == null || v == false =>
+        () // a constant-false/null predicate deletes nothing
+      case _ =>
+        // rebind analysis-time target attrs onto deleteWhere's OWN pinned
+        // read (resolved attr → resolved attr: placeholders would break
+        // expressions whose child replacement eagerly types, e.g. With)
+        graft.lake.Snapshots.deleteWhereBound(spark, root, table, cur =>
+          bridge.column(DmlRebind.remap(inlined, program.targetName,
+            DmlRebind.baseAttrs(cur), table)))
+    }
+    Seq.empty
   }
 }
 

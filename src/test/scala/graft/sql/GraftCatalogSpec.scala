@@ -563,12 +563,33 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT sum(id) AS s, count(*) AS n FROM graftd.t")
       .as[(Long, Long)].head() === before)
 
-    // an untranslatable predicate fails LOUDLY, deleting nothing
+    // predicates the V2 filter language can't express (modulo, function
+    // calls) route through the evaluated path (SnapshotDeleteCommand →
+    // deleteWhere) when the extensions are installed — round 16
+    val preMod = spark.sql("SELECT count(*) FROM graftd.t").as[Long].head()
+    val modMatches = spark.sql("SELECT count(*) FROM graftd.t WHERE id % 5 = 0")
+      .as[Long].head()
+    spark.sql("DELETE FROM graftd.t WHERE id % 5 = 0")
+    assert(spark.sql("SELECT count(*) FROM graftd.t").as[Long].head() ===
+      preMod - modMatches)
+    // uncorrelated subqueries in the DELETE predicate inline at run time
+    val preSub = spark.sql("SELECT count(*) FROM graftd.t").as[Long].head()
+    spark.sql("""DELETE FROM graftd.t
+                 WHERE id IN (SELECT id FROM graftd.t WHERE id >= 80)""")
+    assert(spark.sql("SELECT count(*) FROM graftd.t WHERE id >= 80")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT count(*) FROM graftd.t").as[Long].head() < preSub)
+    // a no-match evaluated DELETE publishes nothing
     val pre = Snapshots.latestVersion(spark, root, "t")
-    val bad = intercept[Exception] {
-      spark.sql("DELETE FROM graftd.t WHERE id % 5 = 0")
+    spark.sql("DELETE FROM graftd.t WHERE id % 5 = 2 AND id < 0")
+    assert(Snapshots.latestVersion(spark, root, "t") === pre)
+    // correlated subqueries refuse with the MERGE spelling
+    val corr = intercept[Exception] {
+      spark.sql("""DELETE FROM graftd.t AS o
+                   WHERE id < (SELECT max(i.id) FROM graftd.t AS i
+                               WHERE i.pb = o.pb) - 1000""")
     }
-    assert(Snapshots.latestVersion(spark, root, "t") === pre, bad.toString)
+    assert(corr.getMessage.contains("CORRELATED"), corr.getMessage)
     // UPDATE routes through SnapshotUpdateRule since round 15 (its own
     // surface is pinned in SnapshotUpdateSpec; here: catalog wiring only)
     spark.sql("UPDATE graftd.t SET pb = 0 WHERE id = 1")
@@ -579,6 +600,28 @@ class GraftCatalogSpec extends SparkTestBase {
     val empty = Snapshots.readVersion(spark, root, "t",
       Snapshots.latestVersion(spark, root, "t").get)
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("id", "pb"))
+  }
+
+  test("scans of different versions never unify under plan reuse: a UNION " +
+      "over two vector-only-delete versions keeps distinct results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_reuse").toString
+    import graft.lake.Snapshots
+    Snapshots.commit((0L until 100L).map(i => (i, i % 4)).toDF("id", "pb"),
+      root, "t", Seq("pb"), statsCols = Seq("id"))
+    GraftCatalog.install(spark, "graftru", root)
+    // v2 and v3 differ ONLY in merge-on-read vectors — identical file
+    // lists, schema, and scan options. ParquetScan's own equality calls
+    // such scans equal; without DppParquetScan's version-aware equals,
+    // AQE exchange reuse served v2's rows for v3 (caught by q232).
+    spark.sql("DELETE FROM graftru.t WHERE id % 2 = 0") // v2: 50 rows live
+    spark.sql("DELETE FROM graftru.t WHERE id % 3 = 0") // v3: 33 rows live
+    val legs = spark.sql("""
+      SELECT CAST(2 AS BIGINT) AS leg, count(*) AS n
+      FROM graftru.t VERSION AS OF 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*) FROM graftru.t""")
+      .as[(Long, Long)].collect().toMap
+    assert(legs === Map(2L -> 50L, 3L -> 33L), legs)
   }
 
   test("INSERT OVERWRITE maps onto the protocol: dynamic, truncate, static spec") {
