@@ -146,6 +146,22 @@ class SnapshotUpdateRule extends Rule[LogicalPlan] {
           SnapshotMerge.targetOf(d.table).isDefined =>
       val (rel, target) = SnapshotMerge.targetOf(d.table).get
       SnapshotUpdate.rewriteDelete(rel, target, d.condition)
+    // `TRUNCATE TABLE t` — the statement resolves the plain READ table
+    // (no write privileges are requested for TRUNCATE), which carries no
+    // truncate capability; route it onto the protocol's zero-file
+    // manifest (`Snapshots.deleteAll`, the same verb as an unconditioned
+    // DELETE FROM — schema and partition layout survive, q225 machinery)
+    case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+      t.table match {
+        case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+          (r.catalog, Option(r.identifier)) match {
+            case (c: GraftCatalog, Some(id)) if c.dmlShapeFor(id).isDefined =>
+              val shape = c.dmlShapeFor(id).get
+              SnapshotTruncateCommand(shape.lakeRoot, shape.lakeTable)
+            case _ => t
+          }
+        case _ => t
+      }
     // `INSERT OVERWRITE` in dynamic partition-overwrite mode: Spark has
     // no V1 fallback exec for OverwritePartitionsDynamic, so the verb is
     // rewritten onto the commit protocol directly (Snapshots.commit IS
@@ -287,6 +303,18 @@ private[sql] object SnapshotUpdate {
       target.lakePartitionCols, target.lakeStatsCols,
       UpdateProgram(effective, condition,
         rel.output.map(a => a.exprId -> a.name).toMap))
+  }
+}
+
+/** `TRUNCATE TABLE` over a versioned table: publish a zero-file manifest
+  * ([[graft.lake.Snapshots.deleteAll]]) — schema, partition layout, and
+  * stats-sidecar schema carry forward, prior versions stay readable.
+  */
+case class SnapshotTruncateCommand(root: String, table: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.lake.Snapshots.deleteAll(spark, root, table)
+    Seq.empty
   }
 }
 

@@ -99,6 +99,25 @@ class CdfSourceSpec extends SparkTestBase {
     assert(byBatch === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("a metadata-only evolve version streams zero changes (same files, " +
+      "no vectors) — the CDF contract survives ALTER TABLE ADD COLUMNS") {
+    val root = freshRoot()
+    Snapshots.commit((0L until 5L).map(i => (i, s"a$i")).toDF("id", "v"),
+      root, "t", Seq.empty)
+    Snapshots.evolveSchema(spark, root, "t",
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))) // v2: same files, new schema
+    Snapshots.commit(Seq((9L, "b9", "n9")).toDF("id", "v", "note"),
+      root, "t", Seq.empty) // v3: an append under the evolved schema
+    runStream(root, "t", s"$root/_out", s"$root/_cp")
+    val changes = spark.read.parquet(s"$root/_out")
+    val byBatch = changes.groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    // v1's 5 inserts and v3's 1 insert stream; the evolve version adds no
+    // files and removes none — zero rows, never a refusal
+    assert(byBatch === Map(1L -> 5L, 3L -> 1L), byBatch)
+  }
+
   test("maxVersionsPerBatch paces catch-up into several micro-batches") {
     val root = freshRoot()
     (1 to 4).foreach(i =>

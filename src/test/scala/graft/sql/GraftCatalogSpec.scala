@@ -442,6 +442,18 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql("CREATE TABLE graftddl.t (x BIGINT)")
     assert(spark.table("graftddl.t").schema.fieldNames.toSeq === Seq("x"))
     assert(spark.sql("SELECT * FROM graftddl.t").count() === 0L)
+    // CREATE OR REPLACE composes drop + create (both implemented)
+    spark.sql("CREATE OR REPLACE TABLE graftddl.t (y STRING)")
+    assert(spark.table("graftddl.t").schema.fieldNames.toSeq === Seq("y"))
+    // ... and the RTAS spelling
+    spark.sql("CREATE OR REPLACE TABLE graftddl.t AS SELECT id FROM range(6)")
+    assert(spark.sql("SELECT count(*) FROM graftddl.t").as[Long].head() === 6L)
+    // TRUNCATE TABLE = the zero-file manifest verb (schema + layout
+    // survive; prior versions readable; re-insert works)
+    spark.sql("TRUNCATE TABLE graftddl.t")
+    assert(spark.sql("SELECT count(*) FROM graftddl.t").as[Long].head() === 0L)
+    spark.sql("INSERT INTO graftddl.t SELECT id FROM range(2)")
+    assert(spark.sql("SELECT count(*) FROM graftddl.t").as[Long].head() === 2L)
   }
 
   test("CTAS lands as a protocol append onto the created table") {
