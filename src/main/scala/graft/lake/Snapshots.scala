@@ -75,7 +75,10 @@ object Snapshots {
     * `operation` records the verb that produced the version (commit /
     * append / replace / merge / update / delete / truncate / compact) and
     * `partitionCols` the table's partition layout — both absent on
-    * pre-tracking manifests.
+    * pre-tracking manifests. `streamEpoch` is the `(queryId, epochId)`
+    * identity of a streaming-sink commit — the exactly-once ledger a
+    * replayed micro-batch epoch is deduplicated against (the Delta
+    * `txnAppId`/`txnVersion` idea, carried in the manifest itself).
     */
   private[graft] case class Manifest(
       committedAtMillis: Option[Long],
@@ -84,7 +87,8 @@ object Snapshots {
       addedAt: Seq[Long],
       files: Seq[String],
       operation: Option[String] = None,
-      partitionCols: Seq[String] = Nil) {
+      partitionCols: Seq[String] = Nil,
+      streamEpoch: Option[(String, Long)] = None) {
     /** file → version it was added in (0 when untracked). */
     def addedAtOf: Map[String, Long] =
       files.zip(addedAt.padTo(files.length, 0L)).toMap
@@ -349,7 +353,11 @@ object Snapshots {
       top("files").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
       top.get("operation").map(_.asInstanceOf[String]),
       top.get("partitionCols").map(_.asInstanceOf[Seq[Any]]
-        .map(_.asInstanceOf[String])).getOrElse(Nil))
+        .map(_.asInstanceOf[String])).getOrElse(Nil),
+      for {
+        q <- top.get("epochQuery").map(_.asInstanceOf[String])
+        e <- top.get("epochId").map(_.asInstanceOf[Long])
+      } yield (q, e))
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -392,11 +400,14 @@ object Snapshots {
       deletes: Seq[DeleteVector] = Nil,
       addedAt: Seq[Long] = Nil,
       operation: Option[String] = None,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      streamEpoch: Option[(String, Long)] = None): Unit = {
     val schemaPart =
       schema.map(s => s""""schema": "${jsonEscape(s.json)}", """).getOrElse("")
     val opPart =
       operation.map(o => s""""operation": "${jsonEscape(o)}", """).getOrElse("")
+    val epochPart = streamEpoch.map { case (q, e) =>
+      s""""epochQuery": "${jsonEscape(q)}", "epochId": $e, """ }.getOrElse("")
     val partPart =
       if (partitionCols.isEmpty) ""
       else partitionCols.map(c => s""""${jsonEscape(c)}"""")
@@ -412,7 +423,8 @@ object Snapshots {
       else addedAt.mkString("\"addedAt\": [", ", ", "], ")
     val json = files.map(x => s""""${jsonEscape(x)}"""").mkString(
       s"""{"committedAtMillis": ${System.currentTimeMillis()}, """ +
-        opPart + partPart + schemaPart + deletesPart + addedPart + """"files": [""",
+        opPart + epochPart + partPart + schemaPart + deletesPart + addedPart +
+        """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
     // content atomicity: the bytes land in a hidden temp file first, then
@@ -1205,6 +1217,91 @@ object Snapshots {
         overwritePartitions = true, replaceAllFiles = false,
         explicitReplaced = None, operation = "commit", expectedBase = None),
       maxRetries, onRetry)
+  }
+
+  /** The version that streaming epoch `(queryId, epochId)` committed, or
+    * None when the epoch never landed — the streaming sink's exactly-once
+    * guard. A linear scan over live manifests (memoized parses,
+    * version-count-sized driver work; [[vacuum]] bounds the history, and
+    * with it the ledger's reach — an epoch replayed from BEFORE the
+    * vacuum horizon re-appends, the same retention trade-off Delta's
+    * transaction ledger documents).
+    */
+  private[graft] def epochVersion(spark: SparkSession, root: String,
+      table: String, queryId: String, epochId: Long): Option[Long] = {
+    val f = fs(spark, root)
+    listVersions(f, root, table).reverse.find { v =>
+      parsedManifestAt(f, new Path(s"${manifestDir(root, table)}/v$v.json"))
+        .streamEpoch.contains((queryId, epochId))
+    }
+  }
+
+  /** Move task-written files from a streaming epoch's hidden staging
+    * directory into `data/`, preserving their Hive-layout relative paths;
+    * returns the moved (relativePath, byteLength) pairs. File names carry
+    * task UUIDs, so moves are collision-free; per-file driver metadata
+    * ops, exactly like [[writeData]]'s stage→move.
+    */
+  private[graft] def adoptStagedFiles(spark: SparkSession, root: String,
+      table: String, stageDir: String, rels: Seq[String]): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    val dir = dataDir(root, table)
+    rels.sorted.map { p =>
+      val src = new Path(s"$stageDir/$p")
+      val len = f.getFileStatus(src).getLen
+      val dst = new Path(s"$dir/$p")
+      f.mkdirs(dst.getParent)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"failed to adopt staged file $p into $dir")
+      (p, len)
+    }
+  }
+
+  /** The streaming sink's epoch commit: a pure APPEND of files already
+    * moved into `data/` ([[adoptStagedFiles]]), published with the epoch's
+    * `(queryId, epochId)` identity recorded in the manifest. Exactly-once
+    * by construction: an epoch already present in the ledger
+    * ([[epochVersion]]) returns that version WITHOUT publishing (the
+    * replayed epoch's re-staged files stay unreferenced — invisible to
+    * every reader, reclaimed by [[vacuum]]). Blind append ⇒ lost manifest
+    * races retry the metadata reconcile only ([[commitRetry]]'s
+    * stage-once shape), with the ledger re-checked inside every attempt.
+    */
+  private[graft] def commitStreamEpoch(spark: SparkSession, root: String,
+      table: String, added: Seq[(String, Long)],
+      incomingSchema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      queryId: String, epochId: Long, maxRetries: Int = 5): Long = {
+    // stats derive ONCE, outside the retry loop (metadata-only retries)
+    lazy val freshStats = stageFreshStats(spark, root, table, added, statsCols)
+    retryLoop({
+      epochVersion(spark, root, table, queryId, epochId).getOrElse {
+        val f = fs(spark, root)
+        val prevVersion = latestVersion(spark, root, table)
+        val prev = prevVersion.map(v => manifest(spark, root, table, v))
+        val carried = prev.map(_.files).getOrElse(Seq.empty)
+        val version = prevVersion.getOrElse(0L) + 1
+        val files = (carried ++ added.map(_._1)).sorted
+        val carriedSet = carried.toSet
+        val prevAdded = prev.map(_.addedAtOf).getOrElse(Map.empty)
+        val addedAt = files.map(p =>
+          if (carriedSet(p)) prevAdded.getOrElse(p, 0L) else version)
+        val deletes = prev.map(_.deletes).getOrElse(Nil)
+        val merged = mergedSchema(spark, root, table, prevVersion, incomingSchema)
+        val parts =
+          if (partitionCols.nonEmpty) partitionCols
+          else prev.map(_.partitionCols).getOrElse(Nil)
+        val schema = org.apache.spark.sql.types.StructType(
+          merged.fields.filterNot(x => parts.contains(x.name)) ++
+            parts.flatMap(c => merged.fields.find(_.name == c)))
+        beforePublish()
+        writeManifest(f, root, table, version, files, Some(schema), deletes,
+          addedAt, Some("stream"), parts, Some((queryId, epochId)))
+        writeSidecar(spark, root, table, version, files, freshStats,
+          carried, prevVersion)
+        version
+      }
+    }, maxRetries, _ => ())
   }
 
   private def retryLoop(attemptOnce: => Long, maxRetries: Int,

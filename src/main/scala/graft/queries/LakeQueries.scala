@@ -2294,7 +2294,80 @@ object LakeQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** q233's streamed-ingest history, staged once per (JVM, sf): the table
+    * is provisioned EMPTY (`Snapshots.createTable`), then ingested purely
+    * through `df.writeStream.toTable` — the snapshot protocol's streaming
+    * front door ([[graft.sql.StreamingSnapshotTable]]). Run 1 streams four
+    * source files two per micro-batch (TWO epoch commits, each a manifest
+    * carrying its `(queryId, epochId)` identity); one more source file
+    * lands and run 2 RESTARTS from the checkpoint (one more epoch;
+    * already-consumed files never reprocess, the exactly-once ledger
+    * dedups any replay). Everything is verifiable from the final table +
+    * the history metadata table.
+    */
+  private def stageStreamWriteHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_swrite_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          (col("event_id") % 4).as("pb"))
+        graft.lake.Snapshots.createTable(s, root, "ingest", ev.schema,
+          Seq("pb"))
+        graft.sql.GraftCatalog.install(s, "graftingest", root)
+        val src = s"$root/_src"; val cp = s"$root/_cp"
+        def run(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2").parquet(src)
+            .writeStream.option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graftingest.ingest")
+          q.awaitTermination()
+        }
+        ev.filter(col("event_id") % 3 === 0).repartition(4)
+          .write.mode("append").parquet(src)
+        run() // 4 files, 2 per trigger → epochs 0 and 1
+        ev.filter(col("event_id") % 3 === 1).coalesce(1)
+          .write.mode("append").parquet(src)
+        run() // checkpointed restart → epoch 2 over the new file only
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** Streaming write into a versioned table (`writeStream.toTable`): the
+    * read-back per-partition aggregates must equal the source slices the
+    * two runs streamed — exactly once each, across a checkpointed restart
+    * — and the history must show exactly THREE epoch commits (operation
+    * 'stream'), pinned via a scalar subquery over the history metadata
+    * table.
+    */
+  def q233StreamTableWrite(s: SparkSession, dir: String): DataFrame = {
+    val root = stageStreamWriteHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftingest", root)
+    s.sql("""
+      SELECT pb, count(*) AS n,
+             sum(event_id) AS id_sum, sum(value_cents) AS vc_sum,
+             (SELECT count(*) FROM graftingest.ingest.history
+              WHERE operation = 'stream') AS n_epochs
+      FROM graftingest.ingest
+      GROUP BY pb""")
+  }
+
+  val q233Sql: String =
+    """SELECT event_id % 4 AS pb, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS vc_sum,
+      |  CAST(3 AS BIGINT) AS n_epochs
+      |FROM events WHERE event_id % 3 IN (0, 1)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q233_stream_table_write" -> (q233StreamTableWrite _),
     "q172_join_ivm" -> (q172JoinIvm _),
     "q173_cdf_join_ivm" -> (q173CdfJoinIvm _),
     "q165_delete_vectors" -> (q165DeleteVectors _),
@@ -2334,6 +2407,7 @@ object LakeQueries {
     "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "q233_stream_table_write" -> q233Sql,
     "q172_join_ivm" -> q172Sql,
     "q173_cdf_join_ivm" -> q173Sql,
     "q165_delete_vectors" -> q165Sql,

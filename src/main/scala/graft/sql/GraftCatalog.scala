@@ -224,6 +224,34 @@ class GraftCatalog extends TableCatalog {
     t
   }
 
+  /** The LATEST-version read table wrapped with the streaming-write half
+    * ([[StreamingSnapshotTable]]): `df.writeStream.toTable` resolves the
+    * table through the PLAIN `loadTable` (no write privileges), so this is
+    * where `STREAMING_WRITE` must live. Reads delegate to the same cached
+    * versioned table; the wrapper itself is cached per version too (a
+    * distinct `\u0000stream` key in the same LRU — filesystem table names
+    * cannot contain NUL), so relation identity stays stable across loads.
+    * Time-travel loads stay unwrapped — a pinned historical version is
+    * not a write target.
+    */
+  private def streamableTable(ident: Identifier, version: Long): Table = {
+    val spark = SparkSession.active
+    val cache = GraftCatalog.tableCacheFor(spark)
+    val key = (root, ident.name + "\u0000stream", version)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val delegate = versionedTable(ident, version)
+      .asInstanceOf[Table with org.apache.spark.sql.connector.catalog.SupportsRead]
+    val r = root
+    val id = ident
+    val t: Table = new StreamingSnapshotTable(delegate, r, ident.name,
+      () => { val (_, p, s) = insertShape(id); (p, s) })
+    cache.synchronized { cache.putIfAbsent(key, t) }
+    t
+  }
+
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata table: `SELECT * FROM <catalog>.<t>.history`
     // (identifier arrives as namespace=[t], name=history) — one row per
@@ -239,7 +267,7 @@ class GraftCatalog extends TableCatalog {
         .latestVersion(SparkSession.active, root, ident.name)
         .getOrElse(throw new NoSuchTableException(
           Seq(catalogName) ++ ident.namespace :+ ident.name))
-      return versionedTable(ident, latest)
+      return streamableTable(ident, latest)
     }
     val path = p.toString
     widened(ident.name,
@@ -380,13 +408,17 @@ class GraftCatalog extends TableCatalog {
     * write shape keeps deriving these so file skipping survives appends
     * (works with or without live files: a Try-based footer read).
     */
-  private def sidecarStatsCols(version: Long, ident: Identifier): Seq[String] =
+  private def sidecarStatsCols(version: Long, ident: Identifier): Seq[String] = {
+    val dir = s"$root/_snapshots/${ident.name}/stats_v$version"
+    val p = new Path(dir)
+    // exists-check first: a version without a sidecar (a freshly CREATEd
+    // table) must not pay — or log — a failed read analysis
+    if (!fs(p).exists(p)) return Seq.empty
     scala.util.Try(
-        SparkSession.active.read
-          .parquet(s"$root/_snapshots/${ident.name}/stats_v$version")
-          .schema.fieldNames.toSeq)
+        SparkSession.active.read.parquet(dir).schema.fieldNames.toSeq)
       .getOrElse(Seq.empty)
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+  }
 
   /** Time travel: `SELECT … FROM graft.t VERSION AS OF 2` — resolves the
     * Snapshots manifest of that version ("v2" also accepted).
@@ -648,7 +680,8 @@ object GraftCatalog {
           val it = c.keySet().iterator()
           while (it.hasNext) {
             val k = it.next()
-            if (k._1 == root && k._2 == table) it.remove()
+            if (k._1 == root &&
+                (k._2 == table || k._2 == table + "\u0000stream")) it.remove()
           }
         }
       }
