@@ -1347,9 +1347,15 @@ object Snapshots {
     */
   def compact(spark: SparkSession, root: String, table: String,
       partitionCols: Seq[String], numFiles: Int, clusterCols: Seq[String],
-      statsCols: Seq[String] = Nil, zOrder: Boolean = false): Long = {
-    val latest = latestVersion(spark, root, table).getOrElse(
-      throw new IllegalArgumentException(s"no snapshot of $table to compact"))
+      statsCols: Seq[String] = Nil, zOrder: Boolean = false,
+      baseVersion: Option[Long] = None): Long = {
+    // `baseVersion` pins the version inspected AND rewritten (the SQL
+    // OPTIMIZE command sizes the rewrite from a manifest it already read —
+    // a commit landing in between must surface the put-if-absent CME, not
+    // silently compact a different version than the one sized)
+    val latest = baseVersion.getOrElse(
+      latestVersion(spark, root, table).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot of $table to compact")))
     val f = fs(spark, root)
     val full = readVersion(spark, root, table, latest)
     val clusterKeys: Seq[Column] =
@@ -1607,6 +1613,36 @@ object Snapshots {
       .map { case (v, t, op, nf, nd, na) => (v, t, op.orNull, nf, nd, na) }
       .toDF("version", "committed_at_millis", "operation", "n_files",
         "n_delete_vectors", "n_added_files")
+  }
+
+  /** Roll the table back: publish a NEW version whose content is exactly
+    * `toVersion`'s — a METADATA-ONLY re-point of that version's file list,
+    * delete vectors, addedAt attribution, schema, and partition layout
+    * (the Delta `RESTORE TABLE … VERSION AS OF` semantics: history moves
+    * only forward, so the bad commits stay inspectable and a concurrent
+    * reader never sees versions disappear). No data file is touched;
+    * the restored version's stats sidecar carries forward, so skipping
+    * and planner statistics survive the rollback.
+    *
+    * Restoring past the vacuum horizon fails loudly at manifest
+    * resolution (naming vacuum); a live manifest implies live files —
+    * [[vacuum]] only deletes files no kept version references.
+    */
+  def restore(spark: SparkSession, root: String, table: String,
+      toVersion: Long): Long = {
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to restore"))
+    require(toVersion <= latest,
+      s"restore: version $toVersion of $table does not exist (latest: v$latest)")
+    val m = manifest(spark, root, table, toVersion) // loud vacuum error here
+    val version = latest + 1
+    beforePublish()
+    writeManifest(fs(spark, root), root, table, version, m.files, m.schema,
+      m.deletes, m.addedAt.padTo(m.files.length, 0L), Some("restore"),
+      m.partitionCols)
+    writeSidecar(spark, root, table, version, m.files, None, m.files,
+      Some(toVersion))
+    version
   }
 
   /** Drop data files and delete-vector files referenced by NO version >

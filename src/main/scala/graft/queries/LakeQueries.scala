@@ -2366,8 +2366,79 @@ object LakeQueries {
       |FROM events WHERE event_id % 3 IN (0, 1)
       |GROUP BY 1""".stripMargin
 
+  /** q234's rollback history, staged once per (JVM, sf): v1 = the full
+    * table; v2 = a SQL `DELETE` (merge-on-read vector — no file removed);
+    * v3 = `RESTORE TABLE … TO VERSION AS OF 1` (drops the vector by
+    * re-pointing at v1's manifest content); v4 = `RESTORE … VERSION AS OF
+    * 2` (re-applies it — the vector and its addedAt attribution carry
+    * through a restore verbatim). Both restores are metadata-only: no
+    * data file is written or removed.
+    */
+  private def stageRestoreHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_restore_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir).select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          (col("c_custkey") % 8).as("pb"))
+        graft.lake.Snapshots.commit(base, root, "balances", Seq("pb"),
+          statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "graftrest", root)
+        s.sql("DELETE FROM graftrest.balances WHERE c_custkey % 5 = 0")
+        s.sql("RESTORE TABLE graftrest.balances TO VERSION AS OF 1")
+        s.sql("RESTORE TABLE graftrest.balances VERSION AS OF 2")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** SQL `RESTORE TABLE … VERSION AS OF n` — rollback as a forward-only,
+    * metadata-only new version: leg v3 must hash-equal the pre-delete
+    * table, leg v4 must hash-equal the post-delete one (the carried
+    * merge-on-read vector re-applies), and the history pins two 'restore'
+    * operations that each added ZERO files.
+    */
+  def q234SqlRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = stageRestoreHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftrest", root)
+    s.sql("""
+      SELECT leg, n_rows, bal_sum, key_sum,
+             (SELECT count(*) FROM graftrest.balances.history
+              WHERE operation = 'restore' AND n_added_files = 0) AS n_restores
+      FROM (
+        SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+               sum(bal_cents) AS bal_sum, sum(c_custkey) AS key_sum
+        FROM graftrest.balances VERSION AS OF 2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+        FROM graftrest.balances VERSION AS OF 3
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*), sum(bal_cents), sum(c_custkey)
+        FROM graftrest.balances)""")
+  }
+
+  val q234Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+      |kept AS (SELECT * FROM base WHERE c_custkey % 5 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(2 AS BIGINT) AS n_restores
+      |FROM kept
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(c_custkey) AS BIGINT), 2 FROM base
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(c_custkey) AS BIGINT), 2 FROM kept""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q233_stream_table_write" -> (q233StreamTableWrite _),
+    "q234_sql_restore" -> (q234SqlRestore _),
     "q172_join_ivm" -> (q172JoinIvm _),
     "q173_cdf_join_ivm" -> (q173CdfJoinIvm _),
     "q165_delete_vectors" -> (q165DeleteVectors _),
@@ -2408,6 +2479,7 @@ object LakeQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q233_stream_table_write" -> q233Sql,
+    "q234_sql_restore" -> q234Sql,
     "q172_join_ivm" -> q172Sql,
     "q173_cdf_join_ivm" -> q173Sql,
     "q165_delete_vectors" -> q165Sql,

@@ -9,17 +9,26 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructType}
 
-/** The SQL maintenance verbs — `OPTIMIZE` and `VACUUM` statements over
-  * Snapshots-versioned catalog tables, the spelling Delta users expect
-  * (Spark's grammar has neither, so a delegating parser extension claims
-  * exactly these two statements and hands everything else to Spark's own
-  * parser — the injectParser deployment pattern):
+/** The SQL maintenance verbs — `OPTIMIZE`, `VACUUM`, and `RESTORE`
+  * statements over Snapshots-versioned catalog tables, the spelling Delta
+  * users expect (Spark's grammar has none of them, so a delegating parser
+  * extension claims exactly these statements and hands everything else to
+  * Spark's own parser — the injectParser deployment pattern):
   *
   * {{{
   *   OPTIMIZE <catalog>.<table> [INTO <n> FILES] [ZORDER BY (c1, c2, …)]
   *   VACUUM   <catalog>.<table> [KEEP <n> VERSIONS]
   *                              [GRACE <n> HOURS|MINUTES|SECONDS]
+  *   RESTORE TABLE <catalog>.<table> [TO] VERSION AS OF <n>
   * }}}
+  *
+  * THE CLAIM SET IS FROZEN at these three verbs, matched by trim-anchored
+  * regex over plain two-part `catalog.table` identifiers. Anything else —
+  * a leading SQL comment, backticks, a three-part name — deliberately
+  * FALLS THROUGH to Spark's parser, which fails loudly on the unknown
+  * verb rather than half-parsing it here (the benign-degradation
+  * contract, pinned in MaintenanceSqlSpec; the refusal error names the
+  * two-part plain-identifier restriction).
   *
   * `OPTIMIZE` rewrites the latest version into `n` range-clustered files
   * ([[graft.lake.Snapshots.compact]] — result-invariant by construction:
@@ -41,6 +50,11 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * in-flight commits are protected out of the box, and a test that wants
   * immediate reclamation lowers the conf explicitly, mirroring Delta's
   * `retentionDurationCheck`.
+  *
+  * `RESTORE TABLE` rolls the table back by publishing a NEW version whose
+  * content is exactly the named version's — metadata-only, history moves
+  * forward only ([[graft.lake.Snapshots.restore]]). Restoring past the
+  * vacuum horizon fails loudly, naming vacuum.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -62,6 +76,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       VacuumTableCommand(cat, table,
         Option(keep).map(_.toInt).getOrElse(1), grace)
+    case RestoreRe(cat, table, version) =>
+      RestoreTableCommand(cat, table, version.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -95,15 +111,24 @@ object GraftSqlParser {
     ("""(?is)^VACUUM\s+(\w+)\.(\w+)""" +
       """(\s+KEEP\s+(\d+)\s+VERSIONS)?""" +
       """(\s+GRACE\s+(\d+)\s+(HOURS?|MINUTES?|SECONDS?))?\s*;?$""").r
+  private val RestoreRe =
+    """(?is)^RESTORE\s+TABLE\s+(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?$""".r
 
   /** Lake root of a registered graft catalog, or a loud failure when the
-    * name is not a catalog this extension owns.
+    * name is not a catalog this extension owns. Spark catalog names are
+    * case-insensitive, so the conf lookup case-folds: the exact spelling
+    * wins, then the lower-cased one (`OPTIMIZE GRAFT.t` must resolve the
+    * catalog `SELECT * FROM GRAFT.t` resolves).
     */
   private[sql] def rootOf(spark: SparkSession, catalogName: String): String =
-    spark.conf.getOption(s"spark.sql.catalog.$catalogName.root").getOrElse(
-      throw new IllegalArgumentException(
-        s"OPTIMIZE/VACUUM target catalog '$catalogName' is not a " +
-          s"registered graft catalog (no spark.sql.catalog.$catalogName.root)"))
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.root")
+      .orElse(spark.conf.getOption(
+        s"spark.sql.catalog.${catalogName.toLowerCase(java.util.Locale.ROOT)}.root"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"OPTIMIZE/VACUUM/RESTORE target catalog '$catalogName' is not a " +
+          s"registered graft catalog (no spark.sql.catalog.$catalogName.root)" +
+          " — note these statements accept plain two-part catalog.table " +
+          "identifiers only (no backticks, no three-part names)"))
 
   private[sql] def statsColsOf(spark: SparkSession, root: String,
       table: String, version: Long): Seq[String] =
@@ -158,10 +183,36 @@ case class OptimizeTableCommand(catalogName: String, table: String,
         .getOrElse(math.max(1, m.files.size / 4))
     }
     val before = m.files.size.toLong
+    // compact the EXACT version inspected above: a commit landing between
+    // the sizing read and the rewrite surfaces the retryable CME instead
+    // of silently compacting (and mis-reporting) a different version
     val v = Snapshots.compact(spark, root, table, m.partitionCols, n,
-      clusterCols, statsCols, zOrder = zorderCols.nonEmpty)
+      clusterCols, statsCols, zOrder = zorderCols.nonEmpty,
+      baseVersion = Some(latest))
     val after = Snapshots.liveFiles(spark, root, table, v).size.toLong
     Seq(Row(v, before, after))
+  }
+}
+
+/** `RESTORE TABLE` — roll back by re-pointing (see [[GraftSqlParser]];
+  * [[graft.lake.Snapshots.restore]]). Returns one row:
+  * (version, restored_from_version, n_files).
+  */
+case class RestoreTableCommand(catalogName: String, table: String,
+    toVersion: Long)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_from_version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.lake.Snapshots
+    val root = GraftSqlParser.rootOf(spark, catalogName)
+    val v = Snapshots.restore(spark, root, table, toVersion)
+    Seq(Row(v, toVersion,
+      Snapshots.liveFiles(spark, root, table, v).size.toLong))
   }
 }
 

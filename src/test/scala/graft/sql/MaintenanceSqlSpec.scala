@@ -77,7 +77,7 @@ class MaintenanceSqlSpec extends SparkTestBase {
         gone.getMessage.contains("not exist"), gone.getMessage)
     } finally spark.conf.unset("spark.graft.vacuum.minGraceMillis")
 
-    // everything that is NOT one of the two claimed verbs still parses
+    // everything that is NOT one of the claimed verbs still parses
     // through Spark's own parser
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() === 2)
     val unknownCat = intercept[Exception] {
@@ -85,5 +85,55 @@ class MaintenanceSqlSpec extends SparkTestBase {
     }
     assert(unknownCat.getMessage.contains("not a registered graft catalog"),
       unknownCat.getMessage)
+  }
+
+  test("RESTORE TABLE rolls back metadata-only, carries vectors, refuses " +
+      "past the vacuum horizon; claim set is frozen (comment falls " +
+      "through); catalog name case-folds") {
+    val root = freshRoot()
+    Snapshots.commit((0L until 100L).map(k => (k, k % 4)).toDF("id", "p"),
+      root, "t", Seq("p"))
+    GraftCatalog.install(spark, "graftres", root)
+    spark.sql("DELETE FROM graftres.t WHERE id % 10 = 0") // v2: MOR vector
+    val dataFilesBefore = new java.io.File(s"$root/t/data").listFiles().length
+
+    val r = spark.sql("RESTORE TABLE graftres.t TO VERSION AS OF 1")
+      .as[(Long, Long, Long)].head()
+    assert(r._1 === 3L && r._2 === 1L)
+    assert(spark.sql("SELECT count(*) FROM graftres.t").as[Long].head() === 100L)
+    // metadata-only: no data file written or removed
+    assert(new java.io.File(s"$root/t/data").listFiles().length ===
+      dataFilesBefore)
+    // restore TO the vector-bearing version re-applies it
+    spark.sql("RESTORE TABLE graftres.t VERSION AS OF 2")
+    assert(spark.sql("SELECT count(*) FROM graftres.t").as[Long].head() === 90L)
+    assert(Snapshots.manifest(spark, root, "t", 4L).deletes.nonEmpty)
+
+    // case-insensitive catalog name (Spark resolves GRAFTRES.t; so must we)
+    assert(spark.sql("RESTORE TABLE GRAFTRES.t TO VERSION AS OF 1")
+      .as[(Long, Long, Long)].head()._1 === 5L)
+
+    // vacuum away v1..v4, then restoring past the horizon names vacuum
+    spark.conf.set("spark.graft.vacuum.minGraceMillis", "0")
+    try spark.sql("VACUUM graftres.t KEEP 1 VERSIONS GRACE 0 SECONDS").collect()
+    finally spark.conf.unset("spark.graft.vacuum.minGraceMillis")
+    val gone = intercept[Exception] {
+      spark.sql("RESTORE TABLE graftres.t TO VERSION AS OF 2").collect()
+    }
+    assert(gone.getMessage.contains("vacuum"), gone.getMessage)
+
+    // the benign-degradation contract: a leading comment (or backticks)
+    // makes the statement fall through to Spark's parser, which fails
+    // LOUDLY on the unknown verb — never a half-parse here
+    val fellThrough = intercept[Exception] {
+      spark.sql("/* c */ RESTORE TABLE graftres.t TO VERSION AS OF 1").collect()
+    }
+    assert(!fellThrough.getMessage.contains("not a registered graft catalog"),
+      fellThrough.getMessage)
+    val backticked = intercept[Exception] {
+      spark.sql("OPTIMIZE `graftres`.`t`").collect()
+    }
+    assert(!backticked.getMessage.contains("not a registered graft catalog"),
+      backticked.getMessage)
   }
 }
