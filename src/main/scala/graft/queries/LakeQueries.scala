@@ -2436,9 +2436,55 @@ object LakeQueries {
       |SELECT 3, count(*), CAST(sum(bal) AS BIGINT),
       |  CAST(sum(c_custkey) AS BIGINT), 2 FROM kept""".stripMargin
 
+  /** Batch change feed (`SELECT … FROM <cat>.<t>.changes` — Delta's
+    * `table_changes(t, v1, v2)` one-shot spelling) over q224's staged
+    * four-verb history: versions 1-3 replay as two insert legs and one
+    * key-level delete leg (same attribution machinery as the q223
+    * STREAM, one shared planner), and leg 4 proves the skipChangeCommits
+    * contract — widening the window over the file-removing compact (v4)
+    * with skip on yields EXACTLY the same changes, no phantom inserts.
+    */
+  def q235TableChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = stageHistoryGate(s, dir)
+    graft.sql.GraftCatalog.install(s, "grafthist", root)
+    def window(start: Long, end: Long, skip: Boolean): DataFrame = {
+      s.conf.set("spark.graft.changes.startVersion", start.toString)
+      s.conf.set("spark.graft.changes.endVersion", end.toString)
+      s.conf.set("spark.graft.changes.skipChangeCommits", skip.toString)
+      // spark.sql analyzes EAGERLY: the window is baked into the relation
+      // at load time, so the conf round-trip never leaks across legs
+      try s.sql("""SELECT _commit_version AS v, _change_type AS change_type,
+                   count(*) AS n_rows, sum(event_id) AS id_sum
+                   FROM grafthist.events.changes GROUP BY 1, 2""")
+      finally Seq("startVersion", "endVersion", "skipChangeCommits")
+        .foreach(k => s.conf.unset(s"spark.graft.changes.$k"))
+    }
+    window(1, 3, skip = false).withColumn("leg", lit(1L))
+      .unionByName(window(1, 4, skip = true).withColumn("leg", lit(2L)))
+  }
+
+  val q235Sql: String =
+    """WITH a AS (SELECT event_id FROM events WHERE event_id % 5 = 0),
+      |b AS (SELECT event_id FROM events WHERE event_id % 5 = 1),
+      |d AS (SELECT DISTINCT event_id FROM a WHERE event_id % 10 = 0),
+      |legs AS (
+      |  SELECT CAST(1 AS BIGINT) AS v, 'insert' AS change_type,
+      |    count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 2, 'insert', count(*), CAST(sum(event_id) AS BIGINT) FROM b
+      |  UNION ALL
+      |  SELECT 3, 'delete', count(*), CAST(sum(event_id) AS BIGINT) FROM d)
+      |SELECT v, change_type, n_rows, id_sum, CAST(1 AS BIGINT) AS leg
+      |FROM legs
+      |UNION ALL
+      |SELECT v, change_type, n_rows, id_sum, CAST(2 AS BIGINT) AS leg
+      |FROM legs""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q233_stream_table_write" -> (q233StreamTableWrite _),
     "q234_sql_restore" -> (q234SqlRestore _),
+    "q235_table_changes" -> (q235TableChanges _),
     "q172_join_ivm" -> (q172JoinIvm _),
     "q173_cdf_join_ivm" -> (q173CdfJoinIvm _),
     "q165_delete_vectors" -> (q165DeleteVectors _),
@@ -2480,6 +2526,7 @@ object LakeQueries {
   val oracleSql: Map[String, String] = Map(
     "q233_stream_table_write" -> q233Sql,
     "q234_sql_restore" -> q234Sql,
+    "q235_table_changes" -> q235Sql,
     "q172_join_ivm" -> q172Sql,
     "q173_cdf_join_ivm" -> q173Sql,
     "q165_delete_vectors" -> q165Sql,

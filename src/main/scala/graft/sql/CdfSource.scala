@@ -109,6 +109,96 @@ object CdfSource {
     StructType(data.fields.toSeq :+
       StructField(ChangeType, StringType, nullable = false) :+
       StructField(CommitVersion, LongType, nullable = false))
+
+  /** The change rows of versions `(fromExclusive, to]`, planned from
+    * manifests alone — ONE implementation shared by the streaming source
+    * (per micro-batch) and the batch `<table>.changes` metadata table:
+    * per version, the files it added become insert partitions (V2 parquet
+    * scans pruned to `prunedData`) and the vectors it registered become
+    * key-level delete partitions. A version that REMOVES live files
+    * refuses (or is skipped under `skipChangeCommits`) — file adds cannot
+    * attribute replaced rows.
+    */
+  private[sql] def planVersions(spark: SparkSession, root: String,
+      table: String, fromExclusive: Long, to: Long,
+      skipChangeCommits: Boolean, fullDataSchema: StructType,
+      prunedData: StructType)
+      : (Array[InputPartition], Array[PartitionReaderFactory]) = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val factories =
+      scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
+    val dataDir = s"$root/$table/data"
+    var prevFiles: Option[Set[String]] = None
+    for (v <- (fromExclusive + 1) to to) {
+      val m = Snapshots.manifest(spark, root, table, v)
+      val live = m.files.toSet
+      // change attribution needs an append-shaped version: nothing the
+      // previous version served may disappear (deleteWhere removes no
+      // files; overwrites/compactions do)
+      val prev = prevFiles.getOrElse(
+        if (v == 1) Set.empty[String]
+        else Snapshots.manifest(spark, root, table, v - 1).files.toSet)
+      prevFiles = Some(live)
+      val removed = prev -- live
+      if (removed.nonEmpty) {
+        if (!skipChangeCommits) throw new IllegalStateException(
+          s"change feed over $table: version $v removed " +
+            s"${removed.size} live file(s) (operation " +
+            s"${m.operation.getOrElse("unknown")}) — file adds cannot " +
+            "attribute its row changes. Replay it with " +
+            "graft.lake.Snapshots.diff, or set skipChangeCommits=true " +
+            "to skip such versions.")
+      } else {
+        val added = m.addedAtOf.collect { case (f, at) if at == v => f }.toSeq
+        if (added.nonEmpty) {
+          val opts = new CaseInsensitiveStringMap(
+            java.util.Map.of("path", dataDir, "basePath", dataDir))
+          val tbl = new DppParquetTable(s"$table@v$v(cdf)", spark, opts,
+            added.sorted.map(f => s"$dataDir/$f"), Some(fullDataSchema))
+          val builder = tbl.newScanBuilder(opts)
+          builder match {
+            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+              p.pruneColumns(prunedData) // decode only the requested columns
+            case _ =>
+          }
+          val batch: Batch = builder.build().toBatch
+          val fi = factories.length
+          factories += batch.createReaderFactory()
+          batch.planInputPartitions().foreach(p =>
+            parts += CdfFilePartition(p, fi, v))
+        }
+        m.deletes.filter(_.version == v).foreach { d =>
+          val df = spark.read.parquet(s"$root/$table/deletes/${d.file}")
+            .select(d.cols.map(c =>
+              col(c).cast(fullDataSchema(c).dataType)): _*)
+          // vector files are broadcast-anti-join sized by the MOR premise,
+          // never data-sized — driver-resolving them is the design
+          val rows = df.collect().map(r => d.cols.indices.map(r.get).toArray)
+          parts += CdfDeletePartition(d.cols, rows, v)
+        }
+      }
+    }
+    (parts.toArray, factories.toArray)
+  }
+
+  /** Column-pruning resolution shared by both change surfaces: from the
+    * full change schema and the REQUESTED schema, the pruned data columns
+    * (table order), the requested change-metadata columns, and the scan's
+    * output schema.
+    */
+  private[sql] def pruneChangeSchema(schema0: StructType,
+      required: StructType): (StructType, Seq[String], StructType) = {
+    val changeNames = Set(ChangeType, CommitVersion)
+    val wanted = required.fieldNames.toSet
+    val prunedData = StructType(schema0.fields
+      .filter(f => !changeNames(f.name) && wanted(f.name)))
+    val changeCols = schema0.fields
+      .filter(f => changeNames(f.name) && wanted(f.name))
+      .map(_.name).toSeq
+    val readSchema0 = StructType(prunedData.fields ++
+      schema0.fields.filter(f => changeCols.contains(f.name)))
+    (prunedData, changeCols, readSchema0)
+  }
 }
 
 private[sql] class CdfTable(root: String, table: String,
@@ -136,15 +226,8 @@ private[sql] class CdfTable(root: String, table: String,
         required = requiredSchema
 
       override def build(): Scan = {
-        val changeNames = Set(CdfSource.ChangeType, CdfSource.CommitVersion)
-        val wanted = required.fieldNames.toSet
-        val prunedData = StructType(schema0.fields
-          .filter(f => !changeNames(f.name) && wanted(f.name)))
-        val changeCols = schema0.fields
-          .filter(f => changeNames(f.name) && wanted(f.name))
-          .map(_.name).toSeq
-        val readSchema0 = StructType(prunedData.fields ++
-          schema0.fields.filter(f => changeCols.contains(f.name)))
+        val (prunedData, changeCols, readSchema0) =
+          CdfSource.pruneChangeSchema(schema0, required)
         new Scan {
           override def readSchema(): StructType = readSchema0
           override def toMicroBatchStream(checkpointLocation: String)
@@ -152,6 +235,65 @@ private[sql] class CdfTable(root: String, table: String,
             new CdfStream(root, table, startingVersion, skipChangeCommits,
               maxVersionsPerBatch, StructType(schema0.fields.dropRight(2)),
               prunedData, changeCols)
+        }
+      }
+    }
+}
+
+/** The BATCH change-feed surface — the Iceberg-style metadata table
+  * `SELECT * FROM <catalog>.<t>.changes` (Delta's `table_changes(t, v1,
+  * v2)` one-shot diff): the change rows of an INCLUSIVE version window,
+  * parameterized by session confs resolved ONCE at table load (baked into
+  * the relation — later conf changes never mutate an analyzed plan):
+  *
+  * {{{
+  *   SET spark.graft.changes.startVersion = 2;   -- default 1
+  *   SET spark.graft.changes.endVersion   = 5;   -- default latest
+  *   SET spark.graft.changes.skipChangeCommits = true;  -- default false
+  *   SELECT * FROM graft.t.changes
+  * }}}
+  *
+  * Identical attribution, refusal contract, pruning, and row shape as the
+  * streaming source ([[CdfSource]] — one shared planner); the general
+  * row-level diff between arbitrary versions, including replace-shaped
+  * ones, stays [[graft.lake.Snapshots.diff]].
+  */
+private[sql] class ChangesMetadataTable(root: String, table: String,
+    startVersion: Long, endVersion: Long, skipChangeCommits: Boolean)
+  extends Table with SupportsRead {
+
+  private val dataSchema0 =
+    CdfSource.dataSchema(SparkSession.active, root, table)
+  private val schema0 = CdfSource.changeSchema(dataSchema0)
+
+  override def name(): String = s"$table.changes"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = schema0
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = {
+        val (prunedData, changeCols, readSchema0) =
+          CdfSource.pruneChangeSchema(schema0, required)
+        new Scan with Batch {
+          // planned lazily at execution, not at build: the factories are
+          // per-plan state exactly as in the streaming path
+          private lazy val planned = CdfSource.planVersions(
+            SparkSession.active, root, table, startVersion - 1, endVersion,
+            skipChangeCommits, dataSchema0, prunedData)
+          override def readSchema(): StructType = readSchema0
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] =
+            planned._1
+          override def createReaderFactory(): PartitionReaderFactory =
+            new CdfReaderFactory(planned._2, prunedData, changeCols)
         }
       }
     }
@@ -215,62 +357,10 @@ private[sql] class CdfStream(root: String, table: String,
       : Array[InputPartition] = {
     val from = start.asInstanceOf[CdfOffset].v
     val to = end.asInstanceOf[CdfOffset].v
-    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    val factories =
-      scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
-    val dataDir = s"$root/$table/data"
-    var prevFiles: Option[Set[String]] = None
-    for (v <- (from + 1) to to) {
-      val m = Snapshots.manifest(spark, root, table, v)
-      val live = m.files.toSet
-      // change attribution needs an append-shaped version: nothing the
-      // previous version served may disappear (deleteWhere removes no
-      // files; overwrites/compactions do)
-      val prev = prevFiles.getOrElse(
-        if (v == 1) Set.empty[String]
-        else Snapshots.manifest(spark, root, table, v - 1).files.toSet)
-      prevFiles = Some(live)
-      val removed = prev -- live
-      if (removed.nonEmpty) {
-        if (!skipChangeCommits) throw new IllegalStateException(
-          s"CDF stream over $table: version $v removed " +
-            s"${removed.size} live file(s) (operation " +
-            s"${m.operation.getOrElse("unknown")}) — file adds cannot " +
-            "attribute its row changes. Replay it with " +
-            "graft.lake.Snapshots.diff, or set skipChangeCommits=true " +
-            "to skip such versions.")
-      } else {
-        val added = m.addedAtOf.collect { case (f, at) if at == v => f }.toSeq
-        if (added.nonEmpty) {
-          val opts = new CaseInsensitiveStringMap(
-            java.util.Map.of("path", dataDir, "basePath", dataDir))
-          val tbl = new DppParquetTable(s"$table@v$v(cdf)", spark, opts,
-            added.sorted.map(f => s"$dataDir/$f"), Some(fullDataSchema))
-          val builder = tbl.newScanBuilder(opts)
-          builder match {
-            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-              p.pruneColumns(prunedData) // decode only the requested columns
-            case _ =>
-          }
-          val batch: Batch = builder.build().toBatch
-          val fi = factories.length
-          factories += batch.createReaderFactory()
-          batch.planInputPartitions().foreach(p =>
-            parts += CdfFilePartition(p, fi, v))
-        }
-        m.deletes.filter(_.version == v).foreach { d =>
-          val df = spark.read.parquet(s"$root/$table/deletes/${d.file}")
-            .select(d.cols.map(c =>
-              col(c).cast(fullDataSchema(c).dataType)): _*)
-          // vector files are broadcast-anti-join sized by the MOR premise,
-          // never data-sized — driver-resolving them is the design
-          val rows = df.collect().map(r => d.cols.indices.map(r.get).toArray)
-          parts += CdfDeletePartition(d.cols, rows, v)
-        }
-      }
-    }
-    innerFactories = factories.toArray
-    parts.toArray
+    val (parts, factories) = CdfSource.planVersions(spark, root, table,
+      from, to, skipChangeCommits, fullDataSchema, prunedData)
+    innerFactories = factories
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

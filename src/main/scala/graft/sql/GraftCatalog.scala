@@ -259,6 +259,24 @@ class GraftCatalog extends TableCatalog {
     if (ident.namespace.length == 1 && ident.name == "history" &&
         isVersioned(ident.namespace.head))
       return new HistoryMetadataTable(root, ident.namespace.head)
+    // batch change feed: `SELECT * FROM <catalog>.<t>.changes` — the
+    // version window comes from session confs, resolved HERE (table-load
+    // time) so the analyzed relation is immune to later conf changes
+    if (ident.namespace.length == 1 && ident.name == "changes" &&
+        isVersioned(ident.namespace.head)) {
+      val spark = SparkSession.active
+      val t = ident.namespace.head
+      val start = spark.conf.getOption("spark.graft.changes.startVersion")
+        .map(_.toLong).getOrElse(1L)
+      val end = spark.conf.getOption("spark.graft.changes.endVersion")
+        .map(_.toLong)
+        .orElse(graft.lake.Snapshots.latestVersion(spark, root, t))
+        .getOrElse(throw new NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace :+ ident.name))
+      val skip = spark.conf.getOption("spark.graft.changes.skipChangeCommits")
+        .exists(_.toBoolean)
+      return new ChangesMetadataTable(root, t, start, end, skip)
+    }
     val p = tablePath(ident)
     if (!fs(p).exists(p))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace :+ ident.name)

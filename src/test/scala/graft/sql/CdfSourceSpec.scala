@@ -166,4 +166,50 @@ class CdfSourceSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq
     assert(ids === Seq(3L))
   }
+
+  test("batch <table>.changes: inclusive window, conf baked at load, " +
+      "pruning, refusal + skipChangeCommits — same planner as the stream") {
+    val root = freshRoot()
+    Snapshots.commit((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"),
+      root, "t", Seq.empty)
+    Snapshots.commit((10L until 15L).map(i => (i, s"b$i")).toDF("id", "v"),
+      root, "t", Seq.empty)
+    Snapshots.deleteWhere(spark, root, "t", col("id").isin(2L, 3L))
+    GraftCatalog.install(spark, "graftchg", root)
+
+    def window(start: Long, end: Long): org.apache.spark.sql.DataFrame = {
+      spark.conf.set("spark.graft.changes.startVersion", start.toString)
+      spark.conf.set("spark.graft.changes.endVersion", end.toString)
+      try spark.sql("SELECT id, _change_type, _commit_version " +
+        "FROM graftchg.t.changes")
+      finally {
+        spark.conf.unset("spark.graft.changes.startVersion")
+        spark.conf.unset("spark.graft.changes.endVersion")
+      }
+    }
+    // full window: 15 inserts + 2 key-level deletes
+    val all = window(1, 3)
+    assert(all.count() === 17)
+    // the window is INCLUSIVE on both ends and baked at load time — the
+    // confs were already unset when this executes
+    val mid = window(2, 2).as[(Long, String, Long)].collect().toSet
+    assert(mid === (10L until 15L).map((_, "insert", 2L)).toSet)
+    val dels = window(3, 3).as[(Long, String, Long)].collect().toSet
+    assert(dels === Set((2L, "delete", 3L), (3L, "delete", 3L)))
+    // replays the table exactly
+    val replayed = all.where("_change_type = 'insert'")
+      .join(all.where("_change_type = 'delete'").select("id"),
+        Seq("id"), "left_anti").select("id").as[Long].collect().toSet
+    assert(replayed === Snapshots.readVersion(spark, root, "t", 3L)
+      .select("id").as[Long].collect().toSet)
+
+    // a replace-shaped version refuses; skipChangeCommits skips it
+    Snapshots.compact(spark, root, "t", Seq.empty, 1, Seq("id"))
+    val e = intercept[Exception] { window(1, 4).collect() }
+    assert(e.getMessage != null && e.getMessage.contains("removed") ||
+      Option(e.getCause).exists(_.getMessage.contains("removed")), e.toString)
+    spark.conf.set("spark.graft.changes.skipChangeCommits", "true")
+    try assert(window(1, 4).count() === 17) // v4 skipped, nothing phantom
+    finally spark.conf.unset("spark.graft.changes.skipChangeCommits")
+  }
 }
