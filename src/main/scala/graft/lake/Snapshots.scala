@@ -1021,12 +1021,23 @@ object Snapshots {
   /** [[deleteWhere]] with the predicate built AGAINST the pinned read —
     * for callers holding analysis-time expressions that must re-bind onto
     * this statement's own base attributes (the SQL DELETE command; a
-    * name-based Column can just use the public overload).
+    * name-based Column can just use the public overload). `expectedBase`
+    * pins the statement's reads and writes to ONE version: the SQL
+    * command resolves `latest` (and inlines its subqueries against it)
+    * BEFORE calling here, so a commit landing in between must surface the
+    * retryable CME — literals computed against an older version must
+    * never apply to a newer one.
     */
   private[graft] def deleteWhereBound(spark: SparkSession, root: String,
-      table: String, mkCond: DataFrame => Column): Long = {
+      table: String, mkCond: DataFrame => Column,
+      expectedBase: Option[Long] = None): Long = {
     val latest = latestVersion(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $table to delete from"))
+    expectedBase.foreach { e =>
+      if (latest != e) throw new java.util.ConcurrentModificationException(
+        s"$table moved to v$latest while this DELETE was computing " +
+          s"against v$e — re-run the statement against the new version")
+    }
     val prev = manifest(spark, root, table, latest)
     val cur = readVersion(spark, root, table, latest)
     val cond = mkCond(cur)

@@ -2481,10 +2481,89 @@ object LakeQueries {
       |SELECT v, change_type, n_rows, id_sum, CAST(2 AS BIGINT) AS leg
       |FROM legs""".stripMargin
 
+  /** q236's correlated-subquery DML history, staged once per (JVM, sf):
+    * v1 = customer balances (pb-partitioned); v2 = an EXISTS-delete
+    * correlated on the order relation (merge-on-read vector of the
+    * matching keys — evaluated as a semi join, no file rewritten); v3 =
+    * a NOT-EXISTS delete (anti join: customers with no order at all);
+    * v4 = an UPDATE whose WHERE is a NON-EQUI correlated EXISTS (order
+    * value exceeding the customer's balance) — copy-on-write through the
+    * same existence-join machinery MERGE runs.
+    */
+  private def stageExistsDmlHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_exdml_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir).select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          (col("c_custkey") % 8).as("pb"))
+        graft.lake.Snapshots.commit(base, root, "balances", Seq("pb"))
+        graft.sql.GraftCatalog.install(s, "graftex", root)
+        Tables.orders(s, dir).select(col("o_custkey").as("k"),
+            col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("graft_q236_ord")
+        s.sql("""DELETE FROM graftex.balances AS t WHERE EXISTS (
+                   SELECT 1 FROM graft_q236_ord o
+                   WHERE o.k = t.c_custkey AND o.st = 'F')""")
+        s.sql("""DELETE FROM graftex.balances AS t WHERE NOT EXISTS (
+                   SELECT 1 FROM graft_q236_ord o
+                   WHERE o.k = t.c_custkey AND o.k % 3 = 0)""")
+        s.sql("""UPDATE graftex.balances AS t SET bal_cents = bal_cents + 7
+                 WHERE EXISTS (
+                   SELECT 1 FROM graft_q236_ord o
+                   WHERE o.k = t.c_custkey AND o.cents > t.bal_cents)""")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** Correlated EXISTS/NOT EXISTS deletes + a non-equi correlated-EXISTS
+    * update, pure SQL over the snapshot DML surface; the history column
+    * pins that both deletes stayed MERGE-ON-READ (two 'delete' versions,
+    * zero files added) and the update committed copy-on-write.
+    */
+  def q236ExistsDml(s: SparkSession, dir: String): DataFrame = {
+    val root = stageExistsDmlHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftex", root)
+    s.sql("""
+      SELECT pb, count(*) AS n, sum(bal_cents) AS bal_sum,
+             sum(c_custkey) AS key_sum,
+             (SELECT count(*) FROM graftex.balances.history
+              WHERE operation = 'delete' AND n_added_files = 0) AS n_mor_deletes
+      FROM graftex.balances
+      GROUP BY pb""")
+  }
+
+  val q236Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+      |ord AS (SELECT o_custkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+      |d1 AS (SELECT * FROM base t WHERE NOT EXISTS (
+      |    SELECT 1 FROM ord o WHERE o.k = t.c_custkey AND o.st = 'F')),
+      |d2 AS (SELECT * FROM d1 t WHERE EXISTS (
+      |    SELECT 1 FROM ord o WHERE o.k = t.c_custkey AND o.k % 3 = 0)),
+      |up AS (SELECT c_custkey,
+      |    bal + CASE WHEN EXISTS (SELECT 1 FROM ord o
+      |                            WHERE o.k = d2.c_custkey
+      |                              AND o.cents > d2.bal)
+      |          THEN 7 ELSE 0 END AS bal
+      |  FROM d2)
+      |SELECT c_custkey % 8 AS pb, count(*) AS n,
+      |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(2 AS BIGINT) AS n_mor_deletes
+      |FROM up GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q233_stream_table_write" -> (q233StreamTableWrite _),
     "q234_sql_restore" -> (q234SqlRestore _),
     "q235_table_changes" -> (q235TableChanges _),
+    "q236_exists_dml" -> (q236ExistsDml _),
     "q172_join_ivm" -> (q172JoinIvm _),
     "q173_cdf_join_ivm" -> (q173CdfJoinIvm _),
     "q165_delete_vectors" -> (q165DeleteVectors _),
@@ -2527,6 +2606,7 @@ object LakeQueries {
     "q233_stream_table_write" -> q233Sql,
     "q234_sql_restore" -> q234Sql,
     "q235_table_changes" -> q235Sql,
+    "q236_exists_dml" -> q236Sql,
     "q172_join_ivm" -> q172Sql,
     "q173_cdf_join_ivm" -> q173Sql,
     "q165_delete_vectors" -> q165Sql,

@@ -31,6 +31,29 @@ private[sql] object DmlRebind {
           throw new IllegalStateException(s"statement references target " +
             s"column ${targetName(a.exprId)} absent from $table"))
         if (b.dataType == a.dataType) b else Cast(b, a.dataType)
+      // a CORRELATED subquery carries the target's attrs twice: as the
+      // expression's own outer children (the case above rebinds those) and
+      // as OuterReference wrappers INSIDE the nested plan — rewrite these
+      // too, or the re-analysis of the rebound predicate sees orphaned
+      // exprIds. OuterReference wraps a NamedExpression, so a width
+      // mismatch (catalog-widened partition int) cannot hide behind a
+      // cast here; it refuses with the MERGE spelling.
+      case s: SubqueryExpression =>
+        s.withNewPlan(s.plan.transformAllExpressions {
+          case o @ org.apache.spark.sql.catalyst.expressions.OuterReference(
+              a: AttributeReference) if targetName.contains(a.exprId) =>
+            val b = baseAttr.getOrElse(targetName(a.exprId),
+              throw new IllegalStateException(s"subquery references target " +
+                s"column ${targetName(a.exprId)} absent from $table"))
+            if (b.dataType == a.dataType)
+              org.apache.spark.sql.catalyst.expressions.OuterReference(b)
+            else throw new UnsupportedOperationException(
+              s"a correlated subquery references ${a.name}, whose stored " +
+                s"type (${b.dataType.simpleString}) differs from its " +
+                s"catalog-widened type (${a.dataType.simpleString}) — " +
+                "spell this statement as MERGE")
+          case o => o
+        })
     }
 
   def castTo(e: Expression, dt: DataType): Column =
@@ -57,7 +80,16 @@ private[sql] object DmlRebind {
           "a scalar subquery in a DML statement returned more than one row")
         org.apache.spark.sql.catalyst.expressions.Literal.create(
           if (rows.isEmpty) null else rows(0).get(0), s.dataType)
-      case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+      // an UNCORRELATED EXISTS is a run-time constant; correlated ones
+      // stay in the predicate and evaluate as semi/anti joins (the
+      // optimizer's predicate-subquery rewrite) against the pinned base
+      case ex: org.apache.spark.sql.catalyst.expressions.Exists
+          if !ex.isCorrelated =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bridge.ofRows(spark, ex.plan).limit(1).collect().nonEmpty,
+          org.apache.spark.sql.types.BooleanType)
+      case in: org.apache.spark.sql.catalyst.expressions.InSubquery
+          if !in.query.isCorrelated =>
         val cap = spark.conf
           .getOption("spark.graft.dml.maxInlineSubqueryRows")
           .map(_.toInt).getOrElse(10000)
@@ -223,10 +255,18 @@ private[sql] object SnapshotUpdate {
       condition: Expression): LogicalPlan = {
     val targetAttrs = rel.outputSet
     condition.foreach {
-      case s: SubqueryExpression if s.isCorrelated =>
-        refuse("a CORRELATED subquery in the DELETE predicate (a per-row " +
-          "subquery is a join — spell it as MERGE)")
+      // scalar subqueries must stay uncorrelated (a per-row scalar is a
+      // join — MERGE); EXISTS and IN may be CORRELATED: they evaluate as
+      // semi/anti joins against the pinned base (the optimizer's
+      // predicate-subquery rewrite), and the delete vector stores the
+      // distinct outer-referenced column tuples of matching rows — exact,
+      // because the predicate's verdict is a function of those columns
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if s.isCorrelated =>
+        refuse("a CORRELATED scalar subquery in the DELETE predicate (a " +
+          "per-row scalar subquery is a join — spell it as MERGE)")
       case _: org.apache.spark.sql.catalyst.expressions.ScalarSubquery |
+          _: org.apache.spark.sql.catalyst.expressions.Exists |
           _: org.apache.spark.sql.catalyst.expressions.InSubquery |
           _: org.apache.spark.sql.catalyst.expressions.ListQuery => ()
       case s: SubqueryExpression =>
@@ -253,21 +293,39 @@ private[sql] object SnapshotUpdate {
       assignments: Seq[Assignment], condition: Option[Expression])
       : LogicalPlan = {
     val targetAttrs = rel.outputSet
-    def checked(e: Expression, what: String): Unit = {
-      // uncorrelated scalar/IN subqueries are materialized at run time
-      // (DmlRebind.materializeSubqueries); correlated ones are per-row
-      // joins — refuse with the MERGE spelling
+    def checked(e: Expression, what: String,
+        predicatePosition: Boolean = false): Unit = {
+      // uncorrelated scalar/IN/EXISTS subqueries materialize at run time
+      // (DmlRebind.materializeSubqueries). In the WHERE predicate,
+      // CORRELATED EXISTS/IN are also fine — they evaluate as semi/anti
+      // joins against the pinned base. In a SET value a correlated
+      // subquery stays refused (a per-row value subquery is a join —
+      // MERGE), as does EXISTS (a boolean-valued assignment from a join
+      // verdict — MERGE).
       e.foreach {
-        case s: SubqueryExpression if s.isCorrelated =>
-          refuse(s"a CORRELATED subquery in $what (a per-row subquery is " +
-            "a join — spell it as MERGE)")
+        case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+            if s.isCorrelated =>
+          refuse(s"a CORRELATED scalar subquery in $what (a per-row " +
+            "scalar subquery is a join — spell it as MERGE)")
+        case s @ (_: org.apache.spark.sql.catalyst.expressions.Exists |
+            _: org.apache.spark.sql.catalyst.expressions.InSubquery)
+            if !predicatePosition &&
+              s.asInstanceOf[Expression].exists {
+                case q: SubqueryExpression => q.isCorrelated
+                case _ => false
+              } =>
+          refuse(s"a CORRELATED predicate subquery in $what (only the " +
+            "WHERE clause evaluates EXISTS/IN as joins — spell the " +
+            "assignment as MERGE)")
         // ListQuery is the accepted InSubquery's own child node
         case _: org.apache.spark.sql.catalyst.expressions.ScalarSubquery |
+            _: org.apache.spark.sql.catalyst.expressions.Exists |
             _: org.apache.spark.sql.catalyst.expressions.InSubquery |
             _: org.apache.spark.sql.catalyst.expressions.ListQuery => ()
         case s: SubqueryExpression =>
-          refuse(s"a ${s.prettyName} subquery in $what (only scalar and " +
-            "IN subqueries inline — materialize it and MERGE instead)")
+          refuse(s"a ${s.prettyName} subquery in $what (only scalar, IN " +
+            "and EXISTS subqueries are supported — materialize it and " +
+            "MERGE instead)")
         case _ => ()
       }
       // the WHERE predicate and SET values are evaluated once for
@@ -278,7 +336,8 @@ private[sql] object SnapshotUpdate {
       if (!e.references.subsetOf(targetAttrs))
         refuse(s"$what referencing columns outside the table (got $e)")
     }
-    condition.foreach(checked(_, "the WHERE predicate"))
+    condition.foreach(checked(_, "the WHERE predicate",
+      predicatePosition = true))
     val assigns = assignments.map { a =>
       val name = a.key match {
         case t: AttributeReference if targetAttrs.contains(t) => t.name
@@ -332,6 +391,14 @@ case class SnapshotDeleteCommand(
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // resolve latest ONCE, before the subqueries evaluate: everything this
+    // statement reads (uncorrelated subqueries — possibly of this very
+    // table — and the delete scan) must see one version, and a commit
+    // landing in between surfaces the retryable CME, exactly like
+    // MERGE/UPDATE's expectedBase pin
+    val latest = graft.lake.Snapshots.latestVersion(spark, root, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $table to delete from"))
     val inlined = DmlRebind.materializeSubqueries(spark, program.cond)
     inlined match {
       case org.apache.spark.sql.catalyst.expressions.Literal(true,
@@ -346,7 +413,8 @@ case class SnapshotDeleteCommand(
         // expressions whose child replacement eagerly types, e.g. With)
         graft.lake.Snapshots.deleteWhereBound(spark, root, table, cur =>
           bridge.column(DmlRebind.remap(inlined, program.targetName,
-            DmlRebind.baseAttrs(cur), table)))
+            DmlRebind.baseAttrs(cur), table)),
+          expectedBase = Some(latest))
     }
     Seq.empty
   }
@@ -377,15 +445,33 @@ case class SnapshotUpdateCommand(
     val hit = cond
       .map(e => coalesce(bridge.column(remap(e)), lit(false)))
       .getOrElse(lit(true))
-    val outCols = base.schema.fields.toSeq.map { f =>
-      assignOf.get(f.name) match {
-        case Some(v) =>
-          when(hit, DmlRebind.castTo(remap(v), f.dataType))
-            .otherwise(bridge.column(baseAttr(f.name))).as(f.name)
-        case None => bridge.column(baseAttr(f.name)).as(f.name)
+    // a predicate that still carries subqueries after inlining (correlated
+    // EXISTS/IN) cannot ride a projection's `when` — predicate subqueries
+    // evaluate only under Filter, where the optimizer rewrites them to
+    // semi/anti (existence) joins. Split instead: assigned projection over
+    // the hit rows ∪ untouched miss rows — an exact partition of the base
+    // (`hit` is never null after the coalesce).
+    val condHasSubquery = cond.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+    val updated = if (condHasSubquery) {
+      val assignedCols = base.schema.fields.toSeq.map { f =>
+        assignOf.get(f.name)
+          .map(v => DmlRebind.castTo(remap(v), f.dataType).as(f.name))
+          .getOrElse(bridge.column(baseAttr(f.name)).as(f.name))
       }
+      base.filter(hit).select(assignedCols: _*)
+        .unionByName(base.filter(!hit))
+    } else {
+      val outCols = base.schema.fields.toSeq.map { f =>
+        assignOf.get(f.name) match {
+          case Some(v) =>
+            when(hit, DmlRebind.castTo(remap(v), f.dataType))
+              .otherwise(bridge.column(baseAttr(f.name))).as(f.name)
+          case None => bridge.column(baseAttr(f.name)).as(f.name)
+        }
+      }
+      base.select(outCols: _*)
     }
-    val updated = base.select(outCols: _*)
 
     if (partitionCols.isEmpty) {
       Snapshots.commitFullReplace(updated, root, table, statsCols,
@@ -396,11 +482,12 @@ case class SnapshotUpdateCommand(
       val oldTouched = base.filter(hit).select(partitionCols.map(col): _*)
       val touchedDf0 =
         if (partitionCols.exists(assignOf.contains)) {
+          // rows are already hit-filtered, so the assignment applies
+          // unconditionally (no `when(hit, …)` — a predicate subquery may
+          // only evaluate under the Filter, never in this projection)
           val newPart = partitionCols.map { p =>
             assignOf.get(p)
-              .map(v => when(hit, DmlRebind.castTo(remap(v),
-                base.schema(p).dataType))
-                .otherwise(bridge.column(baseAttr(p))))
+              .map(v => DmlRebind.castTo(remap(v), base.schema(p).dataType))
               .getOrElse(bridge.column(baseAttr(p))).as(p)
           }
           oldTouched.unionByName(base.filter(hit).select(newPart: _*))

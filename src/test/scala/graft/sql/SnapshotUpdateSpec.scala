@@ -120,6 +120,92 @@ class SnapshotUpdateSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.dml.maxInlineSubqueryRows")
   }
 
+  test("correlated EXISTS/IN in WHERE: DELETE publishes a MOR vector of " +
+      "the outer-referenced tuples; UPDATE splits on an existence join; " +
+      "SET-position and correlated-scalar shapes still refuse") {
+    val root = freshRoot(); stage(root) // ids 0..39, bal = id*10, p = id%4
+    Seq((2L, 1000L), (5L, 10L), (7L, 1000L)).toDF("k", "v")
+      .createOrReplaceTempView("upd_src")
+
+    // EXISTS-delete with a NON-EQUI correlation: verdict is a function of
+    // (id, bal), so the vector stores exactly those tuples
+    spark.sql("""DELETE FROM graftu.t AS x WHERE EXISTS (
+                   SELECT 1 FROM upd_src s WHERE s.k = x.id AND s.v > x.bal)""")
+    val ids = spark.sql("SELECT id FROM graftu.t").as[Long].collect().toSet
+    assert(!ids.contains(2L) && !ids.contains(7L) && ids.contains(5L))
+    assert(ids.size === 38)
+    val m = Snapshots.manifest(spark, root, "t", 2L)
+    assert(m.deletes.nonEmpty, "EXISTS-delete must stay merge-on-read")
+    assert(m.deletes.head.cols.toSet === Set("id", "bal"), m.deletes)
+
+    // NOT EXISTS (anti-join shape) composes with plain predicates
+    spark.sql("""DELETE FROM graftu.t AS x WHERE x.id >= 36 AND NOT EXISTS (
+                   SELECT 1 FROM upd_src s WHERE s.k = x.id)""")
+    assert(spark.sql("SELECT count(*) FROM graftu.t").as[Long].head() === 34)
+
+    // correlated IN-update: hit rows via existence join, CoW commit
+    spark.sql("""UPDATE graftu.t AS x SET bal = -5
+                 WHERE x.id IN (SELECT s.k FROM upd_src s WHERE s.v < x.bal)""")
+    val bals = spark.sql("SELECT id, bal FROM graftu.t")
+      .as[(Long, Long)].collect().toMap
+    assert(bals(5L) === -5L, bals(5L))
+    assert(bals.count(_._2 === -5L) === 1)
+
+    // an uncorrelated EXISTS is a run-time constant: false ⇒ no-op, no
+    // version published
+    val vBefore = Snapshots.latestVersion(spark, root, "t").get
+    spark.sql("""UPDATE graftu.t SET bal = 0
+                 WHERE EXISTS (SELECT 1 FROM upd_src WHERE v > 5000)""")
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(vBefore))
+
+    // still refused: a correlated SCALAR subquery anywhere
+    val corrScalar = intercept[Exception] {
+      spark.sql("""UPDATE graftu.t AS x
+                   SET bal = (SELECT max(s.v) FROM upd_src s WHERE s.k = x.id)""")
+    }
+    assert(corrScalar.getMessage.contains("CORRELATED"), corrScalar.getMessage)
+    // still refused: a correlated predicate subquery in a SET value (only
+    // the WHERE clause evaluates EXISTS/IN as joins)
+    val inSet = intercept[Exception] {
+      spark.sql("""UPDATE graftu.t AS x
+                   SET bal = CASE WHEN EXISTS (SELECT 1 FROM upd_src s
+                                               WHERE s.k = x.id)
+                             THEN 1 ELSE 0 END""")
+    }
+    assert(inSet.getMessage.contains("CORRELATED"), inSet.getMessage)
+    // refused edge: correlating on a catalog-WIDENED partition column
+    // (stored int read back as long — OuterReference cannot carry a cast)
+    val widened = intercept[Exception] {
+      spark.sql("""DELETE FROM graftu.t AS x WHERE EXISTS (
+                     SELECT 1 FROM upd_src s WHERE s.k = x.p)""")
+    }
+    assert(widened.getMessage.contains("MERGE"), widened.getMessage)
+  }
+
+  test("DELETE pins its base version: a commit landing while subqueries " +
+      "evaluate raises the retryable CME, never applies stale literals") {
+    val root = freshRoot(); stage(root)
+    DeleteCmeTrigger.root = root
+    DeleteCmeTrigger.fired.set(false)
+    spark.udf.register("d_cme_trigger", (k: Long) => DeleteCmeTrigger(k))
+    // FILE-backed source: over a LocalRelation the optimizer would
+    // constant-fold the deterministic UDF before the command ever runs
+    Seq(30L).toDF("k").write.mode("overwrite").parquet(s"$root/_cme_src")
+    spark.read.parquet(s"$root/_cme_src").createOrReplaceTempView("d_cme_raw")
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM graftu.t
+                   WHERE id < (SELECT max(d_cme_trigger(k)) FROM d_cme_raw)""")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]), e.toString)
+    // the competitor's row is intact and nothing was deleted
+    val rows = spark.sql("SELECT id, bal FROM graftu.t")
+      .as[(Long, Long)].collect().toMap
+    assert(rows(99L) === 999L && rows.size === 41)
+  }
+
   test("UPDATE refusals are loud: non-versioned table") {
     val root = freshRoot(); stage(root)
     assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
@@ -135,5 +221,32 @@ class SnapshotUpdateSpec extends SparkTestBase {
     }
     assert(nondetW.getMessage.contains("non-deterministic"), nondetW.getMessage)
     assert(Snapshots.latestVersion(spark, root, "t") === Some(1L))
+  }
+}
+
+/** Competing-commit trigger for the DELETE expectedBase CME test (the
+  * MergeCmeTrigger pattern): commits a new version of `t` the first time
+  * it evaluates — inside the DELETE's own subquery-inline job, after the
+  * command resolved its base version. Local-mode only.
+  */
+private[sql] object DeleteCmeTrigger {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var root: String = _
+  def apply(k: Long): Long = {
+    if (fired.compareAndSet(false, true)) {
+      var err: Throwable = null
+      val t = new Thread(() => {
+        try {
+          val s = org.apache.spark.sql.SparkSession.builder().getOrCreate()
+          graft.lake.Snapshots.append(
+            s.range(1).selectExpr("CAST(99 AS BIGINT) AS id",
+              "CAST(999 AS BIGINT) AS bal", "CAST(3 AS INT) AS p"),
+            root, "t", Seq("p"))
+        } catch { case e: Throwable => err = e }
+      })
+      t.start(); t.join()
+      if (err != null) throw err
+    }
+    k
   }
 }
