@@ -1626,6 +1626,40 @@ object Snapshots {
         "n_delete_vectors", "n_added_files")
   }
 
+  /** Rename a versioned table: move its manifest directory and its table
+    * directory (data + delete vectors) under the new name. Everything a
+    * manifest stores is RELATIVE to those two roots — file lists, vector
+    * refs, sidecars — so the full history, time travel included, survives
+    * the move untouched. Manifests move FIRST: a reader racing the rename
+    * sees the old name cleanly absent (no manifest dir) rather than
+    * manifests whose data files are gone mid-scan. The two directory
+    * renames are not jointly atomic — rename during a write quiesce, like
+    * every table-store's rename. Refuses when the source is not versioned
+    * or the destination exists in either namespace.
+    */
+  def renameTable(spark: SparkSession, root: String, from: String,
+      to: String): Unit = {
+    val f = fs(spark, root)
+    val fromMan = new Path(manifestDir(root, from))
+    val fromTbl = new Path(s"$root/$from")
+    require(f.exists(fromMan),
+      s"renameTable: $from is not a Snapshots-versioned table")
+    val toMan = new Path(manifestDir(root, to))
+    val toTbl = new Path(s"$root/$to")
+    require(!f.exists(toMan) && !f.exists(toTbl),
+      s"renameTable: destination table $to already exists")
+    f.mkdirs(toMan.getParent)
+    if (!f.rename(fromMan, toMan))
+      throw new java.io.IOException(
+        s"renameTable: failed to move manifests of $from to $to")
+    if (f.exists(fromTbl) && !f.rename(fromTbl, toTbl)) {
+      // roll the manifest move back so the table stays addressable
+      f.rename(toMan, fromMan)
+      throw new java.io.IOException(
+        s"renameTable: failed to move data of $from to $to")
+    }
+  }
+
   /** Roll the table back: publish a NEW version whose content is exactly
     * `toVersion`'s — a METADATA-ONLY re-point of that version's file list,
     * delete vectors, addedAt attribution, schema, and partition layout

@@ -39,10 +39,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an empty manifest ([[graft.lake.Snapshots.createTable]]), CTAS is
   * that plus Spark's own write onto the returned table, `INSERT` /
   * `DELETE` / `UPDATE` / `MERGE` map onto protocol verbs (see the
-  * DML `loadTable` overload), and `DROP TABLE` deletes the manifests
-  * and data with vacuum-to-zero semantics. `ALTER TABLE` and
-  * `RENAME TABLE` stay refused (additive schema evolution happens
-  * per-commit; renames would orphan manifest dirs).
+  * DML `loadTable` overload), `DROP TABLE` deletes the manifests
+  * and data with vacuum-to-zero semantics, and `ALTER TABLE … RENAME TO`
+  * moves the manifest + table directories (full history survives).
+  * `ALTER TABLE` column changes stay additive-only (`ADD COLUMNS`);
+  * column renames/drops/type changes are refused — without
+  * logical→physical column mapping they would corrupt old versions'
+  * reads.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -517,6 +520,10 @@ class GraftCatalog extends TableCatalog {
         .TableAlreadyExistsException(ident)
     graft.lake.Snapshots.createTable(SparkSession.active, root, ident.name,
       schema, partCols)
+    // same post-action eviction as dropTable, for the CREATE OR REPLACE
+    // path: a reader racing the replace must not pin the dropped table's
+    // versions onto the re-created one
+    GraftCatalog.invalidate(root, ident.name)
     // the returned table is the WRITE shape: CTAS immediately appends to
     // it; a plain CREATE's next lookup goes through loadTable as usual
     new SnapshotInsertTable(ident.name, schema, root, ident.name,
@@ -538,7 +545,15 @@ class GraftCatalog extends TableCatalog {
       readOnly("DROP TABLE of a non-versioned table (manage it via " +
         "graft.lake.Lake)")
     GraftCatalog.invalidate(root, ident.name)
-    graft.lake.Snapshots.dropTable(SparkSession.active, root, ident.name)
+    val dropped =
+      graft.lake.Snapshots.dropTable(SparkSession.active, root, ident.name)
+    // invalidate AGAIN after the delete: a concurrent reader in the
+    // pre-delete window (or during the two-directory delete) can
+    // re-populate the (root, name, version) cache, and a re-created table
+    // reaching the same version number would then serve the dropped
+    // table's cached file index
+    GraftCatalog.invalidate(root, ident.name)
+    dropped
   }
 
   override def invalidateTable(ident: Identifier): Unit =
@@ -567,8 +582,31 @@ class GraftCatalog extends TableCatalog {
       newFields)
     loadTable(ident)
   }
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+  /** `ALTER TABLE … RENAME TO …` — a manifest-directory + table-directory
+    * move ([[graft.lake.Snapshots.renameTable]]): everything a manifest
+    * stores is relative, so the full history (time travel included)
+    * serves under the new name. Both names' cached versions are evicted
+    * across sessions. COLUMN renames stay refused (see [[alterTable]]) —
+    * without logical→physical column mapping they would corrupt old
+    * versions' reads.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireTopLevel(oldIdent.namespace)
+    requireTopLevel(newIdent.namespace)
+    if (!isVersioned(oldIdent.name))
+      readOnly("RENAME TABLE of a non-versioned table")
+    if (tableExists(newIdent) || isVersioned(newIdent.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    GraftCatalog.invalidate(root, oldIdent.name)
+    graft.lake.Snapshots.renameTable(SparkSession.active, root,
+      oldIdent.name, newIdent.name)
+    // both names, after the move: old cached versions must not serve a
+    // future re-created table at the old name; any pre-rename probes of
+    // the new name must not linger either
+    GraftCatalog.invalidate(root, oldIdent.name)
+    GraftCatalog.invalidate(root, newIdent.name)
+  }
 }
 
 /** The `<table>.history` metadata table (the Iceberg spelling of

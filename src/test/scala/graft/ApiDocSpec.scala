@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** docs/API.md contract: every code block on that page appears here
   * verbatim (modulo the surrounding fixture setup) and must compile and
@@ -335,9 +336,12 @@ class ApiDocSpec extends SparkTestBase {
     // --- docs/API.md: GraftCatalog SQL maintenance ---
     spark.sql("OPTIMIZE graft.bal ZORDER BY (id)") // -> (version, files before/after)
     spark.sql("VACUUM graft.bal KEEP 2 VERSIONS")  // -> (n_deleted)
+    spark.sql("RESTORE TABLE graft.bal TO VERSION AS OF 3") // -> (version,
+                                                   //     restored_from, n_files)
     // --- end ---
     assert(spark.sql("SELECT sum(cents) FROM graft.bal").as[Long].head() ===
-      (0L until 20L).map(_ * 7).sum, "OPTIMIZE is result-invariant")
+      (0L until 20L).map(_ * 7).sum,
+      "OPTIMIZE and RESTORE are result-invariant here")
   }
 
   test("CDF streaming source + history example") {
@@ -364,6 +368,50 @@ class ApiDocSpec extends SparkTestBase {
     assert(h.columns.toSeq === Seq("version", "committed_at_millis",
       "operation", "n_files", "n_delete_vectors", "n_added_files"))
     assert(h.count() === 2)
+  }
+
+  test("batch table_changes + streaming toTable examples") {
+    import graft.lake.Snapshots
+    import graft.sql.GraftCatalog
+    val sess = spark; import sess.implicits._
+    val root = tmp("chgdoc")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    GraftCatalog.install(spark, "graft", root)
+    Snapshots.commit(spark.range(0, 5).select(col("id")), root, "t", Seq.empty)
+    Snapshots.commit(spark.range(5, 8).select(col("id")), root, "t", Seq.empty)
+    Snapshots.commit(spark.range(8, 9).select(col("id")), root, "t", Seq.empty)
+
+    // --- docs/API.md: batch change feed (table_changes) ---
+    spark.conf.set("spark.graft.changes.startVersion", "2")  // default 1
+    spark.conf.set("spark.graft.changes.endVersion", "3")    // default latest
+    val oneShot = spark.sql("SELECT * FROM graft.t.changes") // inclusive window
+    // --- end ---
+    spark.conf.unset("spark.graft.changes.startVersion")
+    spark.conf.unset("spark.graft.changes.endVersion")
+    assert(oneShot.count() === 4) // v2's 3 inserts + v3's 1
+    assert(oneShot.columns.toSet ===
+      Set("id", "_change_type", "_commit_version"))
+
+    // streaming sink: writeStream.toTable through the snapshot protocol
+    val srcDir = s"$root/_src"; val cp = s"$root/_cp"
+    spark.range(100, 110).select(col("id")).write.parquet(srcDir)
+    val srcSchema = spark.read.parquet(srcDir).schema
+    // --- docs/API.md: streaming write into a versioned table ---
+    val q = spark.readStream.schema(srcSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.t")
+    q.awaitTermination()
+    // --- end ---
+    assert(spark.sql("SELECT count(*) FROM graft.t").as[Long].head() === 19L)
+    // exactly-once: a checkpointed re-run with no new files appends nothing
+    val q2 = spark.readStream.schema(srcSchema).parquet(srcDir)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).toTable("graft.t")
+    q2.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM graft.t").as[Long].head() === 19L)
   }
 
   test("Snapshots example: commit, time travel, CDF, vacuum") {

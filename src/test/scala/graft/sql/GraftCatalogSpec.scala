@@ -723,6 +723,49 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(cache.get(("root", "t", 5L)) == null, "cold entry must be evicted")
   }
 
+  test("RENAME TABLE moves the manifest + table dirs: full history and " +
+      "vectors serve under the new name, old name is gone, refusals loud") {
+    val root = freshLake()
+    import spark.implicits._
+    GraftCatalog.install(spark, "graftrn", root)
+    graft.lake.Snapshots.commit(
+      (0L until 20L).map(i => (i, i % 4)).toDF("id", "p"), root, "rn_t", Seq("p"))
+    graft.lake.Snapshots.append(
+      Seq((100L, 0L)).toDF("id", "p"), root, "rn_t", Seq("p"))
+    spark.sql("DELETE FROM graftrn.rn_t WHERE id = 7") // v3: MOR vector
+    val before = spark.sql("SELECT sum(id) FROM graftrn.rn_t").as[Long].head()
+
+    spark.sql("ALTER TABLE graftrn.rn_t RENAME TO rn_t2")
+    // the old name is cleanly absent
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graftrn.rn_t").collect()
+    }
+    // the new name serves the latest content (vector applied) …
+    assert(spark.sql("SELECT sum(id) FROM graftrn.rn_t2").as[Long].head()
+      === before)
+    // … the full history under time travel …
+    assert(spark.sql("SELECT count(*) FROM graftrn.rn_t2 VERSION AS OF 1")
+      .as[Long].head() === 20L)
+    assert(spark.sql("SELECT count(*) FROM graftrn.rn_t2 VERSION AS OF 3")
+      .as[Long].head() === 20L) // 21 rows minus the vector-deleted one
+    // … and the history metadata table
+    assert(spark.sql("SELECT count(*) FROM graftrn.rn_t2.history")
+      .as[Long].head() === 3L)
+    // writes keep working post-rename
+    spark.sql("INSERT INTO graftrn.rn_t2 VALUES (200, 1)")
+    assert(spark.sql("SELECT count(*) FROM graftrn.rn_t2").as[Long].head()
+      === 21L)
+
+    // refusals: destination exists; source not versioned
+    graft.lake.Snapshots.commit(Seq((1L, 0L)).toDF("id", "p"),
+      root, "rn_other", Seq("p"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftrn.rn_t2 RENAME TO rn_other")
+    }
+    assert(spark.sql("SELECT count(*) FROM graftrn.rn_t2").as[Long].head()
+      === 21L, "a refused rename must leave the source untouched")
+  }
+
   test("missing tables and DDL fail loudly; plain (non-versioned) tables " +
       "stay read-only") {
     val root = freshLake()

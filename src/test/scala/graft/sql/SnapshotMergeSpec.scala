@@ -307,6 +307,34 @@ class SnapshotMergeSpec extends SparkTestBase {
     assert(dup.getMessage.contains("already exist"), dup.getMessage)
   }
 
+  test("WITH SCHEMA EVOLUTION is a two-commit protocol BY DESIGN: the " +
+      "metadata-only evolve publishes at analysis, so a merge that then " +
+      "refuses leaves the evolved (data-unchanged) version committed") {
+    val root = freshRoot(); stage(root) // t: (id, v, p), ids 0..39
+    val vBefore = Snapshots.latestVersion(spark, root, "t").get
+    // duplicate source keys: the ANSI dup-key refusal fires at EXECUTION,
+    // after ResolveMergeIntoSchemaEvolution already published the evolved
+    // schema during ANALYSIS (GraftCatalog.alterTable → evolveSchema)
+    Seq((1L, "A", 1L, 5.0), (1L, "B", 1L, 6.0))
+      .toDF("id", "v", "p", "extra").createOrReplaceTempView("ev_dup_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftm.t AS tgt
+                   USING ev_dup_src AS s ON tgt.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e.getMessage != null, e.toString)
+    // end state, pinned as INTENDED (documented in docs/API.md — this
+    // diverges from Delta's transactional evolution): one metadata-only
+    // 'evolve' version exists, no data changed, old rows read null
+    assert(Snapshots.latestVersion(spark, root, "t") === Some(vBefore + 1))
+    assert(Snapshots.manifest(spark, root, "t", vBefore + 1)
+      .operation === Some("evolve"))
+    assert(spark.table("graftm.t").schema.fieldNames.contains("extra"))
+    assert(spark.sql("SELECT count(*) FROM graftm.t").as[Long].head() === 40L)
+    assert(spark.sql("SELECT v FROM graftm.t WHERE id = 1")
+      .as[String].head() === "v1", "the refused merge changed no data")
+  }
+
   test("MERGE pins its base version: a concurrent commit raises CME") {
     val root = freshRoot(); stage(root)
     // a competing writer lands BETWEEN the merge's base read (pinned at
