@@ -211,9 +211,15 @@ object ScaleStress {
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val q111Max = sys.env.getOrElse("SPARK_GRAFT_Q111_MAX", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle width defaults to the core count; SPARK_GRAFT_SHUFFLE sizes
+    // it to the DATA for the biggest blowup legs (the 100 TB guidance:
+    // partitions must fit in executor memory at the target SF — AQE
+    // coalesces a too-wide shuffle for free, it never splits a too-narrow
+    // non-skewed one)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the SQL row-level verbs (dml_merge leg) ride the session extensions
@@ -697,18 +703,69 @@ object ScaleStress {
       spark.range(0, n).filter(col("id") % 997 =!= 3)
         .select(col("id")) // today's snapshot: all keys but a 0.1% sliver
         .createOrReplaceTempView("graft_scale_bs_snap")
+      // honors `trials` (min-of-N): the statement is content-idempotent —
+      // every run full-syncs an equal-sized base (run k reads run k-1's
+      // rewrite), so repeated timings are comparable and the min shakes
+      // out the 80M-row single-shot variance (GC/page-cache noise measured
+      // at ±70% across single-trial captures)
+      var bsBest = Double.MaxValue
+      val bsLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to trials) {
+        reset()
+        if (settleMs > 0) Thread.sleep(settleMs)
+        bsLoads += loadavg()
+        val t0 = System.nanoTime()
+        spark.sql("""MERGE INTO graftbsrc.t AS tgt
+                     USING graft_scale_bs_snap AS s ON tgt.id = s.id
+                     WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -1""")
+        bsBest = math.min(bsBest, (System.nanoTime() - t0) / 1e9)
+      }
+      record("sql_merge_bysource_fullsync", f, bsBest, n, bsLoads.toSeq)
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      reset()
+    }
+
+    // Streaming-table-write scale shape (round 17): a FIXED ~500k-row
+    // micro-batch streamed via `writeStream.toTable` into a versioned
+    // table whose BASE grows 5M→80M rows (64 partitions). Claim under
+    // measurement: epoch latency is ~FLAT in base size — the epoch commit
+    // carries prior files by reference (manifest-sized metadata reconcile
+    // + ledger scan) and writes only the batch's own bytes; nothing in
+    // the sink rescans or rewrites the table.
+    val runStreamWrite =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_WRITE", "0") != "0"
+    for (f <- scales if runStreamWrite) {
+      import org.apache.spark.sql.functions.col
+      val n = 5000000L * f
+      val root = s"/tmp/graft_scale_swrite_${math.abs(srcDir.hashCode)}_x$f"
+      val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      lfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      graft.lake.Snapshots.commit(
+        spark.range(0, n).select(col("id"), (col("id") % 1000).as("bal"),
+          (col("id") % 64).as("p")).repartitionByRange(64, col("id")),
+        root, "t", Seq("p"), statsCols = Seq("id"))
+      graft.sql.GraftCatalog.install(spark, "graftswsc", root)
+      spark.conf.set("spark.sql.catalog.graftswsc.root", root)
+      val src = s"$root/_src"; val cp = s"$root/_cp"
+      spark.range(n, n + 500000L).select(col("id"),
+          (col("id") % 1000).as("bal"), (col("id") % 64).as("p"))
+        .repartition(4).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
       reset()
       if (settleMs > 0) Thread.sleep(settleMs)
       val load0 = loadavg()
       val t0 = System.nanoTime()
-      spark.sql("""MERGE INTO graftbsrc.t AS tgt
-                   USING graft_scale_bs_snap AS s ON tgt.id = s.id
-                   WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -1""")
-      record("sql_merge_bysource_fullsync", f,
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graftswsc.t")
+      q.awaitTermination()
+      record("stream_table_write_fixed_batch", f,
         (System.nanoTime() - t0) / 1e9, n, Seq(load0))
-      org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(root), true)
+      lfs.delete(new org.apache.hadoop.fs.Path(root), true)
       reset()
     }
 
