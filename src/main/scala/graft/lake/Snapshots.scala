@@ -1726,6 +1726,31 @@ object Snapshots {
       f.delete(new Path(s"${manifestDir(root, table)}/v$v.json"), false)
       f.delete(new Path(sidecarPath(root, table, v)), true)
     }
-    dead ++ deadVectors.map(p => s"deletes/$p")
+    // crashed writers leak HIDDEN staging dirs (`.stage-*` from batch
+    // commits, `.delstage-*` from deleteWhere, `.streamstage-*` from the
+    // streaming sink) — invisible to every reader (hidden-segment
+    // filtering) but holding bytes forever. Reclaim any whose NEWEST
+    // content is older than the grace window: an in-flight writer keeps
+    // creating files, so its newest mtime stays inside the window — the
+    // same guard that protects in-flight data files above.
+    def newestMtime(p: Path): Long = {
+      val it = f.listFiles(p, true)
+      var newest = f.getFileStatus(p).getModificationTime
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
+    val tblDir = new Path(s"$root/$table")
+    val staleStage = (if (f.exists(tblDir)) f.listStatus(tblDir).toSeq
+      else Seq.empty)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && (n.startsWith(".stage-") ||
+          n.startsWith(".delstage-") || n.startsWith(".streamstage-"))
+      }
+      .filter(st => newestMtime(st.getPath) < cutoff)
+      .map(_.getPath)
+    staleStage.foreach(p => f.delete(p, true))
+    dead ++ deadVectors.map(p => s"deletes/$p") ++
+      staleStage.map(p => s".staging/${p.getName}")
   }
 }

@@ -193,6 +193,11 @@ private[sql] class SnapshotStreamingWrite(
     val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     f.delete(new Path(dir), true)
+    // drop the per-query parent once its last epoch dir is gone (crashed
+    // queries' leftovers are reclaimed by vacuum's stale-staging sweep)
+    val parent = new Path(stageBase)
+    if (f.exists(parent) && f.listStatus(parent).isEmpty)
+      f.delete(parent, false)
   }
 }
 

@@ -582,6 +582,36 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readVersion(spark, root, "t", 2L).count() === 1L)
   }
 
+  test("vacuum reclaims crashed writers' hidden staging dirs past the " +
+      "grace window; fresh ones (in-flight writers) survive") {
+    val root = freshRoot()
+    Snapshots.commit(Seq((1L, 2020)).toDF("id", "year"), root, "t", Seq("year"))
+    // simulate a crashed batch commit, delete, and stream epoch: staged
+    // files that never reached a manifest
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def stageDir(name: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/t/$name")
+      f.mkdirs(p)
+      val out = f.create(new org.apache.hadoop.fs.Path(p, "part-orphan.parquet"))
+      out.write(Array[Byte](1, 2, 3)); out.close()
+      p
+    }
+    val dirs = Seq(stageDir(".stage-dead1"), stageDir(".delstage-dead2"),
+      stageDir(".streamstage-deadq/7"))
+    // readers never see them (hidden-segment filtering) …
+    assert(Snapshots.readVersion(spark, root, "t", 1L).count() === 1L)
+    // … the default grace keeps them (indistinguishable from in-flight) …
+    assert(Snapshots.vacuum(spark, root, "t", keepVersions = 1).isEmpty)
+    dirs.foreach(p => assert(f.exists(p), s"$p must survive default grace"))
+    // … and zero grace reclaims them, reported under .staging/
+    val reclaimed = Snapshots.vacuum(spark, root, "t", keepVersions = 1,
+      graceMillis = 0L)
+    assert(reclaimed.count(_.startsWith(".staging/")) === 3, reclaimed)
+    dirs.foreach(p => assert(!f.exists(p), s"$p must be reclaimed"))
+    assert(Snapshots.readVersion(spark, root, "t", 1L).count() === 1L)
+  }
+
   test("history: one row per live version with operation, counts and added-file attribution") {
     val root = freshRoot()
     Snapshots.commit(Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year"),
