@@ -269,10 +269,24 @@ class GraftCatalog extends TableCatalog {
         isVersioned(ident.namespace.head)) {
       val spark = SparkSession.active
       val t = ident.namespace.head
+      // version confs win; timestamp confs resolve through the manifests'
+      // portable commit times (the TIMESTAMP AS OF machinery): start =
+      // first version committed AT/AFTER the instant, end = last version
+      // committed at/before it — an end instant predating v1 yields an
+      // empty window, not an error
       val start = spark.conf.getOption("spark.graft.changes.startVersion")
-        .map(_.toLong).getOrElse(1L)
+        .map(_.toLong)
+        .orElse(spark.conf
+          .getOption("spark.graft.changes.startTimestampMillis")
+          .map(_.toLong).map(ts => graft.lake.Snapshots
+            .versionAsOf(spark, root, t, ts - 1).map(_ + 1).getOrElse(1L)))
+        .getOrElse(1L)
       val end = spark.conf.getOption("spark.graft.changes.endVersion")
         .map(_.toLong)
+        .orElse(spark.conf
+          .getOption("spark.graft.changes.endTimestampMillis")
+          .map(_.toLong).map(ts => graft.lake.Snapshots
+            .versionAsOf(spark, root, t, ts).getOrElse(0L)))
         .orElse(graft.lake.Snapshots.latestVersion(spark, root, t))
         .getOrElse(throw new NoSuchTableException(
           Seq(catalogName) ++ ident.namespace :+ ident.name))

@@ -203,6 +203,36 @@ class CdfSourceSpec extends SparkTestBase {
     assert(replayed === Snapshots.readVersion(spark, root, "t", 3L)
       .select("id").as[Long].collect().toSet)
 
+    // TIMESTAMP-windowed spelling: resolves through the manifests'
+    // portable commit times exactly like TIMESTAMP AS OF — start = first
+    // version AT/AFTER the instant, end = last at/before; version confs
+    // win when both are set
+    val times = (1L to 3L)
+      .map(v => v -> Snapshots.manifest(spark, root, "t", v).committedAtMillis.get)
+    val t2 = times.find(_._1 == 2L).get._2
+    // commits can land within one millisecond — derive the instant's
+    // exact version window from the manifest times themselves
+    val expStart = times.collectFirst { case (v, ts) if ts >= t2 => v }.get
+    val expEnd = times.reverse.collectFirst { case (v, ts) if ts <= t2 => v }.get
+    spark.conf.set("spark.graft.changes.startTimestampMillis", t2.toString)
+    spark.conf.set("spark.graft.changes.endTimestampMillis", t2.toString)
+    try {
+      val byTs = spark.sql("SELECT id, _change_type, _commit_version " +
+        "FROM graftchg.t.changes").as[(Long, String, Long)].collect().toSet
+      spark.conf.unset("spark.graft.changes.startTimestampMillis")
+      spark.conf.unset("spark.graft.changes.endTimestampMillis")
+      assert(byTs ===
+        window(expStart, expEnd).as[(Long, String, Long)].collect().toSet,
+        s"window [$expStart,$expEnd] at ts=$t2: $byTs")
+      // an end instant predating v1 is an EMPTY window, not an error
+      spark.conf.set("spark.graft.changes.endTimestampMillis", "1")
+      spark.conf.unset("spark.graft.changes.startTimestampMillis")
+      assert(spark.sql("SELECT * FROM graftchg.t.changes").count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.changes.startTimestampMillis")
+      spark.conf.unset("spark.graft.changes.endTimestampMillis")
+    }
+
     // a replace-shaped version refuses; skipChangeCommits skips it
     Snapshots.compact(spark, root, "t", Seq.empty, 1, Seq("id"))
     val e = intercept[Exception] { window(1, 4).collect() }
