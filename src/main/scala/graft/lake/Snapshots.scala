@@ -61,6 +61,7 @@ object Snapshots {
 
   private def dataDir(root: String, table: String) = s"$root/$table/data"
   private def deletesDir(root: String, table: String) = s"$root/$table/deletes"
+  private[graft] def changesDir(root: String, table: String) = s"$root/$table/changes"
   private def manifestDir(root: String, table: String) = s"$root/_snapshots/$table"
 
   /** One merge-on-read delete vector: `file` (relative to `deletes/`)
@@ -79,6 +80,17 @@ object Snapshots {
     * identity of a streaming-sink commit — the exactly-once ledger a
     * replayed micro-batch epoch is deduplicated against (the Delta
     * `txnAppId`/`txnVersion` idea, carried in the manifest itself).
+    * `epochs` is that ledger's HIGH-WATER index (queryId → highest
+    * committed epochId), carried forward monotonically by EVERY verb so
+    * [[epochVersion]]'s replay probe is O(1) against the latest manifest
+    * instead of a scan over the whole history.
+    * `changeFiles` is the version's CDC capture (paths relative to
+    * `changes/`): `Some(files)` when the committing verb wrote
+    * pre/post-image change rows (`_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage), `Some(Nil)` when it captured and
+    * no row changed, `None` when the version carries no capture — the
+    * change feed then falls back to file-add attribution (and refuses
+    * rewrite-shaped versions, which adds alone cannot attribute).
     */
   private[graft] case class Manifest(
       committedAtMillis: Option[Long],
@@ -88,7 +100,9 @@ object Snapshots {
       files: Seq[String],
       operation: Option[String] = None,
       partitionCols: Seq[String] = Nil,
-      streamEpoch: Option[(String, Long)] = None) {
+      streamEpoch: Option[(String, Long)] = None,
+      epochs: Map[String, Long] = Map.empty,
+      changeFiles: Option[Seq[String]] = None) {
     /** file → version it was added in (0 when untracked). */
     def addedAtOf: Map[String, Long] =
       files.zip(addedAt.padTo(files.length, 0L)).toMap
@@ -357,7 +371,12 @@ object Snapshots {
       for {
         q <- top.get("epochQuery").map(_.asInstanceOf[String])
         e <- top.get("epochId").map(_.asInstanceOf[Long])
-      } yield (q, e))
+      } yield (q, e),
+      top.get("epochs").map(_.asInstanceOf[scala.collection.Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Long] }.toMap)
+        .getOrElse(Map.empty),
+      top.get("changeFiles").map(_.asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[String])))
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -401,13 +420,24 @@ object Snapshots {
       addedAt: Seq[Long] = Nil,
       operation: Option[String] = None,
       partitionCols: Seq[String] = Nil,
-      streamEpoch: Option[(String, Long)] = None): Unit = {
+      streamEpoch: Option[(String, Long)] = None,
+      epochs: Map[String, Long] = Map.empty,
+      changeFiles: Option[Seq[String]] = None): Unit = {
     val schemaPart =
       schema.map(s => s""""schema": "${jsonEscape(s.json)}", """).getOrElse("")
     val opPart =
       operation.map(o => s""""operation": "${jsonEscape(o)}", """).getOrElse("")
     val epochPart = streamEpoch.map { case (q, e) =>
       s""""epochQuery": "${jsonEscape(q)}", "epochId": $e, """ }.getOrElse("")
+    // deterministic key order (sorted) — manifests diff cleanly
+    val epochsPart =
+      if (epochs.isEmpty) ""
+      else epochs.toSeq.sortBy(_._1)
+        .map { case (q, e) => s""""${jsonEscape(q)}": $e""" }
+        .mkString("\"epochs\": {", ", ", "}, ")
+    val changePart = changeFiles.map(cf =>
+      cf.map(x => s""""${jsonEscape(x)}"""")
+        .mkString("\"changeFiles\": [", ", ", "], ")).getOrElse("")
     val partPart =
       if (partitionCols.isEmpty) ""
       else partitionCols.map(c => s""""${jsonEscape(c)}"""")
@@ -423,7 +453,8 @@ object Snapshots {
       else addedAt.mkString("\"addedAt\": [", ", ", "], ")
     val json = files.map(x => s""""${jsonEscape(x)}"""").mkString(
       s"""{"committedAtMillis": ${System.currentTimeMillis()}, """ +
-        opPart + epochPart + partPart + schemaPart + deletesPart + addedPart +
+        opPart + epochPart + epochsPart + changePart + partPart + schemaPart +
+        deletesPart + addedPart +
         """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
@@ -779,7 +810,7 @@ object Snapshots {
     beforePublish()
     writeManifest(fs(spark, root), root, table, version, prev.files,
       Some(evolved), prev.deletes, prev.addedAt.padTo(prev.files.length, 0L),
-      Some("evolve"), prev.partitionCols)
+      Some("evolve"), prev.partitionCols, epochs = prev.epochs)
     // stats carry forward untouched (same files, same data)
     writeSidecar(spark, root, table, version, prev.files, None,
       prev.files, Some(latest))
@@ -838,10 +869,11 @@ object Snapshots {
   private[graft] def commitReplacingPrefixes(df: DataFrame, root: String,
       table: String, partitionCols: Seq[String], statsCols: Seq[String],
       replacedPrefixes: Seq[String], operation: String = "commit",
-      expectedBase: Option[Long] = None): Long =
+      expectedBase: Option[Long] = None,
+      changes: Option[DataFrame] = None): Long =
     commitImpl(df, root, table, partitionCols, statsCols,
       overwritePartitions = true, explicitReplaced = Some(replacedPrefixes),
-      operation = operation, expectedBase = expectedBase)
+      operation = operation, expectedBase = expectedBase, changes = changes)
 
   /** Full logical replace: the committed frame IS the new version — no
     * files carry over (an unpartitioned MERGE, a maintained state table,
@@ -873,10 +905,11 @@ object Snapshots {
   private[graft] def commitFullReplace(df: DataFrame, root: String,
       table: String, statsCols: Seq[String], operation: String = "replace",
       expectedBase: Option[Long] = None,
-      partitionCols: Seq[String] = Seq.empty): Long =
+      partitionCols: Seq[String] = Seq.empty,
+      changes: Option[DataFrame] = None): Long =
     commitImpl(df, root, table, partitionCols, statsCols,
       overwritePartitions = true, replaceAllFiles = true,
-      operation = operation, expectedBase = expectedBase)
+      operation = operation, expectedBase = expectedBase, changes = changes)
 
   /** Everything a commit attempt needs that does NOT depend on the
     * version it lands on — the staged data files (written ONCE), their
@@ -931,7 +964,8 @@ object Snapshots {
       root: String, table: String, partitionCols: Seq[String],
       overwritePartitions: Boolean, replaceAllFiles: Boolean,
       explicitReplaced: Option[Seq[String]], operation: String,
-      expectedBase: Option[Long]): Long = {
+      expectedBase: Option[Long],
+      changeFiles: Option[Seq[String]] = None): Long = {
     val f = fs(spark, root)
     val prevVersion = latestVersion(spark, root, table)
     expectedBase.foreach { e =>
@@ -971,7 +1005,9 @@ object Snapshots {
         partitionCols.flatMap(c => merged.fields.find(_.name == c)))
     beforePublish()
     writeManifest(f, root, table, version, files, Some(schema), deletes,
-      addedAt, Some(operation), partitionCols)
+      addedAt, Some(operation), partitionCols,
+      epochs = prev.map(_.epochs).getOrElse(Map.empty),
+      changeFiles = changeFiles)
     writeSidecar(spark, root, table, version, files, staged.freshStats,
       carried, prevVersion)
     version
@@ -983,11 +1019,43 @@ object Snapshots {
       replaceAllFiles: Boolean = false,
       explicitReplaced: Option[Seq[String]] = None,
       operation: String = "commit",
-      expectedBase: Option[Long] = None): Long = {
+      expectedBase: Option[Long] = None,
+      changes: Option[DataFrame] = None): Long = {
     val staged = stage(df, root, table, partitionCols, statsCols)
+    // CDC capture (row-level verbs only — `changes` is the caller-computed
+    // pre/post-image frame): a second data write of only the CHANGED rows,
+    // staged like any data file. A lost publish orphans them — vacuum's
+    // changes-dir sweep reclaims unreferenced change files.
+    val changeFiles = changes.map(stageChanges(_, root, table))
     reconcile(df.sparkSession, staged, root, table, partitionCols,
       overwritePartitions, replaceAllFiles, explicitReplaced, operation,
-      expectedBase)
+      expectedBase, changeFiles)
+  }
+
+  /** Write a CDC change frame (data columns + `_change_type`) into
+    * `changes/` through a hidden staging directory; returns the published
+    * relative paths. Unpartitioned by design — change files are consumed
+    * as whole-version scans by the change feed, never partition-pruned.
+    */
+  private def stageChanges(df: DataFrame, root: String,
+      table: String): Seq[String] = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val stage = s"$root/$table/.chstage-${java.util.UUID.randomUUID().toString.take(12)}"
+    try {
+      df.write.mode("overwrite").parquet(stage)
+      val staged = listDataFilesWithAge(f, stage).map(_._1).sorted
+      val dir = changesDir(root, table)
+      f.mkdirs(new Path(dir))
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      staged.zipWithIndex.map { case (p, i) =>
+        val rel = f"chg-$tag-$i%05d.parquet"
+        if (!f.rename(new Path(s"$stage/$p"), new Path(s"$dir/$rel")))
+          throw new java.io.IOException(
+            s"failed to publish change file $rel into $dir")
+        rel
+      }
+    } finally f.delete(new Path(stage), true)
   }
 
   /** Merge-on-read row-level delete: publish a new version whose manifest
@@ -1099,7 +1167,7 @@ object Snapshots {
     writeManifest(f, root, table, version, prev.files, prev.schema,
       prev.deletes :+ DeleteVector(rel, refCols, version),
       prev.addedAt.padTo(prev.files.length, 0L),
-      Some("delete"), prev.partitionCols)
+      Some("delete"), prev.partitionCols, epochs = prev.epochs)
     // stats carry forward untouched: deleted rows can only make the
     // ranges WIDER than reality — conservative for skipping and planning
     writeSidecar(spark, root, table, version, prev.files, None,
@@ -1127,7 +1195,8 @@ object Snapshots {
     val version = latest + 1
     beforePublish()
     writeManifest(fs(spark, root), root, table, version, Seq.empty, schema,
-      operation = Some("truncate"), partitionCols = partCols)
+      operation = Some("truncate"), partitionCols = partCols,
+      epochs = prev.epochs)
     // carry the stats-sidecar SCHEMA forward (zero rows — no live files):
     // the write shape of the reborn table derives its tracked statsCols
     // from the latest sidecar, so skipping continuity survives a truncate
@@ -1140,7 +1209,7 @@ object Snapshots {
     * promote natively (SPARK-40876)? The Delta type-widening set, narrow
     * form: the integer chain and float→double.
     */
-  private def widens(from: org.apache.spark.sql.types.DataType,
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
@@ -1232,18 +1301,35 @@ object Snapshots {
 
   /** The version that streaming epoch `(queryId, epochId)` committed, or
     * None when the epoch never landed — the streaming sink's exactly-once
-    * guard. A linear scan over live manifests (memoized parses,
-    * version-count-sized driver work; [[vacuum]] bounds the history, and
-    * with it the ledger's reach — an epoch replayed from BEFORE the
-    * vacuum horizon re-appends, the same retention trade-off Delta's
-    * transaction ledger documents).
+    * guard. O(1) on the hot path: the latest manifest carries the ledger's
+    * HIGH-WATER index (`epochs`: queryId → max committed epochId, merged
+    * forward by every verb), so a NEW epoch — the only thing a healthy
+    * stream ever asks about — answers from one manifest read. Only a
+    * genuine replay (epochId at or below the high-water) pays the
+    * newest-first scan to locate its version, and that scan stops at the
+    * first manifest whose high-water for the query drops below the probed
+    * epoch. [[vacuum]] bounds the history, and with it the ledger's reach
+    * — an epoch replayed from BEFORE the vacuum horizon re-appends, the
+    * same retention trade-off Delta's transaction ledger documents.
     */
   private[graft] def epochVersion(spark: SparkSession, root: String,
       table: String, queryId: String, epochId: Long): Option[Long] = {
     val f = fs(spark, root)
-    listVersions(f, root, table).reverse.find { v =>
+    val vs = listVersions(f, root, table)
+    if (vs.isEmpty) return None
+    def m(v: Long) =
       parsedManifestAt(f, new Path(s"${manifestDir(root, table)}/v$v.json"))
-        .streamEpoch.contains((queryId, epochId))
+    m(vs.last).epochs.get(queryId) match {
+      case Some(hw) if epochId > hw => None // never committed — O(1)
+      case _ =>
+        // replay (or a pre-index history): newest-first, and once a
+        // manifest's own high-water shows the query had NOT yet reached
+        // this epoch, no older manifest can hold it either
+        vs.reverse.iterator.map(v => (v, m(v)))
+          .takeWhile { case (_, mf) =>
+            !mf.epochs.get(queryId).exists(_ < epochId) }
+          .collectFirst { case (v, mf)
+            if mf.streamEpoch.contains((queryId, epochId)) => v }
     }
   }
 
@@ -1305,9 +1391,14 @@ object Snapshots {
         val schema = org.apache.spark.sql.types.StructType(
           merged.fields.filterNot(x => parts.contains(x.name)) ++
             parts.flatMap(c => merged.fields.find(_.name == c)))
+        // merge this epoch into the high-water index (monotone: a late
+        // replay must never regress a newer epoch's entry)
+        val hw = prev.map(_.epochs).getOrElse(Map.empty)
+        val epochs = hw + (queryId ->
+          math.max(epochId, hw.getOrElse(queryId, Long.MinValue)))
         beforePublish()
         writeManifest(f, root, table, version, files, Some(schema), deletes,
-          addedAt, Some("stream"), parts, Some((queryId, epochId)))
+          addedAt, Some("stream"), parts, Some((queryId, epochId)), epochs)
         writeSidecar(spark, root, table, version, files, freshStats,
           carried, prevVersion)
         version
@@ -1382,7 +1473,8 @@ object Snapshots {
     // rewrite read applied them), so none carry.
     val files = added.map(_._1).sorted
     writeManifest(f, root, table, version, files, Some(full.schema),
-      Nil, files.map(_ => version), Some("compact"), partitionCols)
+      Nil, files.map(_ => version), Some("compact"), partitionCols,
+      epochs = manifest(spark, root, table, latest).epochs)
     writeSidecar(spark, root, table, version, files,
       stageFreshStats(spark, root, table, added, statsCols), Seq.empty, None)
     version
@@ -1682,9 +1774,13 @@ object Snapshots {
     val m = manifest(spark, root, table, toVersion) // loud vacuum error here
     val version = latest + 1
     beforePublish()
+    // the epoch high-water index carries from the LATEST manifest, not the
+    // restore target: the exactly-once ledger is monotone — an epoch
+    // committed between toVersion and latest must never re-commit after a
+    // rollback (its manifest stays live; the fast probe must agree)
     writeManifest(fs(spark, root), root, table, version, m.files, m.schema,
       m.deletes, m.addedAt.padTo(m.files.length, 0L), Some("restore"),
-      m.partitionCols)
+      m.partitionCols, epochs = manifest(spark, root, table, latest).epochs)
     writeSidecar(spark, root, table, version, m.files, None, m.files,
       Some(toVersion))
     version
@@ -1713,6 +1809,8 @@ object Snapshots {
       .map(v => manifest(spark, root, table, v))
     val kept = keptManifests.flatMap(_.files).toSet
     val keptVectors = keptManifests.flatMap(_.deletes.map(_.file)).toSet
+    val keptChanges =
+      keptManifests.flatMap(_.changeFiles.getOrElse(Nil)).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val dir = dataDir(root, table)
     val dead = listDataFilesWithAge(f, dir)
@@ -1722,6 +1820,12 @@ object Snapshots {
     val deadVectors = listDataFilesWithAge(f, ddir)
       .collect { case (p, t) if !keptVectors(p) && t < cutoff => p }.sorted
     deadVectors.foreach(p => f.delete(new Path(s"$ddir/$p"), false))
+    // CDC change files die with their versions (a change file belongs to
+    // exactly one manifest); orphans from lost publishes age out the same
+    val cdir = changesDir(root, table)
+    val deadChanges = listDataFilesWithAge(f, cdir)
+      .collect { case (p, t) if !keptChanges(p) && t < cutoff => p }.sorted
+    deadChanges.foreach(p => f.delete(new Path(s"$cdir/$p"), false))
     (1L until keepFrom).foreach { v =>
       f.delete(new Path(s"${manifestDir(root, table)}/v$v.json"), false)
       f.delete(new Path(sidecarPath(root, table, v)), true)
@@ -1745,12 +1849,19 @@ object Snapshots {
       .filter { st =>
         val n = st.getPath.getName
         st.isDirectory && (n.startsWith(".stage-") ||
-          n.startsWith(".delstage-") || n.startsWith(".streamstage-"))
+          n.startsWith(".delstage-") || n.startsWith(".chstage-") ||
+          n.startsWith(".streamstage-"))
       }
-      .filter(st => newestMtime(st.getPath) < cutoff)
+      // a LIVE writer deletes its staging dirs concurrently (the streaming
+      // sink drops every epoch dir on commit) — a dir that vanishes
+      // mid-listing is by definition not stale-leaked, so a failed
+      // mtime probe or delete must skip that dir, never abort the sweep
+      .filter(st => scala.util.Try(newestMtime(st.getPath))
+        .toOption.exists(_ < cutoff))
       .map(_.getPath)
-    staleStage.foreach(p => f.delete(p, true))
+    staleStage.foreach(p => scala.util.Try(f.delete(p, true)))
     dead ++ deadVectors.map(p => s"deletes/$p") ++
+      deadChanges.map(p => s"changes/$p") ++
       staleStage.map(p => s".staging/${p.getName}")
   }
 }

@@ -2559,7 +2559,118 @@ object LakeQueries {
       |  CAST(2 AS BIGINT) AS n_mor_deletes
       |FROM up GROUP BY 1""".stripMargin
 
+  /** q237's CDC-capture history, staged once per (JVM, sf): v1 = customer
+    * balances (pb-partitioned commit); then, with `spark.graft.cdc.write`
+    * on, v2 = a SQL UPDATE (copy-on-write — files removed; the capture
+    * records each hit row as a preimage/postimage pair) and v3 = a
+    * partition-replacing MERGE with all three clause kinds (conditioned
+    * UPDATE ×2 on matched balances, DELETE on the rest of the matched
+    * keys, INSERT of brand-new keys). Both rewrite-shaped versions carry
+    * change files in their manifests, so the change feed serves them
+    * EXACTLY — the shapes it previously refused by design.
+    */
+  private def stageCdcHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_cdcfeed_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir).select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          (col("c_custkey") % 8).cast("long").as("pb"))
+        graft.lake.Snapshots.commit(base, root, "balances", Seq("pb"))
+        graft.sql.GraftCatalog.install(s, "graftcdc", root)
+        s.conf.set(graft.sql.SnapshotCdc.WriteConf, "true")
+        try {
+          s.sql("""UPDATE graftcdc.balances SET bal_cents = bal_cents + 5
+                   WHERE c_custkey % 7 = 0""")
+          base.filter(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey").as("k"),
+              when(col("c_custkey") % 6 === 0, "U").otherwise("D").as("op"),
+              lit(0L).as("newbal"))
+            .unionByName(base.filter(col("c_custkey") % 11 === 0)
+              .select((col("c_custkey") + 1000000L).as("k"), lit("I").as("op"),
+                col("c_custkey").cast("long").as("newbal")))
+            .createOrReplaceTempView("graft_q237_src")
+          s.sql("""MERGE INTO graftcdc.balances AS t
+                   USING graft_q237_src AS src ON t.c_custkey = src.k
+                   WHEN MATCHED AND src.op = 'U'
+                     THEN UPDATE SET bal_cents = t.bal_cents * 2
+                   WHEN MATCHED THEN DELETE
+                   WHEN NOT MATCHED AND src.op = 'I' THEN INSERT
+                     (c_custkey, bal_cents, pb)
+                     VALUES (src.k, src.newbal, src.k % 8)""")
+        } finally s.conf.unset(graft.sql.SnapshotCdc.WriteConf)
+        // the STREAM leg over the same history: the capture versions flow
+        // through the shared planner — one AvailableNow pass to a parquet
+        // sink with a persistent checkpoint (idempotent re-invocation)
+        val q = s.readStream.format(classOf[graft.sql.CdfSource].getName)
+          .option("root", root).option("table", "balances").load()
+          .writeStream.format("parquet")
+          .option("path", s"$root/_cdc_out")
+          .option("checkpointLocation", s"$root/_cdc_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** CDC for rewrite-shaped commits: the batch `.changes` table (leg 1)
+    * and the CDF STREAM (leg 2) replay an UPDATE and a partition-replacing
+    * MERGE exactly — preimage/postimage pairs for updates, preimages for
+    * deletes, postimages for inserts — from the change files the verbs
+    * captured at commit time (`spark.graft.cdc.write`). Both legs must
+    * agree row-for-row (one shared planner), and the oracle recomputes
+    * every change row from the source table.
+    */
+  def q237CdcFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = stageCdcHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "graftcdc", root)
+    def agg(df: DataFrame, leg: Long): DataFrame = df
+      .groupBy(col("_commit_version").as("v"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).as("key_sum"),
+        sum(col("bal_cents")).as("bal_sum"))
+      .withColumn("leg", lit(leg))
+    agg(s.sql("SELECT * FROM graftcdc.balances.changes"), 1L)
+      .unionByName(agg(s.read.parquet(s"$root/_cdc_out"), 2L))
+  }
+
+  val q237Sql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+      |u2 AS (SELECT k, bal FROM base WHERE k % 7 = 0),
+      |s2 AS (SELECT k,
+      |    bal + CASE WHEN k % 7 = 0 THEN 5 ELSE 0 END AS bal FROM base),
+      |m_upd AS (SELECT k, bal FROM s2 WHERE k % 6 = 0),
+      |m_del AS (SELECT k, bal FROM s2 WHERE k % 3 = 0 AND k % 6 <> 0),
+      |ins AS (SELECT k + 1000000 AS k, CAST(k AS BIGINT) AS bal
+      |        FROM base WHERE k % 11 = 0),
+      |chg AS (
+      |  SELECT CAST(1 AS BIGINT) AS v, 'insert' AS ct, k, bal FROM base
+      |  UNION ALL SELECT 2, 'update_preimage', k, bal FROM u2
+      |  UNION ALL SELECT 2, 'update_postimage', k, bal + 5 FROM u2
+      |  UNION ALL SELECT 3, 'update_preimage', k, bal FROM m_upd
+      |  UNION ALL SELECT 3, 'update_postimage', k, bal * 2 FROM m_upd
+      |  UNION ALL SELECT 3, 'delete', k, bal FROM m_del
+      |  UNION ALL SELECT 3, 'insert', k, bal FROM ins),
+      |legs AS (
+      |  SELECT v, ct AS change_type, count(*) AS n_rows,
+      |    CAST(sum(k) AS BIGINT) AS key_sum,
+      |    CAST(sum(bal) AS BIGINT) AS bal_sum
+      |  FROM chg GROUP BY 1, 2)
+      |SELECT v, change_type, n_rows, key_sum, bal_sum,
+      |  CAST(1 AS BIGINT) AS leg FROM legs
+      |UNION ALL
+      |SELECT v, change_type, n_rows, key_sum, bal_sum,
+      |  CAST(2 AS BIGINT) AS leg FROM legs""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q237_cdc_feed" -> (q237CdcFeed _),
     "q233_stream_table_write" -> (q233StreamTableWrite _),
     "q234_sql_restore" -> (q234SqlRestore _),
     "q235_table_changes" -> (q235TableChanges _),
@@ -2603,6 +2714,7 @@ object LakeQueries {
     "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "q237_cdc_feed" -> q237Sql,
     "q233_stream_table_write" -> q233Sql,
     "q234_sql_restore" -> q234Sql,
     "q235_table_changes" -> q235Sql,

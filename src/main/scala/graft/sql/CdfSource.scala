@@ -110,14 +110,25 @@ object CdfSource {
       StructField(ChangeType, StringType, nullable = false) :+
       StructField(CommitVersion, LongType, nullable = false))
 
+  /** Operations that NEVER remove a live file, by construction — safe to
+    * attribute from file adds even when the predecessor manifest is gone
+    * (vacuumed) and a removal diff cannot be computed.
+    */
+  private val appendShapedOps =
+    Set("create", "append", "stream", "delete", "evolve")
+
   /** The change rows of versions `(fromExclusive, to]`, planned from
     * manifests alone — ONE implementation shared by the streaming source
-    * (per micro-batch) and the batch `<table>.changes` metadata table:
-    * per version, the files it added become insert partitions (V2 parquet
+    * (per micro-batch) and the batch `<table>.changes` metadata table.
+    * Per version, in priority order: a CDC CAPTURE (`changeFiles` written
+    * by the committing verb — UPDATE/row-level MERGE under
+    * `spark.graft.cdc.write`) is authoritative and streams verbatim
+    * (pre/post-image rows carrying their own `_change_type`); otherwise
+    * the files the version added become insert partitions (V2 parquet
     * scans pruned to `prunedData`) and the vectors it registered become
     * key-level delete partitions. A version that REMOVES live files
-    * refuses (or is skipped under `skipChangeCommits`) — file adds cannot
-    * attribute replaced rows.
+    * WITHOUT a capture refuses (or is skipped under `skipChangeCommits`)
+    * — file adds cannot attribute replaced rows.
     */
   private[sql] def planVersions(spark: SparkSession, root: String,
       table: String, fromExclusive: Long, to: Long,
@@ -134,20 +145,71 @@ object CdfSource {
       val live = m.files.toSet
       // change attribution needs an append-shaped version: nothing the
       // previous version served may disappear (deleteWhere removes no
-      // files; overwrites/compactions do)
-      val prev = prevFiles.getOrElse(
-        if (v == 1) Set.empty[String]
-        else Snapshots.manifest(spark, root, table, v - 1).files.toSet)
+      // files; overwrites/compactions do). The window's FIRST version may
+      // find its predecessor vacuumed — None then means "removals
+      // unknowable" and only append-shaped operations may proceed.
+      val prevOpt: Option[Set[String]] = prevFiles.orElse {
+        if (v == 1) Some(Set.empty[String])
+        else scala.util.Try(
+          Snapshots.manifest(spark, root, table, v - 1).files.toSet).toOption
+      }
       prevFiles = Some(live)
-      val removed = prev -- live
-      if (removed.nonEmpty) {
+      val removed = prevOpt.map(_ -- live)
+      if (m.changeFiles.isDefined) {
+        // CDC capture: the change files ARE the version's row changes —
+        // adds and vectors of this version are never re-attributed on top
+        val cf = m.changeFiles.get
+        if (cf.nonEmpty) {
+          val chDir = Snapshots.changesDir(root, table)
+          val chSchema = StructType(fullDataSchema.fields.toSeq :+
+            StructField(ChangeType, StringType, nullable = false))
+          // the scan always reads _change_type (it routes the row); the
+          // requested data columns prune as in the insert path
+          val prunedCh = StructType(prunedData.fields.toSeq :+
+            StructField(ChangeType, StringType, nullable = false))
+          val opts = new CaseInsensitiveStringMap(
+            java.util.Map.of("path", chDir))
+          val tbl = new DppParquetTable(s"$table@v$v(cdc)", spark, opts,
+            cf.sorted.map(f => s"$chDir/$f"), Some(chSchema))
+          val builder = tbl.newScanBuilder(opts)
+          builder match {
+            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+              p.pruneColumns(prunedCh)
+            case _ =>
+          }
+          val batch: Batch = builder.build().toBatch
+          val fi = factories.length
+          factories += batch.createReaderFactory()
+          batch.planInputPartitions().foreach(p =>
+            parts += CdfChangeFilePartition(p, fi, v))
+        }
+      } else if (removed match {
+          case Some(r) => r.nonEmpty // files removed: not attributable
+          case None => // removal diff unknowable (vacuumed predecessor):
+            // only operations that never remove files may proceed — an
+            // UNPARTITIONED "commit" has no partitions to replace and is
+            // an append by construction
+            !(m.operation.exists(appendShapedOps) ||
+              (m.operation.contains("commit") && m.partitionCols.isEmpty))
+          }) {
         if (!skipChangeCommits) throw new IllegalStateException(
-          s"change feed over $table: version $v removed " +
-            s"${removed.size} live file(s) (operation " +
-            s"${m.operation.getOrElse("unknown")}) — file adds cannot " +
-            "attribute its row changes. Replay it with " +
-            "graft.lake.Snapshots.diff, or set skipChangeCommits=true " +
-            "to skip such versions.")
+          removed match {
+            case Some(r) =>
+              s"change feed over $table: version $v removed " +
+                s"${r.size} live file(s) (operation " +
+                s"${m.operation.getOrElse("unknown")}) — file adds cannot " +
+                "attribute its row changes. Replay it with " +
+                "graft.lake.Snapshots.diff, or set skipChangeCommits=true " +
+                "to skip such versions."
+            case None =>
+              s"change feed over $table: version $v is the window's first " +
+                s"version, its predecessor manifest was retired by vacuum, " +
+                s"and its operation (${m.operation.getOrElse("unknown")}) " +
+                "may have removed live files — raise " +
+                "spark.graft.changes.startVersion to at least " +
+                s"${v + 1} (the earliest attributable version) or set " +
+                "skipChangeCommits=true to skip it."
+          })
       } else {
         val added = m.addedAtOf.collect { case (f, at) if at == v => f }.toSeq
         if (added.nonEmpty) {
@@ -377,6 +439,12 @@ private[sql] case class CdfFilePartition(inner: InputPartition,
 private[sql] case class CdfDeletePartition(cols: Seq[String],
     rows: Array[Array[Any]], version: Long) extends InputPartition
 
+/** A parquet partition of one version's CDC CAPTURE (change files written
+  * at commit time): rows carry their own `_change_type` as the scan's
+  * LAST column; the version to stamp rides along. */
+private[sql] case class CdfChangeFilePartition(inner: InputPartition,
+    factoryIdx: Int, version: Long) extends InputPartition
+
 private[sql] class CdfReaderFactory(
     factories: Array[PartitionReaderFactory],
     prunedData: StructType, changeCols: Seq[String])
@@ -401,6 +469,38 @@ private[sql] class CdfReaderFactory(
         new PartitionReader[InternalRow] {
           override def next(): Boolean = r.next()
           override def get(): InternalRow = joined(r.get(), meta)
+          override def close(): Unit = r.close()
+        }
+      case CdfChangeFilePartition(inner, fi, v) =>
+        val r = factories(fi).createReader(inner)
+        val nData = prunedData.length
+        val dts = prunedData.fields.map(_.dataType)
+        // per requested meta column: -1 = _change_type (scanned col nData),
+        // -2 = _commit_version (constant)
+        val metaSrc = changeCols.map {
+          case CdfSource.ChangeType => -1
+          case CdfSource.CommitVersion => -2
+        }.toArray
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = {
+            val in = r.get()
+            // reference copy (same validity window as the JoinedRow path:
+            // values live until the next next() call)
+            val out = new GenericInternalRow(nData + metaSrc.length)
+            var i = 0
+            while (i < nData) {
+              out.update(i, if (in.isNullAt(i)) null else in.get(i, dts(i)))
+              i += 1
+            }
+            var j = 0
+            while (j < metaSrc.length) {
+              out.update(nData + j,
+                if (metaSrc(j) == -1) in.getUTF8String(nData) else (v: Any))
+              j += 1
+            }
+            out
+          }
           override def close(): Unit = r.close()
         }
       case CdfDeletePartition(cols, rows, v) =>

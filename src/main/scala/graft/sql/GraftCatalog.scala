@@ -250,7 +250,7 @@ class GraftCatalog extends TableCatalog {
     val r = root
     val id = ident
     val t: Table = new StreamingSnapshotTable(delegate, r, ident.name,
-      () => { val (_, p, s) = insertShape(id); (p, s) })
+      () => insertShape(id))
     cache.synchronized { cache.putIfAbsent(key, t) }
     t
   }

@@ -88,6 +88,28 @@ class SnapshotDmlTable(
   }
 }
 
+/** CDC capture switch shared by the row-level verbs: with
+  * `spark.graft.cdc.write = true`, UPDATE and row-level MERGE additionally
+  * write per-commit change files (pre/post-image rows with `_change_type`
+  * ∈ insert / delete / update_preimage / update_postimage, the Delta CDF
+  * row shape) referenced from the manifest — the change feed then serves
+  * those rewrite-shaped versions EXACTLY instead of refusing. Priced
+  * honestly: a second write of only the CHANGED rows (the verbs already
+  * compute them), plus one extra evaluation of the (pruned) rewrite plan.
+  */
+object SnapshotCdc {
+  val WriteConf = "spark.graft.cdc.write"
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(WriteConf).exists(_.toBoolean)
+
+  /** The `_change_type` column is reserved while capture is on. */
+  def checkReserved(columns: Seq[String], table: String): Unit =
+    require(!columns.contains(CdfSource.ChangeType),
+      s"$table carries a column named ${CdfSource.ChangeType}, which CDC " +
+        s"capture reserves — disable $WriteConf for this statement")
+}
+
 object SnapshotDml {
 
   /** V1 source filter → Column, total over the shapes Spark's filter

@@ -576,9 +576,39 @@ case class SnapshotMergeCommand(
     val result = full.filter(col("__graft_keep"))
       .select(baseFields.map(f => col(f.name)): _*)
 
+    // CDC capture (spark.graft.cdc.write): one extra evaluation of the
+    // same pruned join emitting ONLY the changed rows — fired UPDATEs as
+    // preimage+postimage pairs, fired DELETEs as preimages, fired INSERTs
+    // as postimages; carried rows emit nothing. Written as the commit's
+    // change files, making this rewrite-shaped version exactly replayable
+    // by the change feed (batch and stream).
+    val changes: Option[org.apache.spark.sql.DataFrame] =
+      if (!SnapshotCdc.enabled(spark)) None
+      else {
+        SnapshotCdc.checkReserved(base.columns.toSeq, table)
+        import org.apache.spark.sql.functions.{array, explode, struct}
+        val updateFires = (mFires.zip(program.matched) ++
+            bsFires.zip(program.bySource))
+          .collect { case (fl, cl) if cl.assigns.nonEmpty => fl }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val insertFires = anyIFires
+        def chRow(ct: String, cols: Seq[Column]) =
+          struct((cols :+ lit(ct).as(CdfSource.ChangeType)): _*)
+        val oldCols = baseFields.map(f =>
+          bridge.column(baseOf(f.name)).as(f.name))
+        val arr = when(updateFires,
+            array(chRow("update_preimage", oldCols),
+              chRow("update_postimage", outCols)))
+          .when(deleteFires, array(chRow("delete", oldCols)))
+          .when(insertFires, array(chRow("insert", outCols)))
+          .otherwise(lit(null)) // carried row: explode drops the null array
+        Some(joined.select(explode(arr).as("__graft_chg"))
+          .select(col("__graft_chg.*")))
+      }
+
     if (partitionCols.isEmpty) {
       Snapshots.commitFullReplace(result, root, table, statsCols,
-        operation = "merge", expectedBase = Some(latest))
+        operation = "merge", expectedBase = Some(latest), changes = changes)
     } else {
       // partition-pruned copy-on-write: replace ONLY partitions the merge
       // touched — surviving touched rows' (possibly NEW) partitions plus
@@ -615,7 +645,7 @@ case class SnapshotMergeCommand(
         }
       Snapshots.commitReplacingPrefixes(commitDf, root, table,
         partitionCols, statsCols, prefixes,
-        operation = "merge", expectedBase = Some(latest))
+        operation = "merge", expectedBase = Some(latest), changes = changes)
     }
     Seq.empty
   }

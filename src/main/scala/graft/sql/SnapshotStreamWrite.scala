@@ -50,11 +50,13 @@ class StreamingSnapshotTable(
     delegate: Table with SupportsRead,
     root: String,
     table: String,
-    shape: () => (Seq[String], Seq[String]))
+    shape: () => (StructType, Seq[String], Seq[String]))
   extends Table with SupportsRead with SupportsWrite {
 
-  // derived at most once, and only when the write half is actually used
-  private lazy val (partitionCols, statsCols) = shape()
+  // derived at most once, and only when the write half is actually used.
+  // manifestSchema is the UNWIDENED committed schema — the epoch commit
+  // must record stored types, not the catalog's BIGINT-widened read view
+  private lazy val (manifestSchema, partitionCols, statsCols) = shape()
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
@@ -76,6 +78,23 @@ class StreamingSnapshotTable(
     new WriteBuilder {
       override def build(): Write = {
         val (pCols, sCols) = (partitionCols, statsCols)
+        // the stream resolved this table's READ schema, whose integer
+        // partition columns the catalog widens to BIGINT; committing that
+        // widened schema would silently evolve the stored manifest type
+        // (and break later int-typed batch appends against the additive
+        // check). De-widen: partition columns commit under their STORED
+        // type — values encode through dirValue as directory strings, so
+        // the task-side rows (which carry the widened type) are unaffected.
+        val commitSchema = StructType(info.schema().fields.map { f =>
+          if (pCols.contains(f.name))
+            manifestSchema.fields.find(_.name == f.name) match {
+              case Some(mf) if mf.dataType != f.dataType &&
+                  graft.lake.Snapshots.widens(mf.dataType, f.dataType) =>
+                f.copy(dataType = mf.dataType)
+              case _ => f
+            }
+          else f
+        })
         val missing = pCols.filterNot(info.schema().fieldNames.contains)
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"streaming write into $table: partition column(s) " +
@@ -108,7 +127,7 @@ class StreamingSnapshotTable(
             Array.empty
           override def toStreaming: StreamingWrite =
             new SnapshotStreamingWrite(root, table, info.queryId(),
-              info.schema(), pCols, sCols)
+              info.schema(), pCols, sCols, commitSchema)
         }
       }
     }
@@ -140,7 +159,10 @@ private[sql] object SnapshotStreamingWrite {
 private[sql] class SnapshotStreamingWrite(
     root: String, table: String, queryId: String,
     writeSchema: StructType, partitionCols: Seq[String],
-    statsCols: Seq[String])
+    statsCols: Seq[String],
+    // the schema the epoch COMMIT records (partition columns de-widened to
+    // their stored manifest types); writeSchema stays the task-row layout
+    commitSchema: StructType)
   extends StreamingWrite {
 
   private def stageBase = s"$root/$table/.streamstage-$queryId"
@@ -177,7 +199,7 @@ private[sql] class SnapshotStreamingWrite(
     if (!replayed && rels.nonEmpty) {
       val added = Snapshots.adoptStagedFiles(spark, root, table,
         stageEpochDir, rels)
-      Snapshots.commitStreamEpoch(spark, root, table, added, writeSchema,
+      Snapshots.commitStreamEpoch(spark, root, table, added, commitSchema,
         partitionCols, statsCols, queryId, epochId)
     }
     // replayed epochs (and empty ones) publish nothing; either way the

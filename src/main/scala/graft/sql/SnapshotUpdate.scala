@@ -453,12 +453,28 @@ case class SnapshotUpdateCommand(
     // (`hit` is never null after the coalesce).
     val condHasSubquery = cond.exists(_.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-    val updated = if (condHasSubquery) {
-      val assignedCols = base.schema.fields.toSeq.map { f =>
-        assignOf.get(f.name)
-          .map(v => DmlRebind.castTo(remap(v), f.dataType).as(f.name))
-          .getOrElse(bridge.column(baseAttr(f.name)).as(f.name))
+    // the assigned projection over already-hit-filtered rows (assignments
+    // apply unconditionally there) — the subquery-split rewrite path and
+    // the CDC postimage both use it
+    lazy val assignedCols = base.schema.fields.toSeq.map { f =>
+      assignOf.get(f.name)
+        .map(v => DmlRebind.castTo(remap(v), f.dataType).as(f.name))
+        .getOrElse(bridge.column(baseAttr(f.name)).as(f.name))
+    }
+    // CDC capture (spark.graft.cdc.write): hit rows as preimage+postimage
+    // pairs — the change files make this copy-on-write version exactly
+    // replayable by the change feed instead of a refusal
+    val changes: Option[org.apache.spark.sql.DataFrame] =
+      if (!graft.sql.SnapshotCdc.enabled(spark)) None
+      else {
+        graft.sql.SnapshotCdc.checkReserved(base.columns.toSeq, table)
+        val hitRows = base.filter(hit)
+        Some(hitRows
+          .withColumn(CdfSource.ChangeType, lit("update_preimage"))
+          .unionByName(hitRows.select(assignedCols: _*)
+            .withColumn(CdfSource.ChangeType, lit("update_postimage"))))
       }
+    val updated = if (condHasSubquery) {
       base.filter(hit).select(assignedCols: _*)
         .unionByName(base.filter(!hit))
     } else {
@@ -475,7 +491,8 @@ case class SnapshotUpdateCommand(
 
     if (partitionCols.isEmpty) {
       Snapshots.commitFullReplace(updated, root, table, statsCols,
-        operation = "update", expectedBase = Some(latest))
+        operation = "update", expectedBase = Some(latest),
+        changes = changes)
     } else {
       // partition-pruned copy-on-write: hit rows' OLD partitions, plus
       // their NEW partitions when the SET list rewrites a partition column
@@ -517,7 +534,8 @@ case class SnapshotUpdateCommand(
         }
       Snapshots.commitReplacingPrefixes(commitDf, root, table,
         partitionCols, statsCols, prefixes,
-        operation = "update", expectedBase = Some(latest))
+        operation = "update", expectedBase = Some(latest),
+        changes = changes)
     }
     Seq.empty
   }

@@ -119,6 +119,51 @@ class StreamingTableWriteSpec extends SparkTestBase {
       Seq.empty, Seq.empty, "q1", 8L) === v1 + 1)
   }
 
+  test("the epoch ledger's high-water index is carried by every verb and " +
+      "keeps the replay probe exact across batch commits, deletes, " +
+      "compaction and RESTORE") {
+    val root = freshRoot()
+    Snapshots.commit((0L until 8L).map(i => (i, i)).toDF("id", "x"),
+      root, "t", Seq.empty)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType)))
+    def epoch(e: Long, id: Long): Long = {
+      val stage = s"$root/t/.streamstage-qhw/$e"
+      Seq((id, id)).toDF("id", "x").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val rel = new java.io.File(stage).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      val added = Snapshots.adoptStagedFiles(spark, root, "t", stage, Seq(rel))
+      Snapshots.commitStreamEpoch(spark, root, "t", added, schema,
+        Seq.empty, Seq.empty, "qhw", e)
+    }
+    val v2 = epoch(0L, 100L)
+    // interleave every manifest-writing verb: each must CARRY the index
+    Snapshots.commit(Seq((200L, 200L)).toDF("id", "x"), root, "t", Seq.empty)
+    Snapshots.deleteWhere(spark, root, "t", col("id") === 1L)
+    Snapshots.evolveSchema(spark, root, "t", Seq(StructField("note",
+      org.apache.spark.sql.types.StringType)))
+    Snapshots.compact(spark, root, "t", Seq.empty, 1, Seq("id"))
+    val latest = Snapshots.latestVersion(spark, root, "t").get
+    assert(Snapshots.manifest(spark, root, "t", latest).epochs ===
+      Map("qhw" -> 0L), "a verb dropped the epoch high-water index")
+    // replay of epoch 0 after all of them: still found, nothing re-commits
+    assert(Snapshots.epochVersion(spark, root, "t", "qhw", 0L) === Some(v2))
+    assert(epoch(0L, 999L) === v2)
+    assert(Snapshots.latestVersion(spark, root, "t").get === latest)
+    // a NEW epoch answers from the latest manifest alone and commits
+    assert(Snapshots.epochVersion(spark, root, "t", "qhw", 1L) === None)
+    val v8 = epoch(1L, 101L)
+    // RESTORE to before epoch 1: the ledger must stay MONOTONE (carried
+    // from the latest manifest, not the restore target) — a replay of
+    // epoch 1 after the rollback must not re-append
+    Snapshots.restore(spark, root, "t", v8 - 1)
+    assert(Snapshots.manifest(spark, root, "t",
+      Snapshots.latestVersion(spark, root, "t").get).epochs ===
+      Map("qhw" -> 1L))
+    assert(epoch(1L, 998L) === v8)
+  }
+
   test("a concurrent batch commit between epoch read and publish is " +
       "reconciled, not lost (retryable race, metadata-only retry)") {
     val root = freshRoot()
@@ -150,6 +195,64 @@ class StreamingTableWriteSpec extends SparkTestBase {
     assert(all === Set(1L, 2L, 99L))
     assert(Snapshots.manifest(spark, root, "t", 3L)
       .streamEpoch.contains(("q2", 0L)))
+  }
+
+  test("an INT partition column commits UNWIDENED: the stream resolves " +
+      "the catalog's BIGINT-widened read schema, but the epoch must not " +
+      "evolve the stored manifest type — later int-typed batch appends " +
+      "keep working") {
+    val root = freshRoot()
+    val intSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("p", org.apache.spark.sql.types.IntegerType)))
+    Snapshots.createTable(spark, root, "ti", intSchema, Seq("p"))
+    GraftCatalog.install(spark, "graftsw3", root)
+    val src = s"$root/_src"
+    // the stream reads the table's WIDENED schema (p: bigint) — exactly
+    // the shape toTable resolves for its own write validation
+    Seq((1L, 0L), (2L, 1L)).toDF("id", "p")
+      .write.mode("append").parquet(src)
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType),
+        StructField("p", LongType))))
+      .parquet(src)
+      .writeStream.option("checkpointLocation", s"$root/_cp")
+      .trigger(Trigger.AvailableNow()).toTable("graftsw3.ti")
+    q.awaitTermination()
+    val latest = Snapshots.latestVersion(spark, root, "ti").get
+    val committed = Snapshots.manifest(spark, root, "ti", latest).schema.get
+    assert(committed("p").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      s"stream epoch widened the stored partition type: $committed")
+    // the additive check type-matches against the manifest — an int-typed
+    // batch frame must still append (a widened manifest would refuse the
+    // long -> int narrowing here)
+    Snapshots.append(Seq((3L, 2)).toDF("id", "p"), root, "ti", Seq("p"))
+    assert(spark.sql("SELECT id FROM graftsw3.ti")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
+  test("a NULL partition value refuses task-side, loudly — the documented " +
+      "batch/stream divergence (batch writes __HIVE_DEFAULT_PARTITION__; " +
+      "a null partition in a CDC stream is a bug upstream)") {
+    val root = freshRoot()
+    Snapshots.createTable(spark, root, "tn", srcSchema, Seq("p"))
+    GraftCatalog.install(spark, "graftsw4", root)
+    val src = s"$root/_src"
+    Seq((1L, "a", Some(0L)), (2L, "b", None))
+      .toDF("id", "v", "p").write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.schema(srcSchema).parquet(src)
+        .writeStream.option("checkpointLocation", s"$root/_cp")
+        .trigger(Trigger.AvailableNow()).toTable("graftsw4.tn")
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains("null value in partition column"))), e.toString)
+    // nothing committed: the failed epoch published no manifest
+    assert(Snapshots.latestVersion(spark, root, "tn").get === 1L)
   }
 
   test("streaming write refuses unsupported partition column types and " +
