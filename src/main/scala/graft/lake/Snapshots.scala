@@ -102,7 +102,8 @@ object Snapshots {
       partitionCols: Seq[String] = Nil,
       streamEpoch: Option[(String, Long)] = None,
       epochs: Map[String, Long] = Map.empty,
-      changeFiles: Option[Seq[String]] = None) {
+      changeFiles: Option[Seq[String]] = None,
+      droppedPhysical: Seq[String] = Nil) {
     /** file → version it was added in (0 when untracked). */
     def addedAtOf: Map[String, Long] =
       files.zip(addedAt.padTo(files.length, 0L)).toMap
@@ -376,7 +377,9 @@ object Snapshots {
         .map { case (k, v) => k -> v.asInstanceOf[Long] }.toMap)
         .getOrElse(Map.empty),
       top.get("changeFiles").map(_.asInstanceOf[Seq[Any]]
-        .map(_.asInstanceOf[String])))
+        .map(_.asInstanceOf[String])),
+      top.get("droppedPhysical").map(_.asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[String])).getOrElse(Nil))
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -422,7 +425,8 @@ object Snapshots {
       partitionCols: Seq[String] = Nil,
       streamEpoch: Option[(String, Long)] = None,
       epochs: Map[String, Long] = Map.empty,
-      changeFiles: Option[Seq[String]] = None): Unit = {
+      changeFiles: Option[Seq[String]] = None,
+      droppedPhysical: Seq[String] = Nil): Unit = {
     val schemaPart =
       schema.map(s => s""""schema": "${jsonEscape(s.json)}", """).getOrElse("")
     val opPart =
@@ -438,6 +442,10 @@ object Snapshots {
     val changePart = changeFiles.map(cf =>
       cf.map(x => s""""${jsonEscape(x)}"""")
         .mkString("\"changeFiles\": [", ", ", "], ")).getOrElse("")
+    val droppedPart =
+      if (droppedPhysical.isEmpty) ""
+      else droppedPhysical.map(x => s""""${jsonEscape(x)}"""")
+        .mkString("\"droppedPhysical\": [", ", ", "], ")
     val partPart =
       if (partitionCols.isEmpty) ""
       else partitionCols.map(c => s""""${jsonEscape(c)}"""")
@@ -453,8 +461,8 @@ object Snapshots {
       else addedAt.mkString("\"addedAt\": [", ", ", "], ")
     val json = files.map(x => s""""${jsonEscape(x)}"""").mkString(
       s"""{"committedAtMillis": ${System.currentTimeMillis()}, """ +
-        opPart + epochPart + epochsPart + changePart + partPart + schemaPart +
-        deletesPart + addedPart +
+        opPart + epochPart + epochsPart + changePart + droppedPart +
+        partPart + schemaPart + deletesPart + addedPart +
         """"files": [""",
       ", ", "]}")
     val p = new Path(s"${manifestDir(root, table)}/v$version.json")
@@ -808,10 +816,110 @@ object Snapshots {
         prevSchema.fields.filter(f => partSet.contains(f.name)))
     val version = latest + 1
     beforePublish()
+    newFields.foreach(f => checkPhysicalCollision(f.name, prevSchema,
+      prev.droppedPhysical, table))
     writeManifest(fs(spark, root), root, table, version, prev.files,
       Some(evolved), prev.deletes, prev.addedAt.padTo(prev.files.length, 0L),
-      Some("evolve"), prev.partitionCols, epochs = prev.epochs)
+      Some("evolve"), prev.partitionCols, epochs = prev.epochs,
+      droppedPhysical = prev.droppedPhysical)
     // stats carry forward untouched (same files, same data)
+    writeSidecar(spark, root, table, version, prev.files, None,
+      prev.files, Some(latest))
+    version
+  }
+
+  /** Rename a column — METADATA-ONLY, via logical→physical column
+    * mapping (the Delta `columnMapping.mode=name` design): the new
+    * version's schema carries the new LOGICAL name with the column's
+    * original PHYSICAL name in field metadata (`graft.physical`). No data
+    * file is touched; old versions keep serving their own column names
+    * under time travel; writes after the rename spell the column
+    * physically, so new and old files stay byte-layout compatible; stats
+    * sidecars and delete vectors, keyed physically, keep applying.
+    *
+    * PARTITION columns refuse (their physical name is baked into every
+    * directory path — rewrite via [[compact]] with a projected frame
+    * instead). The new name must not collide with an existing logical
+    * name.
+    */
+  def renameColumn(spark: SparkSession, root: String, table: String,
+      from: String, to: String): Long = {
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to alter"))
+    val prev = manifest(spark, root, table, latest)
+    val prevSchema = prev.schema.getOrElse(throw new IllegalStateException(
+      s"version $latest of $table predates schema tracking — commit once " +
+        "through Snapshots before renaming columns"))
+    val field = prevSchema.fields.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn: no column $from in $table " +
+          s"(columns: ${prevSchema.fieldNames.mkString(", ")})"))
+    require(!prev.partitionCols.contains(from),
+      s"renameColumn: $from is a partition column of $table — its " +
+        "physical name is baked into every directory path; rewrite the " +
+        "table (compact with a projected frame) instead")
+    require(!prevSchema.fieldNames.contains(to),
+      s"renameColumn: column $to already exists in $table")
+    val renamed = org.apache.spark.sql.types.StructType(prevSchema.fields.map {
+      case f if f.name == from =>
+        ColumnMapping.withPhysical(f, ColumnMapping.physicalName(f))
+          .copy(name = to)
+      case f => f
+    })
+    val version = latest + 1
+    beforePublish()
+    writeManifest(fs(spark, root), root, table, version, prev.files,
+      Some(renamed), prev.deletes, prev.addedAt.padTo(prev.files.length, 0L),
+      Some("rename-column"), prev.partitionCols, epochs = prev.epochs,
+      droppedPhysical = prev.droppedPhysical)
+    // stats carry forward untouched (sidecars are keyed physically)
+    writeSidecar(spark, root, table, version, prev.files, None,
+      prev.files, Some(latest))
+    version
+  }
+
+  /** Drop a column — METADATA-ONLY: the new version's schema omits the
+    * field, its PHYSICAL name is RETIRED (`droppedPhysical`), and the
+    * bytes stay on disk — older versions still read the column under
+    * time travel; vacuum reclaims the files only when no kept version
+    * references them. Re-adding a column under the retired name refuses
+    * until a [[compact]] rewrites the live files without it (old bytes
+    * would otherwise resurrect under the new column).
+    *
+    * Refuses for partition columns, for the last remaining column, and
+    * while a live delete vector references the column (the vector's
+    * predicate values could no longer be evaluated — compact first to
+    * fold vectors away).
+    */
+  def dropColumn(spark: SparkSession, root: String, table: String,
+      name: String): Long = {
+    val latest = latestVersion(spark, root, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $table to alter"))
+    val prev = manifest(spark, root, table, latest)
+    val prevSchema = prev.schema.getOrElse(throw new IllegalStateException(
+      s"version $latest of $table predates schema tracking — commit once " +
+        "through Snapshots before dropping columns"))
+    val field = prevSchema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: no column $name in $table"))
+    require(!prev.partitionCols.contains(name),
+      s"dropColumn: $name is a partition column of $table")
+    require(prevSchema.fields.length > 1,
+      s"dropColumn: $name is the last column of $table")
+    val phys = ColumnMapping.physicalName(field)
+    val referencing = prev.deletes.filter(_.cols.contains(phys))
+    require(referencing.isEmpty,
+      s"dropColumn: ${referencing.size} live delete vector(s) reference " +
+        s"$name — compact first (folds the vectors into a rewrite), then " +
+        "drop")
+    val shrunk = org.apache.spark.sql.types.StructType(
+      prevSchema.fields.filterNot(_.name == name))
+    val version = latest + 1
+    beforePublish()
+    writeManifest(fs(spark, root), root, table, version, prev.files,
+      Some(shrunk), prev.deletes, prev.addedAt.padTo(prev.files.length, 0L),
+      Some("drop-column"), prev.partitionCols, epochs = prev.epochs,
+      droppedPhysical = (prev.droppedPhysical :+ phys).distinct)
     writeSidecar(spark, root, table, version, prev.files, None,
       prev.files, Some(latest))
     version
@@ -921,6 +1029,17 @@ object Snapshots {
     */
   private final class StagedCommit(df: DataFrame, root: String, table: String,
       partitionCols: Seq[String], statsCols: Seq[String]) {
+    /** The latest schema IF it carries column mapping — every data write
+      * then spells columns physically, so files written before and after
+      * a rename stay byte-layout compatible. None (the overwhelmingly
+      * common case) costs nothing. Read once at stage time; a rename
+      * racing a concurrent write needs a quiesce, like table renames.
+      */
+    private[Snapshots] val mappingSchema
+        : Option[org.apache.spark.sql.types.StructType] =
+      latestVersion(df.sparkSession, root, table)
+        .flatMap(v => versionSchema(df.sparkSession, root, table, v))
+        .filter(ColumnMapping.isMapped)
     val added: Seq[(String, Long)] = {
       // cluster by partition values: one writer task per partition value
       // instead of (parallelism × partitions) file shards — see
@@ -928,12 +1047,20 @@ object Snapshots {
       val clustered =
         if (partitionCols.isEmpty) df
         else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      writeData(clustered, root, table, partitionCols)
+      val spelled = mappingSchema
+        .map(ColumnMapping.toPhysical(clustered, _)).getOrElse(clustered)
+      writeData(spelled, root, table, partitionCols)
     }
     val incomingSchema: org.apache.spark.sql.types.StructType = df.schema
+    /** Stats columns translate to their PHYSICAL names (sidecars are
+      * keyed physically — stats continuity survives renames). */
+    private def physStatsCol(c: String): String = mappingSchema
+      .flatMap(_.fields.find(_.name == c))
+      .map(ColumnMapping.physicalName).getOrElse(c)
     lazy val freshStats: Option[(org.apache.spark.sql.types.StructType,
       Seq[org.apache.spark.sql.Row])] =
-      stageFreshStats(df.sparkSession, root, table, added, statsCols)
+      stageFreshStats(df.sparkSession, root, table, added,
+        statsCols.map(physStatsCol))
     /** Distinct partition prefixes present in the frame (dynamic
       * overwrite's replaced set) — data-derived, version-independent.
       */
@@ -1007,7 +1134,8 @@ object Snapshots {
     writeManifest(f, root, table, version, files, Some(schema), deletes,
       addedAt, Some(operation), partitionCols,
       epochs = prev.map(_.epochs).getOrElse(Map.empty),
-      changeFiles = changeFiles)
+      changeFiles = changeFiles,
+      droppedPhysical = prev.map(_.droppedPhysical).getOrElse(Nil))
     writeSidecar(spark, root, table, version, files, staged.freshStats,
       carried, prevVersion)
     version
@@ -1024,9 +1152,13 @@ object Snapshots {
     val staged = stage(df, root, table, partitionCols, statsCols)
     // CDC capture (row-level verbs only — `changes` is the caller-computed
     // pre/post-image frame): a second data write of only the CHANGED rows,
-    // staged like any data file. A lost publish orphans them — vacuum's
+    // staged like any data file and spelled PHYSICALLY under column
+    // mapping (exactly like the data files — the change feed reads both
+    // under one physical schema). A lost publish orphans them — vacuum's
     // changes-dir sweep reclaims unreferenced change files.
-    val changeFiles = changes.map(stageChanges(_, root, table))
+    val changeFiles = changes.map(c => stageChanges(
+      staged.mappingSchema.map(ColumnMapping.toPhysical(c, _)).getOrElse(c),
+      root, table))
     reconcile(df.sparkSession, staged, root, table, partitionCols,
       overwritePartitions, replaceAllFiles, explicitReplaced, operation,
       expectedBase, changeFiles)
@@ -1128,7 +1260,14 @@ object Snapshots {
     require(refCols.nonEmpty,
       "deleteWhere: the predicate references no columns — a constant " +
         "predicate is a truncate; use Snapshots.deleteAll")
+    // vectors are keyed by PHYSICAL column names (stable across renames):
+    // a vector written before a later rename keeps applying, and reads
+    // translate back per version ([[applyDeletes]]/[[graft.sql.MorRead]])
+    val physOf = prev.schema.map(ColumnMapping.physicalOf)
+      .getOrElse(Map.empty[String, String])
+    val vecCols = refCols.map(c => physOf.getOrElse(c, c))
     val keys = matching.select(refCols.map(col): _*).distinct()
+      .toDF(vecCols: _*)
     val f = fs(spark, root)
     // stage + move, like data files: the vector file must appear at its
     // final path atomically, never half-written under a live name
@@ -1165,9 +1304,10 @@ object Snapshots {
     val version = latest + 1
     beforePublish()
     writeManifest(f, root, table, version, prev.files, prev.schema,
-      prev.deletes :+ DeleteVector(rel, refCols, version),
+      prev.deletes :+ DeleteVector(rel, vecCols, version),
       prev.addedAt.padTo(prev.files.length, 0L),
-      Some("delete"), prev.partitionCols, epochs = prev.epochs)
+      Some("delete"), prev.partitionCols, epochs = prev.epochs,
+      droppedPhysical = prev.droppedPhysical)
     // stats carry forward untouched: deleted rows can only make the
     // ranges WIDER than reality — conservative for skipping and planning
     writeSidecar(spark, root, table, version, prev.files, None,
@@ -1196,7 +1336,7 @@ object Snapshots {
     beforePublish()
     writeManifest(fs(spark, root), root, table, version, Seq.empty, schema,
       operation = Some("truncate"), partitionCols = partCols,
-      epochs = prev.epochs)
+      epochs = prev.epochs, droppedPhysical = prev.droppedPhysical)
     // carry the stats-sidecar SCHEMA forward (zero rows — no live files):
     // the write shape of the reborn table derives its tracked statsCols
     // from the latest sidecar, so skipping continuity survives a truncate
@@ -1217,6 +1357,30 @@ object Snapshots {
       case (f, t) if f >= 0 && t > f => true
       case _ => from == FloatType && to == DoubleType
     }
+  }
+
+  /** A NEW column's physical name is its logical name — refuse when that
+    * name is already some OTHER column's physical storage name (two
+    * logical columns would read the same bytes) or a DROPPED column's
+    * retired physical name (old bytes would resurrect under the new
+    * column). [[compact]] clears the retired list by rewriting the live
+    * files.
+    */
+  private def checkPhysicalCollision(newName: String,
+      prevSchema: org.apache.spark.sql.types.StructType,
+      droppedPhysical: Seq[String], table: String): Unit = {
+    prevSchema.fields.find(f => ColumnMapping.physicalName(f) == newName &&
+        f.name != newName).foreach { f =>
+      throw new IllegalArgumentException(
+        s"cannot add column $newName to $table: it is the physical " +
+          s"storage name of column ${f.name} (renamed) — pick another " +
+          "name, or compact to materialize the mapping first")
+    }
+    if (droppedPhysical.contains(newName))
+      throw new IllegalArgumentException(
+        s"cannot add column $newName to $table: a dropped column's bytes " +
+          "still live under that physical name — compact first (rewrites " +
+          "live files without it), or pick another name")
   }
 
   /** Additive + widening schema evolution (the Delta/Iceberg contract):
@@ -1247,12 +1411,21 @@ object Snapshots {
         val widened = prev.fields.map { pf =>
           incoming.fields.find(f =>
             f.name == pf.name && widens(pf.dataType, f.dataType)) match {
+            // keep the previous field's METADATA (the column-mapping
+            // physical name rides there) — only the type widens
             case Some(f) => pf.copy(dataType = f.dataType)
             case None => pf
           }
         }
-        org.apache.spark.sql.types.StructType(
-          widened ++ incoming.fields.filterNot(f => prevNames(f.name)))
+        val fresh = incoming.fields.filterNot(f => prevNames(f.name))
+        if (fresh.nonEmpty) {
+          val dropped = prevVersion
+            .map(v => manifest(spark, root, table, v).droppedPhysical)
+            .getOrElse(Nil)
+          fresh.foreach(f =>
+            checkPhysicalCollision(f.name, prev, dropped, table))
+        }
+        org.apache.spark.sql.types.StructType(widened ++ fresh)
       case None if prevVersion.nonEmpty =>
         // migration edge: the previous manifest predates schema tracking.
         // Carry its INFERRED columns forward (they would otherwise vanish
@@ -1398,7 +1571,8 @@ object Snapshots {
           math.max(epochId, hw.getOrElse(queryId, Long.MinValue)))
         beforePublish()
         writeManifest(f, root, table, version, files, Some(schema), deletes,
-          addedAt, Some("stream"), parts, Some((queryId, epochId)), epochs)
+          addedAt, Some("stream"), parts, Some((queryId, epochId)), epochs,
+          droppedPhysical = prev.map(_.droppedPhysical).getOrElse(Nil))
         writeSidecar(spark, root, table, version, files, freshStats,
           carried, prevVersion)
         version
@@ -1472,7 +1646,12 @@ object Snapshots {
     // manifest carries it forward. Delete vectors are folded in (the
     // rewrite read applied them), so none carry.
     val files = added.map(_._1).sorted
-    writeManifest(f, root, table, version, files, Some(full.schema),
+    // the rewrite materializes LOGICAL column names into every file, so
+    // the new version carries no column mapping and no retired physical
+    // names (droppedPhysical resets) — compact is the verb that clears a
+    // mapped table's translation debt
+    writeManifest(f, root, table, version, files,
+      Some(ColumnMapping.unmapped(full.schema)),
       Nil, files.map(_ => version), Some("compact"), partitionCols,
       epochs = manifest(spark, root, table, latest).epochs)
     writeSidecar(spark, root, table, version, files,
@@ -1486,11 +1665,17 @@ object Snapshots {
     * commits, all-null files) always qualify. Exposed for pruning asserts.
     */
   def candidateFiles(spark: SparkSession, root: String, table: String,
-      version: Long, statsCol: String, lo: Column, hi: Column): Seq[String] = {
+      version: Long, statsCol0: String, lo: Column, hi: Column): Seq[String] = {
     val all = liveFiles(spark, root, table, version).sorted
     val f = fs(spark, root)
     val p = new Path(sidecarPath(root, table, version))
     if (!f.exists(p)) return all
+    // sidecar stats are keyed by PHYSICAL column names (stable across
+    // renames — stats continuity survives a RENAME COLUMN); translate a
+    // logical probe, identity on unmapped tables
+    val statsCol = versionSchema(spark, root, table, version)
+      .flatMap(_.fields.find(_.name == statsCol0))
+      .map(ColumnMapping.physicalName).getOrElse(statsCol0)
     // an unreadable sidecar (in principle impossible after the tmp+rename
     // publish, but e.g. a partially-copied lake) degrades conservatively
     // to the unpruned file list, never to a read failure
@@ -1537,10 +1722,13 @@ object Snapshots {
       version: Long, preds: Seq[(String, Column, Column)]): DataFrame = {
     val dir = dataDir(root, table)
     val files = candidateFilesRect(spark, root, table, version, preds)
+    val m = manifest(spark, root, table, version)
     val base =
       if (files.isEmpty) readVersion(spark, root, table, version).filter(lit(false))
-      else applyDeletes(readFiles(spark, root, table, version, dir, files),
-        spark, root, table, manifest(spark, root, table, version))
+      else renameToLogical(
+        applyDeletes(readFiles(spark, root, table, version, dir, files),
+          spark, root, table, m),
+        m.schema)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -1559,13 +1747,16 @@ object Snapshots {
       version: Long, statsCol: String, lo: Column, hi: Column): DataFrame = {
     val dir = dataDir(root, table)
     val files = candidateFiles(spark, root, table, version, statsCol, lo, hi)
+    val m = manifest(spark, root, table, version)
     val base =
       if (files.isEmpty)
         // preserve the schema with an empty relation
         readVersion(spark, root, table, version).filter(lit(false))
-      else applyDeletes(
-        readFiles(spark, root, table, version, dir, files),
-        spark, root, table, manifest(spark, root, table, version))
+      else renameToLogical(
+        applyDeletes(
+          readFiles(spark, root, table, version, dir, files),
+          spark, root, table, m),
+        m.schema)
     base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -1573,15 +1764,34 @@ object Snapshots {
     * contract: with a manifest schema, files that predate a column read
     * it as null and partition values parse as the committed types; a
     * pre-schema-tracking manifest falls back to parquet inference.
+    *
+    * OUTPUT NAMES ARE PHYSICAL (what the files spell — identical to the
+    * logical names unless the version's schema carries column mapping):
+    * delete vectors apply in physical space, and [[renameToLogical]]
+    * restores the version's logical names afterwards.
     */
   private def readFiles(spark: SparkSession, root: String, table: String,
       version: Long, dir: String, files: Seq[String]): DataFrame = {
     val reader = spark.read.option("basePath", dir)
     versionSchema(spark, root, table, version) match {
-      case Some(sch) => reader.schema(sch).parquet(files.map(p => s"$dir/$p"): _*)
+      case Some(sch) => reader.schema(ColumnMapping.physicalSchema(sch))
+        .parquet(files.map(p => s"$dir/$p"): _*)
       case None => reader.parquet(files.map(p => s"$dir/$p"): _*)
     }
   }
+
+  /** Physical → logical positional rename for a frame produced by
+    * [[readFiles]] (+[[applyDeletes]]): column ORDER matches the schema,
+    * so the rename is a no-cost projection; unmapped schemas pass
+    * through untouched.
+    */
+  private def renameToLogical(df: DataFrame,
+      sch: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    sch match {
+      case Some(s) if ColumnMapping.isMapped(s) =>
+        df.toDF(s.fieldNames.toIndexedSeq: _*)
+      case _ => df
+    }
 
   /** Apply a version's merge-on-read delete vectors to its base scan: one
     * broadcast null-safe anti join per vector, each restricted (by the
@@ -1604,6 +1814,10 @@ object Snapshots {
       // addedAt 0: subject to every vector — the conservative direction
       .withColumn("__graft_v", coalesce(col("__graft_added_v"), lit(0L)))
       .drop("__graft_rel", "__graft_file", "__graft_added_v")
+    // vectors are keyed by PHYSICAL names — and so is the base frame here
+    // (readFiles reads under the physical schema; the logical rename
+    // happens after the vectors apply), so no translation is needed on
+    // either side, mapped or not
     val cleaned = m.deletes.foldLeft(withV) { (acc, d) =>
       val keys = spark.read
         .parquet(s"${deletesDir(root, table)}/${d.file}")
@@ -1648,8 +1862,10 @@ object Snapshots {
             "version provides a schema"))
       return readVersion(spark, root, table, prior).filter(lit(false))
     }
-    applyDeletes(readFiles(spark, root, table, version, dir, files),
-      spark, root, table, m)
+    renameToLogical(
+      applyDeletes(readFiles(spark, root, table, version, dir, files),
+        spark, root, table, m),
+      m.schema)
   }
 
   /** Change data feed between two versions: multiset row diff
@@ -1780,7 +1996,8 @@ object Snapshots {
     // rollback (its manifest stays live; the fast probe must agree)
     writeManifest(fs(spark, root), root, table, version, m.files, m.schema,
       m.deletes, m.addedAt.padTo(m.files.length, 0L), Some("restore"),
-      m.partitionCols, epochs = manifest(spark, root, table, latest).epochs)
+      m.partitionCols, epochs = manifest(spark, root, table, latest).epochs,
+      droppedPhysical = m.droppedPhysical)
     writeSidecar(spark, root, table, version, m.files, None, m.files,
       Some(toVersion))
     version

@@ -2669,7 +2669,104 @@ object LakeQueries {
       |SELECT v, change_type, n_rows, key_sum, bal_sum,
       |  CAST(2 AS BIGINT) AS leg FROM legs""".stripMargin
 
+  /** q238's column-mapping history, staged once per (JVM, sf): v1 = the
+    * partitioned commit (c_custkey, bal_cents, note, pb); v2 = `ALTER
+    * TABLE RENAME COLUMN bal_cents TO balance` (metadata-only — the
+    * files keep spelling `bal_cents`, reads/writes translate); v3 = a
+    * SQL INSERT of brand-new keys addressed by the NEW name (its files
+    * physically spell the OLD name, so both generations read together);
+    * v4 = a MERGE whose ON/SET address the renamed column; v5 = `ALTER
+    * TABLE DROP COLUMN note` (metadata-only — bytes stay for time
+    * travel).
+    */
+  private def stageColMapHistory(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_colmap_${math.abs(dir.hashCode)}"
+    if (staged.add(root)) {
+      try {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        val base = Tables.customer(s, dir).select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          col("c_mktsegment").as("note"),
+          (col("c_custkey") % 8).cast("long").as("pb"))
+        graft.lake.Snapshots.commit(base, root, "balances", Seq("pb"),
+          statsCols = Seq("c_custkey"))
+        graft.sql.GraftCatalog.install(s, "gcmq", root)
+        s.sql("ALTER TABLE gcmq.balances RENAME COLUMN bal_cents TO balance")
+        base.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 2000000L).as("k"),
+            col("c_custkey").cast("long").as("bal"))
+          .createOrReplaceTempView("graft_q238_ins")
+        s.sql("""INSERT INTO gcmq.balances
+                 SELECT k, bal, 'x', k % 8 FROM graft_q238_ins""")
+        base.filter(col("c_custkey") % 9 === 0)
+          .select(col("c_custkey").as("mk"))
+          .createOrReplaceTempView("graft_q238_upd")
+        s.sql("""MERGE INTO gcmq.balances AS t
+                 USING graft_q238_upd AS src ON t.c_custkey = src.mk
+                 WHEN MATCHED THEN UPDATE SET balance = t.balance + 1000""")
+        s.sql("ALTER TABLE gcmq.balances DROP COLUMN note")
+      } catch { case e: Throwable => staged.remove(root); throw e }
+    }
+    root
+  }
+
+  /** Column mapping (RENAME/DROP COLUMN): leg 1 reads the LATEST version
+    * per partition — mixed pre-rename and post-rename file generations
+    * under the new logical name, post-drop schema; leg 2 time-travels to
+    * v1 under the ORIGINAL names (bal_cents + note); leg 3 pushes a
+    * filter on the renamed column down the SQL scan; leg 4 pins that
+    * every mapping verb was metadata-only (zero files added).
+    */
+  def q238ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val root = stageColMapHistory(s, dir)
+    graft.sql.GraftCatalog.install(s, "gcmq", root)
+    s.sql("""
+      SELECT CAST(1 AS BIGINT) AS leg, pb, count(*) AS n_rows,
+             sum(balance) AS v1, sum(c_custkey) AS v2
+      FROM gcmq.balances GROUP BY pb
+      UNION ALL
+      SELECT 2, CAST(-1 AS BIGINT), count(*), sum(bal_cents),
+             count(DISTINCT note)
+      FROM gcmq.balances VERSION AS OF 1
+      UNION ALL
+      SELECT 3, -1, count(*), sum(balance), sum(c_custkey)
+      FROM gcmq.balances WHERE balance BETWEEN 100000 AND 500000
+      UNION ALL
+      SELECT 4, -1,
+             (SELECT count(*) FROM gcmq.balances.history
+              WHERE operation = 'rename-column' AND n_added_files = 0),
+             (SELECT count(*) FROM gcmq.balances.history
+              WHERE operation = 'drop-column' AND n_added_files = 0),
+             0""")
+  }
+
+  val q238Sql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+      |    c_mktsegment AS note FROM customer),
+      |ins AS (SELECT k + 2000000 AS k, CAST(k AS BIGINT) AS bal
+      |        FROM base WHERE k % 13 = 0),
+      |s3 AS (SELECT k, bal FROM base UNION ALL SELECT k, bal FROM ins),
+      |s4 AS (SELECT k,
+      |    bal + CASE WHEN k % 9 = 0 AND k < 2000000 THEN 1000 ELSE 0 END
+      |      AS bal FROM s3)
+      |SELECT CAST(1 AS BIGINT) AS leg, k % 8 AS pb, count(*) AS n_rows,
+      |  CAST(sum(bal) AS BIGINT) AS v1, CAST(sum(k) AS BIGINT) AS v2
+      |FROM s4 GROUP BY 2
+      |UNION ALL
+      |SELECT 2, -1, count(*), CAST(sum(bal) AS BIGINT),
+      |  count(DISTINCT note) FROM base
+      |UNION ALL
+      |SELECT 3, -1, count(*), CAST(sum(bal) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT)
+      |FROM s4 WHERE bal BETWEEN 100000 AND 500000
+      |UNION ALL
+      |SELECT 4, -1, 1, 1, 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q238_column_mapping" -> (q238ColumnMapping _),
     "q237_cdc_feed" -> (q237CdcFeed _),
     "q233_stream_table_write" -> (q233StreamTableWrite _),
     "q234_sql_restore" -> (q234SqlRestore _),
@@ -2714,6 +2811,7 @@ object LakeQueries {
     "q84_orc_roundtrip" -> (q84OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "q238_column_mapping" -> q238Sql,
     "q237_cdc_feed" -> q237Sql,
     "q233_stream_table_write" -> q233Sql,
     "q234_sql_restore" -> q234Sql,

@@ -106,7 +106,10 @@ object CdfSource {
       .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
 
   private[sql] def changeSchema(data: StructType): StructType =
-    StructType(data.fields.toSeq :+
+    // data fields are NULLABLE regardless of the table's contract: a
+    // key-level delete row carries values only for the vector's columns —
+    // a non-null long column would otherwise decode its null as 0
+    StructType(data.fields.map(_.copy(nullable = true)).toSeq :+
       StructField(ChangeType, StringType, nullable = false) :+
       StructField(CommitVersion, LongType, nullable = false))
 
@@ -139,6 +142,18 @@ object CdfSource {
     val factories =
       scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
     val dataDir = s"$root/$table/data"
+    // column mapping: data and change files spell PHYSICAL names; the
+    // inner scans read physically and emit rows positionally, so the
+    // requested (logical) pruned schema translates by name on the way in
+    // and nothing translates per row. Physical names are stable across
+    // renames, so the LATEST mapping covers every version's files.
+    import graft.lake.ColumnMapping
+    val physFull = ColumnMapping.physicalSchema(fullDataSchema)
+    val physOf = ColumnMapping.physicalOf(fullDataSchema)
+    val logOf = ColumnMapping.logicalOf(fullDataSchema)
+    def physOfSchema(s: StructType): StructType =
+      StructType(s.fields.map(f =>
+        f.copy(name = physOf.getOrElse(f.name, f.name))))
     var prevFiles: Option[Set[String]] = None
     for (v <- (fromExclusive + 1) to to) {
       val m = Snapshots.manifest(spark, root, table, v)
@@ -161,11 +176,11 @@ object CdfSource {
         val cf = m.changeFiles.get
         if (cf.nonEmpty) {
           val chDir = Snapshots.changesDir(root, table)
-          val chSchema = StructType(fullDataSchema.fields.toSeq :+
+          val chSchema = StructType(physFull.fields.toSeq :+
             StructField(ChangeType, StringType, nullable = false))
           // the scan always reads _change_type (it routes the row); the
           // requested data columns prune as in the insert path
-          val prunedCh = StructType(prunedData.fields.toSeq :+
+          val prunedCh = StructType(physOfSchema(prunedData).fields.toSeq :+
             StructField(ChangeType, StringType, nullable = false))
           val opts = new CaseInsensitiveStringMap(
             java.util.Map.of("path", chDir))
@@ -216,11 +231,12 @@ object CdfSource {
           val opts = new CaseInsensitiveStringMap(
             java.util.Map.of("path", dataDir, "basePath", dataDir))
           val tbl = new DppParquetTable(s"$table@v$v(cdf)", spark, opts,
-            added.sorted.map(f => s"$dataDir/$f"), Some(fullDataSchema))
+            added.sorted.map(f => s"$dataDir/$f"), Some(physFull))
           val builder = tbl.newScanBuilder(opts)
           builder match {
             case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-              p.pruneColumns(prunedData) // decode only the requested columns
+              // decode only the requested columns (physically spelled)
+              p.pruneColumns(physOfSchema(prunedData))
             case _ =>
           }
           val batch: Batch = builder.build().toBatch
@@ -230,13 +246,15 @@ object CdfSource {
             parts += CdfFilePartition(p, fi, v))
         }
         m.deletes.filter(_.version == v).foreach { d =>
+          // vector columns are PHYSICAL names; emit under logical ones
+          val lcols = d.cols.map(c => logOf.getOrElse(c, c))
           val df = spark.read.parquet(s"$root/$table/deletes/${d.file}")
-            .select(d.cols.map(c =>
-              col(c).cast(fullDataSchema(c).dataType)): _*)
+            .select(d.cols.zip(lcols).map { case (c, lc) =>
+              col(c).cast(fullDataSchema(lc).dataType) }: _*)
           // vector files are broadcast-anti-join sized by the MOR premise,
           // never data-sized — driver-resolving them is the design
           val rows = df.collect().map(r => d.cols.indices.map(r.get).toArray)
-          parts += CdfDeletePartition(d.cols, rows, v)
+          parts += CdfDeletePartition(lcols, rows, v)
         }
       }
     }

@@ -195,10 +195,18 @@ class GraftCatalog extends TableCatalog {
         val partCols = m.files.headOption.toSeq
           .flatMap(_.split('/').dropRight(1).map(_.takeWhile(_ != '=')))
           .toSet
-        val widened = widenPartitionInts(sch, partCols)
+        // column mapping (RENAME/DROP COLUMN): the files spell PHYSICAL
+        // names — the inner table scans under the physical schema and a
+        // name-translating wrapper presents the logical view. Unmapped
+        // versions (no rename ever) take the identity path untouched.
+        val mapped = graft.lake.ColumnMapping.isMapped(sch)
+        val physSch =
+          if (mapped) graft.lake.ColumnMapping.physicalSchema(sch) else sch
+        val widened = widenPartitionInts(physSch, partCols)
         // merge-on-read delete vectors, resolved once per cached table:
         // the SQL scan must drop exactly the rows Snapshots.readVersion's
-        // anti joins drop (MorRead applies them inside the readers)
+        // anti joins drop (MorRead applies them inside the readers).
+        // Vector columns are physically named — consistent with the scan.
         val morSpec =
           if (m.deletes.isEmpty) None
           else Some(MorRead.resolve(spark, s"$root/${ident.name}/deletes",
@@ -208,7 +216,7 @@ class GraftCatalog extends TableCatalog {
         // manifest-built file index — zero listing/stat calls — and its
         // scans report exact planner statistics
         val sidecar = SidecarSkip.load(spark, statsDir.get)
-        sidecar match {
+        val innerT = sidecar match {
           case Some(idx) if m.files.forall(idx.bytes.contains) =>
             new ManifestIndexedParquetTable(s"${ident.name}@v$version",
               spark, opts, dataDir, m.files, widened, idx, morSpec)
@@ -217,6 +225,8 @@ class GraftCatalog extends TableCatalog {
               files, Some(widened), statsDir, morSpec,
               preloadedStats = sidecar)
         }
+        if (!mapped) innerT
+        else new MappedReadTable(innerT, widenPartitionInts(sch, partCols))
       case None =>
         require(m.deletes.isEmpty,
           s"version $version of ${ident.name} carries delete vectors but " +
@@ -262,6 +272,21 @@ class GraftCatalog extends TableCatalog {
     if (ident.namespace.length == 1 && ident.name == "history" &&
         isVersioned(ident.namespace.head))
       return new HistoryMetadataTable(root, ident.namespace.head)
+    // `SELECT * FROM <catalog>.<t>.files` — per-version file introspection
+    // (path, size, rows, added-at attribution, min/max stats) from the
+    // manifest + stats sidecar alone; `spark.graft.files.version` pins a
+    // historical version (default latest), resolved at load time like the
+    // change-feed window
+    if (ident.namespace.length == 1 && ident.name == "files" &&
+        isVersioned(ident.namespace.head)) {
+      val spark = SparkSession.active
+      val t = ident.namespace.head
+      val v = spark.conf.getOption("spark.graft.files.version").map(_.toLong)
+        .orElse(graft.lake.Snapshots.latestVersion(spark, root, t))
+        .getOrElse(throw new NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace :+ ident.name))
+      return new FilesMetadataTable(root, t, v)
+    }
     // batch change feed: `SELECT * FROM <catalog>.<t>.changes` — the
     // version window comes from session confs, resolved HERE (table-load
     // time) so the analyzed relation is immune to later conf changes
@@ -573,27 +598,47 @@ class GraftCatalog extends TableCatalog {
   override def invalidateTable(ident: Identifier): Unit =
     GraftCatalog.invalidate(root, ident.name)
 
-  /** ALTER TABLE, additive only: top-level `ADD COLUMNS` publishes a
-    * metadata-only evolved version ([[graft.lake.Snapshots.evolveSchema]]
-    * — same files, new schema; old files read the columns as null). This
-    * is the hook Spark's `MERGE … WITH SCHEMA EVOLUTION` resolution calls
-    * (ResolveMergeIntoSchemaEvolution computes the AddColumn diff against
-    * the USING source). Every other change — renames, drops, type changes
-    * — refuses: they would silently corrupt old versions' reads.
+  /** ALTER TABLE: top-level `ADD COLUMNS` publishes a metadata-only
+    * evolved version ([[graft.lake.Snapshots.evolveSchema]] — same files,
+    * new schema; old files read the columns as null; this is also the
+    * hook Spark's `MERGE … WITH SCHEMA EVOLUTION` resolution calls).
+    * `RENAME COLUMN` and `DROP COLUMN` are metadata-only too, via
+    * logical→physical column mapping
+    * ([[graft.lake.Snapshots.renameColumn]]/[[graft.lake.Snapshots.dropColumn]]
+    * — the Delta name-mapping design: files keep their physical column
+    * names, reads and writes translate, old versions time-travel with
+    * their own names, DROP hides but does not delete bytes). Type
+    * changes still refuse: they would silently corrupt old versions'
+    * reads.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireTopLevel(ident.namespace)
     if (!isVersioned(ident.name))
       readOnly("ALTER TABLE of a non-versioned table")
-    val newFields = changes.map {
+    val spark = SparkSession.active
+    val (adds, others) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    others.foreach {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        graft.lake.Snapshots.renameColumn(spark, root, ident.name,
+          r.fieldNames()(0), r.newName())
+        GraftCatalog.invalidate(root, ident.name)
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        graft.lake.Snapshots.dropColumn(spark, root, ident.name,
+          d.fieldNames()(0))
+        GraftCatalog.invalidate(root, ident.name)
+      case other => readOnly(s"ALTER TABLE change $other — only top-level " +
+        "ADD COLUMNS, RENAME COLUMN and DROP COLUMN map onto snapshot " +
+        "schema evolution / column mapping")
+    }
+    val newFields = adds.map {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, a.isNullable)
       case other => readOnly(s"ALTER TABLE change $other — only top-level " +
         "ADD COLUMNS maps onto additive snapshot schema evolution")
     }
-    graft.lake.Snapshots.evolveSchema(SparkSession.active, root, ident.name,
-      newFields)
+    if (newFields.nonEmpty)
+      graft.lake.Snapshots.evolveSchema(spark, root, ident.name, newFields)
     loadTable(ident)
   }
   /** `ALTER TABLE … RENAME TO …` — a manifest-directory + table-directory
@@ -663,6 +708,86 @@ private[sql] class HistoryMetadataTable(root: String, table: String)
                   op.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
                   nf, nd, na))
             }.toArray
+      }
+    }
+}
+
+/** The `<table>.files` metadata table — per-version FILE introspection
+  * (the last piece of the Iceberg-style metadata triple beside `.history`
+  * and `.changes`): one row per live file of the pinned version, with its
+  * added-at attribution from the manifest and its exact byte length, row
+  * count, and min/max column stats from the version's stats sidecar
+  * (nulls where the sidecar predates the file or doesn't exist — the
+  * same conservative absence the skipping path tolerates). Stats surface
+  * as a `string → string` map (`min_<col>`/`max_<col>` rendered), so the
+  * schema is stable across tables with different stats columns. All
+  * driver-side manifest/sidecar work, surfaced as a `LocalScan`;
+  * file-count-sized by construction.
+  */
+private[sql] class FilesMetadataTable(root: String, table: String,
+    version: Long)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+
+  private val schema0 = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("added_at_version", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = true),
+    StructField("rows", LongType, nullable = true),
+    StructField("stats", MapType(StringType, StringType), nullable = true)))
+
+  override def name(): String = s"$table.files"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema0
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val spark = SparkSession.active
+          val m = graft.lake.Snapshots.manifest(spark, root, table, version)
+          val addedAt = m.addedAtOf
+          // the sidecar is one row per live file — file-count-sized
+          val sidecarDir = s"$root/_snapshots/$table/stats_v$version"
+          val sidecar: Map[String, org.apache.spark.sql.Row] =
+            if (!new Path(sidecarDir).getFileSystem(
+                spark.sessionState.newHadoopConf()).exists(new Path(sidecarDir)))
+              Map.empty
+            else scala.util.Try(spark.read.parquet(sidecarDir).collect()
+              .flatMap(r => Option(r.getAs[String]("file")).map(_ -> r))
+              .toMap).getOrElse(Map.empty)
+          m.files.sorted.map { f =>
+            val sc = sidecar.get(f)
+            def longOf(c: String): Any = sc.flatMap { r =>
+              if (!r.schema.fieldNames.contains(c) || r.isNullAt(
+                  r.fieldIndex(c))) None
+              else Some(r.getAs[Number](c).longValue())
+            }.map(Long.box).orNull
+            val stats = sc.map { r =>
+              val kv = r.schema.fieldNames.toSeq
+                .filter(n => n.startsWith("min_") || n.startsWith("max_"))
+                .sorted
+                .flatMap { n =>
+                  if (r.isNullAt(r.fieldIndex(n))) None
+                  else Some(n -> String.valueOf(r.get(r.fieldIndex(n))))
+                }
+              org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                kv.map(p => UTF8String.fromString(p._1)).toArray,
+                kv.map(p => UTF8String.fromString(p._2)).toArray)
+            }.orNull
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](UTF8String.fromString(f), version,
+                addedAt.getOrElse(f, 0L), longOf("bytes"), longOf("rows"),
+                stats))
+          }.toArray
+        }
       }
     }
 }

@@ -127,7 +127,8 @@ class StreamingSnapshotTable(
             Array.empty
           override def toStreaming: StreamingWrite =
             new SnapshotStreamingWrite(root, table, info.queryId(),
-              info.schema(), pCols, sCols, commitSchema)
+              info.schema(), pCols, sCols, commitSchema,
+              graft.lake.ColumnMapping.physicalOf(manifestSchema))
         }
       }
     }
@@ -162,7 +163,10 @@ private[sql] class SnapshotStreamingWrite(
     statsCols: Seq[String],
     // the schema the epoch COMMIT records (partition columns de-widened to
     // their stored manifest types); writeSchema stays the task-row layout
-    commitSchema: StructType)
+    commitSchema: StructType,
+    // logical → physical column names (column mapping): the FILES must
+    // spell columns physically, exactly like the batch write path
+    physOf: Map[String, String] = Map.empty)
   extends StreamingWrite {
 
   private def stageBase = s"$root/$table/.streamstage-$queryId"
@@ -175,7 +179,8 @@ private[sql] class SnapshotStreamingWrite(
     // prepareWrite — driver-side, shipped serialized to the tasks, so a
     // streamed file is byte-compatible with a batch-committed one
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionCols.contains(f.name)))
+      writeSchema.fields.filterNot(f => partitionCols.contains(f.name))
+        .map(f => f.copy(name = physOf.getOrElse(f.name, f.name))))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)

@@ -209,6 +209,58 @@ object Incremental {
     q
   }
 
+  /** UPDATE-MODE streaming into a Snapshots-versioned table — the paved
+    * path for "stream an aggregation into the lake": each micro-batch's
+    * updated rows MERGE into `tableIdent` (matched keys update, new keys
+    * insert), exactly the spelling docs/API.md recommends for
+    * update/complete sinks, packaged so a windowed aggregation lands
+    * with one call. Runs AvailableNow under a persistent checkpoint: a
+    * restart processes only new source data, and a REPLAYED batch
+    * re-merges the same content — idempotent by construction (same end
+    * state), the effectively-once contract of foreachBatch upserts.
+    *
+    * `tableIdent` must name a Snapshots-versioned catalog table on a
+    * session with the graft extensions (the SQL MERGE path); `keys` are
+    * the upsert identity — every other column is SET from the batch.
+    * Batches are defensively deduplicated on `keys` (last write wins is
+    * NOT assumed — ANSI MERGE refuses duplicate source keys loudly).
+    */
+  def upsertToTable(stream: DataFrame, tableIdent: String,
+      keys: Seq[String], checkpointPath: String): StreamingQuery = {
+    require(keys.nonEmpty, "upsertToTable: key columns required")
+    def q(c: String) = s"`$c`"
+    val q0 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns.toSeq
+        require(keys.forall(cols.contains),
+          s"upsertToTable: key(s) ${keys.filterNot(cols.contains).mkString(", ")} " +
+            "absent from the stream")
+        val view = s"__graft_upsert_${java.util.UUID.randomUUID().toString.take(8)}"
+        batch.dropDuplicates(keys).createOrReplaceTempView(view)
+        try {
+          val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+          val sets = cols.filterNot(keys.contains)
+            .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+          val names = cols.map(q).mkString(", ")
+          val vals = cols.map(c => s"s.${q(c)}").mkString(", ")
+          val matched =
+            if (sets.isEmpty) "" else s"WHEN MATCHED THEN UPDATE SET $sets"
+          spark.sql(
+            s"""MERGE INTO $tableIdent AS t USING $view AS s ON $on
+                $matched
+                WHEN NOT MATCHED THEN INSERT ($names) VALUES ($vals)""")
+        } finally spark.catalog.dropTempView(view)
+        ()
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q0.awaitTermination()
+    q0
+  }
+
   /** [[runAvailableNow]] with a scoped state-store width.
     *
     * `statePartitions` = number of state-store partitions for the query's

@@ -205,6 +205,13 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
+    // sampled BEFORE any work (even session startup): the artifact itself
+    // carries the idleness evidence — `loads` inside each trial floor at
+    // the run's own 32-thread work and cannot certify an idle box
+    val loadStart = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
@@ -769,6 +776,50 @@ object ScaleStress {
       reset()
     }
 
+    // Epoch-ledger scale shape (round 18): VERSION COUNT grows 10→10,000
+    // while the epoch payload stays fixed. Claim under measurement: the
+    // steady-state epoch commit is ~FLAT in history depth — the replay
+    // probe answers from the LATEST manifest's high-water index (one
+    // parse), never a scan over all live manifests; the only
+    // depth-proportional work left is the manifest-directory listing
+    // (one getdents sweep, microseconds per thousand entries). `rows`
+    // records the version count; `sec` is the per-epoch commit latency
+    // (mean of 5 fresh epochs at the top of the history).
+    val runEpochLedger =
+      sys.env.getOrElse("SPARK_GRAFT_EPOCH_LEDGER", "0") != "0"
+    val epochVersionCounts = sys.env
+      .getOrElse("SPARK_GRAFT_EPOCH_VERSIONS", "10,100,1000,10000")
+      .split(",").map(_.trim.toInt).toSeq
+    for (v <- epochVersionCounts if runEpochLedger) {
+      import org.apache.spark.sql.functions.col
+      val root = s"/tmp/graft_scale_epoch_${math.abs(srcDir.hashCode)}_v$v"
+      val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      lfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val frame = spark.range(0, 1000)
+        .select(col("id"), (col("id") % 4).as("p"))
+      graft.lake.Snapshots.commit(frame, root, "t", Seq("p"))
+      // build the history: v-1 ledger-only epochs (no files — the leg
+      // measures metadata depth, not data I/O)
+      var i = 0L
+      while (i < v - 1) {
+        graft.lake.Snapshots.commitStreamEpoch(spark, root, "t", Seq.empty,
+          frame.schema, Seq("p"), Nil, "qledger", i)
+        i += 1
+      }
+      reset()
+      if (settleMs > 0) Thread.sleep(settleMs)
+      val load0 = loadavg()
+      val t0 = System.nanoTime()
+      (0 until 5).foreach(k =>
+        graft.lake.Snapshots.commitStreamEpoch(spark, root, "t", Seq.empty,
+          frame.schema, Seq("p"), Nil, "qledger", (v + k).toLong))
+      record("epoch_commit_by_versions", v,
+        (System.nanoTime() - t0) / 1e9 / 5, v, Seq(load0))
+      lfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      reset()
+    }
+
     // ANN scale path: build (nlist = √N) and probe (fixed 20-query panel)
     for (f <- scales if runAnn) {
       val dir = dirs(f)
@@ -912,7 +963,7 @@ object ScaleStress {
       s""""$name":{$times,"exponent":$eJson}"""
     }.mkString("{", ",", "}")
     val out =
-      s"""{"metric":"scale_stress","sf_base":"$srcDir","scales":[${scales.mkString(",")}],"trials":$trials,"queries":$qJson}"""
+      s"""{"metric":"scale_stress","sf_base":"$srcDir","load_start":${r3(loadStart)},"scales":[${scales.mkString(",")}],"trials":$trials,"queries":$qJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     println(out)

@@ -12,8 +12,8 @@ class SparkEntrySpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
     assert(qs.forall(_.matches("q[0-9]+[a-z0-9_]*")), qs.filterNot(_.matches("q[0-9]+[a-z0-9_]*")))
-    assert(qs.size === 237)
-    assert(os.size === 237)
+    assert(qs.size === 238)
+    assert(os.size === 238)
   }
 
   test("all queries build a plan at smoke scale without throwing; none is cartesian") {

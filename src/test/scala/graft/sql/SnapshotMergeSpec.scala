@@ -293,12 +293,18 @@ class SnapshotMergeSpec extends SparkTestBase {
     spark.sql("ALTER TABLE graftm.t ADD COLUMNS (note STRING)")
     assert(spark.table("graftm.t").schema.fieldNames.toSeq ===
       Seq("id", "v", "score", "note", "p"))
-    // lossy changes stay refused
-    val drop = intercept[Exception] {
-      spark.sql("ALTER TABLE graftm.t DROP COLUMN v")
+    // DROP COLUMN is supported since column mapping (metadata-only, bytes
+    // stay — ColumnMappingSpec pins the semantics); drop the added note
+    spark.sql("ALTER TABLE graftm.t DROP COLUMN note")
+    assert(spark.table("graftm.t").schema.fieldNames.toSeq ===
+      Seq("id", "v", "score", "p"))
+    // lossy TYPE changes stay refused
+    val retype = intercept[Exception] {
+      spark.sql("ALTER TABLE graftm.t ALTER COLUMN v TYPE INT")
     }
-    assert(drop.getMessage.contains("ADD COLUMNS") ||
-      drop.getMessage.contains("read-only"), drop.getMessage)
+    assert(retype.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      retype.getMessage.contains("RENAME COLUMN") ||
+      retype.getMessage.contains("read-only"), retype.getMessage)
     val dup = intercept[Exception] {
       graft.lake.Snapshots.evolveSchema(spark, root, "t",
         Seq(org.apache.spark.sql.types.StructField("v",
