@@ -222,8 +222,50 @@ object Snapshots {
       .sorted
   }
 
-  def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] =
-    listVersions(fs(spark, root), root, table).lastOption
+  /** Last-known latest version per (root, table) — the O(1) fast path
+    * under [[latestVersion]]. Versions are CONTIGUOUS above any live one
+    * (every commit publishes latest+1; vacuum deletes only versions
+    * below the retention window, never the latest), so probing forward
+    * from a verified hint with per-version existence checks finds the
+    * true latest in O(new commits) stat calls — no directory listing.
+    * The hint is advisory only: a vanished hint version (vacuumed past,
+    * table dropped/recreated by another process) falls back to the full
+    * listing, so a stale hint can never produce a wrong answer.
+    */
+  private val latestHint =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  private def manifestPathOf(root: String, table: String, v: Long): Path =
+    new Path(s"${manifestDir(root, table)}/v$v.json")
+
+  /** The table's latest live version. O(commits since last call) via the
+    * forward-probing hint — the manifest-directory LISTING (O(history)
+    * per call, and the measured dominator of deep-history epoch commits:
+    * each listed entry pays URI/Path construction, ~1 s per 10k entries
+    * on a checksummed local FS) happens only on the first touch of a
+    * table per process or after the hint is invalidated.
+    */
+  def latestVersion(spark: SparkSession, root: String, table: String): Option[Long] = {
+    val f = fs(spark, root)
+    val key = (root, table)
+    val hint = latestHint.getOrDefault(key, 0L)
+    if (hint > 0L && f.exists(manifestPathOf(root, table, hint))) {
+      var v = hint
+      while (f.exists(manifestPathOf(root, table, v + 1))) v += 1
+      latestHint.put(key, v)
+      Some(v)
+    } else {
+      val vs = listVersions(f, root, table)
+      vs.lastOption match {
+        case Some(v) => latestHint.put(key, v); Some(v)
+        case None => latestHint.remove(key); None
+      }
+    }
+  }
+
+  private[graft] def invalidateLatestHint(root: String, table: String): Unit = {
+    latestHint.remove((root, table))
+  }
 
   /** Parsed-manifest memo: manifests are immutable once published (the
     * put-if-absent commit), so (path, mtime, length) fully determines the
@@ -483,6 +525,9 @@ object Snapshots {
     if (!won) throw new java.util.ConcurrentModificationException(
       s"snapshot v$version of $table was committed concurrently — " +
         "re-read the latest version and retry")
+    // a stale-LOW hint is harmless (the probe walks forward), so a plain
+    // put is race-safe even against a concurrent newer publish
+    latestHint.put((root, table), version)
   }
 
   /** The atomic put-if-absent primitive behind every manifest publish —
@@ -937,6 +982,7 @@ object Snapshots {
     val existed = f.exists(data) || f.exists(manifests)
     f.delete(manifests, true)
     f.delete(data, true)
+    invalidateLatestHint(root, table)
     existed
   }
 
@@ -1488,16 +1534,18 @@ object Snapshots {
   private[graft] def epochVersion(spark: SparkSession, root: String,
       table: String, queryId: String, epochId: Long): Option[Long] = {
     val f = fs(spark, root)
-    val vs = listVersions(f, root, table)
-    if (vs.isEmpty) return None
+    // the hot path (a NEW epoch) reads ONE manifest: the latest (found by
+    // the forward-probing hint, no listing) and its high-water index
+    val last = latestVersion(spark, root, table).getOrElse(return None)
     def m(v: Long) =
       parsedManifestAt(f, new Path(s"${manifestDir(root, table)}/v$v.json"))
-    m(vs.last).epochs.get(queryId) match {
+    m(last).epochs.get(queryId) match {
       case Some(hw) if epochId > hw => None // never committed — O(1)
       case _ =>
-        // replay (or a pre-index history): newest-first, and once a
-        // manifest's own high-water shows the query had NOT yet reached
-        // this epoch, no older manifest can hold it either
+        // replay (or a pre-index history): newest-first over the live
+        // versions, and once a manifest's own high-water shows the query
+        // had NOT yet reached this epoch, no older manifest can hold it
+        val vs = listVersions(f, root, table)
         vs.reverse.iterator.map(v => (v, m(v)))
           .takeWhile { case (_, mf) =>
             !mf.epochs.get(queryId).exists(_ < epochId) }
@@ -1966,6 +2014,8 @@ object Snapshots {
       throw new java.io.IOException(
         s"renameTable: failed to move data of $from to $to")
     }
+    invalidateLatestHint(root, from)
+    invalidateLatestHint(root, to)
   }
 
   /** Roll the table back: publish a NEW version whose content is exactly

@@ -63,11 +63,16 @@ class ColumnMappingSpec extends SparkTestBase {
     graft.sql.GraftCatalog.install(spark, "gcm", root)
     spark.sql("ALTER TABLE gcm.t RENAME COLUMN bal TO balance")
     // logical schema + filter over the renamed column (pushdown path)
-    val got = spark.sql(
+    val filtered = spark.sql(
       "SELECT id, balance FROM gcm.t WHERE balance >= 100 AND id % 2 = 0")
-      .as[(Long, Long)].collect().toSet
+    val got = filtered.as[(Long, Long)].collect().toSet
     assert(got === (10L until 20L).filter(_ % 2 == 0)
       .map(i => (i, i * 10L)).toSet)
+    // the filter reaches the parquet scan under the PHYSICAL name — the
+    // translation preserves row-group/file skipping, it doesn't demote
+    // the predicate to a post-scan filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(bal,"), plan)
     // time travel spells v1's own names
     assert(spark.sql("SELECT * FROM gcm.t VERSION AS OF 1").columns.toSeq
       === Seq("id", "bal", "p"))
