@@ -20,6 +20,9 @@ object Verify {
       // native functions + the MERGE INTO resolution rule (cluster
       // deployments set the same conf — docs/API.md)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // pure-JVM chmod on the local FS: no fork per written file
+      .config("spark.hadoop.fs.file.impl",
+        "graft.lake.NoForkLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

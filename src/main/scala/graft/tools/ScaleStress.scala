@@ -231,6 +231,9 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       // the SQL row-level verbs (dml_merge leg) ride the session extensions
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // pure-JVM chmod on the local FS: no fork per written file
+      .config("spark.hadoop.fs.file.impl",
+        "graft.lake.NoForkLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()

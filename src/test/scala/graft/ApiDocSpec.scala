@@ -342,6 +342,23 @@ class ApiDocSpec extends SparkTestBase {
     assert(spark.sql("SELECT sum(cents) FROM graft.bal").as[Long].head() ===
       (0L until 20L).map(_ * 7).sum,
       "OPTIMIZE and RESTORE are result-invariant here")
+
+    // state here: v3 (+tier) kept, v4 = optimize, v5 = restore-of-3
+    // --- docs/API.md: column mapping + files metadata ---
+    spark.sql("ALTER TABLE graft.bal RENAME COLUMN cents TO amount") // metadata-only
+    spark.sql("ALTER TABLE graft.bal DROP COLUMN tier") // hides — bytes stay
+    spark.sql("SELECT sum(amount) FROM graft.bal")           // old files, new name
+    spark.sql("SELECT cents FROM graft.bal VERSION AS OF 5") // own names per version
+    spark.sql("SELECT file, rows FROM graft.bal.files")      // per-file introspection
+    // --- end ---
+    assert(spark.sql("SELECT sum(amount) FROM graft.bal").as[Long].head() ===
+      (0L until 20L).map(_ * 7).sum, "the rename touched no data")
+    assert(spark.table("graft.bal").schema.fieldNames.toSeq ===
+      Seq("id", "amount", "pb"))
+    assert(spark.sql("SELECT * FROM graft.bal VERSION AS OF 5")
+      .schema.fieldNames.contains("cents"), "time travel keeps old names")
+    assert(spark.sql("SELECT sum(rows) FROM graft.bal.files")
+      .as[Long].head() === 20L)
   }
 
   test("CDF streaming source + history example") {

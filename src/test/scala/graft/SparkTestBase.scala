@@ -22,6 +22,10 @@ object SparkTestBase {
       // the cluster deployment model (docs/API.md): native functions +
       // the MERGE INTO resolution rule ride the session extensions
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // pure-JVM chmod on the local FS (no fork per written file): kills
+      // both the per-file subprocess cost and the SIGKILLed-chmod flake
+      .config("spark.hadoop.fs.file.impl",
+        "graft.lake.NoForkLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
