@@ -23,6 +23,9 @@ object Verify {
       // pure-JVM chmod on the local FS: no fork per written file
       .config("spark.hadoop.fs.file.impl",
         "graft.lake.NoForkLocalFileSystem")
+      // multi-query session: size the codegen cache to the workload so
+      // repeated plans don't LRU-thrash janino recompilation (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -350,29 +350,57 @@ object Dedup {
     val switchAt = math.min(maxIter, SwitchRounds)
     while (i < switchAt && !converged) {
       val prev = labels
+      // The previous label rides along as a second aggregate (prev holds
+      // exactly one row per id, so max(__old) recovers it): the
+      // convergence probe is then a join-free scan of the materialized
+      // round instead of a (node)-keyed shuffle join per round.
       val next = Materialize.once(
         edges.join(labels, edges("dst") === labels("id"))
-          .select(col("src").as("id"), col("cluster"))
-          .unionByName(prev)
-          .groupBy(col("id")).agg(min(col("cluster")).as("cluster")))
-      converged = next.join(prev.withColumnRenamed("cluster", "__old"), Seq("id"))
-        .filter(col("cluster") =!= col("__old"))
-        .isEmpty
-      labels = next
+          .select(col("src").as("id"), col("cluster"),
+            when(lit(false), col("cluster")).as("__old"))
+          .unionByName(prev.select(col("id"), col("cluster"),
+            col("cluster").as("__old")))
+          .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
+            max(col("__old")).as("__old")))
+      converged = next.filter(col("cluster") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       i += 1
     }
     if (!converged) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"clusters(): still propagating after $switchAt rounds — " +
           "long-chain component; switching to star contraction")
-      return clustersByContraction(pairs)
+      // Contract the QUOTIENT graph — edges relabeled by the propagated
+      // labels — instead of restarting from the raw pairs: the k finished
+      // propagation rounds already collapsed every ≤k-hop neighborhood
+      // onto its min id, so the contraction starts from a graph whose
+      // diameter is ~diam/k, not diam (fewer O(log diameter) rounds over
+      // a smaller relation). Correct because quotient node ids ARE the
+      // min ids of their collapsed groups: the quotient component's min
+      // equals the original component's min, and composing the two label
+      // maps (id → propagated label → contracted cluster) is exactly the
+      // component-min labeling [[clustersByContraction]] would produce
+      // from the raw pairs.
+      val lab1 = labels.select(col("id").as("src"), col("cluster").as("id_a"))
+      val lab2 = labels.select(col("id").as("dst"), col("cluster").as("id_b"))
+      val qEdges = edges.join(lab1, Seq("src")).join(lab2, Seq("dst"))
+        .select(col("id_a"), col("id_b"))
+      val qLabels = clustersByContraction(qEdges)
+        .select(col("id").as("__qid"), col("cluster").as("__qc"))
+      return Materialize.once(
+        labels.join(qLabels, labels("cluster") === col("__qid"))
+          .select(col("id"), col("__qc").as("cluster")))
     }
     labels
   }
 
-  /** Propagation rounds before [[clusters]] hands a long-diameter graph
-    * to [[clustersByContraction]]. */
-  val SwitchRounds: Int = 8
+  /** Propagation rounds before [[clusters]] hands a graph that is still
+    * moving to [[clustersByContraction]] (via the quotient-graph handoff
+    * above — the propagation rounds are reused, not discarded). Shallow
+    * near-dup graphs (copies of a common source) converge in 2-3 rounds;
+    * a graph still moving after 4 is deep enough that the O(log diameter)
+    * contraction wins over more O(diameter) propagation. */
+  val SwitchRounds: Int = 4
 
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -409,10 +437,13 @@ object Dedup {
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      // NOT distinct'd: duplicates cannot change byHi's min() below, and
+      // the round's final distinct absorbs them — de-duplicating here
+      // would pay a third full-relation exchange per round for nothing.
       val ls = sym.filter(col("v") > col("u"))
         .join(mins, Seq("u"))
         .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
-        .filter(col("lo") =!= col("hi")).distinct()
+        .filter(col("lo") =!= col("hi"))
       // small-star on the result: each node (as `hi`) re-parents its
       // smaller neighbors — and itself — onto their minimum.
       val byHi = ls.groupBy(col("hi")).agg(min(col("lo")).as("__mn"))

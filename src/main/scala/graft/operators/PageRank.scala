@@ -39,13 +39,18 @@ object PageRank {
     // scalar aggregate, not a data collect: N is one number
     val n = nodes.count()
     val teleportMicro = math.round((1.0 - damping) * 1e6 / n)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // Out-degrees are STATIC across rounds — attach them to the edge
+    // relation once, instead of paying an extra (src)-keyed join inside
+    // every round. eDeg is hash-partitioned by src (the groupBy/join key),
+    // and localCheckpoint preserves that partitioning, so each round's
+    // rank join only exchanges the (node, rank) side.
+    val eDeg = graft.operators.Materialize.once(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
     val init = nodes.select(col("node"),
       lit(math.round(1e6 / n)).as("rank_micro"))
     val ranks = (1 to iters).foldLeft(init) { (r, _) =>
-      val contribs = e
+      val contribs = eDeg
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           round(col("rank_micro").cast("double") / col("deg"))
             .cast("long").as("c"))
@@ -58,7 +63,7 @@ object PageRank {
     }
     // one materialization of the final ranks, then drop the cached inputs
     val out = ranks.localCheckpoint(true)
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    e.unpersist(); nodes.unpersist()
     out
   }
 }

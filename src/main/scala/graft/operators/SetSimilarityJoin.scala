@@ -35,16 +35,20 @@ object SetSimilarityJoin {
       thresholdMicro: Long, shingleSize: Int = 3): DataFrame = {
     val thr = lit(thresholdMicro)
     val M = lit(1000000L)
-    // per-doc distinct shingles; three consumers → materialize once
-    val sh = Materialize.once(df.select(col(idCol).as("id"),
-      explode(Dedup.shingles(col(textCol), shingleSize)).as("sh")))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // per-doc distinct shingles; three consumers → materialize once.
+    // Spread before the tokenize/shingle explode: a few-file corpus scan
+    // would otherwise serialize the whole shingling onto one core.
+    val sh = Materialize.once(
+      Parallelism.spreadBy(df, col(idCol)).select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), shingleSize)).as("sh")))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__dfc"))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("__dfc"), col("sh"))
+    // set size n = rows per id — computed as a second window over the SAME
+    // id partitioning (no extra groupBy relation, no extra (id) join)
     val prefix = sh
       .join(dfreq, Seq("sh"))
       .withColumn("__rn", row_number().over(wDoc))
-      .join(sizes, Seq("id"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
       // p = n − ⌈τn⌉ + 1, ⌈τn⌉ = (τ_micro·n + 10⁶−1) div 10⁶ — exact ints
       .filter(col("__rn") <=
         col("n") - expr(s"($thresholdMicro * n + 999999) div 1000000") + 1)

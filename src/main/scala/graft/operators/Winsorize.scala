@@ -29,7 +29,12 @@ object Winsorize {
       loQ: Double, hiQ: Double): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
     val g = groupCols.map(col)
-    val bounds = df.groupBy(g: _*).agg(
+    // Spread before the exact-percentile aggregation: its partial buffers
+    // hold raw values (no reduction), so off a few-file scan the whole
+    // buffer build would serialize onto one core; round-robin spreads the
+    // buffering across the cluster and the merge still sees one buffer
+    // set per group. Result is multiset-determined — identical either way.
+    val bounds = Parallelism.spread(df).groupBy(g: _*).agg(
       expr(s"percentile($valueCol, $loQ)").as("lo_bound"),
       expr(s"percentile($valueCol, $hiQ)").as("hi_bound"))
     df.join(broadcast(bounds), groupCols)

@@ -37,10 +37,15 @@ object Boilerplate {
       i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))
   }
 
-  /** The (id, seg_idx, seg) segment relation for a corpus. */
+  /** The (id, seg_idx, seg) segment relation for a corpus. Spread by id
+    * BEFORE the tokenize/segment explode — a few-file corpus scan would
+    * serialize the segmentation onto one core, and the id hash
+    * pre-partitions for [[removeFrequentSegments]]'s reassembly groupBy.
+    */
   private def segmentRelation(docs: DataFrame, textCol: String, idCol: String,
       segWords: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.operators.Parallelism.spreadBy(docs, col(idCol))
+      .select(col(idCol).as("id"),
         posexplode(segments(col(textCol), segWords)).as(Seq("seg_idx", "seg")))
 
   /** Segments appearing in at least `minDocs` DISTINCT documents, with
@@ -59,8 +64,15 @@ object Boilerplate {
     */
   def removeFrequentSegments(docs: DataFrame, textCol: String, idCol: String,
       segWords: Int = 10, minDocs: Int = 2): DataFrame = {
-    val segs = segmentRelation(docs, textCol, idCol, segWords)
-    val freq = frequentSegments(docs, textCol, idCol, segWords, minDocs)
+    // ONE tokenize/segment pass feeds both the frequency count and the
+    // reassembly join (previously the relation was derived twice — two
+    // full corpus tokenizations); blocks are ContextCleaner-reclaimed.
+    val segs = graft.operators.Materialize.once(
+      segmentRelation(docs, textCol, idCol, segWords))
+    val freq = segs
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
       .select(col("seg"), lit(1).as("__dup"))
     segs.join(freq, Seq("seg"), "left")
       .groupBy(col("id"))

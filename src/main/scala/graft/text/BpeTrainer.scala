@@ -28,10 +28,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object BpeTrainer {
 
-  /** (id, pos, tok) exploded token corpus. */
+  /** (id, pos, tok) exploded token corpus. Spread by id BEFORE the
+    * tokenize/explode: a few-file corpus scan would serialize the whole
+    * explode onto one core, and hashing by id pre-partitions for every
+    * round's (id)-keyed window so round 1 reuses this exchange.
+    */
   def tokensExploded(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    graft.operators.Parallelism.spreadBy(df, col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
 
   /** One merge round: returns (winner_left, winner_right, count, corpus
     * after merging). Returns None when no adjacent pair exists.

@@ -87,9 +87,17 @@ object TextFunctions {
     md5(array_join(array_sort(tokens(text)), " ").cast("binary"))
 
   /** Engine-portable 32-bit token hash: little-endian integer of the first
-    * 4 md5 bytes (equals DuckDB's `md5_number_upper(x) % 2^32`).
+    * 4 md5 bytes (equals DuckDB's `md5_number_upper(x) % 2^32`). Native
+    * fused digest ([[graft.expressions.PortableTokenHash]]) — bit-identical
+    * to [[portableTokenHashBuiltin]] (PortableHashSpec) without the
+    * hex-string/substring/conv allocation chain per token.
     */
-  def portableTokenHash(t: Column): Column = {
+  def portableTokenHash(t: Column): Column =
+    graft.expressions.PortableTokenHash(t)
+
+  /** The builtin-composition reference form of [[portableTokenHash]] —
+    * kept as the spec's ground truth for the pinned hash identity. */
+  private[graft] def portableTokenHashBuiltin(t: Column): Column = {
     val m = md5(t.cast("binary"))
     conv(concat(substring(m, 7, 2), substring(m, 5, 2),
       substring(m, 3, 2), substring(m, 1, 2)), 16, 10).cast("long")
@@ -99,11 +107,19 @@ object TextFunctions {
     * with positional sensitivity). Modular arithmetic keeps every
     * intermediate below 2^36 — safe under ANSI overflow checking at any
     * document length — and the md5-derived token codes make the value
-    * engine-portable (oracle-checkable).
+    * engine-portable (oracle-checkable). Native fused fold
+    * ([[graft.expressions.RollingFingerprint]]) — bit-identical to
+    * [[rollingFingerprintBuiltin]] (PortableHashSpec) without the
+    * interpreted per-token lambda dispatch.
     */
   def rollingFingerprint(text: Column): Column =
+    graft.expressions.RollingFingerprint(tokens(text))
+
+  /** The HOF-fold reference form of [[rollingFingerprint]] — the spec's
+    * ground truth for the pinned fingerprint identity. */
+  private[graft] def rollingFingerprintBuiltin(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * 31L + portableTokenHash(t), lit(1000000007L)))
+      (acc, t) => pmod(acc * 31L + portableTokenHashBuiltin(t), lit(1000000007L)))
 }

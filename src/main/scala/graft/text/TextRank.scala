@@ -22,7 +22,11 @@ object TextRank {
   def keywords(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 2, iters: Int = 3, topK: Int = 20): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val toks = docs
+    // Hash-spread by doc BEFORE the tokenize/explode: parallelizes the
+    // tokenization off a few-file scan, shuffles raw docs instead of
+    // exploded tokens, and pre-partitions for the lead() window below
+    // (same key → the window reuses this exchange).
+    val toks = graft.operators.Parallelism.spreadBy(docs, col(idCol))
       .select(col(idCol).as("doc"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
     // vocabulary ids: distributed dense rank over the distinct tokens —
@@ -35,21 +39,28 @@ object TextRank {
       .runningRowNumber(toks.select(col("tok")).distinct(), Seq("tok"), "tid")
       .select(col("tid"), col("tok"))
     val wDoc = W.partitionBy(col("doc")).orderBy(col("pos"))
-    // undirected co-occurrence edges via lead() — no positional self-join
-    val pairs = (1 to window).map { o =>
-      toks.withColumn("nxt", lead(col("tok"), o).over(wDoc))
-        .filter(col("nxt").isNotNull)
-        .select(col("tok").as("a"), col("nxt").as("b"))
-    }.reduce(_.unionByName(_))
-    val edgesTok = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b")))
+    // undirected co-occurrence edges via lead() — no positional self-join.
+    // ALL `window` lead offsets are computed in ONE pass over ONE
+    // (doc, pos) sort (they share the window spec), then exploded — not
+    // one window pass per offset unioned after.
+    val leads = (1 to window).map(o => lead(col("tok"), o).over(wDoc))
+    val pairs = toks
+      .select(col("tok").as("a"), array(leads: _*).as("__nbrs"))
+      .select(col("a"), explode(col("__nbrs")).as("b"))
+      .filter(col("b").isNotNull)
     // no broadcast HINT on the vocab joins: the vocab grows with the
     // corpus, so the join must be free to shuffle; AQE still broadcasts
     // it at runtime whenever it is actually small.
-    val edges = edgesTok
+    // The reverse direction is mirrored AFTER the id joins: (a,b) and
+    // (b,a) map through the same token→tid function, so flipping the
+    // resolved int pair is identical to resolving the flipped string
+    // pair — at half the join input and half the string shuffle bytes.
+    val fwd = pairs
       .join(vocab.select(col("tok").as("a"), col("tid").as("src")), "a")
       .join(vocab.select(col("tok").as("b"), col("tid").as("dst")), "b")
       .select("src", "dst")
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.PageRank.run(edges, "src", "dst", iters)
       .join(vocab.select(col("tid").as("node"), col("tok")), "node")
       .select(col("tok").as("token"), col("rank_micro"))

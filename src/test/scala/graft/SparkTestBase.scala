@@ -26,6 +26,9 @@ object SparkTestBase {
       // both the per-file subprocess cost and the SIGKILLed-chmod flake
       .config("spark.hadoop.fs.file.impl",
         "graft.lake.NoForkLocalFileSystem")
+      // multi-query session: size the codegen cache to the workload so
+      // repeated plans don't LRU-thrash janino recompilation (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
