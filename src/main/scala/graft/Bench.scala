@@ -23,14 +23,21 @@ object Bench {
       // pure-JVM chmod on the local FS: no fork per written file
       .config("spark.hadoop.fs.file.impl",
         "graft.lake.NoForkLocalFileSystem")
+      // ...and its FileContext twin (streaming checkpoints resolve file://
+      // through fs.AbstractFileSystem.file.impl, not fs.file.impl)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.lake.NoForkLocalFs")
       // The default 100-entry whole-stage-codegen cache LRU-thrashes on a
       // multi-hundred-query session (each query holds several codegen
       // units), so every round-robin trial re-paid full janino compilation
       // — measured 24% of a 10-query sweep's wall time. Sizing the cache
       // to the workload's plan count makes min-of-N measure steady-state
-      // execution, not recompilation; ~50 KB/class keeps even 5000 entries
-      // comfortably inside the driver heap. Same reasoning applies to any
-      // repeated-query deployment (dashboards, Thrift server).
+      // execution, not recompilation. 5000 is measured, not arbitrary: at
+      // 30000 the suite REGRESSED ~25% across unrelated queries (6× the
+      // live generated classes grinds GC/class-unloading and JIT code-
+      // cache churn), so bigger is not better — size to the live plan
+      // set. Same reasoning applies to any repeated-query deployment
+      // (dashboards, Thrift server).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

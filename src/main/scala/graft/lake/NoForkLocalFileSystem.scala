@@ -26,6 +26,24 @@ import org.apache.hadoop.fs.permission.FsPermission
 class NoForkLocalFileSystem
   extends LocalFileSystem(new NoForkRawLocalFileSystem)
 
+/** The [[org.apache.hadoop.fs.AbstractFileSystem]] counterpart, for the
+  * `FileContext` API: Structured Streaming's checkpoint/metadata managers
+  * go through FileContext, which resolves `file://` via
+  * `fs.AbstractFileSystem.file.impl` — NOT `fs.file.impl` — so without
+  * this the streaming checkpoint writes still forked a chmod per
+  * mkdir/create (the residual ExitCodeException flake in full-suite runs
+  * after the FileSystem-side fix landed). Delegates straight to
+  * [[NoForkRawLocalFileSystem]]; checkpoint managers don't rely on local
+  * CRC sidecars.
+  *
+  * Install via `spark.hadoop.fs.AbstractFileSystem.file.impl =
+  * graft.lake.NoForkLocalFs` (reflection requires the (URI, Configuration)
+  * constructor).
+  */
+class NoForkLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new NoForkRawLocalFileSystem, conf, "file", false)
+
 class NoForkRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     import java.nio.file.attribute.PosixFilePermission._

@@ -140,11 +140,12 @@ object SecurityMaster {
     // to the fact rows once. The fact table is touched exactly twice
     // (distinct + map-back join) regardless of how much fuzzy work happens.
     val keys = df.select(col(symbolCol), col(dayCol)).distinct()
-    // The exact result feeds the hit and miss branches — materialize the
-    // (small, key-level) relation so the interval join runs once; blocks
-    // are released when the resolution's plans are dropped.
-    val exact = graft.operators.Materialize.once(
-      resolveExactKeys(keys, master, symbolCol, dayCol))
+    // The exact result feeds the hit and miss branches; the consumers see
+    // an IDENTICAL subtree (distinct → broadcast interval join → groupBy),
+    // so ReusedExchange/ReusedQueryStage dedups the computation at
+    // execution — an eager checkpoint here paid one extra blocking job per
+    // resolve for nothing (measured on q45).
+    val exact = resolveExactKeys(keys, master, symbolCol, dayCol)
     val hit = exact.filter(col("security_id").isNotNull)
     val miss = exact.filter(col("security_id").isNull).drop("security_id")
 

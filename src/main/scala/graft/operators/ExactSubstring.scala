@@ -59,8 +59,16 @@ object ExactSubstring {
   def report(df: DataFrame, textCol: String, idCol: String, k: Int,
       minDocs: Int = 2,
       gramKey: Column => Column = xxhash64(_)): DataFrame = {
-    val grams = positionalGrams(df, textCol, idCol, k)
+    // Materialized: the gram relation feeds the dup-key aggregation plus
+    // BOTH post-split consumers below — without it each consumer re-runs
+    // the tokenize/explode (the exchange inserted by spreadBy is reusable,
+    // but the per-row gram synthesis happens downstream of it and would
+    // re-run per consumer).
+    val grams = Materialize.once(positionalGrams(df, textCol, idCol, k)
       .withColumn("gkey", gramKey(col("gram")))
+      // project the raw gram away before materializing: every consumer
+      // below keys on gkey only (identity gramKey still stores one copy)
+      .select(col("id"), col("pos"), col("n_toks"), col("gkey")))
     val dupKeys = grams
       .groupBy(col("gkey"))
       .agg(countDistinct(col("id")).as("n_docs"))
@@ -73,15 +81,27 @@ object ExactSubstring {
     // only the part beyond what earlier spans already claimed. collect_list
     // is bounded by the document's own span count — per-document state,
     // never corpus-sized.
+    // n_dup_grams is aggregated SEPARATELY (distinct dup (id, gkey) pairs →
+    // count per id) instead of as a countDistinct beside the other
+    // aggregates: mixed distinct/non-distinct aggregation plans an Expand
+    // that doubles every row — including the gram-key payload — through
+    // the (id) shuffle, while the split form ships the gram key only for
+    // the (small) duplicated subset and the main aggregate drops the key
+    // column entirely. Same values: countDistinct ignores nulls, so docs
+    // without dup spans coalesce to 0 either way.
+    val dupGrams = flags.filter(col("is_dup"))
+      .select(col("id"), col("gkey")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_grams"))
     flags
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_spans"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
-        countDistinct(when(col("is_dup"), col("gkey"))).as("n_dup_grams"),
         max(col("n_toks")).as("n_tokens"),
         sort_array(collect_list(when(col("is_dup"), col("pos").cast("long"))))
           .as("__dup_starts"))
+      .join(dupGrams, Seq("id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
       .withColumn("covered_tokens",
         aggregate(col("__dup_starts"),
           struct(lit(0L).as("cov"), lit(0L).as("free")),

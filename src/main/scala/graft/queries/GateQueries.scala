@@ -96,10 +96,13 @@ object GateQueries {
     * what the oracle recomputes.
     */
   def q115AllnullDrop(s: SparkSession, dir: String): DataFrame = {
-    val bars = Tables.lineitem(s, dir)
+    // three consumers (global bounds for the spine, align's per-security
+    // bounds, align's grid join) — materialize the daily-bar aggregation
+    // once instead of re-aggregating lineitem per consumer
+    val bars = graft.operators.Materialize.once(Tables.lineitem(s, dir)
       .groupBy(col("l_suppkey").cast("long").as("security_id"),
         col("l_shipdate").cast("date").as("date"))
-      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents")))
     val bounds = bars.agg(min(col("date")).as("lo"), max(col("date")).as("hi"))
     val aligned = Calendar.align(bars, Calendar.weekdaySpineFromBounds(bounds))
     Calendar.dropAllNullRows(aligned, Seq("qty_cents"))

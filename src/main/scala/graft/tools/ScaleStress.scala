@@ -234,6 +234,10 @@ object ScaleStress {
       // pure-JVM chmod on the local FS: no fork per written file
       .config("spark.hadoop.fs.file.impl",
         "graft.lake.NoForkLocalFileSystem")
+      // ...and its FileContext twin (streaming checkpoints resolve file://
+      // through fs.AbstractFileSystem.file.impl, not fs.file.impl)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.lake.NoForkLocalFs")
       // multi-query session: size the codegen cache to the workload so
       // repeated plans don't LRU-thrash janino recompilation (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
