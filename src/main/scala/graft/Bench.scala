@@ -39,6 +39,13 @@ object Bench {
       // set. Same reasoning applies to any repeated-query deployment
       // (dashboards, Thrift server).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // shuffle/spill scratch on the fastest local storage: the sandbox's
+      // root FS serializes CONCURRENT file creates (~3 ms each with 32
+      // writers; thread dumps showed 21/32 task threads inside
+      // FileOutputStream.open0 during shuffle-write stages) — see
+      // graft.LocalScratch for the measurements and the 100 TB posture
+      // (env-overridable; a real node points this at its NVMe array)
+      .config("spark.local.dir", LocalScratch.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths and the OS page cache for

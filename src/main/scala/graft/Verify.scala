@@ -30,6 +30,8 @@ object Verify {
       // multi-query session: size the codegen cache to the workload so
       // repeated plans don't LRU-thrash janino recompilation (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // node-local scratch on the fastest local storage (see LocalScratch)
+      .config("spark.local.dir", LocalScratch.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -67,14 +67,30 @@ object Decontamination {
       evalEmb: DataFrame, centroids: DataFrame, root: String,
       embIdCol: String = "vec_id", vecCol: String = "embedding",
       routeThreshold: Int = RouteThreshold): Unit = {
-    Dedup.hashedShinglePairs(evalDocs, textCol, idCol, k)
-      .select(col("sh")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(shinglesDir(root))
-    assign(evalEmb, centroids, embIdCol, vecCol, routeThreshold)
-      .select(col("cell"), col(embIdCol).as("eval_id"),
-        col(vecCol).as("eval_vec"))
-      .write.mode(SaveMode.Overwrite).parquet(vectorsDir(root))
-    centroids.write.mode(SaveMode.Overwrite).parquet(centroidsDir(root))
+    // The three index legs are INDEPENDENT jobs (guide §2.6: actions are
+    // only sequential because the driver calls them sequentially) — submit
+    // them from a small pool so the shingle leg's tail back-fills with the
+    // vector/centroid legs instead of leaving the cluster idle.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val legs = Seq(
+      Future {
+        Dedup.hashedShinglePairs(evalDocs, textCol, idCol, k)
+          .select(col("sh")).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(shinglesDir(root))
+      },
+      Future {
+        assign(evalEmb, centroids, embIdCol, vecCol, routeThreshold)
+          .select(col("cell"), col(embIdCol).as("eval_id"),
+            col(vecCol).as("eval_vec"))
+          .write.mode(SaveMode.Overwrite).parquet(vectorsDir(root))
+      },
+      Future {
+        centroids.write.mode(SaveMode.Overwrite).parquet(centroidsDir(root))
+      })
+    Await.result(Future.sequence(legs), Duration.Inf)
   }
 
   /** Probe one training batch against the stored index. `batchDocs`

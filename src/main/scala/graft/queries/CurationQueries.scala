@@ -704,15 +704,21 @@ object CurationQueries {
       evalDocs, "text", "doc_id", k = 8, evalEmb, cents, root)
 
     // plant n-gram contamination: ids ≡ 10 (mod 50) append the verbatim
-    // eval text (documents are too diverse for natural 8-gram overlap)
+    // eval text (documents are too diverse for natural 8-gram overlap).
+    // Materialized once: each probe consumes the planted corpus TWICE
+    // (shingle input + verdict-join spine) × two batches — the scan+join+
+    // concat synthesis sits above the last exchange and would re-run per
+    // consumer (the W2.1 gram-synthesis lesson, not the ReusedExchange
+    // anti-lesson)
     val evalTexts = docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 10).as("doc_id"), col("text").as("eval_text"))
-    val trainDocs = docs.filter(col("doc_id") % 50 =!= 0)
-      .join(evalTexts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("eval_text").isNotNull,
-            concat(col("text"), lit(" "), col("eval_text")))
-          .otherwise(col("text")).as("text"))
+    val trainDocs = graft.operators.Materialize.once(
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("eval_text").isNotNull,
+              concat(col("text"), lit(" "), col("eval_text")))
+            .otherwise(col("text")).as("text")))
     // plant semantic-only contamination: ids ≡ 25 (mod 50) swap in the
     // scaled eval clone (float-rounded identically by both engines)
     val clones = emb.filter(col("vec_id") % 50 === 0)

@@ -1887,10 +1887,15 @@ object LakeQueries {
   /** q231's subquery-UPDATE history, staged once per (JVM, sf): v1 = all
     * customers; ONE `UPDATE` whose SET value carries an uncorrelated
     * SCALAR subquery and whose WHERE carries an IN subquery — both
-    * executed once at statement-run time and inlined as literals
+    * executed once at statement-run time
     * ([[graft.sql.DmlRebind.materializeSubqueries]]), so discovery and
-    * rewrite see identical values. Correlated subqueries refuse
-    * (spec-pinned): a per-row subquery is a join — spelled as MERGE.
+    * rewrite see identical values: the scalar inlines as a literal, the
+    * IN inlines its distinct values when dimension-sized and otherwise
+    * (past `spark.graft.dml.maxInlineSubqueryRows` — the sf0.1 bench
+    * shape: 13k distinct hot customers) materializes the key set once
+    * and evaluates as a semi join against the pinned base. Correlated
+    * subqueries refuse (spec-pinned): a per-row subquery is a join —
+    * spelled as MERGE.
     */
   private def stageSubqueryUpdateHistory(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_sqlsub_${math.abs(dir.hashCode)}"

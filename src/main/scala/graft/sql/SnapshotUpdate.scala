@@ -61,9 +61,17 @@ private[sql] object DmlRebind {
 
   /** Inline UNCORRELATED subqueries by executing them at statement-run
     * time: `SET x = (SELECT max(…) FROM s)` becomes a literal, `WHERE k
-    * IN (SELECT …)` becomes an IN over collected literals (bounded by
-    * `spark.graft.dml.maxInlineSubqueryRows`, default 10k — past that,
-    * materialize into a MERGE source instead of an expression tree).
+    * IN (SELECT …)` becomes an IN over collected DISTINCT literals
+    * (bounded by `spark.graft.dml.maxInlineSubqueryRows`, default 10k).
+    * PAST the cap the values are not driver-collected at all: the
+    * distinct key set is materialized ONCE (localCheckpoint leaf — both
+    * the touched-partition discovery and the rewrite read the same
+    * blocks, so they see identical values even if the subquery's source
+    * moves mid-statement) and the IN stays a predicate subquery, which
+    * the rewrite's existing subquery-split path evaluates as a semi join
+    * against the pinned base — the scalable plan for a fact-sized key
+    * set (collecting it would be O(keys) driver work and a giant literal
+    * list in every task's generated code).
     * Runs BEFORE the rewrite evaluates anything, so the touched-partition
     * discovery and the rewrite see the SAME values (the same reason
     * clause expressions must be deterministic). Correlated subqueries are
@@ -71,7 +79,8 @@ private[sql] object DmlRebind {
     * [[SnapshotMerge.rewrite]] `checked`) — a per-row subquery is a join;
     * spell it as MERGE.
     */
-  def materializeSubqueries(spark: SparkSession, e: Expression): Expression =
+  def materializeSubqueries(spark: SparkSession, e: Expression,
+      subqueryPastCap: Boolean = false): Expression =
     e.transformUp {
       case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
         val rows = bridge.ofRows(spark, s.plan).limit(2)
@@ -93,24 +102,39 @@ private[sql] object DmlRebind {
         val cap = spark.conf
           .getOption("spark.graft.dml.maxInlineSubqueryRows")
           .map(_.toInt).getOrElse(10000)
-        val df = bridge.ofRows(spark,
-          in.query.plan.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
-        val rows = df.limit(cap + 1).collect() // capped: refused past it
-        if (rows.length > cap) throw new IllegalArgumentException(
-          s"an IN subquery in a DML statement returned more than $cap rows " +
-            "(spark.graft.dml.maxInlineSubqueryRows) — materialize it and " +
-            "use MERGE instead")
         if (in.values.lengthCompare(1) != 0) throw new
             UnsupportedOperationException(
           "multi-column IN subqueries in DML statements are not supported " +
             "— materialize and MERGE instead")
-        val dt = in.query.plan.output.head.dataType
-        val lits = rows.toSeq.map(r =>
-          org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), dt))
-        if (lits.isEmpty)
-          org.apache.spark.sql.catalyst.expressions.Literal.create(false,
-            org.apache.spark.sql.types.BooleanType)
-        else org.apache.spark.sql.catalyst.expressions.In(in.values.head, lits)
+        // IN is set-membership: dedup BEFORE the cap (duplicate subquery
+        // rows cannot change the verdict, and a 10k-dup key list would
+        // refuse/inline for nothing)
+        val df = bridge.ofRows(spark,
+          in.query.plan.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+          .distinct()
+        val rows = df.limit(cap + 1).collect() // capped: joined past it
+        if (rows.length > cap) {
+          if (!subqueryPastCap) throw new IllegalArgumentException(
+            s"an IN subquery in a DML statement returned more than $cap " +
+              "rows (spark.graft.dml.maxInlineSubqueryRows) — materialize " +
+              "it and use MERGE instead")
+          // Filter-position predicate: keep the IN a subquery over the
+          // MATERIALIZED distinct key set (one localCheckpoint leaf shared
+          // by discovery and rewrite — identical values by construction)
+          // and let the optimizer's predicate-subquery rewrite plan it as
+          // a semi join. No driver materialization of a fact-sized list.
+          val mat = graft.operators.Materialize.once(df)
+          org.apache.spark.sql.catalyst.expressions.InSubquery(in.values,
+            in.query.withNewPlan(mat.queryExecution.analyzed))
+        } else {
+          val dt = in.query.plan.output.head.dataType
+          val lits = rows.toSeq.map(r =>
+            org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), dt))
+          if (lits.isEmpty)
+            org.apache.spark.sql.catalyst.expressions.Literal.create(false,
+              org.apache.spark.sql.types.BooleanType)
+          else org.apache.spark.sql.catalyst.expressions.In(in.values.head, lits)
+        }
     }
 
   /** STATIC partition-pruning predicate from a collected touched-partition
@@ -399,7 +423,8 @@ case class SnapshotDeleteCommand(
     val latest = graft.lake.Snapshots.latestVersion(spark, root, table)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot of $table to delete from"))
-    val inlined = DmlRebind.materializeSubqueries(spark, program.cond)
+    val inlined = DmlRebind.materializeSubqueries(spark, program.cond,
+      subqueryPastCap = true) // filter position: a big IN stays a semi join
     inlined match {
       case org.apache.spark.sql.catalyst.expressions.Literal(true,
           org.apache.spark.sql.types.BooleanType) =>
@@ -440,7 +465,8 @@ case class SnapshotUpdateCommand(
     // discovery and rewrite must see identical values
     val assignOf: Map[String, Expression] = program.assigns.map {
       case (n, v) => (n, DmlRebind.materializeSubqueries(spark, v)) }.toMap
-    val cond = program.cond.map(DmlRebind.materializeSubqueries(spark, _))
+    val cond = program.cond.map(DmlRebind.materializeSubqueries(spark, _,
+      subqueryPastCap = true)) // WHERE is filter position: big IN → semi join
     // null predicate = false, per SQL WHERE semantics
     val hit = cond
       .map(e => coalesce(bridge.column(remap(e)), lit(false)))

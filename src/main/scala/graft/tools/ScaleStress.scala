@@ -241,6 +241,7 @@ object ScaleStress {
       // multi-query session: size the codegen cache to the workload so
       // repeated plans don't LRU-thrash janino recompilation (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", graft.LocalScratch.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()

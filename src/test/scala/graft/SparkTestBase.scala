@@ -33,6 +33,7 @@ object SparkTestBase {
       // multi-query session: size the codegen cache to the workload so
       // repeated plans don't LRU-thrash janino recompilation (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", graft.LocalScratch.dir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -109,12 +109,25 @@ class SnapshotUpdateSpec extends SparkTestBase {
                                WHERE i.p = o.p)""")
     }
     assert(corr.getMessage.contains("CORRELATED"), corr.getMessage)
-    // past the inline cap, the IN subquery refuses with guidance
+    // past the inline cap, a WHERE-position IN is NOT driver-collected:
+    // the distinct key set is materialized once and the predicate
+    // evaluates as a semi join against the pinned base (same split path
+    // as correlated EXISTS/IN) — values identical to the inline path
     spark.conf.set("spark.graft.dml.maxInlineSubqueryRows", "2")
     try {
+      spark.sql("""UPDATE graftu.t SET bal = 7777
+                   WHERE id IN (SELECT id FROM graftu.t WHERE p = 1)""")
+      assert(spark.sql("SELECT count(*) FROM graftu.t WHERE bal = 7777")
+        .as[Long].head() === 10L) // all of p=1 (10 of 40 ids — past cap 2)
+      assert(spark.sql(
+        "SELECT count(*) FROM graftu.t WHERE bal = 7777 AND p <> 1")
+        .as[Long].head() === 0L)
+      // a SET-position IN keeps the refusal past the cap: assignments run
+      // in a projection, where a predicate subquery cannot evaluate
       val big = intercept[Exception] {
-        spark.sql("""UPDATE graftu.t SET bal = 0
-                     WHERE id IN (SELECT id FROM graftu.t)""")
+        spark.sql("""UPDATE graftu.t
+                     SET bal = CASE WHEN id IN (SELECT id FROM graftu.t)
+                               THEN 0 ELSE 1 END""")
       }
       assert(big.getMessage.contains("maxInlineSubqueryRows"), big.getMessage)
     } finally spark.conf.unset("spark.graft.dml.maxInlineSubqueryRows")
