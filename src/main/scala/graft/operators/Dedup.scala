@@ -283,22 +283,30 @@ object Dedup {
       struct(lit(t).as("tbl"),
         Similarity.signatureFromPlanes(col(vecCol), pf(t), dims).as("sig"))
     }
+    // Candidate generation moves KEYS ONLY (guide §8: decide with small
+    // rows, move payloads once): the probe side is exploded (bits+1)× per
+    // table, so carrying the vector through the bucket join shuffled the
+    // corpus payload ~36× (measured 112 MB of shuffle on a 3 MB corpus —
+    // the suite's largest exchange). Ids are 8 bytes; the vectors are
+    // re-attached to the (collision-sized) candidate set afterwards.
     val bucketed = emb
       .withColumn("bk", explode(array(sigs: _*)))
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         col("bk.tbl").as("tbl"), col("bk.sig").as("bucket"))
     // one side also probes all Hamming-1 neighbor buckets (recall lift,
     // same trick as Similarity.lshTopK)
     val probeMasks = typedLit(0L +: (0 until bits).map(i => 1L << i))
     val a = bucketed
       .withColumn("bucket", explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m))))
-      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = bucketed.select(col("tbl"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos_sim", graft.expressions.CosineSimilarity(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

@@ -545,7 +545,7 @@ object CurationQueries {
     val src = stageOnce(ev, "hll_events", dir)
     val tag = math.abs(dir.hashCode)
     val stateRoot = s"/tmp/graft_q145_state_$tag"
-    val ckpt = s"/tmp/graft_q145_ckpt_$tag"
+    val ckpt = s"${graft.LocalScratch.dir()}/graft_q145_ckpt_$tag"
     rm(s, stateRoot, ckpt) // full-rebuild gate (I6 covers resume)
     Hll.build(ev.limit(0), Seq("event_type"), "user_id")
       .write.parquet(s"$stateRoot/v0")
@@ -822,7 +822,7 @@ object CurationQueries {
     val h = math.abs(dir.hashCode)
     val idxRoot = s"/tmp/graft_q188_idx_$h"
     val sink = s"/tmp/graft_q188_sink_$h"
-    val ckpt = s"/tmp/graft_q188_ckpt_$h"
+    val ckpt = s"${graft.LocalScratch.dir()}/graft_q188_ckpt_$h"
     rm(s, idxRoot, sink, ckpt)
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))

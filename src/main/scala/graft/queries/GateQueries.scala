@@ -332,7 +332,7 @@ object GateQueries {
     val tag = math.abs(dir.hashCode)
     val src = s"/tmp/graft_q122_src_$tag"
     val sink = s"/tmp/graft_q122_sink_$tag"
-    val ckpt = s"/tmp/graft_q122_ckpt_$tag"
+    val ckpt = s"${graft.LocalScratch.dir()}/graft_q122_ckpt_$tag"
     rm(s, src, sink, ckpt)
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
       round(col("value") * 100).cast("long").as("cents"))

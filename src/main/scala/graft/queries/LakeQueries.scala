@@ -2065,7 +2065,7 @@ object LakeQueries {
 
     val tag = math.abs(dir.hashCode)
     val stateRoot = s"/tmp/graft_q108_state_$tag"
-    val ckpt = s"/tmp/graft_q108_ckpt_$tag"
+    val ckpt = s"${graft.LocalScratch.dir()}/graft_q108_ckpt_$tag"
     // full-rebuild gate, not a resume test (I6 covers resume): fresh
     // state + checkpoint per invocation
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)

@@ -94,8 +94,15 @@ object LifecycleQueries {
       // 2. trading-day gate (I2) — one-day spine, dimension-sized count
       val trading = Calendar
         .weekdaySpine(s, asOf.toString, asOf.toString).count() == 1
-      // 3. month-to-date ticks refresh only on trading days (I3 overwrite)
-      if (trading) Jobs.updateDailyTicks(s, slice, root)
+      // 3. month-to-date ticks refresh only on trading days (I3 overwrite).
+      // The refresh touches ONLY daily_ticks while steps 4-6 touch
+      // fundamental/sentiment — independent jobs, so submit it concurrently
+      // and let its tail back-fill with the filings chain (guide §2.6: the
+      // day's steps are only sequential where they truly depend).
+      import scala.concurrent.{Await, Future}
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val ticksF = Future { if (trading) Jobs.updateDailyTicks(s, slice, root) }
       // 4. recent-filings probe → hit securities (7-day lookback)
       val hits = filed.select(sid.as("security_id")).distinct()
       // 5. fundamental republish for hit securities (partition overwrite —
@@ -110,6 +117,7 @@ object LifecycleQueries {
       val inc = filed.select(col("o_orderkey").as("accession"),
         sid.as("security_id"), (col("o_orderkey") % 100).as("score"))
       val n = Jobs.appendNewFilings(s, inc, root, "sentiment", "accession")
+      Await.result(ticksF, scala.concurrent.duration.Duration.Inf)
       (m, trading, n)
     }
 

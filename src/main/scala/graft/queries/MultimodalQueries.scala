@@ -325,7 +325,7 @@ object MultimodalQueries {
     val src = s"/tmp/graft_q193_src_$h"
     val idx = s"/tmp/graft_q193_idx_$h"
     val sink = s"/tmp/graft_q193_sink_$h"
-    val ckpt = s"/tmp/graft_q193_ckpt_$h"
+    val ckpt = s"${graft.LocalScratch.dir()}/graft_q193_ckpt_$h"
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       s.sparkContext.hadoopConfiguration)
     Seq(src, idx, sink, ckpt).foreach(p =>

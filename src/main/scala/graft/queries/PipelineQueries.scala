@@ -813,7 +813,7 @@ object PipelineQueries {
     val root = s"/tmp/graft_q196_idx_$h"
     val src = s"/tmp/graft_q196_src_$h"
     val sink = s"/tmp/graft_q196_sink_$h"
-    val ckpt = s"/tmp/graft_q196_ckpt_$h"
+    val ckpt = s"${graft.LocalScratch.dir()}/graft_q196_ckpt_$h"
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       s.sparkContext.hadoopConfiguration)
     Seq(root, src, sink, ckpt).foreach(p =>

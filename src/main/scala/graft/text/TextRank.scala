@@ -48,6 +48,15 @@ object TextRank {
       .select(col("tok").as("a"), array(leads: _*).as("__nbrs"))
       .select(col("a"), explode(col("__nbrs")).as("b"))
       .filter(col("b").isNotNull)
+    // Collapse to (a, b, multiplicity) BEFORE anything joins or mirrors
+    // (guide §2.3): co-occurrence multiplicity is dense (a corpus re-uses
+    // its vocabulary constantly), so the distinct-pair relation is orders
+    // of magnitude smaller than the positional pair stream — the vocab
+    // joins, the mirror union, and every PageRank round then move the
+    // distinct relation, not the corpus. Weights are exact edge counts;
+    // PageRank.runWeighted is bit-identical to the expanded rounds.
+    val pairsW = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("__w"))
     // no broadcast HINT on the vocab joins: the vocab grows with the
     // corpus, so the join must be free to shuffle; AQE still broadcasts
     // it at runtime whenever it is actually small.
@@ -55,13 +64,13 @@ object TextRank {
     // (b,a) map through the same token→tid function, so flipping the
     // resolved int pair is identical to resolving the flipped string
     // pair — at half the join input and half the string shuffle bytes.
-    val fwd = pairs
+    val fwd = pairsW
       .join(vocab.select(col("tok").as("a"), col("tid").as("src")), "a")
       .join(vocab.select(col("tok").as("b"), col("tid").as("dst")), "b")
-      .select("src", "dst")
+      .select(col("src"), col("dst"), col("__w"))
     val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.PageRank.run(edges, "src", "dst", iters)
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("__w")))
+    graft.operators.PageRank.runWeighted(edges, "src", "dst", "__w", iters)
       .join(vocab.select(col("tid").as("node"), col("tok")), "node")
       .select(col("tok").as("token"), col("rank_micro"))
       .orderBy(col("rank_micro").desc, col("token").asc)
