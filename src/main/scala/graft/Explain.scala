@@ -17,6 +17,15 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // session parity with Bench/Verify: SQL-surface queries stage via
+      // MERGE/UPDATE (extensions) and everything shares the no-fork FS +
+      // scratch-dir posture, so plans match what the bench executes
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.lake.NoForkLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.lake.NoForkLocalFs")
+      .config("spark.local.dir", LocalScratch.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

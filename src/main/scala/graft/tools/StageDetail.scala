@@ -65,11 +65,32 @@ object StageDetail {
       graft.queries.MediaFixtures.prebuild(spark, sfDir)
     } catch { case _: Throwable => }
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    // in-process stack sampler over executor task threads (external jstack
+    // attach is racy against short runs): aggregates the top interesting
+    // frame per sample so blocked-in-what is visible without the UI
+    val sampling = sys.env.get("SPARK_GRAFT_SAMPLE").contains("1")
+    val frames = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var keepSampling = true
+    val sampler = new Thread(() => {
+      while (keepSampling) {
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.asScala.foreach { case (th, stack) =>
+          if (th.getName.startsWith("Executor task launch") && stack.nonEmpty) {
+            val top = stack.take(6).map(_.toString).mkString(" <- ")
+            frames.merge(s"${th.getState}: $top", 1, (a, b) => a + b)
+          }
+        }
+        Thread.sleep(150)
+      }
+    })
+    sampler.setDaemon(true)
+    if (sampling) sampler.start()
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       for (t <- 1 to trials) {
         Thread.sleep(150)
         agg.reset()
+        if (t == trials) frames.clear()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => println(s"[fail] $name: $e") }
@@ -84,6 +105,13 @@ object StageDetail {
                 f"cpu=${s.cpu / 1e3}%8.2f gc=${s.gc / 1e3}%6.2f maxTask=${s.maxRun / 1e3}%6.2f " +
                 f"shR=${s.shRead / 1e6}%7.1fMB shW=${s.shWrite / 1e6}%7.1fMB " +
                 f"fw=${s.fetchWait / 1e3}%5.2f spill=${s.spill / 1e6}%6.1fMB ${s.name}")
+          }
+          if (sampling) {
+            import scala.jdk.CollectionConverters._
+            println("  -- sampled executor frames (count: state top-frames) --")
+            frames.asScala.toSeq.sortBy(-_._2.intValue).take(12).foreach {
+              case (k, n) => println(f"  $n%5d  ${k.take(340)}")
+            }
           }
         }
         spark.catalog.clearCache()
